@@ -1,24 +1,46 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
+  * prints one JSON line {"metric":…,"queries":{…}}. Results are forced
+  * through the noop datasource so the full plan executes (a bare count()
+  * would let Catalyst prune the aggregates away).
+  */
 object Bench {
+  // Headline set: one per operator family that matters at scale.
+  val headline: Seq[String] = Seq(
+    "q_agg_tpch_q1",      // wide-table scan + grouped aggregation
+    "q_filter_pred",      // predicate pushdown path
+    "q_join_multiway",    // lineitem⋈orders⋈customer⋈nation (shuffle joins)
+    "q_join_inner_groupby", // broadcast join
+    "q_window_rownum",    // window over events
+    "q_sessionize",       // gap/island sessionization
+    "q_topk_pergroup",    // per-group top-k
+    "q_text_stats",       // tokenization pass over documents
+    "q_ngram_jaccard",    // blocked all-pairs near-dup
+    "q_dedup_minhash",    // MinHash LSH near-dup
+    "q_sim_cosine_topk",  // brute-force cosine top-k
+    "q_sim_lsh"           // LSH-bucketed ANN
+  )
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val results = headline.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

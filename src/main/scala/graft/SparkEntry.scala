@@ -1,13 +1,30 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * The operator surface lives in two registries:
+  *   - [[graft.queries.RelationalQueries]] — SURVEY §2.3 relational rows
+  *   - [[graft.queries.LlmQueries]]        — north-star LLM-pipeline rows
+  * Each query name appears in `queries` (Spark plan) and, when DuckDB can
+  * express identical semantics, in `oracleSql` (hash-compared by driver).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * TPC-H Q1 shape (SURVEY §2.3 "Aggregation" row). Reads only lineitem,
+    * so it is safe under any session config. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q_agg_tpch_q1")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.RelationalQueries.queries ++ graft.queries.LlmQueries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for the hash-based ops (MinHash /
+    * SimHash / LSH / HLL) whose hash functions have no DuckDB twin —
+    * driver records a weaker rows-only check; ScalaTest covers semantics. */
+  def oracleSql: Map[String, String] =
+    graft.queries.RelationalQueries.oracle ++ graft.queries.LlmQueries.oracle
 }

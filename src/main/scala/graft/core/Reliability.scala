@@ -1,0 +1,80 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+
+/** Delivery/error semantics, mapping the reference's batcher contract
+  * (/root/reference/x/batcher/batcher.go:460-540) onto Structured
+  * Streaming's unit of atomicity, the micro-batch.
+  *
+  * The reference acks per message; Spark commits offsets per micro-batch.
+  * So the three batcher error-handler outcomes become:
+  *   - [[ErrorPolicy.Raise]]    — exhaust retries → rethrow → query dies
+  *     (the reference's fatal-error contract, processor.go:94-118).
+  *   - [[ErrorPolicy.Discard]]  — exhaust retries → log, drop the batch,
+  *     commit offsets (the reference's nil ErrorHandler → ack-all,
+  *     batcher.go:529-536).
+  *   - [[ErrorPolicy.DontCommit]] — exhaust retries → fail the batch
+  *     WITHOUT committing, and let the supervisor restart the query so the
+  *     batch is redelivered (the reference's ErrDontAck, batcher.go:21,
+  *     523-526 — coarsened from per-message to per-batch granularity; make
+  *     sinks idempotent so the observable result is exactly-once).
+  */
+sealed trait ErrorPolicy
+object ErrorPolicy {
+  case object Raise extends ErrorPolicy
+  case object Discard extends ErrorPolicy
+  case object DontCommit extends ErrorPolicy
+}
+
+/** Retry with exponential backoff — defaults mirror the reference's
+  * batcher (3 retries, 500 ms → 5 s, ×2.0; batcher.go:180-189). */
+final case class RetryPolicy(
+    maxRetries: Int = 3,
+    initialBackoffMs: Long = 500,
+    maxBackoffMs: Long = 5000,
+    backoffMultiplier: Double = 2.0,
+    isRetryable: Throwable => Boolean = _ => true)
+
+/** Batch failed under [[ErrorPolicy.DontCommit]]: offsets intentionally
+  * not committed; a supervisor may restart the query for redelivery. */
+final class DontCommitException(cause: Throwable)
+  extends RuntimeException("flush failed; batch not committed", cause)
+
+object Reliability {
+
+  /** Run `op` under the retry policy; returns the last failure if
+    * exhausted or non-retryable. */
+  def withRetries[A](retry: RetryPolicy)(op: => A): Either[Throwable, A] = {
+    var backoff = retry.initialBackoffMs
+    var attempt = 0
+    while (true) {
+      try return Right(op)
+      catch {
+        case t: Throwable =>
+          attempt += 1
+          if (attempt > retry.maxRetries || !retry.isRetryable(t)) return Left(t)
+          Thread.sleep(backoff)
+          backoff = math.min(
+            (backoff * retry.backoffMultiplier).toLong, retry.maxBackoffMs)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Wrap a foreachBatch flush with retry + error-policy semantics. */
+  def retryingBatchWriter(
+      flush: (DataFrame, Long) => Unit,
+      retry: RetryPolicy = RetryPolicy(),
+      onError: ErrorPolicy = ErrorPolicy.Raise): (DataFrame, Long) => Unit =
+    (df, batchId) =>
+      withRetries(retry)(flush(df, batchId)) match {
+        case Right(_) => ()
+        case Left(t) => onError match {
+          case ErrorPolicy.Raise => throw t
+          case ErrorPolicy.Discard =>
+            System.err.println(
+              s"[graft] discarding batch $batchId after retries: ${t.getMessage}")
+          case ErrorPolicy.DontCommit => throw new DontCommitException(t)
+        }
+      }
+}

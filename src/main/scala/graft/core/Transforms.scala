@@ -1,0 +1,49 @@
+package graft.core
+
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder}
+import org.apache.spark.sql.functions._
+
+/** The transform library — the engine's `Handler` surface
+  * (/root/reference/types.go:122-135: one message in, 0..N out, possibly a
+  * different type).
+  *
+  * Column-first: `select`/`where`/`withColumn` compile to Catalyst plans
+  * (predicate pushdown, pruning, codegen for free — SURVEY §4). The typed
+  * `flatMap` escape hatch is the literal Handler shape for logic SQL can't
+  * express; empty output = filter-out, matching the reference's
+  * empty-slice-means-processed idiom (types.go:123-126).
+  */
+object Transforms {
+  /** Identity — the reference's `Pipe` (types.go:137-145). */
+  def pipe: DataFrame => DataFrame = identity
+
+  def select(cols: Column*): DataFrame => DataFrame = _.select(cols: _*)
+
+  def where(cond: Column): DataFrame => DataFrame = _.filter(cond)
+
+  def withColumn(name: String, c: Column): DataFrame => DataFrame =
+    _.withColumn(name, c)
+
+  /** Typed Handler: 1 → 0..N, possibly different type (types.go:127-129).
+    * Prefer Column transforms; this is the escape hatch. */
+  def handler[A: Encoder, B: Encoder](f: A => Seq[B]): Dataset[A] => Dataset[B] =
+    _.flatMap(f)(implicitly[Encoder[B]])
+
+  /** `DeserializationSource` parity (types.go:169-195): decode the opaque
+    * `value` bytes as JSON into typed columns, keeping the envelope
+    * (key/topic/attributes) alongside — late-bound schema, like the
+    * reference's user-supplied `DeserFunc`. */
+  def deserializeJson(schema: StructType): DataFrame => DataFrame =
+    df => df.withColumn("parsed",
+        from_json(col("value").cast("string"), schema))
+      .select(col("key"), col("topic"), col("attributes"), col("parsed.*"))
+
+  /** Fan-out split (the scanner-style one-line-to-records Handler,
+    * SURVEY §2.1 O5): split `value` text on a delimiter into one message
+    * per token, envelope preserved. */
+  def splitValue(delimiter: String): DataFrame => DataFrame =
+    df => df.withColumn("value",
+        explode(split(col("value").cast("string"), java.util.regex.Pattern.quote(delimiter))))
+      .withColumn("value", col("value").cast("binary"))
+}

@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text-analysis kernels for the LLM-pipeline operators
+  * (SURVEY.md §2.3 north-star rows: text analysis, near-dup).
+  *
+  * All pure Column expressions (codegen-friendly, no UDFs). Where a kernel
+  * must match the DuckDB oracle bit-for-bit, the logic is restricted to
+  * functions both engines implement identically (split, md5, contains).
+  */
+object TextFunctions {
+  /** Whitespace tokenization after lowering; collapses runs of whitespace
+    * and trims so empty-token artifacts can't differ between engines. */
+  def tokens(text: Column): Column =
+    split(trim(regexp_replace(lower(text), "\\s+", " ")), " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Word n-gram shingles as space-joined strings; empty array when the
+    * document has fewer than n tokens. */
+  def shingles(toks: Column, n: Int): Column = {
+    val idx = sequence(lit(0), size(toks) - n)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(idx, i =>
+        concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
+  }
+
+  /** Set-semantics Jaccard similarity of two string arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0, lit(0.0)).otherwise(inter / uni)
+  }
+
+  /** Canonical-text fingerprint: md5 of lowercased, whitespace-collapsed
+    * text. Exact-duplicate detection key (normalized). */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Stopword ratio over the token list (quality-scoring feature). */
+  def stopwordRatio(toks: Column, stopwords: Seq[String]): Column = {
+    val sw = stopwords.map(w => lit(w))
+    val hits = size(filter(toks, t => t.isin(sw: _*)))
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(hits.cast("double") / size(toks).cast("double"))
+  }
+
+  /** Mean token length (quality-scoring feature). */
+  def meanTokenLen(toks: Column): Column =
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+          size(toks).cast("double"))
+
+  /** Deterministic marker-word language heuristic. The testdata corpus is
+    * synthetic (shared vocabulary), so this demonstrates the *mechanism* —
+    * a cascade of marker tests an identical DuckDB CASE expression can
+    * reproduce — not linguistic accuracy.
+    */
+  def langGuess(text: Column): Column =
+    when(text.contains(" the "), "en")
+      .when(text.contains(" der ") || text.contains(" und "), "de")
+      .when(text.contains(" el ") || text.contains(" los "), "es")
+      .when(text.contains(" le ") || text.contains(" les "), "fr")
+      .otherwise("unk")
+
+  /** 64-bit SimHash over token xxhash64s: bit i of the result is the sign
+    * of Σ_tokens (bit i of xxhash64(token) ? +1 : -1). Pure Column
+    * expression; near-duplicates have small Hamming distance.
+    */
+  def simhash(toks: Column): Column = {
+    val hashes = transform(toks, t => xxhash64(t))
+    val bitCols = (0 until 64).map { i =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(h.bitwiseAND(lit(1L << i)) =!= 0, 1L).otherwise(-1L))
+      when(votes > 0, lit(1L << i)).otherwise(0L)
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** Hamming distance between two 64-bit hashes. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (north-star row: image/audio/video as opaque
+  * binary columns with typed metadata).
+  *
+  * The Spark-side mechanics are real and tested: binary payload columns,
+  * a typed metadata struct, partition-friendly batch decode via
+  * `mapPartitions`, and feature columns sized for downstream similarity
+  * ops. The actual codec calls are STUBBED (this container ships no
+  * image/audio libraries): `decodeStub` derives deterministic fake
+  * metadata/features from the bytes, clearly marked below. Swapping in a
+  * real decoder changes only the function body — schema, batching and
+  * plan shape stay identical.
+  *
+  * Scale notes: decode is a narrow per-partition pass (no shuffle); frame
+  * sampling explodes bounded arrays; feature extraction emits fixed-width
+  * float arrays that feed [[Similarity]] unchanged.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("payload", BinaryType),
+    StructField("mime", StringType)))
+
+  val metaSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("ok", BooleanType)))
+
+  /** STUB decoder: deterministic pseudo-metadata from the payload bytes.
+    * A real build replaces this body with an actual codec (e.g. javax
+    * imageio / ffmpeg bindings); everything around it is production
+    * plumbing. */
+  private[ops] def decodeStub(payload: Array[Byte]): (Int, Int, Int, Boolean) = {
+    if (payload == null || payload.isEmpty) (0, 0, 0, false)
+    else {
+      val h = java.util.Arrays.hashCode(payload)
+      (math.abs(h % 1920) + 1, math.abs((h >> 8) % 1080) + 1,
+        math.abs((h >> 16) % 300) + 1, true)
+    }
+  }
+
+  /** STUB feature extractor: deterministic fixed-width pseudo-embedding
+    * from payload bytes (stands in for a vision/audio model forward
+    * pass). */
+  private[ops] def featuresStub(payload: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    if (payload != null && payload.nonEmpty) {
+      var i = 0
+      var h = 1125899906842597L
+      while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
+      var j = 0
+      while (j < dim) {
+        h ^= h << 13; h ^= h >>> 7; h ^= h << 17
+        out(j) = (h.toDouble / Long.MaxValue).toFloat
+        j += 1
+      }
+    }
+    out
+  }
+
+  /** Decode metadata for each media row — batch per partition, no
+    * shuffle. Input needs (media_id, payload, mime); output adds a typed
+    * `meta` struct. */
+  def decodeMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(media.schema.fields :+ StructField("meta", metaSchema))
+    val idxPayload = media.schema.fieldIndex("payload")
+    val rdd = media.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, f, ok) = decodeStub(r.getAs[Array[Byte]](idxPayload))
+        Row.fromSeq(r.toSeq :+ Row(w, h, f, ok))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Extract a fixed-width float feature vector per media row. */
+  def extractFeatures(media: DataFrame, dim: Int = 64): DataFrame = {
+    val featUdf = udf((payload: Array[Byte]) => featuresStub(payload, dim))
+    media.withColumn("features", featUdf(col("payload")))
+  }
+
+  /** Sample up to `n` frame indices per media row, evenly spaced over the
+    * decoded frame count — one output row per sampled frame. */
+  def sampleFrames(withMeta: DataFrame, n: Int): DataFrame =
+    withMeta
+      .withColumn("frame_idx",
+        explode(
+          when(col("meta.n_frames") >= 1,
+            sequence(lit(0), col("meta.n_frames") - 1,
+              greatest(lit(1), (col("meta.n_frames") / n).cast("long"))))
+            .otherwise(array().cast("array<bigint>"))))
+}

@@ -1,0 +1,80 @@
+package graft.ops
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`)
+  * (SURVEY.md §2.3 north-star "Near-dup / similarity" row).
+  *
+  * Two paths, mirroring how a 100 TB corpus is actually searched:
+  *   - [[bruteForceTopK]]: exact cosine top-k. The query set is broadcast
+  *     (it must be small); the corpus side streams through one narrow pass
+  *     plus a per-query top-k window. Baseline + oracle-checkable.
+  *   - [[lshTopK]]: random-hyperplane LSH. Corpus and queries get a
+  *     signature bucket; candidates come from an equi-join on the bucket
+  *     (optionally multi-probe over `probes` sign-flip neighbors), then
+  *     exact cosine re-ranks the candidates. Corpus signatures are a
+  *     narrow map — at scale you'd persist them as a bucketed table so
+  *     repeated queries shuffle nothing.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors by cosine for each query row.
+    * queries/corpus: (idCol, vecCol). Output: q_id, rnk, n_id, sim. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("nv"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    broadcast(q).crossJoin(c)
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", cosineD(col("qv"), col("nv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "n_id", "sim")
+  }
+
+  /** Approximate top-k via random-hyperplane bucketing + exact re-rank.
+    * `bits` hyperplanes → 2^bits buckets; recall grows with fewer bits /
+    * more probes (probes = number of single-bit-flip neighbor buckets
+    * additionally searched). */
+  def lshTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, dim: Int, k: Int,
+      bits: Int = 8, probes: Int = 0, seed: Long = 42L): DataFrame = {
+    val sig = (v: org.apache.spark.sql.Column) => hyperplaneSig(v, bits, dim, seed)
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("nv"),
+      sig(col(vecCol)).as("bucket"))
+    val qBase = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"),
+      sig(col(vecCol)).as("sig0"))
+    // multi-probe: original bucket plus single-bit flips of the signature
+    val probeCols = col("sig0") +: (0 until probes).map(i =>
+      col("sig0").bitwiseXOR(lit(1L << i)))
+    val q = qBase.withColumn("bucket", explode(array(probeCols: _*)))
+      .select("q_id", "qv", "bucket")
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    broadcast(q).join(c, "bucket")
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", cosineD(col("qv"), col("nv")))
+      .select("q_id", "n_id", "sim").distinct()
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "n_id", "sim")
+  }
+
+  /** kNN label vote: for each query, the majority label among its top-k
+    * exact-cosine neighbors (ties broken by smaller label id). */
+  def knnLabel(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val labeled = corpus.select(col(idCol).as("n_id"), col(labelCol).as("n_label"))
+    val top = bruteForceTopK(queries, corpus, idCol, vecCol, k)
+      .join(labeled, "n_id")
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("votes").desc, col("n_label"))
+    top.groupBy("q_id", "n_label").agg(count(lit(1)).as("votes"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("n_label").as("pred_label"), col("votes"))
+  }
+}

@@ -1,0 +1,229 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import graft.ops.{Dedup, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators (SURVEY.md §2.3 north-star rows):
+  * text analysis, fingerprinting, near-dedup, embedding similarity.
+  *
+  * Queries with DuckDB-expressible semantics are in [[oracle]]; the
+  * hash-based ones (MinHash/SimHash/LSH — Spark's xxhash64 has no DuckDB
+  * twin) are registered without oracle SQL, so the driver records the
+  * weaker rows-only check; their semantics are instead tested in
+  * `src/test/scala/graft/DedupSpec.scala` against exact-Jaccard recall.
+  */
+object LlmQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  // DuckDB twin of TextFunctions.tokens — keep in sync.
+  private val sqlToks =
+    "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+  private def sqlShingles(toks: String) =
+    s"list_distinct(list_transform(range(1, greatest(len($toks)-1, 1)), " +
+      s"i -> concat_ws(' ', $toks[i], $toks[i+1], $toks[i+2])))"
+
+  val queries: Map[String, Q] = Map(
+    // ---- text analysis ----------------------------------------------
+    "q_text_stats" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("chars"),
+          sum(tokenCount(col("text"))).as("n_tokens"))),
+
+    "q_text_tokens" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_tokens"),
+          count_distinct(col("tok")).as("n_distinct"),
+          min("tok").as("first_tok"))),
+
+    "q_text_quality" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", tokens(col("text")))
+        .groupBy("lang")
+        .agg(
+          round(sum(stopwordRatio(col("toks"), Seq("the", "a", "of", "and"))), 2).as("sum_sw_ratio"),
+          round(sum(meanTokenLen(col("toks"))), 2).as("sum_mean_len"),
+          count(lit(1)).as("n"))),
+
+    "q_lang_id" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("pred", langGuess(col("text")))
+        .groupBy("pred")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pred") === col("lang"), 1L).otherwise(0L)).as("n_correct"))),
+
+    "q_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .agg(count(lit(1)).as("n"),
+          count_distinct(fingerprint(col("text"))).as("n_fp"),
+          min(fingerprint(col("text"))).as("min_fp"))),
+
+    // ---- near-duplicate detection -----------------------------------
+    "q_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d),
+          "text", "doc_id", "lang", shingleLen = 3, threshold = 0.2)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("j"))),
+
+    "q_dedup_exact_docs" -> ((s, d) =>
+      Dedup.exactDupGroups(Tables.documents(s, d), "text", "doc_id")
+        .agg(count(lit(1)).as("n_groups"), sum("n_dups").as("n_docs"),
+          max("n_dups").as("max_group"))),
+
+    // hash-based candidates — no DuckDB twin, rows-only check + ScalaTest
+    "q_dedup_minhash" -> ((s, d) =>
+      Dedup.minhashNearDup(Tables.documents(s, d), "text", "doc_id",
+        bands = 16, rowsPerBand = 4, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("j"))),
+
+    "q_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashNearDup(Tables.documents(s, d), "text", "doc_id",
+        prefixBits = 8, maxHamming = 16)),
+
+    // ---- embedding similarity ---------------------------------------
+    "q_sim_cosine_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(
+          e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 5)
+        .select(col("q_id"), col("rnk"), col("n_id"), round(col("sim"), 4).as("sim"))
+    }),
+
+    "q_knn_label" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.knnLabel(e.filter(col("vec_id") < 50), e,
+        "vec_id", "embedding", "label", k = 10)
+    }),
+
+    "q_embed_norm" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .groupBy("label")
+        .agg(round(sum(normD(col("embedding"))), 2).as("sum_norm"),
+          round(sum(dotD(col("embedding"), col("embedding"))), 2).as("sum_sq"),
+          count(lit(1)).as("n"))),
+
+    "q_sim_lsh" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.lshTopK(e.filter(col("vec_id") < 10), e,
+          "vec_id", "embedding", dim = 64, k = 5, bits = 6, probes = 2)
+        .select(col("q_id"), col("rnk"), col("n_id"), round(col("sim"), 4).as("sim"))
+    }),
+
+    "q_approx_hll" -> ((s, d) =>
+      Tables.events(s, d).agg(
+        approx_count_distinct(col("user_id")).as("approx_u"),
+        count_distinct(col("user_id")).as("exact_u"))),
+
+    // ---- multimodal plumbing (binary columns + typed metadata) -------
+    "q_multimodal_meta" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), col("text").cast("binary").as("payload"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum(octet_length(col("payload"))).as("n_bytes"),
+          min(octet_length(col("payload"))).as("min_bytes")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_text_stats" ->
+      s"""SELECT lang, count(*) AS n_docs, sum(n_chars) AS chars,
+         | sum(len($sqlToks)) AS n_tokens
+         |FROM documents GROUP BY lang""".stripMargin,
+
+    "q_text_tokens" ->
+      s"""SELECT lang, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct,
+         | min(tok) AS first_tok
+         |FROM (SELECT lang, unnest($sqlToks) AS tok FROM documents)
+         |GROUP BY lang""".stripMargin,
+
+    "q_text_quality" ->
+      s"""WITH t AS (SELECT lang, $sqlToks AS toks FROM documents)
+         |SELECT lang,
+         | round(sum(CASE WHEN len(toks)=0 THEN 0 ELSE
+         |  len(list_filter(toks, x -> x IN ('the','a','of','and')))::DOUBLE
+         |   / len(toks)::DOUBLE END), 2) AS sum_sw_ratio,
+         | round(sum(CASE WHEN len(toks)=0 THEN 0 ELSE
+         |  list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+         |   / len(toks)::DOUBLE END), 2) AS sum_mean_len,
+         | count(*) AS n
+         |FROM t GROUP BY lang""".stripMargin,
+
+    "q_lang_id" ->
+      """SELECT pred, count(*) AS n,
+        | sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS n_correct
+        |FROM (SELECT lang,
+        |  CASE WHEN contains(text, ' the ') THEN 'en'
+        |       WHEN contains(text, ' der ') OR contains(text, ' und ') THEN 'de'
+        |       WHEN contains(text, ' el ') OR contains(text, ' los ') THEN 'es'
+        |       WHEN contains(text, ' le ') OR contains(text, ' les ') THEN 'fr'
+        |       ELSE 'unk' END AS pred
+        | FROM documents)
+        |GROUP BY pred""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT count(*) AS n,
+        | count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS n_fp,
+        | min(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS min_fp
+        |FROM documents""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, lang, ${sqlShingles(sqlToks)} AS sh FROM documents),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+         |   ELSE len(list_distinct(list_intersect(a.sh, b.sh)))::DOUBLE
+         |    / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE END AS j
+         | FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, round(j, 4) AS j FROM p WHERE j >= 0.2""".stripMargin,
+
+    "q_dedup_exact_docs" ->
+      """SELECT count(*) AS n_groups, sum(n_dups) AS n_docs, max(n_dups) AS max_group
+        |FROM (SELECT count(*) AS n_dups
+        |  FROM documents
+        |  GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))""".stripMargin,
+
+    "q_sim_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings),
+        |s AS (SELECT q_id, n_id,
+        |  list_dot_product(qv, nv)
+        |   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))) AS sim
+        | FROM q, c WHERE q_id <> n_id),
+        |r AS (SELECT q_id, n_id, sim,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rnk FROM s)
+        |SELECT q_id, rnk, n_id, round(sim, 4) AS sim FROM r WHERE rnk <= 5""".stripMargin,
+
+    "q_knn_label" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 50),
+        |c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv, label FROM embeddings),
+        |s AS (SELECT q_id, n_id, label,
+        |  list_dot_product(qv, nv)
+        |   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))) AS sim
+        | FROM q, c WHERE q_id <> n_id),
+        |r AS (SELECT q_id, n_id, label, sim,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rnk FROM s),
+        |v AS (SELECT q_id, label AS n_label, count(*) AS votes
+        |  FROM r WHERE rnk <= 10 GROUP BY q_id, label),
+        |w AS (SELECT q_id, n_label, votes,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, n_label) AS rn FROM v)
+        |SELECT q_id, n_label AS pred_label, votes FROM w WHERE rn = 1""".stripMargin,
+
+    "q_embed_norm" ->
+      """SELECT label,
+        | round(sum(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 2) AS sum_norm,
+        | round(sum(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 2) AS sum_sq,
+        | count(*) AS n
+        |FROM embeddings GROUP BY label""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT source, count(*) AS n, sum(strlen(text)) AS n_bytes,
+        | min(strlen(text)) AS min_bytes
+        |FROM documents GROUP BY source""".stripMargin
+  )
+}

@@ -1,0 +1,469 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator surface (SURVEY.md §2.3, rows Scan..Streaming-dedup).
+  *
+  * Every entry here is paired with DuckDB oracle SQL in [[RelationalQueries.oracle]];
+  * the driver hash-compares both result sets (rows sorted, doubles rounded).
+  * Conventions to keep the hash stable across engines:
+  *   - every aggregate/computed column is explicitly aliased, same name in
+  *     both the Spark plan and the SQL;
+  *   - double aggregates are wrapped in round(x, 2) (float addition order
+  *     differs between engines);
+  *   - orderings that feed row_number/rank carry a unique tie-break key;
+  *   - `events.ts` is ns in parquet: Spark side reads it via
+  *     [[graft.Tables.events]] (µs truncation), DuckDB side casts
+  *     `ts::TIMESTAMP` (same truncation).
+  */
+object RelationalQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // ---- scan / project / filter -------------------------------------
+    "q_scan_count" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(count(lit(1)).as("n"))),
+
+    "q_project_compute" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 1000)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (floor((col("l_extendedprice") * (lit(1) - col("l_discount"))) * 100 + 0.5) / 100).as("rev"))),
+
+    "q_filter_pred" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") < lit("1995-01-01").cast("timestamp")
+          && col("l_discount").between(0.02, 0.04)
+          && col("l_returnflag").isin("A", "R")
+          && col("l_linestatus").startsWith("F"))
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("sum_price"))),
+
+    // ---- joins -------------------------------------------------------
+    "q_join_inner_groupby" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("bal"))
+    }),
+
+    "q_join_left_null" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d).filter(col("c_acctbal") > 5000)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+        .agg(count(lit(1)).as("n"), count(c("c_custkey")).as("n_matched"))
+    }),
+
+    "q_join_semi" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+    }),
+
+    "q_join_anti" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+    }),
+
+    "q_join_cross" -> ((s, d) =>
+      Tables.region(s, d).crossJoin(Tables.nation(s, d))
+        .agg(count(lit(1)).as("n"))),
+
+    "q_join_multiway" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
+    // ---- aggregation -------------------------------------------------
+    "q_agg_tpch_q1" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          count(lit(1)).as("n"))),
+
+    "q_agg_distinct" -> ((s, d) =>
+      Tables.events(s, d).agg(
+        count_distinct(col("user_id")).as("u"),
+        count_distinct(col("event_type")).as("et"),
+        count(lit(1)).as("n"))),
+
+    "q_agg_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))),
+
+    "q_agg_cube" -> ((s, d) =>
+      Tables.customer(s, d)
+        .cube("c_mktsegment", "c_nationkey")
+        .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("bal"))),
+
+    // ---- window functions --------------------------------------------
+    "q_window_rownum" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), row_number().over(w).as("rn"))
+    }),
+
+    "q_window_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d).select(
+        col("event_id"),
+        round(col("value") - lag("value", 1).over(w), 2).as("delta_prev"),
+        round(lead("value", 1).over(w) - col("value"), 2).as("delta_next"))
+    }),
+
+    "q_window_moving_sum" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-2, Window.currentRow)
+      Tables.events(s, d).select(
+        col("event_id"), round(sum("value").over(w), 2).as("mv3"))
+    }),
+
+    "q_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"))
+        .filter(col("rnk") <= 20)
+    }),
+
+    // ---- sort / limit / top-k ----------------------------------------
+    "q_sort_limit" -> ((s, d) =>
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")),
+
+    "q_topk_pergroup" -> ((s, d) => {
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+    }),
+
+    // ---- set operations ----------------------------------------------
+    "q_set_distinct" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("k")).distinct()),
+
+    "q_set_intersect" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_custkey").as("k"))
+        .intersect(Tables.orders(s, d).select(col("o_custkey").as("k")))),
+
+    "q_set_except" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_custkey").as("k"))
+        .except(Tables.orders(s, d).select(col("o_custkey").as("k")))),
+
+    "q_set_union_all" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_custkey").as("k"))
+        .union(Tables.orders(s, d).select(col("o_custkey").as("k")))
+        .agg(count(lit(1)).as("n"), count_distinct(col("k")).as("nd"))),
+
+    // ---- scalar function families ------------------------------------
+    "q_string_fns" -> ((s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_type").like("%O%"))
+        .groupBy(
+          upper(substring(col("p_name"), 1, 4)).as("pfx"),
+          regexp_extract(col("p_type"), "(\\w+)$", 1).as("lastw"))
+        .agg(count(lit(1)).as("n"),
+          round(sum("p_retailprice"), 2).as("price"),
+          sum(length(col("p_name"))).as("chars"))),
+
+    "q_date_fns" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(
+          trunc(col("o_orderdate").cast("date"), "month").as("m"),
+          year(col("o_orderdate")).as("y"))
+        .agg(count(lit(1)).as("n"),
+          max(datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))).as("max_dd"))),
+
+    "q_math_fns" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1994-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1995-01-01").cast("timestamp")
+          && col("l_discount").between(0.02, 0.06)
+          && col("l_quantity") < 24)
+        .agg(
+          round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+          round(sum(log(col("l_quantity") + 1)), 2).as("sum_ln"),
+          round(sum(pow(col("l_discount"), 2)), 4).as("sum_pow"),
+          round(sum(ceil(col("l_quantity"))), 2).as("sum_ceil"),
+          round(sum(floor(col("l_quantity"))), 2).as("sum_floor"),
+          round(sum(abs(col("l_tax") - 0.04)), 2).as("sum_abs"))),
+
+    "q_array_fns" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .groupBy("label")
+        .agg(
+          count(lit(1)).as("n"),
+          min(size(col("embedding"))).as("dim"),
+          round(sum(element_at(col("embedding"), 1).cast("double")), 2).as("sum_e1"),
+          sum(when(element_at(col("embedding"), 1) > 0f, 1L).otherwise(0L)).as("n_pos"))),
+
+    "q_json_fns" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          sum(when(col("k") > 50, 1L).otherwise(0L)).as("n_gt50"))),
+
+    // ---- event-time buckets (batch equivalents of streaming windows) --
+    "q_time_bucket" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("h"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))),
+
+    "q_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("prev", lag("us", 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev").isNull || col("us") - col("prev") > 1800L * 1000000L, 1L).otherwise(0L))
+        .withColumn("sess_id", sum("new_sess").over(wcum))
+      sess.groupBy("user_id", "sess_id").agg(count(lit(1)).as("sess_n"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), max("sess_n").as("max_sess_events"))
+    }),
+
+    "q_dedup_exact" -> ((s, d) =>
+      Tables.events(s, d).agg(
+        count_distinct(col("event_id")).as("n_ids"),
+        count_distinct(col("user_id"), col("event_type")).as("n_user_type"))),
+
+    // ---- UDF / UDAF surface ------------------------------------------
+    "q_udf_clamp" -> ((s, d) => {
+      val clamp = udf((v: Double) => math.min(math.max(v, 0.0), 10.0))
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(round(sum(clamp(col("value"))), 2).as("sum_clamped"))
+    }),
+
+    "q_udaf_weighted_avg" -> ((s, d) => {
+      val wavg = udaf(graft.functions.WeightedAvg)
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(round(wavg(col("l_extendedprice"), col("l_quantity")), 2).as("wavg_price"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_scan_count" -> "SELECT count(*) AS n FROM lineitem",
+
+    "q_project_compute" ->
+      """SELECT l_orderkey, l_linenumber,
+        | floor(l_extendedprice*(1-l_discount)*100 + 0.5)/100 AS rev
+        |FROM lineitem WHERE l_orderkey < 1000""".stripMargin,
+
+    "q_filter_pred" ->
+      """SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1995-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.04
+        |  AND l_returnflag IN ('A','R') AND l_linestatus LIKE 'F%'""".stripMargin,
+
+    "q_join_inner_groupby" ->
+      """SELECT n_name, count(*) AS n, round(sum(c_acctbal), 2) AS bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+    "q_join_left_null" ->
+      """SELECT count(*) AS n, count(c_custkey) AS n_matched
+        |FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000) c
+        |  ON o_custkey = c_custkey""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_mktsegment, count(*) AS n FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_mktsegment, count(*) AS n FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q_join_cross" -> "SELECT count(*) AS n FROM region CROSS JOIN nation",
+
+    "q_join_multiway" ->
+      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue,
+        | count(*) AS n
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+    "q_agg_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base,
+        | round(sum(l_extendedprice*(1-l_discount)), 2) AS sum_disc,
+        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)), 2) AS sum_charge,
+        | count(*) AS n
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_agg_distinct" ->
+      """SELECT count(DISTINCT user_id) AS u, count(DISTINCT event_type) AS et,
+        | count(*) AS n FROM events""".stripMargin,
+
+    "q_agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | round(sum(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_agg_cube" ->
+      """SELECT c_mktsegment, c_nationkey, count(*) AS n,
+        | round(sum(c_acctbal), 2) AS bal
+        |FROM customer GROUP BY CUBE(c_mktsegment, c_nationkey)""".stripMargin,
+
+    "q_window_rownum" ->
+      """SELECT event_id, user_id,
+        | row_number() OVER (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id) AS rn
+        |FROM events""".stripMargin,
+
+    "q_window_lag_lead" ->
+      """SELECT event_id,
+        | round(value - lag(value, 1) OVER w, 2) AS delta_prev,
+        | round(lead(value, 1) OVER w - value, 2) AS delta_next
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)""".stripMargin,
+
+    "q_window_moving_sum" ->
+      """SELECT event_id, round(sum(value) OVER (
+        |  PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS mv3
+        |FROM events""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT * FROM (
+        | SELECT o_orderpriority, o_orderkey,
+        |  rank() OVER w AS rnk, dense_rank() OVER w AS drnk
+        | FROM orders
+        | WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+        |) WHERE rnk <= 20""".stripMargin,
+
+    "q_sort_limit" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_topk_pergroup" ->
+      """SELECT * FROM (
+        | SELECT c_nationkey, c_custkey, c_acctbal,
+        |  row_number() OVER (PARTITION BY c_nationkey
+        |    ORDER BY c_acctbal DESC, c_custkey) AS rn
+        | FROM customer) WHERE rn <= 3""".stripMargin,
+
+    "q_set_distinct" -> "SELECT DISTINCT c_nationkey AS k FROM customer",
+
+    "q_set_intersect" ->
+      "SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey AS k FROM orders",
+
+    "q_set_except" ->
+      "SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey AS k FROM orders",
+
+    "q_set_union_all" ->
+      """SELECT count(*) AS n, count(DISTINCT k) AS nd FROM (
+        | SELECT c_custkey AS k FROM customer
+        | UNION ALL SELECT o_custkey AS k FROM orders)""".stripMargin,
+
+    "q_string_fns" ->
+      """SELECT upper(substr(p_name, 1, 4)) AS pfx,
+        | regexp_extract(p_type, '(\w+)$', 1) AS lastw,
+        | count(*) AS n, round(sum(p_retailprice), 2) AS price,
+        | sum(length(p_name)) AS chars
+        |FROM part WHERE p_type LIKE '%O%'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_date_fns" ->
+      """SELECT date_trunc('month', o_orderdate)::DATE AS m,
+        | year(o_orderdate) AS y, count(*) AS n,
+        | max(datediff('day', DATE '1995-01-01', o_orderdate)) AS max_dd
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+
+    "q_math_fns" ->
+      """SELECT round(sum(l_extendedprice*l_discount), 2) AS revenue,
+        | round(sum(ln(l_quantity+1)), 2) AS sum_ln,
+        | round(sum(pow(l_discount, 2)), 4) AS sum_pow,
+        | round(sum(ceil(l_quantity)), 2) AS sum_ceil,
+        | round(sum(floor(l_quantity)), 2) AS sum_floor,
+        | round(sum(abs(l_tax - 0.04)), 2) AS sum_abs
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+        |  AND l_shipdate < TIMESTAMP '1995-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""".stripMargin,
+
+    "q_array_fns" ->
+      """SELECT label, count(*) AS n, min(len(embedding)) AS dim,
+        | round(sum(CAST(embedding[1] AS DOUBLE)), 2) AS sum_e1,
+        | sum(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) AS n_pos
+        |FROM embeddings GROUP BY label""".stripMargin,
+
+    "q_json_fns" ->
+      """SELECT event_type, count(*) AS n,
+        | sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        | sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+        |     THEN 1 ELSE 0 END) AS n_gt50
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_time_bucket" ->
+      """SELECT date_trunc('hour', ts::TIMESTAMP) AS h, count(*) AS n,
+        | round(sum(value), 2) AS sum_v
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH g AS (
+        | SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us,
+        |  lag(epoch_us(ts::TIMESTAMP)) OVER
+        |    (PARTITION BY user_id ORDER BY epoch_us(ts::TIMESTAMP), event_id) AS prev
+        | FROM events),
+        |s AS (
+        | SELECT user_id,
+        |  sum(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END)
+        |   OVER (PARTITION BY user_id ORDER BY us, event_id
+        |         ROWS UNBOUNDED PRECEDING) AS sess_id
+        | FROM g),
+        |c AS (SELECT user_id, sess_id, count(*) AS sess_n FROM s GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions, max(sess_n) AS max_sess_events
+        |FROM c GROUP BY user_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT count(DISTINCT event_id) AS n_ids,
+        | count(DISTINCT (user_id, event_type)) AS n_user_type
+        |FROM events""".stripMargin,
+
+    "q_udf_clamp" ->
+      """SELECT event_type,
+        | round(sum(least(greatest(value, 0), 10)), 2) AS sum_clamped
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_udaf_weighted_avg" ->
+      """SELECT l_returnflag,
+        | round(sum(l_extendedprice*l_quantity)/sum(l_quantity), 2) AS wavg_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+  )
+}

@@ -1,0 +1,111 @@
+package graft.sinks
+
+import graft.core.{ErrorPolicy, Reliability, RetryPolicy, Sink}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sink connectors (SURVEY §2.2). Offset commit after a successful
+  * micro-batch is the engine's ack (strictly stronger than the
+  * reference's at-least-once — SURVEY §1.4→§1.5).
+  */
+object Sinks {
+  private def applyTrigger[T](w: org.apache.spark.sql.streaming.DataStreamWriter[T],
+      trigger: Option[Trigger], checkpoint: Option[String]) = {
+    val t = trigger.fold(w)(w.trigger)
+    checkpoint.fold(t)(c => t.option("checkpointLocation", c))
+  }
+
+  /** Console sink ≈ the reference's printer destination
+    * (x/printer/printer.go:13-71) — demo/debug only, driver-side by
+    * nature, exactly like an io.Writer. */
+  final case class ConsoleSink(numRows: Int = 20) extends Sink {
+    def writeBatch(df: DataFrame): Unit = df.show(numRows, truncate = false)
+    def writeStream(df: DataFrame, trigger: Option[Trigger],
+        checkpoint: Option[String]): StreamingQuery =
+      applyTrigger(df.writeStream.format("console"), trigger, checkpoint).start()
+  }
+
+  /** Durable columnar sink. */
+  final case class ParquetSink(path: String) extends Sink {
+    def writeBatch(df: DataFrame): Unit =
+      df.write.mode("append").parquet(path)
+    def writeStream(df: DataFrame, trigger: Option[Trigger],
+        checkpoint: Option[String]): StreamingQuery =
+      applyTrigger(df.writeStream.format("parquet").option("path", path),
+        trigger, checkpoint).start()
+  }
+
+  /** Named in-memory table sink (tests) — reference's memory destination
+    * (x/memory/memory.go:34-60). */
+  final case class MemorySink(queryName: String) extends Sink {
+    def writeBatch(df: DataFrame): Unit =
+      df.createOrReplaceTempView(queryName)
+    def writeStream(df: DataFrame, trigger: Option[Trigger],
+        checkpoint: Option[String]): StreamingQuery =
+      applyTrigger(df.writeStream.format("memory").queryName(queryName),
+        trigger, checkpoint).start()
+  }
+
+  /** Gzip NDJSON, time-partitioned by the event timestamp — the
+    * reference's S3 destination layout (`prefix/yyyy/MM/dd/HH/…gz`,
+    * x/s3/s3.go:128-148) expressed as a partitioned columnar-dir write
+    * (targetable at any hadoop-compatible FS, s3a:// included). Spark
+    * writes one object per partition per micro-batch ≈ one gzip object
+    * per flush. */
+  final case class NdjsonGzipSink(path: String, tsCol: String) extends Sink {
+    private def partitioned(df: DataFrame): DataFrame =
+      df.withColumn("year", date_format(col(tsCol), "yyyy"))
+        .withColumn("month", date_format(col(tsCol), "MM"))
+        .withColumn("day", date_format(col(tsCol), "dd"))
+        .withColumn("hour", date_format(col(tsCol), "HH"))
+    def writeBatch(df: DataFrame): Unit =
+      partitioned(df).write.mode("append")
+        .partitionBy("year", "month", "day", "hour")
+        .option("compression", "gzip").json(path)
+    def writeStream(df: DataFrame, trigger: Option[Trigger],
+        checkpoint: Option[String]): StreamingQuery =
+      applyTrigger(
+        partitioned(df).writeStream.format("json")
+          .partitionBy("year", "month", "day", "hour")
+          .option("compression", "gzip").option("path", path),
+        trigger, checkpoint).start()
+  }
+
+  /** Fan-out tee — the reference's MultiDestination
+    * (x/multi/multidest.go:9-49): each micro-batch is persisted once and
+    * written to every child; offsets commit only after the last child
+    * succeeds (the reference's coalesced last-ack). Same caveat as the
+    * reference (types.go:109-113): the multi-write is not atomic across
+    * sinks — a mid-batch failure can leave earlier sinks written
+    * (redelivery makes it at-least-once; idempotent children make it
+    * exactly-once). */
+  final case class TeeSink(children: Seq[Sink]) extends Sink {
+    def writeBatch(df: DataFrame): Unit = {
+      df.persist()
+      try children.foreach(_.writeBatch(df))
+      finally df.unpersist()
+    }
+    def writeStream(df: DataFrame, trigger: Option[Trigger],
+        checkpoint: Option[String]): StreamingQuery =
+      applyTrigger(
+        df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+          writeBatch(batch)
+        }, trigger, checkpoint).start()
+  }
+
+  /** foreachBatch sink with the reference's batcher retry/error-handler
+    * semantics (x/batcher/batcher.go:460-540) — see
+    * [[graft.core.Reliability]]. */
+  final case class RetryingForeachSink(
+      flush: (DataFrame, Long) => Unit,
+      retry: RetryPolicy = RetryPolicy(),
+      onError: ErrorPolicy = ErrorPolicy.Raise) extends Sink {
+    private val wrapped = Reliability.retryingBatchWriter(flush, retry, onError)
+    def writeBatch(df: DataFrame): Unit = wrapped(df, -1L)
+    def writeStream(df: DataFrame, trigger: Option[Trigger],
+        checkpoint: Option[String]): StreamingQuery =
+      applyTrigger(df.writeStream.foreachBatch(wrapped), trigger, checkpoint)
+        .start()
+  }
+}

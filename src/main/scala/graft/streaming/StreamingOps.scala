@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-time streaming operators (SURVEY §2.3 streaming rows).
+  *
+  * The reference's only time machinery is the batcher's count/time flush
+  * (x/batcher/batcher.go:341-371); these are the analytic generalization
+  * the north star asks for: event-time windows, watermarked late-data
+  * handling, gap sessions, keyed state.
+  */
+object StreamingOps {
+
+  /** Tumbling event-time window aggregation. */
+  def tumbling(df: DataFrame, tsCol: String, width: String,
+      aggs: Seq[Column], watermark: Option[String] = None): DataFrame = {
+    val in = watermark.fold(df)(w => df.withWatermark(tsCol, w))
+    in.groupBy(window(col(tsCol), width)).agg(aggs.head, aggs.tail: _*)
+      .select(col("window.start").as("window_start"), col("*")).drop("window")
+  }
+
+  /** Sliding event-time window aggregation. */
+  def sliding(df: DataFrame, tsCol: String, width: String, slide: String,
+      aggs: Seq[Column], watermark: Option[String] = None): DataFrame = {
+    val in = watermark.fold(df)(w => df.withWatermark(tsCol, w))
+    in.groupBy(window(col(tsCol), width, slide)).agg(aggs.head, aggs.tail: _*)
+      .select(col("window.start").as("window_start"), col("*")).drop("window")
+  }
+
+  /** Gap-based session windows keyed by `keys`. */
+  def sessionWindow(df: DataFrame, tsCol: String, gap: String,
+      keys: Seq[String], aggs: Seq[Column], watermark: String): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap) +: keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("session_start", col("session_window.start"))
+      .withColumn("session_end", col("session_window.end"))
+      .drop("session_window")
+
+  /** Exact streaming dedup within the watermark horizon — at-least-once
+    * input → effectively-once output (≈ the conformance suite's no-dup
+    * assertion, /root/reference/test/suite_test.go:95-104, as an operator).
+    */
+  def dedupWithinWatermark(df: DataFrame, tsCol: String, watermark: String,
+      keys: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Arbitrary per-key running state (the generalization of the
+    * reference's per-key ack/offset bookkeeping): counts events and emits
+    * (key, runningCount) per update. Demonstrates mapGroupsWithState for
+    * state the SQL surface can't express. */
+  def runningCountPerKey[K](ds: Dataset[(K, Long)])(
+      implicit ek: org.apache.spark.sql.Encoder[K],
+      et: org.apache.spark.sql.Encoder[(K, Long)],
+      es: org.apache.spark.sql.Encoder[Long]): Dataset[(K, Long)] =
+    ds.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: K, rows: Iterator[(K, Long)], state: GroupState[Long]) =>
+          val prev = state.getOption.getOrElse(0L)
+          val next = prev + rows.size
+          state.update(next)
+          (key, next)
+      }
+
+  /** Drain a finite stream: process everything available, then return —
+    * the reference's EOF-drain contract (x/scanner/scanner.go:61-78). */
+  def runToCompletion(q: StreamingQuery): Unit = {
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+  }
+}
