@@ -37,22 +37,32 @@ object Similarity {
   }
 
   /** Approximate top-k via random-hyperplane bucketing + exact re-rank.
-    * `bits` hyperplanes → 2^bits buckets; recall grows with fewer bits /
-    * more probes (probes = number of single-bit-flip neighbor buckets
-    * additionally searched). */
+    *
+    * OR-construction over `tables` independent signature tables (recall
+    * compounds per table), AND-construction inside each table (`bits`
+    * hyperplanes → 2^bits buckets, precision), plus optional multi-probe
+    * (`probes` single-bit-flip neighbor buckets per table). Bucket ids are
+    * namespaced by table index so the candidate join stays one equi-join.
+    */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, dim: Int, k: Int,
-      bits: Int = 8, probes: Int = 0, seed: Long = 42L): DataFrame = {
-    val sig = (v: org.apache.spark.sql.Column) => hyperplaneSig(v, bits, dim, seed)
+      bits: Int = 8, tables: Int = 4, probes: Int = 0,
+      seed: Long = 42L): DataFrame = {
+    // bucket = (table index) * 2^bits + signature-in-table
+    def buckets(v: org.apache.spark.sql.Column, withProbes: Boolean) = {
+      val all = (0 until tables).flatMap { t =>
+        val sig = hyperplaneSig(v, bits, dim, seed + t)
+        val base = lit(t.toLong * (1L << bits)) + sig
+        if (withProbes) base +: (0 until probes).map(i =>
+          lit(t.toLong * (1L << bits)) + sig.bitwiseXOR(lit(1L << i)))
+        else Seq(base)
+      }
+      array(all: _*)
+    }
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("nv"),
-      sig(col(vecCol)).as("bucket"))
-    val qBase = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"),
-      sig(col(vecCol)).as("sig0"))
-    // multi-probe: original bucket plus single-bit flips of the signature
-    val probeCols = col("sig0") +: (0 until probes).map(i =>
-      col("sig0").bitwiseXOR(lit(1L << i)))
-    val q = qBase.withColumn("bucket", explode(array(probeCols: _*)))
-      .select("q_id", "qv", "bucket")
+      explode(buckets(col(vecCol), withProbes = false)).as("bucket"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"),
+      explode(buckets(col(vecCol), withProbes = true)).as("bucket"))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
     broadcast(q).join(c, "bucket")
       .filter(col("q_id") =!= col("n_id"))

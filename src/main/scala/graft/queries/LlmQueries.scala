@@ -110,7 +110,7 @@ object LlmQueries {
     "q_sim_lsh" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.lshTopK(e.filter(col("vec_id") < 10), e,
-          "vec_id", "embedding", dim = 64, k = 5, bits = 6, probes = 2)
+          "vec_id", "embedding", dim = 64, k = 5, bits = 6, tables = 4, probes = 2)
         .select(col("q_id"), col("rnk"), col("n_id"), round(col("sim"), 4).as("sim"))
     }),
 

@@ -1,0 +1,78 @@
+package graft
+
+import graft.ops.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Semantics of the hash-based operators the DuckDB oracle can't express:
+  * MinHash-LSH recall against exact Jaccard, SimHash self-consistency,
+  * LSH ANN recall against brute-force cosine.
+  */
+class DedupSimilaritySpec extends SparkSpec {
+
+  lazy val docs = Tables.documents(spark, sf)
+  lazy val emb = Tables.embeddings(spark, sf)
+
+  test("minhash LSH finds every high-jaccard pair (recall on j >= 0.7)") {
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", "lang",
+        threshold = 0.7)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "testdata should contain planted near-dups")
+    val cand = Dedup.minhashNearDup(docs, "text", "doc_id", threshold = 0.7)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = exact -- cand
+    assert(missed.isEmpty, s"LSH missed high-similarity pairs: $missed")
+  }
+
+  test("minhash emits no pair below its verification threshold") {
+    val cand = Dedup.minhashNearDup(docs, "text", "doc_id", threshold = 0.5)
+    val below = cand.filter(col("jaccard") < 0.5).count()
+    assert(below == 0)
+  }
+
+  test("simhash: near-identical docs collide, hamming is symmetric-free") {
+    val pairs = Dedup.simhashNearDup(docs, "text", "doc_id",
+      prefixBits = 4, maxHamming = 16)
+    val rows = pairs.collect()
+    // candidate pairs are ordered and unique
+    assert(rows.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
+    val distinct = rows.map(r => (r.getLong(0), r.getLong(1))).distinct
+    assert(distinct.length == rows.length)
+  }
+
+  test("exact dedup keeps one row per fingerprint") {
+    val deduped = Dedup.exactDedup(docs, "text", "doc_id")
+    assert(deduped.count() == docs.select(
+      graft.functions.TextFunctions.fingerprint(col("text"))).distinct().count())
+  }
+
+  test("LSH ANN recall@5 against brute force") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(queries, emb, "vec_id", "embedding",
+        dim = 64, k = 5, bits = 4, tables = 8, probes = 2)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // testdata embeddings are uniform random (no cluster structure), the
+    // hardest case for LSH — multi-table OR-construction still has to
+    // recover a solid share of the true top-5.
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.4, f"LSH recall too low: $recall%.2f")
+    // approx returns at most k per query and only valid neighbors
+    assert(approx.forall { case (q, n) => q != n })
+  }
+
+  test("knnLabel emits one deterministic majority vote per query") {
+    val preds = Similarity.knnLabel(emb.filter(col("vec_id") < 20), emb,
+      "vec_id", "embedding", "label", k = 10)
+    val rows = preds.collect()
+    assert(rows.length == 20)
+    assert(rows.forall { r =>
+      val v = r.getAs[Long]("votes"); v >= 1 && v <= 10
+    })
+    // deterministic across runs (ties broken by label id)
+    val again = Similarity.knnLabel(emb.filter(col("vec_id") < 20), emb,
+      "vec_id", "embedding", "label", k = 10).collect()
+    assert(rows.map(_.toSeq).sortBy(_.toString).toSeq ==
+      again.map(_.toSeq).sortBy(_.toString).toSeq)
+  }
+}

@@ -1,0 +1,23 @@
+package graft
+
+/** Smoke: every registry query runs at sf0.001 and the declared contract
+  * invariants hold (oracle keys ⊆ query keys; entry returns rows).
+  */
+class RegistrySpec extends SparkSpec {
+
+  test("oracleSql keys are a subset of queries keys") {
+    val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(extra.isEmpty, s"oracle entries without a query: $extra")
+  }
+
+  test("entry (flagship) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name runs at sf0.001") {
+      val n = fn(spark, sf).count()
+      assert(n >= 0)
+    }
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import graft.core._
+import graft.sinks.Sinks
+import graft.sources.MemoryMessageSource
+import graft.streaming.StreamingOps
+
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Batcher retry/error-handler semantics
+  * (/root/reference/x/batcher/batcher.go:460-540) mapped to micro-batch
+  * commit: retry-until-success, non-retryable short-circuit, Discard
+  * (≈ nil ErrorHandler ack-all), DontCommit (≈ ErrDontAck).
+  */
+class ReliabilitySpec extends SparkSpec {
+
+  private def fastRetry(n: Int) =
+    RetryPolicy(maxRetries = n, initialBackoffMs = 1, maxBackoffMs = 2)
+
+  test("withRetries: succeeds after transient failures") {
+    val attempts = new AtomicInteger
+    val r = Reliability.withRetries(fastRetry(3)) {
+      if (attempts.incrementAndGet() < 3) sys.error("transient")
+      "ok"
+    }
+    assert(r == Right("ok") && attempts.get() == 3)
+  }
+
+  test("withRetries: non-retryable error short-circuits") {
+    val attempts = new AtomicInteger
+    val policy = fastRetry(5).copy(isRetryable = !_.getMessage.contains("fatal"))
+    val r = Reliability.withRetries(policy) {
+      attempts.incrementAndGet(); sys.error("fatal")
+    }
+    assert(r.isLeft && attempts.get() == 1)
+  }
+
+  test("withRetries: exhaustion returns the last error") {
+    val attempts = new AtomicInteger
+    val r = Reliability.withRetries(fastRetry(2)) {
+      attempts.incrementAndGet(); sys.error("always")
+    }
+    assert(r.isLeft && attempts.get() == 3) // 1 try + 2 retries
+  }
+
+  test("Discard policy swallows an exhausted batch; Raise and DontCommit throw") {
+    val discard = Reliability.retryingBatchWriter(
+      (_, _) => sys.error("boom"), fastRetry(1), ErrorPolicy.Discard)
+    discard(Tables.nation(spark, sf), 0L) // must not throw
+
+    val raise = Reliability.retryingBatchWriter(
+      (_, _) => sys.error("boom"), fastRetry(1), ErrorPolicy.Raise)
+    assertThrows[RuntimeException](raise(Tables.nation(spark, sf), 0L))
+
+    val dontCommit = Reliability.retryingBatchWriter(
+      (_, _) => sys.error("boom"), fastRetry(1), ErrorPolicy.DontCommit)
+    assertThrows[DontCommitException](dontCommit(Tables.nation(spark, sf), 0L))
+  }
+
+  test("streaming: flaky flush retries within the batch, all data lands") {
+    val src = new MemoryMessageSource(spark)
+    src.add((1 to 10).map(i => Message.ofString(s"k$i", s"v$i", "t")))
+    val flushed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val attempts = new AtomicInteger
+    val sink = Sinks.RetryingForeachSink(
+      (df, _) => {
+        if (attempts.incrementAndGet() % 2 == 1) sys.error("flaky")
+        df.collect().foreach(r =>
+          flushed.add(new String(r.getAs[Array[Byte]]("value"), "UTF-8")))
+      },
+      fastRetry(3), ErrorPolicy.Raise)
+    val q = Pipeline.from(src).start(spark, sink)
+    StreamingOps.runToCompletion(q)
+    val vals = flushed.toArray(Array.empty[String]).toSeq.sorted
+    assert(vals == (1 to 10).map(i => s"v$i").sorted)
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** Event-time streaming semantics: watermark dedup (at-least-once input →
+  * effectively-once output), session windows, and per-key running state.
+  * Deterministic replay tests, not oracle-diffed (SURVEY §5).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("dropDuplicatesWithinWatermark: redelivered keys collapse") {
+    val ms = new MemoryStream[(String, Timestamp)](10, spark, None)
+    val df = ms.toDF().toDF("k", "ts")
+    val out = StreamingOps.dedupWithinWatermark(df, "ts", "10 minutes", Seq("k"))
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    ms.addData(Seq("a" -> ts(0), "b" -> ts(1), "a" -> ts(2))) // a duplicated in-batch
+    q.processAllAvailable()
+    ms.addData(Seq("a" -> ts(3), "c" -> ts(4))) // a redelivered across batches
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    val keys = spark.table("dedup_out").select("k").as[String].collect().sorted
+    assert(keys.toSeq == Seq("a", "b", "c"))
+  }
+
+  test("session windows close after the gap; sentinel advances the watermark") {
+    val ms = new MemoryStream[(String, Timestamp)](11, spark, None)
+    val df = ms.toDF().toDF("k", "ts")
+    val out = StreamingOps.sessionWindow(df, "ts", "5 minutes", Seq("k"),
+      Seq(count(lit(1)).as("n")), watermark = "1 minute")
+    val q = out.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    // user a: two sessions (minutes 0-2 and 20); user b: one session
+    ms.addData(Seq("a" -> ts(0), "a" -> ts(2), "b" -> ts(1), "a" -> ts(20)))
+    q.processAllAvailable()
+    // sentinel far in the future pushes the watermark so sessions emit
+    ms.addData(Seq("zz" -> Timestamp.valueOf("2024-01-02 00:00:00")))
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    val rows = spark.table("sess_out")
+      .select("k", "n").as[(String, Long)].collect().sorted
+    assert(rows.toSeq == Seq(("a", 1L), ("a", 2L), ("b", 1L)))
+  }
+
+  test("runningCountPerKey: state accumulates across micro-batches") {
+    val ms = new MemoryStream[(String, Long)](12, spark, None)
+    val out = StreamingOps.runningCountPerKey(ms.toDS())
+    val q = out.toDF("k", "n").writeStream.format("memory")
+      .queryName("state_out").outputMode("update").start()
+    ms.addData(Seq("x" -> 1L, "x" -> 1L, "y" -> 1L))
+    q.processAllAvailable()
+    ms.addData(Seq("x" -> 1L))
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    val last = spark.table("state_out").groupBy("k")
+      .agg(max("n").as("n")).as[(String, Long)].collect().toMap
+    assert(last == Map("x" -> 3L, "y" -> 1L))
+  }
+
+  test("tumbling window streaming agg matches the batch q_time_bucket shape") {
+    val ms = new MemoryStream[(Long, Timestamp)](13, spark, None)
+    val df = ms.toDF().toDF("v", "ts")
+    val out = StreamingOps.tumbling(df, "ts", "1 hour",
+      Seq(count(lit(1)).as("n"), sum("v").as("s")), watermark = Some("1 minute"))
+    val q = out.writeStream.format("memory").queryName("tumble_out")
+      .outputMode("append").start()
+    ms.addData(Seq(1L -> ts(0), 2L -> ts(30), 3L -> Timestamp.valueOf("2024-01-01 11:15:00")))
+    ms.addData(Seq(0L -> Timestamp.valueOf("2024-01-02 00:00:00"))) // watermark push
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    val rows = spark.table("tumble_out")
+      .select(col("window_start").cast("string"), col("n"), col("s"))
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      ("2024-01-01 10:00:00", 2L, 3L), ("2024-01-01 11:00:00", 1L, 3L)))
+  }
+}
