@@ -25,9 +25,22 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Dev-loop subset: SPARK_GRAFT_ONLY=q_a,q_b limits the run.
+    val selected = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").toSeq).getOrElse(headline)
     val spark = Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = headline.flatMap { name =>
+    // Untimed JIT/codegen warmup: run each headline plan shape once at the
+    // smallest SF so the timed pass below measures execution, not compiler.
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory && sys.env.get("SPARK_GRAFT_NO_WARMUP").isEmpty)
+      selected.foreach { name =>
+        SparkEntry.queries.get(name).foreach { fn =>
+          try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
+        }
+      }
+    val results = selected.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -69,9 +69,19 @@ object TextFunctions {
   /** 64-bit SimHash over token xxhash64s: bit i of the result is the sign
     * of Σ_tokens (bit i of xxhash64(token) ? +1 : -1). Pure Column
     * expression; near-duplicates have small Hamming distance.
+    *
+    * NOTE: `hashes` should be a materialized column (e.g. via withColumn),
+    * not an inline transform — otherwise Catalyst clones the expression
+    * into all 64 bit lambdas and every token is rehashed 64 times. Use
+    * [[tokenHashes]] + [[simhashFromHashes]] on hot paths.
     */
-  def simhash(toks: Column): Column = {
-    val hashes = transform(toks, t => xxhash64(t))
+  def simhash(toks: Column): Column = simhashFromHashes(transform(toks, t => xxhash64(t)))
+
+  /** xxhash64 per token — materialize this once, then feed [[simhashFromHashes]]. */
+  def tokenHashes(toks: Column): Column = transform(toks, t => xxhash64(t))
+
+  /** SimHash bit-vote over a pre-hashed token array. */
+  def simhashFromHashes(hashes: Column): Column = {
     val bitCols = (0 until 64).map { i =>
       val votes = aggregate(hashes, lit(0L),
         (acc, h) => acc + when(h.bitwiseAND(lit(1L << i)) =!= 0, 1L).otherwise(-1L))
