@@ -19,7 +19,11 @@ object Bench {
     "q_ngram_jaccard",    // blocked all-pairs near-dup
     "q_dedup_minhash",    // MinHash LSH near-dup
     "q_sim_cosine_topk",  // brute-force cosine top-k
-    "q_sim_lsh"           // LSH-bucketed ANN
+    "q_sim_lsh",          // LSH-bucketed ANN
+    "q_sim_ivf",          // IVF-cell ANN
+    "q_dedup_embed",      // embedding-cosine near-dup pairs
+    "q_token_bpe",        // regex pre-tokenization pass
+    "q_fingerprint_winnow" // winnowing fingerprint sketch
   )
 
   def main(args: Array[String]): Unit = {

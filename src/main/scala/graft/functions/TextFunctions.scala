@@ -39,6 +39,20 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** BPE-style pre-tokenization: letter runs, single digits, and single
+    * non-alphanumeric glyphs (so CJK text counts per character, like a
+    * byte-fallback BPE would). The regex stays in the syntax subset Java
+    * and RE2 share, so a DuckDB oracle can run the identical pattern. */
+  val bpeishPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpeishPattern), lit(0))
+
+  /** Chained (rolling) md5 fingerprint over the token sequence:
+    * fp = md5(...md5(md5(t1) ++ t2)... ++ tn). Order-sensitive, unlike the
+    * shingle-set sketches; one pass, no state beyond the accumulator. */
+  def chainFingerprint(toks: Column): Column =
+    aggregate(toks, lit(""), (acc, t) => md5(concat(acc, t)))
+
   /** Stopword ratio over the token list (quality-scoring feature). */
   def stopwordRatio(toks: Column, stopwords: Seq[String]): Column = {
     val sw = stopwords.map(w => lit(w))

@@ -165,6 +165,32 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    * hash every positional k-gram, slide a window of `window` hashes, keep
+    * the minimum of each window, distinct the kept set. Robust to
+    * insertions/reordering in a way a whole-document hash is not, and the
+    * fingerprint set size is ~|doc|/window — the standard plagiarism /
+    * near-dup sketch. md5 (lexicographic min) keeps it DuckDB-mirrorable.
+    * Output: (id, fps: array<string>) plus any `keep` columns.
+    */
+  def winnowFingerprints(docs: DataFrame, textCol: String, idCol: String,
+      shingleLen: Int = 3, window: Int = 4, keep: Seq[String] = Nil): DataFrame = {
+    val withToks = Transforms.materialized(
+      Transforms.fanOut(
+        docs.select((Seq(col(idCol).as("id"), col(textCol)) ++ keep.map(col)): _*)),
+      "toks", tokens(col(textCol)))
+    // positional shingles (NOT distinct — winnowing is order-sensitive)
+    val withSh = Transforms.materialized(withToks, "shp",
+      shingles(col("toks"), shingleLen))
+    val withHs = Transforms.materialized(withSh, "hs",
+      transform(col("shp"), sh => md5(sh)))
+    val fps = when(size(col("hs")) === 0, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(0), greatest(size(col("hs")) - window, lit(0))), j =>
+          array_min(slice(col("hs"), j + 1, lit(window))))))
+    withHs.select((Seq(col("id"), fps.as("fps")) ++ keep.map(col)): _*)
+  }
+
   /** Exact n-gram Jaccard pairs within a blocking key, via an inverted
     * index (PPJoin-style candidate generation, minus the prefix filter):
     * explode distinct shingles, equi-join on (block, shingle), count common

@@ -73,6 +73,69 @@ object Similarity {
       .select("q_id", "rnk", "n_id", "sim")
   }
 
+  /** Embedding-cosine near-duplicate pairs within a blocking key: all
+    * (id_a < id_b) pairs in the same block with cosine >= threshold.
+    * The block join is the recall/throughput dial — at 100 TB the block
+    * would be an LSH bucket (see [[lshTopK]]'s signatures) or a coarse
+    * IVF centroid id rather than a metadata column; semantics stay
+    * identical, which is why this exact variant is the oracle surface. */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    // Pre-normalize per row (not per pair): each pair then costs one dot
+    // product instead of dot + 2 norms. The norm goes through a
+    // materialization barrier so it is computed once, not once per element
+    // of the normalizing transform (see Transforms.materialized).
+    val t0 = df.select(col(blockCol).as("blk"), col(idCol).as("id"), col(vecCol).as("v"))
+    val t = graft.core.Transforms.materialized(t0, "nrm", normD(col("v")))
+      .select(col("blk"), col("id"),
+        when(col("nrm") === 0, transform(col("v"), x => x.cast("double") * 0.0))
+          .otherwise(transform(col("v"), x => x.cast("double") / col("nrm"))).as("vn"))
+    val l = t.select(col("blk"), col("id").as("id_a"), col("vn").as("vn_a"))
+    val r = t.select(col("blk"), col("id").as("id_b"), col("vn").as("vn_b"))
+    l.join(r, "blk")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", dotD(col("vn_a"), col("vn_b")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** IVF-style ANN: k-means-free variant where the "centroids" are a
+    * deterministic coarse quantization — each vector is assigned to the
+    * bucket of its dominant dimension (argmax |v_i| over the first
+    * `nlist` dims, sign-split). Queries probe their own cell plus
+    * `nprobe-1` runner-up cells, then exact cosine re-ranks. The inverted
+    * file (cell → vectors) is the scale structure: at 100 TB it is a
+    * bucketed/partitioned table so a query touches nprobe partitions, not
+    * the corpus. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 32, nprobe: Int = 4): DataFrame = {
+    // cell of rank r: the dimension index (within the first nlist dims)
+    // with the r-th largest |value|, sign-encoded → 2*nlist cells
+    def cells(v: org.apache.spark.sql.Column, n: Int) = {
+      val head = slice(v, 1, nlist)
+      val ranked = array_sort(
+        zip_with(head, sequence(lit(0), lit(nlist - 1)), (x, i) =>
+          struct(abs(x).as("a"), x.as("x"), i.as("i"))),
+        (a, b) => when(a("a") > b("a"), -1).when(a("a") < b("a"), 1)
+          .otherwise(when(a("i") < b("i"), -1).otherwise(1)))
+      transform(slice(ranked, 1, n), s =>
+        s("i") * 2 + when(s("x") >= 0, 0).otherwise(1))
+    }
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("nv"),
+      explode(cells(col(vecCol), 1)).as("cell"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"),
+      explode(cells(col(vecCol), nprobe)).as("cell"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    broadcast(q).join(c, "cell")
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", cosineD(col("qv"), col("nv")))
+      .select("q_id", "n_id", "sim").distinct()
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "n_id", "sim")
+  }
+
   /** kNN label vote: for each query, the majority label among its top-k
     * exact-cosine neighbors (ties broken by smaller label id). */
   def knnLabel(queries: DataFrame, corpus: DataFrame,

@@ -23,8 +23,13 @@ object LlmQueries {
   private val sqlToks =
     "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
   private def sqlShingles(toks: String) =
-    s"list_distinct(list_transform(range(1, greatest(len($toks)-1, 1)), " +
-      s"i -> concat_ws(' ', $toks[i], $toks[i+1], $toks[i+2])))"
+    s"list_distinct(${sqlShinglesPos(toks)})"
+  // positional trigram shingles (winnowing is order-sensitive; no distinct)
+  private def sqlShinglesPos(toks: String) =
+    s"list_transform(range(1, greatest(len($toks)-1, 1)), " +
+      s"i -> concat_ws(' ', $toks[i], $toks[i+1], $toks[i+2]))"
+  // DuckDB twin of TextFunctions.bpeishPattern (same RE2/Java-safe subset)
+  private val sqlBpePat = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
 
   val queries: Map[String, Q] = Map(
     // ---- text analysis ----------------------------------------------
@@ -118,6 +123,50 @@ object LlmQueries {
       Tables.events(s, d).agg(
         approx_count_distinct(col("user_id")).as("approx_u"),
         count_distinct(col("user_id")).as("exact_u"))),
+
+    "q_dedup_embed" -> ((s, d) =>
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, d),
+          "vec_id", "embedding", "label", threshold = 0.35)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 2).as("c"))),
+
+    // IVF-style ANN — deterministic coarse cells; no DuckDB twin for the
+    // cell assignment, so rows-only + recall ScalaTest like q_sim_lsh.
+    "q_sim_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfTopK(e.filter(col("vec_id") < 10), e,
+          "vec_id", "embedding", k = 5, nlist = 16, nprobe = 6)
+        .select(col("q_id"), col("rnk"), col("n_id"), round(col("sim"), 4).as("sim"))
+    }),
+
+    "q_token_bpe" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(sum(size(bpeishTokens(col("text")))).as("n_tokens"),
+          count(lit(1)).as("n_docs"))),
+
+    "q_fingerprint_chain" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), chainFingerprint(tokens(col("text"))).as("fp"))
+        .groupBy("lang")
+        .agg(count_distinct(col("fp")).as("n_fp"), min("fp").as("min_fp"),
+          count(lit(1)).as("n"))),
+
+    "q_fingerprint_winnow" -> ((s, d) =>
+      Dedup.winnowFingerprints(Tables.documents(s, d), "text", "doc_id",
+          shingleLen = 3, window = 4, keep = Seq("lang"))
+        .select(col("lang"), explode(col("fps")).as("fp"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_fps"), count_distinct(col("fp")).as("n_distinct"),
+          min("fp").as("min_fp"))),
+
+    "q_quality_filter" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", tokens(col("text")))
+        .filter(size(col("toks")).between(10, 1000)
+          && meanTokenLen(col("toks")) < 12.0
+          && stopwordRatio(col("toks"), Seq("the", "a", "of", "and")) < 0.5)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("chars"))),
 
     // ---- multimodal plumbing (binary columns + typed metadata) -------
     "q_multimodal_meta" -> ((s, d) =>
@@ -224,6 +273,58 @@ object LlmQueries {
     "q_multimodal_meta" ->
       """SELECT source, count(*) AS n, sum(strlen(text)) AS n_bytes,
         | min(strlen(text)) AS min_bytes
-        |FROM documents GROUP BY source""".stripMargin
+        |FROM documents GROUP BY source""".stripMargin,
+
+    "q_dedup_embed" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_dot_product(a.v, b.v)
+        |   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS c
+        | FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(c, 2) AS c FROM p WHERE c >= 0.35""".stripMargin,
+
+    "q_token_bpe" ->
+      s"""SELECT lang,
+         | sum(len(regexp_extract_all(text, '$sqlBpePat'))) AS n_tokens,
+         | count(*) AS n_docs
+         |FROM documents GROUP BY lang""".stripMargin,
+
+    "q_fingerprint_chain" ->
+      s"""SELECT lang, count(DISTINCT fp) AS n_fp, min(fp) AS min_fp,
+         | count(*) AS n
+         |FROM (SELECT lang,
+         |  list_reduce(list_prepend('', $sqlToks), (acc, t) -> md5(acc || t)) AS fp
+         | FROM documents)
+         |GROUP BY lang""".stripMargin,
+
+    "q_fingerprint_winnow" ->
+      s"""WITH h AS (SELECT doc_id, lang,
+         |  list_transform(${sqlShinglesPos(sqlToks)}, s -> md5(s)) AS hs
+         | FROM documents),
+         |w AS (SELECT doc_id, lang, CASE WHEN len(hs) = 0 THEN []::VARCHAR[]
+         |  ELSE list_distinct(list_transform(
+         |    range(1, greatest(len(hs) - 4 + 1, 1) + 1),
+         |    j -> list_aggregate(list_slice(hs, j, j + 3), 'min'))) END AS fps
+         | FROM h)
+         |SELECT lang, count(*) AS n_fps, count(DISTINCT fp) AS n_distinct,
+         | min(fp) AS min_fp
+         |FROM (SELECT lang, unnest(fps) AS fp FROM w)
+         |GROUP BY lang""".stripMargin,
+
+    "q_quality_filter" ->
+      s"""WITH t AS (SELECT lang, n_chars, $sqlToks AS toks FROM documents),
+         |q AS (SELECT lang, n_chars,
+         |  len(toks) AS n_toks,
+         |  CASE WHEN len(toks)=0 THEN 0 ELSE
+         |   list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+         |    / len(toks)::DOUBLE END AS mean_len,
+         |  CASE WHEN len(toks)=0 THEN 0 ELSE
+         |   len(list_filter(toks, x -> x IN ('the','a','of','and')))::DOUBLE
+         |    / len(toks)::DOUBLE END AS sw_ratio
+         | FROM t)
+         |SELECT lang, count(*) AS n_kept, sum(n_chars) AS chars
+         |FROM q
+         |WHERE n_toks BETWEEN 10 AND 1000 AND mean_len < 12.0 AND sw_ratio < 0.5
+         |GROUP BY lang""".stripMargin
   )
 }

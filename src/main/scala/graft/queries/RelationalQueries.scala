@@ -72,6 +72,22 @@ object RelationalQueries {
         .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
     }),
 
+    "q_join_right" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d).filter(col("c_acctbal") < 0)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "right")
+        .agg(count(lit(1)).as("n"), count(o("o_orderkey")).as("n_matched"))
+    }),
+
+    "q_join_full" -> ((s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_acctbal") > 9000)
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 300000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "full")
+        .agg(count(lit(1)).as("n"),
+          sum(when(c("c_custkey").isNull, 1L).otherwise(0L)).as("n_right_only"),
+          sum(when(o("o_custkey").isNull, 1L).otherwise(0L)).as("n_left_only"))
+    }),
+
     "q_join_cross" -> ((s, d) =>
       Tables.region(s, d).crossJoin(Tables.nation(s, d))
         .agg(count(lit(1)).as("n"))),
@@ -117,6 +133,13 @@ object RelationalQueries {
         .cube("c_mktsegment", "c_nationkey")
         .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("bal"))),
 
+    "q_agg_grouping_sets" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus"))),
+          col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))),
+
     // ---- window functions --------------------------------------------
     "q_window_rownum" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -146,6 +169,19 @@ object RelationalQueries {
         .select(col("o_orderpriority"), col("o_orderkey"),
           rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"))
         .filter(col("rnk") <= 20)
+    }),
+
+    "q_window_range_frame" -> ((s, d) => {
+      // RANGE frame over event-time micros: all events in the trailing
+      // 5 minutes — deterministic under ts ties (frame is value-based).
+      val w = Window.partitionBy("user_id").orderBy(col("us"))
+        .rangeBetween(-300L * 1000000L, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+          col("value"))
+        .select(col("event_id"),
+          count(lit(1)).over(w).as("n_5m"),
+          round(sum("value").over(w), 2).as("sum_5m"))
     }),
 
     // ---- sort / limit / top-k ----------------------------------------
@@ -307,6 +343,34 @@ object RelationalQueries {
         |GROUP BY c_mktsegment""".stripMargin,
 
     "q_join_cross" -> "SELECT count(*) AS n FROM region CROSS JOIN nation",
+
+    "q_join_right" ->
+      """SELECT count(*) AS n, count(o_orderkey) AS n_matched
+        |FROM orders RIGHT JOIN (SELECT * FROM customer WHERE c_acctbal < 0) c
+        |  ON o_custkey = c_custkey""".stripMargin,
+
+    "q_join_full" ->
+      """SELECT count(*) AS n,
+        | sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS n_right_only,
+        | sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_left_only
+        |FROM (SELECT * FROM customer WHERE c_acctbal > 9000) c
+        |FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
+        |  ON c_custkey = o_custkey""".stripMargin,
+
+    "q_agg_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+        | round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))""".stripMargin,
+
+    "q_window_range_frame" ->
+      """SELECT event_id,
+        | count(*) OVER w AS n_5m,
+        | round(sum(value) OVER w, 2) AS sum_5m
+        |FROM (SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) AS us, value
+        |      FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |  RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q_join_multiway" ->
       """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue,

@@ -61,6 +61,64 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(approx.forall { case (q, n) => q != n })
   }
 
+  test("IVF ANN recall@5 against brute force") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(queries, emb, "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 8)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // coarse one-cell-per-vector quantization on uniform random data:
+    // nprobe=8 of 32 cells must still recover a meaningful share
+    assert(recall >= 0.2, f"IVF recall too low: $recall%.2f")
+    assert(approx.forall { case (q, n) => q != n })
+  }
+
+  test("cosine near-dup pairs match the brute-force definition") {
+    val pairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+      "label", threshold = 0.35)
+    val rows = pairs.collect()
+    assert(rows.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
+    assert(rows.forall(r => r.getAs[Double]("cos") >= 0.35))
+    // spot-check one pair against the unnormalized kernel
+    if (rows.nonEmpty) {
+      val r0 = rows.head
+      val ids = Seq(r0.getAs[Long]("id_a"), r0.getAs[Long]("id_b"))
+      val vecs = emb.filter(col("vec_id").isin(ids: _*))
+        .orderBy("vec_id").collect()
+        .map(_.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray)
+      val dot = vecs(0).zip(vecs(1)).map { case (a, b) => a * b }.sum
+      val cos = dot / (math.sqrt(vecs(0).map(x => x * x).sum) *
+        math.sqrt(vecs(1).map(x => x * x).sum))
+      assert(math.abs(cos - r0.getAs[Double]("cos")) < 1e-9)
+    }
+  }
+
+  test("winnowing fingerprints: shared-prefix docs share fingerprints") {
+    val fps = Dedup.winnowFingerprints(docs, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[Seq[String]]("fps").toSet).toMap
+    // every doc with >= window shingles has at least one fingerprint,
+    // and fingerprint sets are far smaller than shingle counts
+    assert(fps.values.count(_.nonEmpty) > fps.size / 2)
+    // determinism
+    val again = Dedup.winnowFingerprints(docs, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[Seq[String]]("fps").toSet).toMap
+    assert(fps == again)
+    // near-dup docs (high exact jaccard) overlap in winnow space
+    val near = Dedup.ngramJaccardPairs(docs, "text", "doc_id", "lang",
+      threshold = 0.7).select("id_a", "id_b").collect()
+    if (near.nonEmpty) {
+      val overlapping = near.count { r =>
+        (fps(r.getLong(0)) & fps(r.getLong(1))).nonEmpty
+      }
+      assert(overlapping.toDouble / near.length >= 0.9,
+        "winnow fingerprints should overlap for near-duplicate docs")
+    }
+  }
+
   test("knnLabel emits one deterministic majority vote per query") {
     val preds = Similarity.knnLabel(emb.filter(col("vec_id") < 20), emb,
       "vec_id", "embedding", "label", k = 10)
