@@ -65,20 +65,42 @@ object Multimodal {
     out
   }
 
-  /** Decode metadata for each media row — batch per partition, no
-    * shuffle. Input needs (media_id, payload, mime); output adds a typed
-    * `meta` struct. */
+  /** Decode metadata for each media row: adds a typed `meta` struct.
+    * A struct-returning Scala UDF rather than an RDD mapPartitions pass —
+    * the decode itself is opaque JVM code either way, but the UDF form
+    * keeps the surrounding plan in Tungsten rows and whole-stage codegen
+    * (no Row re-encoding round-trip), and column pruning/pushdown still
+    * apply to everything before and after. Narrow, no shuffle. */
   def decodeMeta(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
-    val outSchema = StructType(media.schema.fields :+ StructField("meta", metaSchema))
-    val idxPayload = media.schema.fieldIndex("payload")
-    val rdd = media.rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val (w, h, f, ok) = decodeStub(r.getAs[Array[Byte]](idxPayload))
-        Row.fromSeq(r.toSeq :+ Row(w, h, f, ok))
+    val decodeUdf = udf((payload: Array[Byte]) => {
+      val (w, h, f, ok) = decodeStub(payload)
+      (w, h, f, ok)
+    }) // deterministic stub → leave Catalyst free to reorder around it
+    media.withColumn("meta",
+      decodeUdf(col("payload")).cast(metaSchema))
+  }
+
+  /** STUB resize: deterministically "re-encode" the payload to a target
+    * box — real builds swap the body for an actual scaler. Keeps the
+    * (payload, meta) contract: output columns are the resized payload and
+    * an updated meta struct. */
+  def resize(withMeta: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val scaleUdf = udf((payload: Array[Byte], w: Int, h: Int) => {
+      if (payload == null || w <= 0 || h <= 0) payload
+      else {
+        val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+        val outLen = math.max(1, (payload.length * scale * scale).toInt)
+        java.util.Arrays.copyOf(payload, math.min(outLen, payload.length))
       }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    })
+    withMeta
+      .withColumn("payload",
+        scaleUdf(col("payload"), col("meta.width"), col("meta.height")))
+      .withColumn("meta", struct(
+        least(col("meta.width"), lit(maxW)).as("width"),
+        least(col("meta.height"), lit(maxH)).as("height"),
+        col("meta.n_frames").as("n_frames"),
+        col("meta.ok").as("ok")))
   }
 
   /** Extract a fixed-width float feature vector per media row. */

@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.ops.{Dedup, Similarity}
+import graft.ops.{Dedup, Multimodal, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -175,7 +175,35 @@ object LlmQueries {
         .groupBy("source")
         .agg(count(lit(1)).as("n"),
           sum(octet_length(col("payload"))).as("n_bytes"),
-          min(octet_length(col("payload"))).as("min_bytes")))
+          min(octet_length(col("payload"))).as("min_bytes"))),
+
+    // decode / resize / frame-sample / feature pipeline over binary
+    // payloads — STUB codecs (deterministic), so rows-only check +
+    // MultimodalSpec; the Spark plumbing (schema, UDF batch shape,
+    // explode) is the real surface.
+    "q_multimodal_decode" -> ((s, d) => {
+      val media = Tables.documents(s, d)
+        .select(col("doc_id").as("media_id"),
+          col("text").cast("binary").as("payload"), col("source").as("mime"))
+      val decoded = Multimodal.resize(Multimodal.decodeMeta(media), 640, 480)
+      decoded.groupBy("mime")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("meta.ok"), 1L).otherwise(0L)).as("n_ok"),
+          max(col("meta.width")).as("max_w"),
+          sum(octet_length(col("payload"))).as("resized_bytes"))
+    }),
+
+    "q_multimodal_frames" -> ((s, d) => {
+      val media = Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id").as("media_id"),
+          col("text").cast("binary").as("payload"), col("source").as("mime"))
+      val feats = Multimodal.extractFeatures(
+        Multimodal.sampleFrames(Multimodal.decodeMeta(media), n = 4), dim = 8)
+      feats.groupBy("mime")
+        .agg(count(lit(1)).as("n_frames"),
+          count_distinct(col("media_id")).as("n_media"),
+          min(size(col("features"))).as("dim"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
