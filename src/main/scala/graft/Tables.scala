@@ -38,11 +38,14 @@ object Tables {
   }
 }
 
-/** One place to build correctly-configured sessions (UTC, AQE, ns-long). */
+/** One place to build correctly-configured sessions (UTC, AQE, ns-long),
+  * with the engine's native expressions injected via
+  * SparkSessionExtensions (graft_dot / graft_cosine). */
 object Sessions {
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
+      .withExtensions(graft.functions.VectorExpressions.inject)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
   * kernel here is only evaluated on candidate pairs.
   */
 object VectorFunctions {
-  /** Σ aᵢ·bᵢ at double precision. */
+  /** Σ aᵢ·bᵢ at double precision. HOF formulation — works in any session;
+    * prefer [[dotN]] in hot paths (bit-identical, codegen'd). */
   def dotD(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -25,9 +26,16 @@ object VectorFunctions {
   /** ‖a‖₂ at double precision. */
   def normD(a: Column): Column = sqrt(dotD(a, a))
 
-  /** Cosine similarity at double precision. */
+  /** Cosine similarity at double precision (HOF formulation). */
   def cosineD(a: Column, b: Column): Column =
     dotD(a, b) / (normD(a) * normD(b))
+
+  /** Native codegen'd dot product ([[ArrayDotProduct]]) — requires a
+    * session built by [[graft.Sessions.builder]] (extension-injected). */
+  def dotN(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Native codegen'd cosine similarity ([[ArrayCosineSim]]). */
+  def cosineN(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
 
   /** Squared L2 distance at double precision. */
   def l2sqD(a: Column, b: Column): Column =

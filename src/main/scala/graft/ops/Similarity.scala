@@ -30,7 +30,7 @@ object Similarity {
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
     broadcast(q).crossJoin(c)
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("sim", cosineD(col("qv"), col("nv")))
+      .withColumn("sim", cosineN(col("qv"), col("nv")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("q_id", "rnk", "n_id", "sim")
@@ -66,7 +66,7 @@ object Similarity {
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
     broadcast(q).join(c, "bucket")
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("sim", cosineD(col("qv"), col("nv")))
+      .withColumn("sim", cosineN(col("qv"), col("nv")))
       .select("q_id", "n_id", "sim").distinct()
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
@@ -94,7 +94,7 @@ object Similarity {
     val r = t.select(col("blk"), col("id").as("id_b"), col("vn").as("vn_b"))
     l.join(r, "blk")
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", dotD(col("vn_a"), col("vn_b")))
+      .withColumn("cos", dotN(col("vn_a"), col("vn_b")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
@@ -129,7 +129,7 @@ object Similarity {
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
     broadcast(q).join(c, "cell")
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("sim", cosineD(col("qv"), col("nv")))
+      .withColumn("sim", cosineN(col("qv"), col("nv")))
       .select("q_id", "n_id", "sim").distinct()
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)

@@ -119,6 +119,20 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("native graft_dot/graft_cosine are bit-identical to the HOF kernels") {
+    import graft.functions.VectorFunctions._
+    val pairs = emb.limit(50).select(col("vec_id"), col("embedding"))
+      .crossJoin(emb.limit(50).select(col("vec_id").as("id2"), col("embedding").as("e2")))
+      .select(
+        dotD(col("embedding"), col("e2")).as("d_hof"),
+        dotN(col("embedding"), col("e2")).as("d_nat"),
+        cosineD(col("embedding"), col("e2")).as("c_hof"),
+        cosineN(col("embedding"), col("e2")).as("c_nat"))
+    val bad = pairs.filter(
+      col("d_hof") =!= col("d_nat") || col("c_hof") =!= col("c_nat")).count()
+    assert(bad == 0, "native expressions must match HOF formulation bitwise")
+  }
+
   test("knnLabel emits one deterministic majority vote per query") {
     val preds = Similarity.knnLabel(emb.filter(col("vec_id") < 20), emb,
       "vec_id", "embedding", "label", k = 10)
