@@ -119,6 +119,101 @@ case class ArrayCosineSim(left: Expression, right: Expression) extends ArrayPair
     copy(left = newLeft, right = newRight)
 }
 
+/** graft_hyperplane_sig(v, bits, tableSeed): random-hyperplane LSH
+  * signature with ±1 components, one pass over the vector. The sign
+  * matrix (bits × dim) is a deterministic function of (seed, bit, j)
+  * derived driver-side with splitmix64 and embedded as a codegen
+  * reference object — the generated loop is sign-flip adds, no hashing
+  * per element. dim adapts to the incoming vector (signs are generated
+  * for up to `MaxDim` dims). */
+case class HyperplaneSignature(child: Expression, bits: Int, seed: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+  import HyperplaneSignature._
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+
+  // signs(b*MaxDim + j) == true → +x, false → -x
+  @transient private lazy val signs: Array[Boolean] = signMatrix(bits, seed)
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), MaxDim)
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      var acc = 0.0
+      var j = 0
+      while (j < n) {
+        if (!v.isNullAt(j)) {
+          val x = v.getDouble(j)
+          acc += (if (signs(b * MaxDim + j)) x else -x)
+        }
+        j += 1
+      }
+      if (acc >= 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val signsRef = ctx.addReferenceObj("signs", signs, "boolean[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val sig = ctx.freshName("sig")
+      s"""
+         |int $n = java.lang.Math.min($v.numElements(), ${MaxDim});
+         |long $sig = 0L;
+         |for (int b = 0; b < $bits; b++) {
+         |  double acc = 0.0;
+         |  for (int j = 0; j < $n; j++) {
+         |    if (!$v.isNullAt(j)) {
+         |      double x = $v.getDouble(j);
+         |      acc += $signsRef[b * ${MaxDim} + j] ? x : -x;
+         |    }
+         |  }
+         |  if (acc >= 0) $sig |= (1L << b);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+  }
+
+  override def prettyName: String = "graft_hyperplane_sig"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HyperplaneSignature {
+  /** Hyperplanes support vectors up to this many dims (beyond it, trailing
+    * dims are ignored — acceptable for an LSH prefilter; raise if needed). */
+  val MaxDim = 512
+
+  private def mix(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def signMatrix(bits: Int, seed: Long): Array[Boolean] = {
+    val out = new Array[Boolean](bits * MaxDim)
+    var b = 0
+    while (b < bits) {
+      var j = 0
+      while (j < MaxDim) {
+        out(b * MaxDim + j) = (mix(seed * 1000003L + b.toLong * MaxDim + j) & 1L) == 1L
+        j += 1
+      }
+      b += 1
+    }
+    out
+  }
+}
+
 /** Registration via SparkSessionExtensions (the documented extension
   * point); [[graft.Sessions.builder]] wires it in, so every engine
   * session resolves `graft_dot` / `graft_cosine`. */
@@ -133,5 +228,15 @@ object VectorExpressions {
       (children: Seq[Expression]) => ArrayDotProduct(children(0), children(1))))
     e.injectFunction(desc("graft_cosine", classOf[ArrayCosineSim],
       (children: Seq[Expression]) => ArrayCosineSim(children(0), children(1))))
+    e.injectFunction(desc("graft_hyperplane_sig", classOf[HyperplaneSignature],
+      (children: Seq[Expression]) => {
+        def lit(i: Int): Long = children(i) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v.toString.toLong
+          case other => throw new IllegalArgumentException(
+            s"graft_hyperplane_sig arg ${i + 1} must be a literal, got $other")
+        }
+        HyperplaneSignature(children(0), lit(1).toInt, lit(2))
+      }))
   }
 }

@@ -46,25 +46,13 @@ object VectorFunctions {
       }),
       lit(0.0), (acc, x) => acc + x)
 
-  /** Random-hyperplane signature: for each unit hyperplane h (seeded by
-    * `seed`+i), bit i = sign(dot(v, h)). Returns an int bucket id with
-    * `bits` bits — the LSH key for approximate cosine search. Hyperplane
-    * components are derived per (i, j) from a splitmix-style integer hash
-    * so the signature is deterministic and computable engine-side with no
-    * broadcast state.
-    */
-  def hyperplaneSig(v: Column, bits: Int, dim: Int, seed: Long): Column = {
-    // pseudo-random ±1 hyperplanes: sign((hash(seed, i, j) % 2)*2 - 1)
-    // dot with ±1 components = sum of ± elements — cheap and codegen-able.
-    val bitCols = (0 until bits).map { i =>
-      val signed = aggregate(
-        zip_with(v, sequence(lit(0), lit(dim - 1)), (x, j) => {
-          val h = pmod(hash(lit(seed), lit(i), j), lit(2))
-          when(h === 1, x.cast("double")).otherwise(-x.cast("double"))
-        }),
-        lit(0.0), (acc, x) => acc + x)
-      when(signed >= 0, lit(1L << i)).otherwise(0L)
-    }
-    bitCols.reduce(_ + _)
-  }
+  /** Random-hyperplane signature: for each ±1 hyperplane h (seeded), bit
+    * i = sign(dot(v, h)) — the LSH key for approximate cosine search.
+    * Native codegen expression ([[HyperplaneSignature]]): the sign matrix
+    * is derived driver-side from the seed and embedded as a codegen
+    * reference, so the per-row work is one sign-flip-add pass — no
+    * per-element hashing, no interpreted HOF tree. Deterministic; no
+    * broadcast state. */
+  def hyperplaneSig(v: Column, bits: Int, dim: Int, seed: Long): Column =
+    call_function("graft_hyperplane_sig", v, lit(bits), lit(seed))
 }
