@@ -47,6 +47,33 @@ object Transforms {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
+  /** Salted equi-join for skewed keys. AQE's skew-join split handles most
+    * cases at runtime; this is the explicit variant for when a single key's
+    * rows exceed what one task should hold even after splitting (classic
+    * hot-tenant shape). The left (large, skewed) side derives a
+    * deterministic salt from `tieBreak`; the right side is replicated
+    * `salt` times, so the join key becomes (key, salt) and the hot key
+    * spreads over `salt` tasks. Result is row-identical to a plain join. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+      tieBreak: String, salt: Int): DataFrame = {
+    val l = left.withColumn("_salt", pmod(hash(col(tieBreak)), lit(salt)))
+    val r = right.withColumn("_salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    l.join(r, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Two-phase distinct count for skewed groups: distinct values of a hot
+    * key are first counted within hash-salted sub-groups (each sub-count
+    * exact, because a value's salt is a function of the value), then
+    * summed. Equal to count_distinct, but the per-key distinct set never
+    * assembles on a single reducer. */
+  def saltedCountDistinct(df: DataFrame, keyCol: String, valueCol: String,
+      salt: Int, outName: String = "n_distinct"): DataFrame =
+    df.groupBy(col(keyCol), pmod(hash(col(valueCol)), lit(salt)).as("_salt"))
+      .agg(count_distinct(col(valueCol)).as("_part"))
+      .groupBy(keyCol)
+      .agg(sum("_part").as(outName))
+
   /** Typed Handler: 1 → 0..N, possibly different type (types.go:127-129).
     * Prefer Column transforms; this is the escape hatch. */
   def handler[A: Encoder, B: Encoder](f: A => Seq[B]): Dataset[A] => Dataset[B] =

@@ -94,6 +94,19 @@ object Sinks {
         }, trigger, checkpoint).start()
   }
 
+  /** Bucketed managed-table writer — the co-located-join layout for
+    * repeated large⋈large joins on the same key (SURVEY §2.3 Joins row,
+    * scale path): both sides pre-hashed into the same number of buckets,
+    * sorted within buckets, so the join plans with zero Exchange (and a
+    * sort-merge over pre-sorted buckets). At 100 TB this is the difference
+    * between shuffling the fact table per query and never shuffling it. */
+  object BucketedTable {
+    def write(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+      df.write.format("parquet")
+        .bucketBy(buckets, key).sortBy(key)
+        .mode("overwrite").saveAsTable(table)
+  }
+
   /** foreachBatch sink with the reference's batcher retry/error-handler
     * semantics (x/batcher/batcher.go:460-540) — see
     * [[graft.core.Reliability]]. */
