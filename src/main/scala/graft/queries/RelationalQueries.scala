@@ -200,6 +200,43 @@ object RelationalQueries {
         .filter(col("rn") <= 3)
     }),
 
+    // ---- pivot / conditional / null handling / subquery --------------
+    "q_pivot" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(round(sum("l_quantity"), 2))),
+
+    "q_case_expr" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(
+          when(col("o_totalprice") < 50000, "small")
+            .when(col("o_totalprice") < 150000, "medium")
+            .when(col("o_totalprice") < 300000, "large")
+            .otherwise("jumbo").as("bucket"))
+        .agg(count(lit(1)).as("n"), round(avg("o_totalprice"), 2).as("avg_price"))),
+
+    "q_null_fns" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d).filter(col("c_acctbal") > 7500)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(c("c_name").isNull, 1L).otherwise(0L)).as("n_null"),
+          count_distinct(coalesce(c("c_mktsegment"), lit("UNMATCHED"))).as("n_seg"),
+          round(sum(coalesce(c("c_acctbal"), lit(0.0))), 2).as("bal"),
+          sum(when(nullif(c("c_nationkey"), lit(0)).isNull, 1L).otherwise(0L)).as("n_zero_or_null"))
+    }),
+
+    "q_scalar_subquery" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val avgPrice = o.agg(avg("o_totalprice").as("ap"))
+      o.join(broadcast(avgPrice))
+        .filter(col("o_totalprice") > col("ap"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(min("o_totalprice"), 2).as("min_above"))
+    }),
+
     // ---- set operations ----------------------------------------------
     "q_set_distinct" -> ((s, d) =>
       Tables.customer(s, d).select(col("c_nationkey").as("k")).distinct()),
@@ -441,6 +478,37 @@ object RelationalQueries {
         |  row_number() OVER (PARTITION BY c_nationkey
         |    ORDER BY c_acctbal DESC, c_custkey) AS rn
         | FROM customer) WHERE rn <= 3""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT l_linestatus,
+        | round(sum(CASE WHEN l_returnflag='A' THEN l_quantity END), 2) AS A,
+        | round(sum(CASE WHEN l_returnflag='N' THEN l_quantity END), 2) AS N,
+        | round(sum(CASE WHEN l_returnflag='R' THEN l_quantity END), 2) AS R
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+
+    "q_case_expr" ->
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+        |  WHEN o_totalprice < 150000 THEN 'medium'
+        |  WHEN o_totalprice < 300000 THEN 'large'
+        |  ELSE 'jumbo' END AS bucket,
+        | count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q_null_fns" ->
+      """SELECT count(*) AS n,
+        | sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS n_null,
+        | count(DISTINCT coalesce(c_mktsegment, 'UNMATCHED')) AS n_seg,
+        | round(sum(coalesce(c_acctbal, 0)), 2) AS bal,
+        | sum(CASE WHEN nullif(c_nationkey, 0) IS NULL THEN 1 ELSE 0 END) AS n_zero_or_null
+        |FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 7500) c
+        |  ON o_custkey = c_custkey""".stripMargin,
+
+    "q_scalar_subquery" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        | round(min(o_totalprice), 2) AS min_above
+        |FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        |GROUP BY o_orderpriority""".stripMargin,
 
     "q_set_distinct" -> "SELECT DISTINCT c_nationkey AS k FROM customer",
 
