@@ -119,13 +119,18 @@ object Dedup {
           xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
             .as("bh")))).as("bucket"))
       .select(col("id"), col("bucket.band"), col("bucket.bh"))
-    // drop degenerate buckets instead of exploding them quadratically
-    val wcount = banded
-      .withColumn("bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
-      .filter(col("bsz") <= maxBucket)
-    val l = wcount.select(col("band"), col("bh"), col("id").as("id_a"))
-    val r = wcount.select(col("band"), col("bh"), col("id").as("id_b"))
+    // Drop degenerate buckets instead of exploding them quadratically.
+    // The oversized-bucket list is tiny (hot buckets are rare by
+    // construction), so this is a broadcast anti-join — NOT a window
+    // count, which would hash+sort the entire banded table just to
+    // discover the few hot buckets.
+    val oversized = banded.groupBy("band", "bh")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > maxBucket)
+      .select("band", "bh")
+    val kept = banded.join(broadcast(oversized), Seq("band", "bh"), "left_anti")
+    val l = kept.select(col("band"), col("bh"), col("id").as("id_a"))
+    val r = kept.select(col("band"), col("bh"), col("id").as("id_b"))
     val cand = l.join(r, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")

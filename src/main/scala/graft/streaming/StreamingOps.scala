@@ -65,6 +65,45 @@ object StreamingOps {
           (key, next)
       }
 
+  /** Per-key running (count, sum, max) via transformWithState — Spark 4's
+    * arbitrary-state API (successor to mapGroupsWithState; typed state
+    * handles, timers, TTL, RocksDB-backed). Requires
+    * `spark.sql.streaming.stateStore.providerClass =
+    * ...state.RocksDBStateStoreProvider` on the session. */
+  class RunningStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Double), (String, Long, Double, Double)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var stats: ValueState[(Long, Double, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      stats = getHandle.getValueState[(Long, Double, Double)](
+        "stats", Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble,
+          Encoders.scalaDouble), TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[(String, Double)],
+        timerValues: TimerValues): Iterator[(String, Long, Double, Double)] = {
+      var (n, sum, max) =
+        if (stats.exists()) stats.get() else (0L, 0.0, Double.NegativeInfinity)
+      rows.foreach { case (_, v) =>
+        n += 1; sum += v; if (v > max) max = v
+      }
+      stats.update((n, sum, max))
+      Iterator.single((key, n, sum, max))
+    }
+  }
+
+  /** transformWithState wiring for [[RunningStatsProcessor]]. */
+  def runningStats(ds: Dataset[(String, Double)]): Dataset[(String, Long, Double, Double)] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .transformWithState(new RunningStatsProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Drain a finite stream: process everything available, then return —
     * the reference's EOF-drain contract (x/scanner/scanner.go:61-78). */
   def runToCompletion(q: StreamingQuery): Unit = {

@@ -50,6 +50,29 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq == Seq(("a", 1L), ("a", 2L), ("b", 1L)))
   }
 
+  test("transformWithState: running stats survive micro-batch boundaries") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = new MemoryStream[(String, Double)](13, spark, None)
+      val out = StreamingOps.runningStats(ms.toDS())
+      val q = out.toDF("k", "n", "sum", "max").writeStream.format("memory")
+        .queryName("tws_out").outputMode("update").start()
+      ms.addData(Seq("x" -> 1.0, "x" -> 5.0, "y" -> 2.0))
+      q.processAllAvailable()
+      ms.addData(Seq("x" -> 3.0))
+      q.processAllAvailable()
+      q.stop(); q.awaitTermination()
+      val last = spark.table("tws_out")
+        .groupBy("k").agg(max("n").as("n"), max("sum").as("sum"), max("max").as("mx"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+      assert(last("x") == ((3L, 9.0, 5.0)))
+      assert(last("y") == ((1L, 2.0, 2.0)))
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("runningCountPerKey: state accumulates across micro-batches") {
     val ms = new MemoryStream[(String, Long)](12, spark, None)
     val out = StreamingOps.runningCountPerKey(ms.toDS())
