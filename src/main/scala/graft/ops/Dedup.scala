@@ -170,6 +170,43 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Connected components over a near-duplicate pair list — the cluster
+    * step a dedup pipeline needs between "pairs above threshold" and
+    * "keep one representative per group" (the min-id member is the
+    * canonical representative, matching [[exactDedup]]).
+    *
+    * Iterative min-label propagation: each node adopts the minimum label
+    * among itself and its neighbors until fixpoint (≤ graph diameter
+    * rounds). Each round is one shuffle join + aggregate; lineage is cut
+    * per round with localCheckpoint so the plan stays O(1) deep — the
+    * standard Spark shape for iterative graph algorithms at scale (the
+    * pair graph is orders of magnitude smaller than the corpus).
+    * Input: (aCol, bCol) pairs; output: (id, comp).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("comp").as("nc")), "dst")
+        .groupBy(col("src").as("id")).agg(min("nc").as("nmin"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("comp"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("next"))
+        .localCheckpoint()
+      changed = updated.filter(col("next") < col("comp")).count()
+      labels = updated.select(col("id"), col("next").as("comp"))
+      i += 1
+    }
+    labels
+  }
+
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
     * hash every positional k-gram, slide a window of `window` hashes, keep
     * the minimum of each window, distinct the kept set. Robust to

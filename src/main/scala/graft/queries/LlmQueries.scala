@@ -76,6 +76,28 @@ object LlmQueries {
           "text", "doc_id", "lang", shingleLen = 3, threshold = 0.2)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("j"))),
 
+    // corpus-level n-gram frequency (the canonical map-reduce: one
+    // explode + one counting shuffle; top-k with a unique tie-break)
+    "q_ngram_counts" -> ((s, d) => {
+      val t = graft.core.Transforms.materialized(
+        Tables.documents(s, d).select("doc_id", "text"),
+        "toks", tokens(col("text")))
+      t.select(explode(shingles(col("toks"), 3)).as("s"))
+        .groupBy("s").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("s")).limit(20)
+    }),
+
+    // near-dup pairs → connected components → cluster stats (the "keep
+    // one per duplicate group" decision surface)
+    "q_dedup_clusters" -> ((s, d) => {
+      val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, d),
+        "text", "doc_id", "lang", threshold = 0.5)
+      val lbl = Dedup.connectedComponents(pairs)
+      lbl.groupBy("comp").agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_clusters"), sum("sz").as("n_docs"),
+          max("sz").as("max_cluster"))
+    }),
+
     "q_dedup_exact_docs" -> ((s, d) =>
       Dedup.exactDupGroups(Tables.documents(s, d), "text", "doc_id")
         .agg(count(lit(1)).as("n_groups"), sum("n_dups").as("n_docs"),
@@ -256,6 +278,30 @@ object LlmQueries {
          |    / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE END AS j
          | FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
          |SELECT id_a, id_b, round(j, 4) AS j FROM p WHERE j >= 0.2""".stripMargin,
+
+    "q_ngram_counts" ->
+      s"""SELECT s, count(*) AS n
+         |FROM (SELECT unnest(${sqlShinglesPos(sqlToks)}) AS s FROM documents)
+         |GROUP BY s ORDER BY n DESC, s LIMIT 20""".stripMargin,
+
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id, lang, ${sqlShingles(sqlToks)} AS sh FROM documents),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |  WHERE CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+         |   ELSE len(list_distinct(list_intersect(a.sh, b.sh)))::DOUBLE
+         |    / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE END >= 0.5),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM p
+         |      UNION SELECT id_b, id_a FROM p),
+         |n AS (SELECT DISTINCT src AS id FROM e),
+         |r AS (SELECT id, id AS comp FROM n
+         |      UNION
+         |      SELECT e.dst AS id, r.comp FROM e JOIN r ON e.src = r.id),
+         |lbl AS (SELECT id, min(comp) AS comp FROM r GROUP BY id),
+         |cs AS (SELECT comp, count(*) AS sz FROM lbl GROUP BY comp)
+         |SELECT count(*) AS n_clusters, sum(sz) AS n_docs, max(sz) AS max_cluster
+         |FROM cs""".stripMargin,
 
     "q_dedup_exact_docs" ->
       """SELECT count(*) AS n_groups, sum(n_dups) AS n_docs, max(n_dups) AS max_group

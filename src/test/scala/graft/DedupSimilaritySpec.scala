@@ -119,6 +119,23 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents labels are transitive and min-id-canonical") {
+    import spark.implicits._
+    // known graph: {1-2, 2-3} ∪ {10-11} ∪ {20-21, 21-22, 20-22}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("id_a", "id_b")
+    val lbl = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lbl == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // long chain exercises multi-round propagation
+    val chain = (0L until 12L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("id_a", "id_b")
+    val chainLbl = Dedup.connectedComponents(chain)
+      .collect().map(r => r.getLong(1)).distinct
+    assert(chainLbl.toSeq == Seq(0L))
+  }
+
   test("native graft_dot/graft_cosine are bit-identical to the HOF kernels") {
     import graft.functions.VectorFunctions._
     val pairs = emb.limit(50).select(col("vec_id"), col("embedding"))
