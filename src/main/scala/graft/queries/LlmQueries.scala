@@ -57,6 +57,25 @@ object LlmQueries {
           round(sum(meanTokenLen(col("toks"))), 2).as("sum_mean_len"),
           count(lit(1)).as("n"))),
 
+    // two-pass unigram-LM quality score: corpus term frequencies, then
+    // per-doc mean log-probability (gibberish scores low). The frequency
+    // table is broadcast (vocabulary ≪ corpus); at a scale where the
+    // vocab outgrows the broadcast threshold AQE falls back to a shuffle
+    // join on the token — same plan text, different strategy.
+    "q_quality_lm" -> ((s, d) => {
+      val t = graft.core.Transforms.materialized(
+        Tables.documents(s, d).select("doc_id", "lang", "text"),
+        "toks", tokens(col("text")))
+      val tok = t.select(col("doc_id"), col("lang"), explode(col("toks")).as("t"))
+      val freq = tok.groupBy("t").agg(count(lit(1)).as("c"))
+      val total = tok.agg(count(lit(1)).cast("double").as("n"))
+      val perDoc = tok.join(broadcast(freq), "t").join(broadcast(total))
+        .groupBy("doc_id", "lang")
+        .agg((sum(log(col("c") / col("n"))) / count(lit(1))).as("lp"))
+      perDoc.groupBy("lang")
+        .agg(round(sum("lp"), 2).as("sum_lp"), count(lit(1)).as("n"))
+    }),
+
     "q_lang_id" -> ((s, d) =>
       Tables.documents(s, d)
         .withColumn("pred", langGuess(col("text")))
@@ -251,6 +270,16 @@ object LlmQueries {
          |   / len(toks)::DOUBLE END), 2) AS sum_mean_len,
          | count(*) AS n
          |FROM t GROUP BY lang""".stripMargin,
+
+    "q_quality_lm" ->
+      s"""WITH tok AS (SELECT doc_id, lang, unnest($sqlToks) AS t FROM documents),
+         |f AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+         |tot AS (SELECT count(*)::DOUBLE AS n FROM tok),
+         |sc AS (SELECT doc_id, lang, sum(ln(c / n)) / count(*) AS lp
+         |  FROM tok JOIN f USING (t) CROSS JOIN tot
+         |  GROUP BY doc_id, lang)
+         |SELECT lang, round(sum(lp), 2) AS sum_lp, count(*) AS n
+         |FROM sc GROUP BY lang""".stripMargin,
 
     "q_lang_id" ->
       """SELECT pred, count(*) AS n,
