@@ -29,7 +29,7 @@ abstract class ArrayPairFold extends BinaryExpression with ImplicitCastInputType
   /** Java statements: given `a`,`b` (ArrayData) and `n`, compute `result`
     * (double) or set `isNull`; also used by the interpreted path. */
   protected def foldEval(a: ArrayData, b: ArrayData, n: Int): Any
-  protected def foldCode(a: String, b: String, n: String,
+  protected def foldCode(ctx: CodegenContext, a: String, b: String, n: String,
       result: String, isNull: String): String
 
   override def nullSafeEval(l: Any, r: Any): Any = {
@@ -47,7 +47,7 @@ abstract class ArrayPairFold extends BinaryExpression with ImplicitCastInputType
          |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${foldCode(a, b, n, ev.value.toString, ev.isNull.toString)}
+         |  ${foldCode(ctx, a, b, n, ev.value.toString, ev.isNull.toString)}
          |}
        """.stripMargin
     })
@@ -68,16 +68,19 @@ case class ArrayDotProduct(left: Expression, right: Expression) extends ArrayPai
     acc
   }
 
-  override protected def foldCode(a: String, b: String, n: String,
-      result: String, isNull: String): String =
+  override protected def foldCode(ctx: CodegenContext, a: String, b: String, n: String,
+      result: String, isNull: String): String = {
+    // all locals fresh-named: two kernels can share one generated scope
+    val acc = ctx.freshName("acc"); val i = ctx.freshName("i")
     s"""
-       |double acc = 0.0;
-       |for (int i = 0; i < $n; i++) {
-       |  if ($a.isNullAt(i) || $b.isNullAt(i)) { $isNull = true; break; }
-       |  acc += $a.getDouble(i) * $b.getDouble(i);
+       |double $acc = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $isNull = true; break; }
+       |  $acc += $a.getDouble($i) * $b.getDouble($i);
        |}
-       |if (!$isNull) $result = acc;
+       |if (!$isNull) $result = $acc;
      """.stripMargin
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -102,17 +105,21 @@ case class ArrayCosineSim(left: Expression, right: Expression) extends ArrayPair
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  override protected def foldCode(a: String, b: String, n: String,
-      result: String, isNull: String): String =
+  override protected def foldCode(ctx: CodegenContext, a: String, b: String, n: String,
+      result: String, isNull: String): String = {
+    val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+    val nb = ctx.freshName("nb"); val i = ctx.freshName("i")
+    val x = ctx.freshName("x"); val y = ctx.freshName("y")
     s"""
-       |double dot = 0.0; double na = 0.0; double nb = 0.0;
-       |for (int i = 0; i < $n; i++) {
-       |  if ($a.isNullAt(i) || $b.isNullAt(i)) { $isNull = true; break; }
-       |  double x = $a.getDouble(i); double y = $b.getDouble(i);
-       |  dot += x * y; na += x * x; nb += y * y;
+       |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $isNull = true; break; }
+       |  double $x = $a.getDouble($i); double $y = $b.getDouble($i);
+       |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
        |}
-       |if (!$isNull) $result = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+       |if (!$isNull) $result = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
      """.stripMargin
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -164,18 +171,20 @@ case class HyperplaneSignature(child: Expression, bits: Int, seed: Long)
     nullSafeCodeGen(ctx, ev, v => {
       val n = ctx.freshName("n")
       val sig = ctx.freshName("sig")
+      val b = ctx.freshName("b"); val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc"); val x = ctx.freshName("x")
       s"""
          |int $n = java.lang.Math.min($v.numElements(), ${MaxDim});
          |long $sig = 0L;
-         |for (int b = 0; b < $bits; b++) {
-         |  double acc = 0.0;
-         |  for (int j = 0; j < $n; j++) {
-         |    if (!$v.isNullAt(j)) {
-         |      double x = $v.getDouble(j);
-         |      acc += $signsRef[b * ${MaxDim} + j] ? x : -x;
+         |for (int $b = 0; $b < $bits; $b++) {
+         |  double $acc = 0.0;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    if (!$v.isNullAt($j)) {
+         |      double $x = $v.getDouble($j);
+         |      $acc += $signsRef[$b * ${MaxDim} + $j] ? $x : -$x;
          |    }
          |  }
-         |  if (acc >= 0) $sig |= (1L << b);
+         |  if ($acc >= 0) $sig |= (1L << $b);
          |}
          |${ev.value} = $sig;
        """.stripMargin

@@ -160,6 +160,18 @@ object LlmQueries {
         .select(col("q_id"), col("rnk"), col("n_id"), round(col("sim"), 4).as("sim"))
     }),
 
+    // Misra-Gries heavy hitters; capacity 64 > |distinct event_type|, so
+    // the sketch is in its exact regime and DuckDB-oracle-checkable.
+    "q_approx_topk" -> ((s, d) => {
+      val sketch = udaf(graft.functions.TopKSketch(64))
+      Tables.events(s, d)
+        .agg(sketch(col("event_type")).as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e._1").as("item"), col("e._2").as("n"))
+        .orderBy(col("n").desc, col("item"))
+        .limit(5)
+    }),
+
     "q_approx_hll" -> ((s, d) =>
       Tables.events(s, d).agg(
         approx_count_distinct(col("user_id")).as("approx_u"),
@@ -270,6 +282,10 @@ object LlmQueries {
          |   / len(toks)::DOUBLE END), 2) AS sum_mean_len,
          | count(*) AS n
          |FROM t GROUP BY lang""".stripMargin,
+
+    "q_approx_topk" ->
+      """SELECT event_type AS item, count(*) AS n FROM events
+        |GROUP BY event_type ORDER BY n DESC, item LIMIT 5""".stripMargin,
 
     "q_quality_lm" ->
       s"""WITH tok AS (SELECT doc_id, lang, unnest($sqlToks) AS t FROM documents),

@@ -119,6 +119,31 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("TopKSketch: exact regime matches groupBy; lossy regime keeps heavy hitters") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+    // exact regime: capacity >> |distinct event_type|
+    val sketch = udaf(graft.functions.TopKSketch(64))
+    val got = ev.agg(sketch(col("event_type")).as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e._1"), col("e._2")).as[(String, Long)].collect().toMap
+    val exact = ev.groupBy("event_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(got == exact)
+    // lossy regime: capacity 4 over a skewed stream still surfaces the
+    // dominant item with count error <= n/capacity
+    val n = 4000
+    val skewed = ((1 to (n / 2)).map(_ => "hot") ++
+      (1 to (n / 2)).map(i => s"cold_${i % 100}")).toDF("x")
+    val small = udaf(graft.functions.TopKSketch(4))
+    val lossy = skewed.agg(small(col("x")).as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e._1"), col("e._2")).as[(String, Long)].collect().toMap
+    assert(lossy.contains("hot"), "true heavy hitter must survive")
+    assert(lossy("hot") <= n / 2 && lossy("hot") >= n / 2 - n / 4,
+      s"count error exceeds n/capacity: ${lossy("hot")}")
+  }
+
   test("connectedComponents labels are transitive and min-id-canonical") {
     import spark.implicits._
     // known graph: {1-2, 2-3} ∪ {10-11} ∪ {20-21, 21-22, 20-22}
