@@ -108,6 +108,10 @@ object Dedup {
       shingleLen: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
+    // base feeds three consumers (signatures + both sides of the verify
+    // join) and is deliberately recomputed rather than persisted: the
+    // narrow tokenize/shingle pass is cheaper than serializing the wide
+    // shingle arrays through the block manager (measured both ways).
     val base = shingleSets(docs, textCol, idCol, shingleLen)
       .filter(size(col("sh")) > 0)
     val withSig = minhashSigs(base, numHashes)

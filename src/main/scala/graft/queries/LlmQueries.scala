@@ -49,8 +49,10 @@ object LlmQueries {
           min("tok").as("first_tok"))),
 
     "q_text_quality" -> ((s, d) =>
-      Tables.documents(s, d)
-        .withColumn("toks", tokens(col("text")))
+      // materialized barrier: toks feeds two HOF features + a count —
+      // without it the tokenize pipeline re-runs per use site
+      graft.core.Transforms.materialized(
+          Tables.documents(s, d), "toks", tokens(col("text")))
         .groupBy("lang")
         .agg(
           round(sum(stopwordRatio(col("toks"), Seq("the", "a", "of", "and"))), 2).as("sum_sw_ratio"),
@@ -213,8 +215,8 @@ object LlmQueries {
           min("fp").as("min_fp"))),
 
     "q_quality_filter" -> ((s, d) =>
-      Tables.documents(s, d)
-        .withColumn("toks", tokens(col("text")))
+      graft.core.Transforms.materialized(
+          Tables.documents(s, d), "toks", tokens(col("text")))
         .filter(size(col("toks")).between(10, 1000)
           && meanTokenLen(col("toks")) < 12.0
           && stopwordRatio(col("toks"), Seq("the", "a", "of", "and")) < 0.5)
