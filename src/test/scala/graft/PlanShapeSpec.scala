@@ -1,0 +1,49 @@
+package graft
+
+/** Pins the physical-plan properties the engine's scale story depends on
+  * (SURVEY §4): predicate pushdown + column pruning at the scan, broadcast
+  * joins for small dims, heap-based per-group top-k (WindowGroupLimit),
+  * TakeOrderedAndProject for global top-k, partial aggregation, native
+  * codegen kernels in the similarity path. A regression here usually
+  * means an operator silently fell off the optimized path, which small-SF
+  * correctness tests would never notice.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q_filter_pred: predicates reach the parquet scan, columns pruned") {
+    val p = plan("q_filter_pred")
+    assert(p.contains("PushedFilters: [IsNotNull"), p)
+    assert(!p.contains("l_comment"), "unused columns must be pruned")
+  }
+
+  test("q_join_inner_groupby: small dimension broadcasts") {
+    assert(plan("q_join_inner_groupby").contains("BroadcastHashJoin"))
+  }
+
+  test("q_topk_pergroup: heap-based WindowGroupLimit prunes before sort") {
+    assert(plan("q_topk_pergroup").contains("WindowGroupLimit"))
+  }
+
+  test("q_sort_limit: global top-k is TakeOrderedAndProject, not full sort") {
+    assert(plan("q_sort_limit").contains("TakeOrderedAndProject"))
+  }
+
+  test("q_agg_tpch_q1: partial+final aggregation inside codegen") {
+    val df = SparkEntry.queries("q_agg_tpch_q1")(spark, sf)
+    assert(plan("q_agg_tpch_q1").contains("partial_sum"), "map-side combine expected")
+    df.collect() // AQE: codegen stage markers appear in the final plan
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("isFinalPlan=true"))
+    assert(finalPlan.contains("*("), "agg must stay in whole-stage codegen")
+  }
+
+  test("similarity path uses the native kernels, not HOF fallback") {
+    val p = plan("q_sim_cosine_topk")
+    assert(p.contains("graft_cosine"), p.linesIterator.take(8).mkString("\n"))
+    val p2 = plan("q_sim_lsh")
+    assert(p2.contains("graft_hyperplane_sig"))
+  }
+}
