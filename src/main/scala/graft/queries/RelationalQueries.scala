@@ -205,6 +205,17 @@ object RelationalQueries {
           round(sum("value").over(w), 2).as("sum_5m"))
     }),
 
+    "q_window_dist" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 4).as("pr"),
+          round(cume_dist().over(w), 4).as("cd"))
+        .filter(col("o_orderkey") < 2000)
+    }),
+
     // ---- sort / limit / top-k ----------------------------------------
     "q_sort_limit" -> ((s, d) =>
       Tables.orders(s, d)
@@ -269,6 +280,16 @@ object RelationalQueries {
     "q_set_except" -> ((s, d) =>
       Tables.customer(s, d).select(col("c_custkey").as("k"))
         .except(Tables.orders(s, d).select(col("o_custkey").as("k")))),
+
+    "q_set_intersect_all" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("k"))
+        .intersectAll(Tables.supplier(s, d).select(col("s_nationkey").as("k")))
+        .groupBy("k").agg(count(lit(1)).as("n"))),
+
+    "q_set_except_all" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("k"))
+        .exceptAll(Tables.supplier(s, d).select(col("s_nationkey").as("k")))
+        .groupBy("k").agg(count(lit(1)).as("n"))),
 
     "q_set_union_all" -> ((s, d) =>
       Tables.customer(s, d).select(col("c_custkey").as("k"))
@@ -501,6 +522,28 @@ object RelationalQueries {
         | FROM orders
         | WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
         |) WHERE rnk <= 20""".stripMargin,
+
+    "q_window_dist" ->
+      """SELECT * FROM (
+        | SELECT o_orderpriority, o_orderkey,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 4) AS pr,
+        |  round(cume_dist() OVER w, 4) AS cd
+        | FROM orders
+        | WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |) WHERE o_orderkey < 2000""".stripMargin,
+
+    "q_set_intersect_all" ->
+      """SELECT k, count(*) AS n FROM (
+        | SELECT c_nationkey AS k FROM customer
+        | INTERSECT ALL SELECT s_nationkey AS k FROM supplier)
+        |GROUP BY k""".stripMargin,
+
+    "q_set_except_all" ->
+      """SELECT k, count(*) AS n FROM (
+        | SELECT c_nationkey AS k FROM customer
+        | EXCEPT ALL SELECT s_nationkey AS k FROM supplier)
+        |GROUP BY k""".stripMargin,
 
     "q_sort_limit" ->
       """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
