@@ -11,6 +11,7 @@ object Bench {
     "q_agg_tpch_q1",      // wide-table scan + grouped aggregation
     "q_filter_pred",      // predicate pushdown path
     "q_join_multiway",    // lineitem⋈orders⋈customer⋈nation (shuffle joins)
+    "q_join_tpch_q5",     // 6-way join, two-level dim pruning
     "q_join_inner_groupby", // broadcast join
     "q_window_rownum",    // window over events
     "q_sessionize",       // gap/island sessionization
@@ -23,6 +24,7 @@ object Bench {
     "q_sim_ivf",          // IVF-cell ANN
     "q_dedup_embed",      // embedding-cosine near-dup pairs
     "q_token_bpe",        // regex pre-tokenization pass
+    "q_pii_redact",       // regex detect+redact pass
     "q_fingerprint_winnow" // winnowing fingerprint sketch
   )
 

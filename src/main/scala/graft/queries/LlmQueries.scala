@@ -78,6 +78,23 @@ object LlmQueries {
         .agg(round(sum("lp"), 2).as("sum_lp"), count(lit(1)).as("n"))
     }),
 
+    // PII scrub mechanism: the corpus is synthetic word-salad with no
+    // organic emails, so the query plants one deterministically per doc,
+    // then detects + redacts — the regex/redact/verify plumbing is what
+    // a curation pipeline runs at scale (narrow, no shuffle until agg).
+    "q_pii_redact" -> ((s, d) => {
+      val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      Tables.documents(s, d)
+        .withColumn("txt",
+          concat(col("text"), lit(" contact "), col("source"),
+            lit("@example."), col("lang")))
+        .groupBy("lang")
+        .agg(
+          sum(when(col("txt").rlike(emailPat), 1L).otherwise(0L)).as("n_with_email"),
+          sum(length(regexp_replace(col("txt"), emailPat, "[EMAIL]"))).as("redacted_len"),
+          count_distinct(md5(regexp_replace(col("txt"), emailPat, "[EMAIL]"))).as("n_distinct"))
+    }),
+
     "q_lang_id" -> ((s, d) =>
       Tables.documents(s, d)
         .withColumn("pred", langGuess(col("text")))
@@ -298,6 +315,17 @@ object LlmQueries {
          |  GROUP BY doc_id, lang)
          |SELECT lang, round(sum(lp), 2) AS sum_lp, count(*) AS n
          |FROM sc GROUP BY lang""".stripMargin,
+
+    "q_pii_redact" ->
+      """SELECT lang,
+        | sum(CASE WHEN regexp_matches(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+        |     THEN 1 ELSE 0 END) AS n_with_email,
+        | sum(length(regexp_replace(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'))) AS redacted_len,
+        | count(DISTINCT md5(regexp_replace(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'))) AS n_distinct
+        |FROM (SELECT lang,
+        |  text || ' contact ' || source || '@example.' || lang AS txt
+        | FROM documents)
+        |GROUP BY lang""".stripMargin,
 
     "q_lang_id" ->
       """SELECT pred, count(*) AS n,
