@@ -46,14 +46,19 @@ object Bench {
           catch { case _: Throwable => () }
         }
       }
+    // Best-of-2 per query: steady-state execution time, not GC/JIT luck.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     val results = selected.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          }
+          (System.nanoTime() - t0) / 1e9
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        name -> times.min
       }
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
