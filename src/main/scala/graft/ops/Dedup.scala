@@ -109,9 +109,11 @@ object Dedup {
       threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
     // base feeds three consumers (signatures + both sides of the verify
-    // join) and is deliberately recomputed rather than persisted: the
-    // narrow tokenize/shingle pass is cheaper than serializing the wide
-    // shingle arrays through the block manager (measured both ways).
+    // join) and is deliberately recomputed rather than cached: measured
+    // against columnar persist (slower: re-encodes the wide string
+    // arrays) and localCheckpoint (a wash: eager materialization costs
+    // what the two extra narrow recomputes cost). At 100 TB the shingle
+    // set would be a staged table; at bench scale recompute is optimal.
     val base = shingleSets(docs, textCol, idCol, shingleLen)
       .filter(size(col("sh")) > 0)
     val withSig = minhashSigs(base, numHashes)
