@@ -73,6 +73,24 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming corpus dedup: normalized-fingerprint dropDuplicates on a doc stream") {
+    import graft.functions.TextFunctions.fingerprint
+    val ms = new MemoryStream[(String, Timestamp)](14, spark, None)
+    val df = ms.toDF().toDF("text", "ts")
+      .withColumn("fp", fingerprint(col("text")))
+    val out = StreamingOps.dedupWithinWatermark(df, "ts", "10 minutes", Seq("fp"))
+    val q = out.writeStream.format("memory").queryName("docdedup_out")
+      .outputMode("append").start()
+    // same doc re-ingested with different whitespace/case = same fingerprint
+    ms.addData(Seq("Hello  World" -> ts(0), "hello world" -> ts(1), "other doc" -> ts(2)))
+    q.processAllAvailable()
+    ms.addData(Seq("HELLO world" -> ts(3))) // redelivered across batches
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    val kept = spark.table("docdedup_out").select("fp").as[String].collect()
+    assert(kept.length == 2, s"expected 2 unique docs, got ${kept.toSeq}")
+  }
+
   test("runningCountPerKey: state accumulates across micro-batches") {
     val ms = new MemoryStream[(String, Long)](12, spark, None)
     val out = StreamingOps.runningCountPerKey(ms.toDS())
