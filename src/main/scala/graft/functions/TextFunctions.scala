@@ -19,13 +19,20 @@ object TextFunctions {
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** Word n-gram shingles as space-joined strings; empty array when the
-    * document has fewer than n tokens. */
+    * document has fewer than n tokens. Column/HOF formulation — prefer
+    * [[shinglesN]] (one-pass native kernel) on hot paths; equality is
+    * spec-enforced. */
   def shingles(toks: Column, n: Int): Column = {
     val idx = sequence(lit(0), size(toks) - n)
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(transform(idx, i =>
         concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
   }
+
+  /** Native one-pass tokenize→shingle kernel straight off the text column
+    * ([[TokenShingles]]); requires a [[graft.Sessions.builder]] session. */
+  def shinglesN(text: Column, n: Int): Column =
+    call_function("graft_shingles", text, lit(n))
 
   /** Set-semantics Jaccard similarity of two string arrays. */
   def jaccard(a: Column, b: Column): Column = {

@@ -247,5 +247,15 @@ object VectorExpressions {
         }
         HyperplaneSignature(children(0), lit(1).toInt, lit(2))
       }))
+    e.injectFunction(desc("graft_shingles", classOf[TokenShingles],
+      (children: Seq[Expression]) => {
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_shingles arg 2 must be a literal, got $other")
+        }
+        TokenShingles(children(0), n)
+      }))
   }
 }

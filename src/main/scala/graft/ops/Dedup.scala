@@ -41,20 +41,18 @@ object Dedup {
   // under ANSI overflow checking.
   private val MinhashP = 2147483647L
 
-  /** (id, sh = distinct word-shingle set) per document, with both the token
-    * array and the shingle array routed through [[Transforms.materialized]]
-    * barriers so the regexp/split/concat pipeline runs exactly once per row
-    * — see that method's doc for why a plain select is not enough. */
+  /** (id, sh = distinct word-shingle set) per document, via the native
+    * one-pass [[graft.functions.TokenShingles]] kernel — a single
+    * projection inside whole-stage codegen (no Generate barriers needed:
+    * the expression is one call, so CollapseProject duplication costs
+    * nothing). Bit-equal to the HOF formulation (spec-enforced). */
   private def shingleSets(docs: DataFrame, textCol: String, idCol: String,
-      shingleLen: Int, keep: Seq[String] = Nil): DataFrame = {
-    val withToks = Transforms.materialized(
-      Transforms.fanOut(
-        docs.select((Seq(col(idCol).as("id"), col(textCol)) ++ keep.map(col)): _*)),
-      "toks", tokens(col(textCol)))
-    Transforms.materialized(withToks, "sh",
-        array_distinct(shingles(col("toks"), shingleLen)))
-      .select((Seq(col("id"), col("sh")) ++ keep.map(col)): _*)
-  }
+      shingleLen: Int, keep: Seq[String] = Nil): DataFrame =
+    Transforms.fanOut(
+      docs.select((Seq(col(idCol).as("id"), col(textCol)) ++ keep.map(col)): _*))
+      .select((Seq(col("id"),
+        array_distinct(shinglesN(col(textCol), shingleLen)).as("sh")) ++
+        keep.map(col)): _*)
 
   /** splitmix64 — deterministic driver-side coefficient derivation for the
     * minhash permutations (public-domain constant-set, Steele et al. 2014). */
@@ -223,13 +221,12 @@ object Dedup {
     */
   def winnowFingerprints(docs: DataFrame, textCol: String, idCol: String,
       shingleLen: Int = 3, window: Int = 4, keep: Seq[String] = Nil): DataFrame = {
-    val withToks = Transforms.materialized(
-      Transforms.fanOut(
-        docs.select((Seq(col(idCol).as("id"), col(textCol)) ++ keep.map(col)): _*)),
-      "toks", tokens(col(textCol)))
-    // positional shingles (NOT distinct — winnowing is order-sensitive)
-    val withSh = Transforms.materialized(withToks, "shp",
-      shingles(col("toks"), shingleLen))
+    // positional shingles (NOT distinct — winnowing is order-sensitive),
+    // one native kernel call; the md5 hash array still goes through a
+    // barrier because the windowed-min lambda references it per window.
+    val withSh = Transforms.fanOut(
+      docs.select((Seq(col(idCol).as("id"), col(textCol)) ++ keep.map(col)): _*))
+      .withColumn("shp", shinglesN(col(textCol), shingleLen))
     val withHs = Transforms.materialized(withSh, "hs",
       transform(col("shp"), sh => md5(sh)))
     val fps = when(size(col("hs")) === 0, array().cast("array<string>"))

@@ -116,14 +116,11 @@ object LlmQueries {
 
     // corpus-level n-gram frequency (the canonical map-reduce: one
     // explode + one counting shuffle; top-k with a unique tie-break)
-    "q_ngram_counts" -> ((s, d) => {
-      val t = graft.core.Transforms.materialized(
-        Tables.documents(s, d).select("doc_id", "text"),
-        "toks", tokens(col("text")))
-      t.select(explode(shingles(col("toks"), 3)).as("s"))
+    "q_ngram_counts" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(shinglesN(col("text"), 3)).as("s"))
         .groupBy("s").agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("s")).limit(20)
-    }),
+        .orderBy(col("n").desc, col("s")).limit(20)),
 
     // near-dup pairs → connected components → cluster stats (the "keep
     // one per duplicate group" decision surface)

@@ -161,6 +161,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(chainLbl.toSeq == Seq(0L))
   }
 
+  test("native graft_shingles equals the Column tokenize→shingle formulation") {
+    import graft.functions.TextFunctions._
+    for (n <- Seq(2, 3, 5)) {
+      val bad = docs.select(
+          shingles(tokens(col("text")), n).as("hof"),
+          shinglesN(col("text"), n).as("nat"))
+        .filter(col("hof") =!= col("nat")).count()
+      assert(bad == 0, s"shingle mismatch for n=$n")
+    }
+    // edge cases: empty, whitespace-only, fewer-than-n tokens, mixed case
+    import spark.implicits._
+    val edge = Seq("", "   ", "one", "one two", "  A  b\tC ", "x y z w")
+      .toDF("text")
+    val bad = edge.select(
+        shingles(tokens(col("text")), 3).as("hof"),
+        shinglesN(col("text"), 3).as("nat"))
+      .filter(col("hof") =!= col("nat")).count()
+    assert(bad == 0)
+  }
+
   test("native graft_dot/graft_cosine are bit-identical to the HOF kernels") {
     import graft.functions.VectorFunctions._
     val pairs = emb.limit(50).select(col("vec_id"), col("embedding"))
