@@ -161,6 +161,32 @@ object RelationalQueries {
           col("o_orderpriority"), col("o_orderstatus"))
         .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))),
 
+    "q_agg_collect" -> ((s, d) =>
+      Tables.nation(s, d)
+        .groupBy("n_regionkey")
+        .agg(
+          sort_array(collect_list(col("n_name"))).as("names"),
+          sort_array(collect_set(col("n_nationkey"))).as("keys"))),
+
+    "q_agg_stats" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(median(col("l_extendedprice")), 2).as("med_price"),
+          round(expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity)"), 2).as("p90_qty"),
+          round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
+          round(var_samp(col("l_discount")), 6).as("var_disc"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cov_qp"))),
+
+    "q_agg_argminmax" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          max_by(col("o_orderpriority"), col("o_orderkey")).as("last_prio"),
+          min_by(col("o_orderpriority"), col("o_orderkey")).as("first_prio"),
+          max("o_orderkey").as("max_key"))),
+
     // ---- window functions --------------------------------------------
     "q_window_rownum" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -496,6 +522,29 @@ object RelationalQueries {
       """SELECT c_mktsegment, c_nationkey, count(*) AS n,
         | round(sum(c_acctbal), 2) AS bal
         |FROM customer GROUP BY CUBE(c_mktsegment, c_nationkey)""".stripMargin,
+
+    "q_agg_collect" ->
+      """SELECT n_regionkey,
+        | list_sort(list(n_name)) AS names,
+        | list_sort(list(DISTINCT n_nationkey)) AS keys
+        |FROM nation GROUP BY n_regionkey""".stripMargin,
+
+    "q_agg_stats" ->
+      """SELECT l_returnflag,
+        | round(median(l_extendedprice), 2) AS med_price,
+        | round(quantile_cont(l_quantity, 0.9), 2) AS p90_qty,
+        | round(stddev_samp(l_extendedprice), 2) AS sd_price,
+        | round(var_samp(l_discount), 6) AS var_disc,
+        | round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+        | round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qp
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_agg_argminmax" ->
+      """SELECT o_orderstatus,
+        | arg_max(o_orderpriority, o_orderkey) AS last_prio,
+        | arg_min(o_orderpriority, o_orderkey) AS first_prio,
+        | max(o_orderkey) AS max_key
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     "q_window_rownum" ->
       """SELECT event_id, user_id,
