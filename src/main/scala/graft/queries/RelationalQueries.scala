@@ -364,6 +364,18 @@ object RelationalQueries {
           round(sum(element_at(col("embedding"), 1).cast("double")), 2).as("sum_e1"),
           sum(when(element_at(col("embedding"), 1) > 0f, 1L).otherwise(0L)).as("n_pos"))),
 
+    "q_map_fns" -> ((s, d) => {
+      val c = Tables.events(s, d).filter(col("user_id") < 50)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+      c.groupBy("user_id")
+        .agg(map_from_entries(sort_array(collect_list(
+          struct(col("event_type"), col("n"))))).as("m"))
+        .select(col("user_id"),
+          size(col("m")).as("n_keys"),
+          sort_array(map_keys(col("m"))).as("keys"),
+          sort_array(map_values(col("m"))).as("counts"))
+    }),
+
     "q_json_fns" -> ((s, d) =>
       Tables.events(s, d)
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
@@ -680,6 +692,17 @@ object RelationalQueries {
         | round(sum(CAST(embedding[1] AS DOUBLE)), 2) AS sum_e1,
         | sum(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) AS n_pos
         |FROM embeddings GROUP BY label""".stripMargin,
+
+    "q_map_fns" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) n FROM events
+        |  WHERE user_id < 50 GROUP BY 1, 2),
+        |m AS (SELECT user_id,
+        |  map_from_entries(list_sort(list({'key': event_type, 'value': n}))) AS mm
+        | FROM c GROUP BY user_id)
+        |SELECT user_id, cardinality(mm) AS n_keys,
+        | list_sort(map_keys(mm)) AS keys,
+        | list_sort(map_values(mm)) AS counts
+        |FROM m""".stripMargin,
 
     "q_json_fns" ->
       """SELECT event_type, count(*) AS n,
