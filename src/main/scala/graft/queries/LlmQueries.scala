@@ -60,10 +60,13 @@ object LlmQueries {
           count(lit(1)).as("n"))),
 
     // two-pass unigram-LM quality score: corpus term frequencies, then
-    // per-doc mean log-probability (gibberish scores low). The frequency
-    // table is broadcast (vocabulary ≪ corpus); at a scale where the
-    // vocab outgrows the broadcast threshold AQE falls back to a shuffle
-    // join on the token — same plan text, different strategy.
+    // per-doc mean log-probability (gibberish scores low). No broadcast
+    // hint on the frequency table: an unbounded vocabulary forced onto the
+    // driver would OOM at corpus scale, and AQE already picks a broadcast
+    // join at runtime whenever freq's actual size is under the threshold —
+    // so we get the fast plan when it's safe and a shuffle join when not.
+    // The single-row `total` aggregate is the one side that is provably
+    // tiny, so that broadcast hint stays.
     "q_quality_lm" -> ((s, d) => {
       val t = graft.core.Transforms.materialized(
         Tables.documents(s, d).select("doc_id", "lang", "text"),
@@ -71,7 +74,7 @@ object LlmQueries {
       val tok = t.select(col("doc_id"), col("lang"), explode(col("toks")).as("t"))
       val freq = tok.groupBy("t").agg(count(lit(1)).as("c"))
       val total = tok.agg(count(lit(1)).cast("double").as("n"))
-      val perDoc = tok.join(broadcast(freq), "t").join(broadcast(total))
+      val perDoc = tok.join(freq, "t").join(broadcast(total))
         .groupBy("doc_id", "lang")
         .agg((sum(log(col("c") / col("n"))) / count(lit(1))).as("lp"))
       perDoc.groupBy("lang")
@@ -188,10 +191,15 @@ object LlmQueries {
         .limit(5)
     }),
 
+    // HLL sketch: the oracled output is the exact-distinct side (hash-checkable
+    // vs DuckDB); the approx_count_distinct error bound is pinned in
+    // DedupSimilaritySpec ("hll approx within rsd of exact") instead, since a
+    // sketch estimate is not bit-comparable across engines.
     "q_approx_hll" -> ((s, d) =>
-      Tables.events(s, d).agg(
-        approx_count_distinct(col("user_id")).as("approx_u"),
-        count_distinct(col("user_id")).as("exact_u"))),
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count_distinct(col("user_id")).as("exact_u"),
+          count(lit(1)).as("n"))),
 
     "q_dedup_embed" -> ((s, d) =>
       Similarity.cosineNearDupPairs(Tables.embeddings(s, d),
@@ -277,8 +285,8 @@ object LlmQueries {
 
   val oracle: Map[String, String] = Map(
     "q_text_stats" ->
-      s"""SELECT lang, count(*) AS n_docs, sum(n_chars) AS chars,
-         | sum(len($sqlToks)) AS n_tokens
+      s"""SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS chars,
+         | sum(len($sqlToks))::BIGINT AS n_tokens
          |FROM documents GROUP BY lang""".stripMargin,
 
     "q_text_tokens" ->
@@ -303,6 +311,10 @@ object LlmQueries {
       """SELECT event_type AS item, count(*) AS n FROM events
         |GROUP BY event_type ORDER BY n DESC, item LIMIT 5""".stripMargin,
 
+    "q_approx_hll" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_u, count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+
     "q_quality_lm" ->
       s"""WITH tok AS (SELECT doc_id, lang, unnest($sqlToks) AS t FROM documents),
          |f AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
@@ -316,8 +328,8 @@ object LlmQueries {
     "q_pii_redact" ->
       """SELECT lang,
         | sum(CASE WHEN regexp_matches(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
-        |     THEN 1 ELSE 0 END) AS n_with_email,
-        | sum(length(regexp_replace(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'))) AS redacted_len,
+        |     THEN 1 ELSE 0 END)::BIGINT AS n_with_email,
+        | sum(length(regexp_replace(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g')))::BIGINT AS redacted_len,
         | count(DISTINCT md5(regexp_replace(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'))) AS n_distinct
         |FROM (SELECT lang,
         |  text || ' contact ' || source || '@example.' || lang AS txt
@@ -326,7 +338,7 @@ object LlmQueries {
 
     "q_lang_id" ->
       """SELECT pred, count(*) AS n,
-        | sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS n_correct
+        | sum(CASE WHEN pred = lang THEN 1 ELSE 0 END)::BIGINT AS n_correct
         |FROM (SELECT lang,
         |  CASE WHEN contains(text, ' the ') THEN 'en'
         |       WHEN contains(text, ' der ') OR contains(text, ' und ') THEN 'de'
@@ -372,11 +384,11 @@ object LlmQueries {
          |      SELECT e.dst AS id, r.comp FROM e JOIN r ON e.src = r.id),
          |lbl AS (SELECT id, min(comp) AS comp FROM r GROUP BY id),
          |cs AS (SELECT comp, count(*) AS sz FROM lbl GROUP BY comp)
-         |SELECT count(*) AS n_clusters, sum(sz) AS n_docs, max(sz) AS max_cluster
+         |SELECT count(*) AS n_clusters, sum(sz)::BIGINT AS n_docs, max(sz) AS max_cluster
          |FROM cs""".stripMargin,
 
     "q_dedup_exact_docs" ->
-      """SELECT count(*) AS n_groups, sum(n_dups) AS n_docs, max(n_dups) AS max_group
+      """SELECT count(*) AS n_groups, sum(n_dups)::BIGINT AS n_docs, max(n_dups) AS max_group
         |FROM (SELECT count(*) AS n_dups
         |  FROM documents
         |  GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))""".stripMargin,
@@ -417,7 +429,7 @@ object LlmQueries {
         |FROM embeddings GROUP BY label""".stripMargin,
 
     "q_multimodal_meta" ->
-      """SELECT source, count(*) AS n, sum(strlen(text)) AS n_bytes,
+      """SELECT source, count(*) AS n, sum(strlen(text))::BIGINT AS n_bytes,
         | min(strlen(text)) AS min_bytes
         |FROM documents GROUP BY source""".stripMargin,
 
@@ -431,7 +443,7 @@ object LlmQueries {
 
     "q_token_bpe" ->
       s"""SELECT lang,
-         | sum(len(regexp_extract_all(text, '$sqlBpePat'))) AS n_tokens,
+         | sum(len(regexp_extract_all(text, '$sqlBpePat')))::BIGINT AS n_tokens,
          | count(*) AS n_docs
          |FROM documents GROUP BY lang""".stripMargin,
 
@@ -468,7 +480,7 @@ object LlmQueries {
          |   len(list_filter(toks, x -> x IN ('the','a','of','and')))::DOUBLE
          |    / len(toks)::DOUBLE END AS sw_ratio
          | FROM t)
-         |SELECT lang, count(*) AS n_kept, sum(n_chars) AS chars
+         |SELECT lang, count(*) AS n_kept, sum(n_chars)::BIGINT AS chars
          |FROM q
          |WHERE n_toks BETWEEN 10 AND 1000 AND mean_len < 12.0 AND sw_ratio < 0.5
          |GROUP BY lang""".stripMargin

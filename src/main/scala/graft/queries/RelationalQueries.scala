@@ -165,8 +165,10 @@ object RelationalQueries {
       Tables.nation(s, d)
         .groupBy("n_regionkey")
         .agg(
-          sort_array(collect_list(col("n_name"))).as("names"),
-          sort_array(collect_set(col("n_nationkey"))).as("keys"))),
+          // Arrays are serialized to strings so the driver harness can
+          // sort/hash the output (pandas can't canonicalize ndarray cells).
+          array_join(sort_array(collect_list(col("n_name"))), "|").as("names"),
+          array_join(sort_array(collect_set(col("n_nationkey"))).cast("array<string>"), "|").as("keys"))),
 
     "q_agg_stats" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -372,8 +374,9 @@ object RelationalQueries {
           struct(col("event_type"), col("n"))))).as("m"))
         .select(col("user_id"),
           size(col("m")).as("n_keys"),
-          sort_array(map_keys(col("m"))).as("keys"),
-          sort_array(map_values(col("m"))).as("counts"))
+          // stringified for driver-harness hashability (see q_agg_collect)
+          array_join(sort_array(map_keys(col("m"))), "|").as("keys"),
+          array_join(sort_array(map_values(col("m"))).cast("array<string>"), "|").as("counts"))
     }),
 
     "q_json_fns" -> ((s, d) =>
@@ -468,8 +471,8 @@ object RelationalQueries {
 
     "q_join_full" ->
       """SELECT count(*) AS n,
-        | sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS n_right_only,
-        | sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_left_only
+        | sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_right_only,
+        | sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_left_only
         |FROM (SELECT * FROM customer WHERE c_acctbal > 9000) c
         |FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
         |  ON c_custkey = o_custkey""".stripMargin,
@@ -537,8 +540,8 @@ object RelationalQueries {
 
     "q_agg_collect" ->
       """SELECT n_regionkey,
-        | list_sort(list(n_name)) AS names,
-        | list_sort(list(DISTINCT n_nationkey)) AS keys
+        | array_to_string(list_sort(list(n_name)), '|') AS names,
+        | array_to_string(list_sort(list(DISTINCT n_nationkey)), '|') AS keys
         |FROM nation GROUP BY n_regionkey""".stripMargin,
 
     "q_agg_stats" ->
@@ -634,10 +637,10 @@ object RelationalQueries {
 
     "q_null_fns" ->
       """SELECT count(*) AS n,
-        | sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS n_null,
+        | sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
         | count(DISTINCT coalesce(c_mktsegment, 'UNMATCHED')) AS n_seg,
         | round(sum(coalesce(c_acctbal, 0)), 2) AS bal,
-        | sum(CASE WHEN nullif(c_nationkey, 0) IS NULL THEN 1 ELSE 0 END) AS n_zero_or_null
+        | sum(CASE WHEN nullif(c_nationkey, 0) IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_zero_or_null
         |FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 7500) c
         |  ON o_custkey = c_custkey""".stripMargin,
 
@@ -665,7 +668,7 @@ object RelationalQueries {
       """SELECT upper(substr(p_name, 1, 4)) AS pfx,
         | regexp_extract(p_type, '(\w+)$', 1) AS lastw,
         | count(*) AS n, round(sum(p_retailprice), 2) AS price,
-        | sum(length(p_name)) AS chars
+        | sum(length(p_name))::BIGINT AS chars
         |FROM part WHERE p_type LIKE '%O%'
         |GROUP BY 1, 2""".stripMargin,
 
@@ -690,7 +693,7 @@ object RelationalQueries {
     "q_array_fns" ->
       """SELECT label, count(*) AS n, min(len(embedding)) AS dim,
         | round(sum(CAST(embedding[1] AS DOUBLE)), 2) AS sum_e1,
-        | sum(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) AS n_pos
+        | sum(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)::BIGINT AS n_pos
         |FROM embeddings GROUP BY label""".stripMargin,
 
     "q_map_fns" ->
@@ -699,16 +702,16 @@ object RelationalQueries {
         |m AS (SELECT user_id,
         |  map_from_entries(list_sort(list({'key': event_type, 'value': n}))) AS mm
         | FROM c GROUP BY user_id)
-        |SELECT user_id, cardinality(mm) AS n_keys,
-        | list_sort(map_keys(mm)) AS keys,
-        | list_sort(map_values(mm)) AS counts
+        |SELECT user_id, cardinality(mm)::INT AS n_keys,
+        | array_to_string(list_sort(map_keys(mm)), '|') AS keys,
+        | array_to_string(list_sort(map_values(mm)), '|') AS counts
         |FROM m""".stripMargin,
 
     "q_json_fns" ->
       """SELECT event_type, count(*) AS n,
-        | sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        | sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
         | sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
-        |     THEN 1 ELSE 0 END) AS n_gt50
+        |     THEN 1 ELSE 0 END)::BIGINT AS n_gt50
         |FROM events GROUP BY event_type""".stripMargin,
 
     "q_time_bucket" ->
