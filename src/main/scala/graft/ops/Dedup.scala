@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   *     (band, band-hash) bucket are self-joined. Bucket sizes are bounded
   *     by `maxBucket` (oversized buckets = degenerate content, dropped
   *     with a count, never exploded into O(n²) work).
-  *   - SimHash near-dup buckets by the high bits of the 64-bit signature,
-  *     so candidate generation is also a bounded equi-join.
+  *   - SimHash near-dup buckets by prefix windows of `bands` rotations of
+  *     the 64-bit signature (union of per-band buckets, same `maxBucket`
+  *     cap), so candidate generation is also a bounded equi-join.
   */
 object Dedup {
 
@@ -146,12 +147,29 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** SimHash near-dup candidates: bucket by the top `prefixBits` of the
-    * 64-bit signature, compare within buckets, keep pairs with Hamming
-    * distance <= maxHamming. One equi-join, no all-pairs comparison. */
+  /** SimHash near-dup candidates, multi-band (Manku/Jain/Das Sarma,
+    * WWW'07 rotation scheme): for each of `bands` rotations of the 64-bit
+    * signature, bucket by the top `prefixBits` of the rotated value; the
+    * candidate set is the union over bands of the within-bucket pairs,
+    * deduplicated, then verified with the exact Hamming distance.
+    *
+    * Scale shape — mirrors [[minhashNearDup]]:
+    *   - recall does not hinge on a single prefix window: a pair with few
+    *     differing bits survives if ANY of the `bands` windows is clean
+    *     (one fixed prefix misses every pair whose flipped bits happen to
+    *     land in the top bits);
+    *   - `bands * 2^prefixBits` buckets instead of `2^prefixBits`, and
+    *     any bucket larger than `maxBucket` (boilerplate-heavy corpora
+    *     concentrate signatures) is dropped via a broadcast anti-join with
+    *     only its count paid, never its O(|bucket|²) self-join;
+    *   - candidate pairs are deduped BEFORE the Hamming verify, so a pair
+    *     colliding in k bands is verified once.
+    */
   def simhashNearDup(
       docs: DataFrame, textCol: String, idCol: String,
-      prefixBits: Int = 12, maxHamming: Int = 8): DataFrame = {
+      prefixBits: Int = 12, maxHamming: Int = 8,
+      bands: Int = 4, maxBucket: Int = 1000): DataFrame = {
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
     // explode + 64 sum-aggregates (codegen, map-side combine) — see
     // minhashSigs for why the array-lambda formulation is avoided.
     val ex = docs.select(col(idCol).as("id"),
@@ -164,11 +182,32 @@ object Dedup {
       .select(col("id"),
         (0 until 64).map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L))
           .reduce(_ + _).as("sig"))
-      .withColumn("bucket", shiftrightunsigned(col("sig"), 64 - prefixBits))
-    val l = sigs.select(col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = sigs.select(col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
-    l.join(r, "bucket")
+    val stride = 64 / bands
+    val banded = sigs.select(col("id"),
+      explode(array((0 until bands).map { b =>
+        val r = b * stride
+        val rot = if (r == 0) col("sig")
+          else shiftleft(col("sig"), r)
+            .bitwiseOR(shiftrightunsigned(col("sig"), 64 - r))
+        struct(lit(b).as("band"),
+          shiftrightunsigned(rot, 64 - prefixBits).as("bh"))
+      }: _*)).as("bucket"))
+      .select(col("id"), col("bucket.band"), col("bucket.bh"))
+    // degenerate-bucket cap: same broadcast anti-join as minhashNearDup
+    val oversized = banded.groupBy("band", "bh")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > maxBucket)
+      .select("band", "bh")
+    val kept = banded.join(broadcast(oversized), Seq("band", "bh"), "left_anti")
+    val l = kept.select(col("band"), col("bh"), col("id").as("id_a"))
+    val r = kept.select(col("band"), col("bh"), col("id").as("id_b"))
+    val cand = l.join(r, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val sigA = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
+    val sigB = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
+    cand.join(sigA, "id_a").join(sigB, "id_b")
       .withColumn("hamming", hamming64(col("sig_a"), col("sig_b")))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
@@ -236,31 +275,88 @@ object Dedup {
     withHs.select((Seq(col("id"), fps.as("fps")) ++ keep.map(col)): _*)
   }
 
-  /** Exact n-gram Jaccard pairs within a blocking key, via an inverted
-    * index (PPJoin-style candidate generation, minus the prefix filter):
-    * explode distinct shingles, equi-join on (block, shingle), count common
-    * shingles per (id_a, id_b), and recover
-    * jaccard = common / (|A| + |B| - common).
+  /** Exact n-gram Jaccard pairs within a blocking key, via a hot/cold
+    * split inverted index.
     *
-    * Exact for any threshold > 0 (a pair with jaccard > 0 shares >= 1
-    * shingle, so the inverted index surfaces it), and never compares full
-    * shingle arrays: work is Σ_shingle df(shingle)² rather than
-    * Σ_block |block|² × |shingles| — at sf0.1 that is ~326k counted pairs
-    * vs ~2.1M array intersections (≈70× less work, measured 145 s → ~2 s).
+    * The plain inverted index (explode distinct shingles, self-join on
+    * (block, shingle), count common per pair) does Σ_shingle df(shingle)²
+    * join work: one corpus-common trigram ("of the and"-class) becomes a
+    * single quadratic hot key at 100× scale. The fix splits the index on a
+    * document-frequency cap `hotDf`:
+    *
+    *   - COLD shingles (df <= hotDf) keep the one-join count formulation —
+    *     work is bounded by hotDf · |index|, i.e. linear in the corpus;
+    *   - HOT shingles (df > hotDf — the heavy-tail head: stopword
+    *     shingles; a tiny, broadcastable set by construction) are evicted
+    *     from the counting join. Pairs whose ONLY shared shingles are hot
+    *     are recovered exactly with a PPJoin-style prefix index
+    *     (Xiao/Wang/Lin/Yu, WWW'08) built ONLY over docs containing hot
+    *     shingles: rank each such doc's shingles rarest-first by (df, s);
+    *     its prefix is the first |sh| - ceil(t·|sh|) + 1. Prefix-filter
+    *     lemma: a pair with J >= t shares >= ceil(t·|A|) shingles, so the
+    *     globally-minimal common shingle c₁ must sit in both prefixes (if
+    *     c₁ were outside A's prefix, fewer than ceil(t·|A|) of A's
+    *     shingles could be >= c₁ — contradiction). If c₁ is cold the cold
+    *     index finds the pair; if hot, the hot-prefix index does. Exact,
+    *     unlike a bare df-cap, which silently misses hot-only pairs.
+    *   - common(A,B) = common_cold (from the counting join) +
+    *     |hot(A) ∩ hot(B)| (per-doc hot-shingle arrays are tiny);
+    *     jaccard = common / (|A| + |B| - common).
+    *
+    * At a scale where no shingle exceeds hotDf the hot branches are empty
+    * and the plan degenerates to the original single-join shape — the cap
+    * costs one df aggregate, not a new bottleneck.
     */
   def ngramJaccardPairs(
       docs: DataFrame, textCol: String, idCol: String, blockCol: String,
-      shingleLen: Int = 3, threshold: Double = 0.2): DataFrame = {
-    val t = shingleSets(docs.withColumnRenamed(blockCol, "blk"),
+      shingleLen: Int = 3, threshold: Double = 0.2,
+      hotDf: Int = 1000): DataFrame = {
+    val base = shingleSets(docs.withColumnRenamed(blockCol, "blk"),
       textCol, idCol, shingleLen, keep = Seq("blk"))
-    val inv = t.select(col("blk"), col("id"), size(col("sh")).as("sz"),
+      .filter(size(col("sh")) > 0)
+    val inv = base.select(col("blk"), col("id"), size(col("sh")).as("sz"),
       explode(col("sh")).as("s"))
-    val l = inv.select(col("blk"), col("s"), col("id").as("id_a"), col("sz").as("sz_a"))
-    val r = inv.select(col("blk"), col("s"), col("id").as("id_b"), col("sz").as("sz_b"))
-    l.join(r, Seq("blk", "s"))
+    val dfreq = inv.groupBy("blk", "s").agg(count(lit(1)).as("df"))
+    val hot = dfreq.filter(col("df") > hotDf).select("blk", "s")
+    // cold counting join — the original exact shape, minus hot keys
+    val coldInv = inv.join(broadcast(hot), Seq("blk", "s"), "left_anti")
+    val cl = coldInv.select(col("blk"), col("s"), col("id").as("id_a"), col("sz").as("sz_a"))
+    val cr = coldInv.select(col("blk"), col("s"), col("id").as("id_b"), col("sz").as("sz_b"))
+    val coldPairs = cl.join(cr, Seq("blk", "s"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b", "sz_a", "sz_b")
-      .agg(count(lit(1)).as("common"))
+      .agg(count(lit(1)).as("common_cold"))
+    // hot residual: per-doc hot-shingle arrays + rarest-first prefix index
+    val hotEntries = inv.join(broadcast(hot), Seq("blk", "s"))
+    val hotSets = hotEntries.groupBy("id")
+      .agg(collect_list(col("s")).as("hsh"))
+    val hotDocs = hotEntries.select("blk", "id").distinct()
+    val rankBase = inv.join(hotDocs, Seq("blk", "id"), "left_semi")
+      .join(dfreq, Seq("blk", "s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("blk", "id").orderBy(col("df"), col("s"))
+    val hotPrefix = rankBase
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .join(broadcast(hot), Seq("blk", "s"), "left_semi")
+      .select("blk", "s", "id", "sz")
+    val hl = hotPrefix.select(col("blk"), col("s"), col("id").as("id_a"), col("sz").as("sz_a"))
+    val hr = hotPrefix.select(col("blk"), col("s"), col("id").as("id_b"), col("sz").as("sz_b"))
+    val hotPairs = hl.join(hr, Seq("blk", "s"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sz_a", "sz_b")
+      .distinct()
+      .withColumn("common_cold", lit(0L))
+    // union (a pair can surface on both paths — keep the counted row),
+    // then add the exact hot-overlap correction
+    val cand = coldPairs.unionByName(hotPairs)
+      .groupBy("id_a", "id_b", "sz_a", "sz_b")
+      .agg(max("common_cold").as("common_cold"))
+    val hsA = hotSets.select(col("id").as("id_a"), col("hsh").as("hsh_a"))
+    val hsB = hotSets.select(col("id").as("id_b"), col("hsh").as("hsh_b"))
+    cand.join(hsA, Seq("id_a"), "left").join(hsB, Seq("id_b"), "left")
+      .withColumn("common", col("common_cold") +
+        coalesce(size(array_intersect(col("hsh_a"), col("hsh_b"))).cast("long"), lit(0L)))
       .withColumn("jaccard", col("common").cast("double") /
         (col("sz_a") + col("sz_b") - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)

@@ -39,6 +39,91 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(distinct.length == rows.length)
   }
 
+  test("simhash: planted hot bucket is dropped with a count, not exploded") {
+    import spark.implicits._
+    // 40 byte-identical docs → one signature → a size-40 bucket in every
+    // band: must be anti-joined away (780 quadratic pairs avoided), while
+    // a size-2 bucket of identical docs elsewhere must still pair up.
+    val hot = (0L until 40L).map(i =>
+      (i, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val near = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight again"),
+      (101L, "the quick brown fox jumps over the lazy dog tonight again"))
+    val d = (hot ++ near).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDup(d, "text", "doc_id",
+        prefixBits = 16, maxHamming = 8, bands = 4, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.exists { case (a, b) => a < 40 && b < 40 },
+      "oversized bucket must be dropped, not self-joined")
+    assert(pairs((100L, 101L)),
+      "small-bucket identical pair must survive the cap")
+  }
+
+  test("simhash: multi-band buckets find pairs a single prefix misses") {
+    import spark.implicits._
+    // Two identical docs always share all band buckets regardless of
+    // where their (zero) differing bits fall; with bands=1 the operator
+    // still finds them, with bands=4 the candidate set can only grow.
+    val d = Seq(
+      (1L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"),
+      (2L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"),
+      (3L, "completely different words about rivers mountains and weather"))
+      .toDF("doc_id", "text")
+    val single = Dedup.simhashNearDup(d, "text", "doc_id",
+        prefixBits = 12, maxHamming = 4, bands = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = Dedup.simhashNearDup(d, "text", "doc_id",
+        prefixBits = 12, maxHamming = 4, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(single((1L, 2L)) && multi((1L, 2L)))
+    assert(single.subsetOf(multi), "multi-band candidates are a superset")
+  }
+
+  test("hll approx_count_distinct within rsd of exact") {
+    val ev = Tables.events(spark, sf)
+    val rows = ev.groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("approx_u"),
+        count_distinct(col("user_id")).as("exact_u"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val a = r.getAs[Long]("approx_u").toDouble
+      val e = r.getAs[Long]("exact_u").toDouble
+      // default HLL++ rsd is 5%; allow 3 sigma
+      assert(math.abs(a - e) / e <= 0.15,
+        s"HLL estimate $a too far from exact $e for ${r.get(0)}")
+    }
+  }
+
+  test("ngramJaccard hot/cold split stays exact when shingles exceed the df cap") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    // "common words here" appears in all 12 docs → df=12 > hotDf=2 → hot.
+    // Docs 100/101 share ONLY that hot shingle with everyone (and each
+    // other) — the pairs the hot-prefix residual path must recover.
+    val d = ((0L until 10L).map(i =>
+        (i, "en", s"common words here extra$i more$i tail$i")) ++
+      Seq((100L, "en", "common words here"),
+          (101L, "en", "common words here"))).toDF("doc_id", "lang", "text")
+    val got = Dedup.ngramJaccardPairs(d, "text", "doc_id", "lang",
+        threshold = 0.2, hotDf = 2)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        math.round(r.getAs[Double]("jaccard") * 10000))).toSet
+    // brute-force truth over full shingle sets
+    val sh = d.select(col("doc_id"), col("lang"),
+      array_distinct(TextFunctions.shinglesN(col("text"), 3)).as("sh"))
+    val truth = sh.as("a").join(sh.as("b"),
+        col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        TextFunctions.jaccard(col("a.sh"), col("b.sh")).as("j"))
+      .filter(col("j") >= 0.2)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        math.round(r.getAs[Double]("j") * 10000))).toSet
+    assert(truth.exists { case (a, b, _) => a == 100L && b == 101L },
+      "fixture must contain a hot-only pair")
+    assert(got == truth, s"hot/cold split diverged: missing=${truth -- got} extra=${got -- truth}")
+  }
+
   test("exact dedup keeps one row per fingerprint") {
     val deduped = Dedup.exactDedup(docs, "text", "doc_id")
     assert(deduped.count() == docs.select(
