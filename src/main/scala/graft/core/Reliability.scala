@@ -27,13 +27,25 @@ object ErrorPolicy {
 }
 
 /** Retry with exponential backoff — defaults mirror the reference's
-  * batcher (3 retries, 500 ms → 5 s, ×2.0; batcher.go:180-189). */
+  * batcher (3 retries, 500 ms → 5 s, ×2.0; batcher.go:180-189).
+  *
+  * `attemptTimeoutMs` is the reference's per-attempt `FlushTimeout`
+  * (batcher.go:465-472: a fresh context deadline wraps EVERY attempt, so a
+  * hung flush is cancelled and retried instead of blocking the pipeline
+  * forever). `None` disables it, like the reference's `flushTimeout == 0`.
+  */
 final case class RetryPolicy(
     maxRetries: Int = 3,
     initialBackoffMs: Long = 500,
     maxBackoffMs: Long = 5000,
     backoffMultiplier: Double = 2.0,
-    isRetryable: Throwable => Boolean = _ => true)
+    isRetryable: Throwable => Boolean = _ => true,
+    attemptTimeoutMs: Option[Long] = None)
+
+/** A single flush attempt exceeded [[RetryPolicy.attemptTimeoutMs]] — the
+  * engine's `context.DeadlineExceeded`. Retryable by default. */
+final class FlushTimeoutException(timeoutMs: Long)
+  extends RuntimeException(s"flush attempt exceeded ${timeoutMs} ms")
 
 /** Batch failed under [[ErrorPolicy.DontCommit]]: offsets intentionally
   * not committed; a supervisor may restart the query for redelivery. */
@@ -43,12 +55,15 @@ final class DontCommitException(cause: Throwable)
 object Reliability {
 
   /** Run `op` under the retry policy; returns the last failure if
-    * exhausted or non-retryable. */
+    * exhausted or non-retryable. With `attemptTimeoutMs` set, each attempt
+    * runs under a deadline: on expiry the attempt thread is interrupted and
+    * the attempt counts as a [[FlushTimeoutException]] failure (which flows
+    * through `isRetryable` like any other error — batcher.go:465-472). */
   def withRetries[A](retry: RetryPolicy)(op: => A): Either[Throwable, A] = {
     var backoff = retry.initialBackoffMs
     var attempt = 0
     while (true) {
-      try return Right(op)
+      try return Right(runAttempt(retry.attemptTimeoutMs)(op))
       catch {
         case t: Throwable =>
           attempt += 1
@@ -60,6 +75,31 @@ object Reliability {
     }
     throw new IllegalStateException("unreachable")
   }
+
+  /** One attempt, optionally under a deadline. The deadline path runs `op`
+    * on a daemon thread and interrupts it on expiry — Spark jobs launched
+    * inside `op` observe the interrupt via job cancellation when the caller
+    * wires `spark.sparkContext.setJobGroup(..., interruptOnCancel=true)`;
+    * a truly uninterruptible flush leaks its thread (daemon) but the
+    * pipeline moves on, which is the reference's cancel-and-continue
+    * behavior. */
+  private def runAttempt[A](timeoutMs: Option[Long])(op: => A): A =
+    timeoutMs match {
+      case None => op
+      case Some(ms) =>
+        val task = new java.util.concurrent.FutureTask[A](() => op)
+        val th = new Thread(task, "graft-flush-attempt")
+        th.setDaemon(true)
+        th.start()
+        try task.get(ms, java.util.concurrent.TimeUnit.MILLISECONDS)
+        catch {
+          case _: java.util.concurrent.TimeoutException =>
+            task.cancel(true)
+            throw new FlushTimeoutException(ms)
+          case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause
+        }
+    }
 
   /** Wrap a foreachBatch flush with retry + error-policy semantics. */
   def retryingBatchWriter(

@@ -43,6 +43,47 @@ class ReliabilitySpec extends SparkSpec {
     assert(r.isLeft && attempts.get() == 3) // 1 try + 2 retries
   }
 
+  test("withRetries: hanging attempt hits the per-attempt timeout, retries, then succeeds") {
+    // FlushTimeout parity (batcher.go:465-472): attempt 1 hangs and is
+    // cancelled at the deadline; attempt 2 completes fast.
+    val attempts = new AtomicInteger
+    val policy = fastRetry(2).copy(attemptTimeoutMs = Some(200))
+    val r = Reliability.withRetries(policy) {
+      if (attempts.incrementAndGet() == 1) Thread.sleep(60_000)
+      "recovered"
+    }
+    assert(r == Right("recovered") && attempts.get() == 2)
+  }
+
+  test("withRetries: every attempt hangs -> exhaustion surfaces FlushTimeoutException to the error policy") {
+    val attempts = new AtomicInteger
+    val policy = fastRetry(1).copy(attemptTimeoutMs = Some(100))
+    val r = Reliability.withRetries(policy) {
+      attempts.incrementAndGet(); Thread.sleep(60_000); "never"
+    }
+    assert(attempts.get() == 2) // 1 try + 1 retry
+    r match {
+      case Left(t) => assert(t.isInstanceOf[FlushTimeoutException])
+      case Right(_) => fail("expected timeout")
+    }
+    // and the error policy applies exactly as for any other failure:
+    val dontCommit = Reliability.retryingBatchWriter(
+      (_, _) => Thread.sleep(60_000),
+      policy, ErrorPolicy.DontCommit)
+    assertThrows[DontCommitException](dontCommit(Tables.nation(spark, sf), 0L))
+  }
+
+  test("withRetries: timeout exceptions respect isRetryable") {
+    val attempts = new AtomicInteger
+    val policy = fastRetry(5).copy(
+      attemptTimeoutMs = Some(100),
+      isRetryable = !_.isInstanceOf[FlushTimeoutException])
+    val r = Reliability.withRetries(policy) {
+      attempts.incrementAndGet(); Thread.sleep(60_000)
+    }
+    assert(r.isLeft && attempts.get() == 1) // non-retryable -> short-circuit
+  }
+
   test("Discard policy swallows an exhausted batch; Raise and DontCommit throw") {
     val discard = Reliability.retryingBatchWriter(
       (_, _) => sys.error("boom"), fastRetry(1), ErrorPolicy.Discard)
