@@ -46,8 +46,10 @@ object Bench {
           catch { case _: Throwable => () }
         }
       }
-    // Best-of-2 per query: steady-state execution time, not GC/JIT luck.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    // Best-of-3 per query, with the min/median spread reported so ±15%
+    // run-to-run drift is classifiable as noise vs regression (reps=2
+    // min-of could not distinguish the two).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val results = selected.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val times = (1 to reps).map { _ =>
@@ -57,14 +59,19 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
           }
           (System.nanoTime() - t0) / 1e9
-        }
-        name -> times.min
+        }.sorted
+        name -> times
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+    def field(f: Seq[Double] => Double): String = results
+      .map { case (k, ts) => "\"" + k + f"""\":${f(ts)}%.3f""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val qs = field(_.min)
+    val med = field(ts => ts(ts.size / 2))
+    val spreadPct = field(ts =>
+      if (ts.min <= 0) 0.0 else (ts.max - ts.min) / ts.min * 100.0)
+    val total = results.map(_._2.min).sum
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_median":$med,"spread_pct":$spreadPct,"reps":$reps,"sf":"$sfDir"}"""
     println(json)
     // stdout under sbt is wrapped in [info] decoration, which breaks the
     // driver's JSON-line parse — also write the line to a file it can read.

@@ -31,5 +31,13 @@ object Message {
       attributes: Map[String, String] = Map.empty): Message =
     Message(key, value.getBytes("UTF-8"), topic, attributes)
 
+  /** The reference's Attributes chain-walk (types.go:28-30): provenance is
+    * a linked chain of metadata layers, and reading key k walks the chain
+    * outermost-layer-first. Sources collapse the chain to its key→value
+    * view at envelope-construction time; this is that merge — layers given
+    * innermost-first, later (outer) layers winning on key conflict. */
+  def mergeAttributes(layers: Map[String, String]*): Map[String, String] =
+    layers.foldLeft(Map.empty[String, String])(_ ++ _)
+
   def valueString(m: Message): String = new String(m.value, "UTF-8")
 }

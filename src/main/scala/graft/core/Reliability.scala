@@ -63,12 +63,25 @@ object Reliability {
     var backoff = retry.initialBackoffMs
     var attempt = 0
     while (true) {
+      // An interrupt on the calling thread (a streaming query being
+      // stopped cancels its foreachBatch thread) must abort the whole
+      // retry schedule immediately, with the interrupt status restored —
+      // never be swallowed and retried through minutes of backoff. Fatal
+      // VM errors propagate (NonFatal excludes them and interrupts).
       try return Right(runAttempt(retry.attemptTimeoutMs)(op))
       catch {
-        case t: Throwable =>
+        case ie: InterruptedException =>
+          Thread.currentThread().interrupt()
+          return Left(ie)
+        case scala.util.control.NonFatal(t) =>
           attempt += 1
           if (attempt > retry.maxRetries || !retry.isRetryable(t)) return Left(t)
-          Thread.sleep(backoff)
+          try Thread.sleep(backoff)
+          catch {
+            case ie: InterruptedException =>
+              Thread.currentThread().interrupt()
+              return Left(ie)
+          }
           backoff = math.min(
             (backoff * retry.backoffMultiplier).toLong, retry.maxBackoffMs)
       }

@@ -41,10 +41,25 @@ object Transforms {
     * CPU-heavy narrow stage. Small inputs (one parquet file → one split)
     * otherwise pin e.g. a whole-corpus tokenization onto a single task. A
     * no-op when the scan already has enough splits, so at real scale (many
-    * files / row groups) no extra shuffle is introduced. */
+    * files / row groups) no extra shuffle is introduced.
+    *
+    * The split estimate reads the ANALYZED plan (leaf files + logical size
+    * stats / maxPartitionBytes) — deliberately NOT `df.rdd`, which compiles
+    * the full physical plan on the driver once per call just to read a
+    * partition count (wasted driver work in a hot compile path at scale).
+    * Non-file sources (in-memory relations report no input files) take the
+    * repartition: the safe side for a CPU-heavy downstream stage. */
   def fanOut(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val files = df.inputFiles.length
+    val estSplits =
+      if (files == 0) 0L
+      else {
+        val maxPart = df.sparkSession.sessionState.conf.filesMaxPartitionBytes
+        val bytes = df.queryExecution.analyzed.stats.sizeInBytes
+        math.max(files.toLong, (bytes / math.max(maxPart, 1L)).toLong)
+      }
+    if (estSplits < target) df.repartition(target) else df
   }
 
   /** Salted equi-join for skewed keys. AQE's skew-join split handles most
@@ -73,6 +88,18 @@ object Transforms {
       .agg(count_distinct(col(valueCol)).as("_part"))
       .groupBy(keyCol)
       .agg(sum("_part").as(outName))
+
+  /** Column form of the attributes chain-merge ([[Message.mergeAttributes]],
+    * types.go:28-30): overlay the `over` layer onto `base`, later layer
+    * winning. Implemented by filtering `over`'s keys out of `base` before
+    * the concat, so the result is independent of the session's
+    * spark.sql.mapKeyDedupPolicy; null layers read as empty. */
+  def layerAttributes(base: Column, over: Column): Column = {
+    val emptyMap = map().cast("map<string,string>")
+    val b = coalesce(base, emptyMap)
+    val o = coalesce(over, emptyMap)
+    map_concat(map_filter(b, (k, _) => !map_contains_key(o, k)), o)
+  }
 
   /** Typed Handler: 1 → 0..N, possibly different type (types.go:127-129).
     * Prefer Column transforms; this is the escape hatch. */

@@ -85,17 +85,24 @@ object LlmQueries {
     // organic emails, so the query plants one deterministically per doc,
     // then detects + redacts — the regex/redact/verify plumbing is what
     // a curation pipeline runs at scale (narrow, no shuffle until agg).
+    // The redacted text is materialized ONCE behind a Generate barrier
+    // (otherwise CollapseProject inlines the regexp_replace at every use
+    // site) and detection derives from it (txt <> red ⟺ an email matched,
+    // since "[EMAIL]" can never match the pattern) — one regex pass per
+    // row, not three.
     "q_pii_redact" -> ((s, d) => {
       val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      Tables.documents(s, d)
-        .withColumn("txt",
-          concat(col("text"), lit(" contact "), col("source"),
-            lit("@example."), col("lang")))
+      graft.core.Transforms.materialized(
+          Tables.documents(s, d)
+            .withColumn("txt",
+              concat(col("text"), lit(" contact "), col("source"),
+                lit("@example."), col("lang"))),
+          "red", regexp_replace(col("txt"), emailPat, "[EMAIL]"))
         .groupBy("lang")
         .agg(
-          sum(when(col("txt").rlike(emailPat), 1L).otherwise(0L)).as("n_with_email"),
-          sum(length(regexp_replace(col("txt"), emailPat, "[EMAIL]"))).as("redacted_len"),
-          count_distinct(md5(regexp_replace(col("txt"), emailPat, "[EMAIL]"))).as("n_distinct"))
+          sum(when(col("txt") =!= col("red"), 1L).otherwise(0L)).as("n_with_email"),
+          sum(length(col("red"))).as("redacted_len"),
+          count_distinct(md5(col("red"))).as("n_distinct"))
     }),
 
     "q_lang_id" -> ((s, d) =>
@@ -147,9 +154,14 @@ object LlmQueries {
         bands = 16, rowsPerBand = 4, threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("j"))),
 
+    // prefixBits=12 / maxHamming=8: a 64-bit simhash within Hamming 8 is a
+    // meaningful near-dup claim (≤12.5% of feature-vote dimensions differ);
+    // the round-2 demo params (8/16) emitted 15k mostly-noise pairs at
+    // sf0.01 on the shared-vocabulary synthetic corpus. Precision is
+    // spec-pinned in DedupSimilaritySpec alongside recall.
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashNearDup(Tables.documents(s, d), "text", "doc_id",
-        prefixBits = 8, maxHamming = 16)),
+        prefixBits = 12, maxHamming = 8)),
 
     // ---- embedding similarity ---------------------------------------
     "q_sim_cosine_topk" -> ((s, d) => {
@@ -191,15 +203,23 @@ object LlmQueries {
         .limit(5)
     }),
 
-    // HLL sketch: the oracled output is the exact-distinct side (hash-checkable
-    // vs DuckDB); the approx_count_distinct error bound is pinned in
-    // DedupSimilaritySpec ("hll approx within rsd of exact") instead, since a
-    // sketch estimate is not bit-comparable across engines.
+    // HLL sketch: the estimate itself is not bit-comparable across engines
+    // (Spark HLL++ vs DuckDB's sketch), so the oracled columns are the
+    // exact-distinct side plus `approx_ok` — Spark evaluates the real
+    // approx_count_distinct and asserts it inside 5σ of exact (rsd=0.02 →
+    // 10% bound); the oracle's twin column is literal TRUE. The sketch path
+    // therefore executes (and is timed) in every Verify/bench run, and the
+    // tight error bound stays pinned in DedupSimilaritySpec.
     "q_approx_hll" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy("event_type")
         .agg(count_distinct(col("user_id")).as("exact_u"),
-          count(lit(1)).as("n"))),
+          approx_count_distinct(col("user_id"), 0.02).as("approx_u"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"), col("exact_u"),
+          (abs(col("approx_u") - col("exact_u")).cast("double") <=
+            lit(0.10) * col("exact_u").cast("double")).as("approx_ok"),
+          col("n"))),
 
     "q_dedup_embed" -> ((s, d) =>
       Similarity.cosineNearDupPairs(Tables.embeddings(s, d),
@@ -311,8 +331,11 @@ object LlmQueries {
       """SELECT event_type AS item, count(*) AS n FROM events
         |GROUP BY event_type ORDER BY n DESC, item LIMIT 5""".stripMargin,
 
+    // approx_ok is Spark-side-verified (|approx - exact| <= 10% of exact);
+    // the oracle pins the contract as a literal, not the estimate itself.
     "q_approx_hll" ->
-      """SELECT event_type, count(DISTINCT user_id) AS exact_u, count(*) AS n
+      """SELECT event_type, count(DISTINCT user_id) AS exact_u,
+        | TRUE AS approx_ok, count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
 
     "q_quality_lm" ->
@@ -327,13 +350,14 @@ object LlmQueries {
 
     "q_pii_redact" ->
       """SELECT lang,
-        | sum(CASE WHEN regexp_matches(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
-        |     THEN 1 ELSE 0 END)::BIGINT AS n_with_email,
-        | sum(length(regexp_replace(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g')))::BIGINT AS redacted_len,
-        | count(DISTINCT md5(regexp_replace(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'))) AS n_distinct
-        |FROM (SELECT lang,
-        |  text || ' contact ' || source || '@example.' || lang AS txt
-        | FROM documents)
+        | sum(CASE WHEN txt <> red THEN 1 ELSE 0 END)::BIGINT AS n_with_email,
+        | sum(length(red))::BIGINT AS redacted_len,
+        | count(DISTINCT md5(red)) AS n_distinct
+        |FROM (SELECT lang, txt,
+        |  regexp_replace(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS red
+        | FROM (SELECT lang,
+        |   text || ' contact ' || source || '@example.' || lang AS txt
+        |  FROM documents))
         |GROUP BY lang""".stripMargin,
 
     "q_lang_id" ->

@@ -64,7 +64,9 @@ object Monitoring {
       val s = entry(e.progress.id)
       s.batches.incrementAndGet()
       s.inputRows.addAndGet(e.progress.numInputRows)
-      s.stateRows.addAndGet(
+      // numRowsTotal is a gauge (current state-store size), not a per-batch
+      // delta — record the last observed value, never a running sum.
+      s.stateRows.set(
         Option(e.progress.stateOperators).map(_.map(_.numRowsTotal).sum).getOrElse(0L))
       Option(e.progress.durationMs.get("triggerExecution"))
         .foreach(d => s.totalBatchMs.addAndGet(d.longValue()))

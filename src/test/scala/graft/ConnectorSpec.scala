@@ -55,6 +55,33 @@ class ConnectorSpec extends SparkSpec {
     assert(back.count() == 50)
   }
 
+  test("attributes chain: layered provenance merges, later layer wins") {
+    // the reference's Attributes chain-walk (types.go:28-30): an outer
+    // layer shadows inner keys; both the Scala-side merge and the Column
+    // overlay agree, and the merged map rides through a pipeline.
+    val inner = Map("source" -> "scanner", "host" -> "a")
+    val outer = Map("source" -> "mqtt", "topic" -> "t/1")
+    val merged = graft.core.Message.mergeAttributes(inner, outer)
+    assert(merged == Map("source" -> "mqtt", "host" -> "a", "topic" -> "t/1"))
+
+    val src = new graft.sources.MemoryMessageSource(spark)
+    src.add(Seq(graft.core.Message.ofString("k", "v", "top", inner)))
+    val q = graft.core.Pipeline.from(src)
+      .via(df => df.withColumn("attributes", Transforms.layerAttributes(
+        col("attributes"),
+        map(lit("source"), lit("mqtt"), lit("topic"), lit("t/1")))))
+      .start(spark, Sinks.MemorySink("attr_out"))
+    graft.streaming.StreamingOps.runToCompletion(q)
+    val got = spark.table("attr_out").collect().head
+      .getAs[Map[String, String]]("attributes")
+    assert(got == merged)
+    // null inner layer reads as empty
+    val nulls = spark.sql("SELECT CAST(NULL AS MAP<STRING,STRING>) AS a")
+      .select(Transforms.layerAttributes(col("a"), map(lit("k"), lit("v"))).as("m"))
+      .collect().head.getAs[Map[String, String]]("m")
+    assert(nulls == Map("k" -> "v"))
+  }
+
   test("multi-source union and tee sink fan-out") {
     val li = s"$sf/lineitem.parquet"
     val merged = MultiSource(Seq(ParquetSource(li), ParquetSource(li))).batch(spark)

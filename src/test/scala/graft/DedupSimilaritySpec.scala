@@ -79,6 +79,49 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(single.subsetOf(multi), "multi-band candidates are a superset")
   }
 
+  test("simhash precision: tight params pair only related docs") {
+    import spark.implicits._
+    // Registry params (prefixBits=12, maxHamming=8) must discriminate:
+    // byte-identical pairs (hamming 0 — deterministic) surface, while
+    // vocabulary-disjoint filler docs (signatures ≈ independent 64-bit
+    // values; P[hamming <= 8] ~ 1e-10 even before bucketing) never pair
+    // with anything outside their group.
+    val groupA = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val groupB = Seq(
+      (10L, "river mountain forest valley ocean desert canyon tundra"),
+      (11L, "river mountain forest valley ocean desert canyon tundra"))
+    val filler = (100L until 130L).map(i =>
+      (i, s"w${i}a q${i}b z${i}c k${i}d j${i}e v${i}f x${i}g n${i}h"))
+    val d = (groupA ++ groupB ++ filler).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDup(d, "text", "doc_id",
+        prefixBits = 12, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs((0L, 1L)) && pairs((10L, 11L)),
+      "identical in-group pairs must surface (recall)")
+    val group = (id: Long) => id / 10 // 0, 1, >=10 → distinct groups
+    val cross = pairs.filter { case (a, b) => group(a) != group(b) }
+    assert(cross.isEmpty, s"unrelated docs paired: $cross")
+  }
+
+  test("simhash tight registry params cut the loose-param candidate set") {
+    // The round-2 registry entry (8/16) emitted mostly-noise pairs on the
+    // shared-vocabulary corpus; the round-3 params (12/8) must be a strict
+    // subset and materially smaller — pinning that the registry query
+    // demonstrates discrimination, not bucket noise.
+    val loose = Dedup.simhashNearDup(docs, "text", "doc_id",
+        prefixBits = 8, maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tight = Dedup.simhashNearDup(docs, "text", "doc_id",
+        prefixBits = 12, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight.subsetOf(loose), "hamming<=8 pairs are a subset of <=16")
+    if (loose.size >= 10)
+      assert(tight.size * 2 <= loose.size,
+        s"tight params should prune the noise: ${tight.size} vs ${loose.size}")
+  }
+
   test("hll approx_count_distinct within rsd of exact") {
     val ev = Tables.events(spark, sf)
     val rows = ev.groupBy("event_type")
