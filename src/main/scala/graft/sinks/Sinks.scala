@@ -107,6 +107,45 @@ object Sinks {
         .mode("overwrite").saveAsTable(table)
   }
 
+  /** Publish sink — the reference's MQTT destination (S6,
+    * /root/reference/x/mqtt/mqtt.go:96-198): publish each message's value
+    * to a fixed topic, synchronously per message (mqtt.go:166-171
+    * token.Wait()), acking the batch only after every publish succeeded —
+    * here, offsets commit only after the ForeachWriter epoch completes.
+    * The writer runs per partition on executors and resolves its client
+    * at open() time ([[graft.sources.BrokerRegistry]]; a network MQTT
+    * client would connect there instead — identical lifecycle). */
+  final case class BrokerSink(broker: graft.sources.InProcBroker, topic: String)
+      extends Sink {
+    private val brokerId = graft.sources.BrokerRegistry.register(broker)
+
+    private def writer = new org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] {
+      private val id = brokerId
+      private val t = topic
+      @transient private var b: graft.sources.InProcBroker = _
+      def open(partitionId: Long, epochId: Long): Boolean = {
+        b = graft.sources.BrokerRegistry.get(id); true
+      }
+      def process(row: org.apache.spark.sql.Row): Unit =
+        b.publish(t, row.getAs[Array[Byte]]("value"))
+      def close(errorOrNull: Throwable): Unit = ()
+    }
+
+    def writeBatch(df: DataFrame): Unit = {
+      val id = brokerId
+      val t = topic
+      df.select(col("value")).foreachPartition {
+        (rows: Iterator[org.apache.spark.sql.Row]) =>
+          val b = graft.sources.BrokerRegistry.get(id)
+          rows.foreach(r => b.publish(t, r.getAs[Array[Byte]]("value")))
+      }
+    }
+
+    def writeStream(df: DataFrame, trigger: Option[Trigger],
+        checkpoint: Option[String]): StreamingQuery =
+      applyTrigger(df.writeStream.foreach(writer), trigger, checkpoint).start()
+  }
+
   /** foreachBatch sink with the reference's batcher retry/error-handler
     * semantics (x/batcher/batcher.go:460-540) — see
     * [[graft.core.Reliability]]. */

@@ -82,6 +82,143 @@ class ConnectorSpec extends SparkSpec {
     assert(nulls == Map("k" -> "v"))
   }
 
+  // --- O10 poller adapter + S5/S6 broker-shape connectors ---
+
+  /** Finite queue-backed poller with ack accounting (the reference's
+    * pollFunc test shape, x/poller/poller.go:15-99). */
+  final class QueuePoller(msgs: Seq[graft.core.Message]) extends graft.sources.Poller {
+    private val q = new java.util.concurrent.ConcurrentLinkedQueue[graft.core.Message]()
+    msgs.foreach(q.add)
+    def offer(m: graft.core.Message): Unit = q.add(m)
+    val ackedTotal = new java.util.concurrent.atomic.AtomicLong(0L)
+    val ackCalls = new java.util.concurrent.atomic.AtomicLong(0L)
+    def poll(max: Int): Seq[graft.core.Message] = {
+      val out = Vector.newBuilder[graft.core.Message]
+      var n = 0
+      var m = q.poll()
+      while (m != null) { out += m; n += 1; m = if (n < max) q.poll() else null }
+      out.result()
+    }
+    override def ack(n: Long): Unit = { ackedTotal.addAndGet(n); ackCalls.incrementAndGet() }
+  }
+
+  private def eventually[T](timeoutMs: Long = 10000)(f: => T): T = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var last: Throwable = null
+    while (System.currentTimeMillis() < deadline) {
+      try return f
+      catch { case t: Throwable => last = t; Thread.sleep(100) }
+    }
+    throw last
+  }
+
+  test("poller source: 25 messages round-trip, ack coalesced per commit") {
+    val rnd = new scala.util.Random(7)
+    val payloads = Seq.tabulate(25)(i =>
+      graft.core.Message(s"k$i", rnd.nextBytes(20), "poll", Map("src" -> "poller")))
+    val poller = new QueuePoller(payloads)
+    // batchSize 10 forces the 25 messages across ≥3 micro-batches
+    val src = graft.sources.PolledSource(poller, batchSize = 10)
+    val q = graft.core.Pipeline.from(src).start(spark, Sinks.MemorySink("poll_out"))
+    q.processAllAvailable()
+    // Spark commits batch N's source offsets when batch N+1 is
+    // constructed (see PolledSource scaladoc); a sentinel message forces
+    // that final construction so the 25th message's ack is observable.
+    poller.offer(graft.core.Message.ofString("sentinel", "sentinel", "poll"))
+    q.processAllAvailable()
+
+    val rows = spark.table("poll_out").collect()
+      .filterNot(_.getAs[String]("key") == "sentinel")
+    val seen = rows.map(r => r.getAs[Array[Byte]]("value").toSeq)
+    assert(seen.length == 25, s"expected 25, saw ${seen.length}")
+    assert(seen.distinct.length == 25, "duplicates observed")
+    assert(seen.toSet == payloads.map(_.value.toSeq).toSet)
+    assert(rows.map(_.getAs[String]("key")).toSet == payloads.map(_.key).toSet)
+    // offset commit = coalesced last-ack: all 25 acked (the sentinel's own
+    // batch stays un-acked until a later batch — at-least-once on
+    // shutdown, the reference's contract), in ≤ one ack call per
+    // micro-batch, never per message
+    eventually() {
+      assert(poller.ackedTotal.get() == 25L,
+        s"acked ${poller.ackedTotal.get()} of 25")
+    }
+    assert(poller.ackCalls.get() <= 4,
+      s"ack not coalesced: ${poller.ackCalls.get()} calls for 25 messages")
+    graft.streaming.StreamingOps.runToCompletion(q)
+    src.close()
+  }
+
+  test("poller source: batch mode drains to exhaustion") {
+    val payloads = Seq.tabulate(7)(i => graft.core.Message.ofString(s"k$i", s"v$i", "t"))
+    val poller = new QueuePoller(payloads)
+    val src = graft.sources.PolledSource(poller, batchSize = 3)
+    val got = src.batch(spark).collect()
+      .map(r => new String(r.getAs[Array[Byte]]("value"), "UTF-8")).sorted
+    assert(got.toSeq == payloads.map(m => graft.core.Message.valueString(m)).sorted)
+    assert(poller.ackedTotal.get() == 7L)
+    src.close()
+  }
+
+  test("broker: pub/sub round-trip preserves topic and MessageID key") {
+    val broker = new graft.sources.InProcBroker
+    val sub = broker.subscribe("sensors/#")
+    broker.publishString("sensors/a", "temp=20")
+    broker.publishString("sensors/b/x", "temp=21")
+    broker.publishString("other/c", "dropped") // filter excludes this
+    broker.publishString("sensors/a", "temp=22")
+
+    val src = sub.source(batchSize = 10)
+    val q = graft.core.Pipeline.from(src).start(spark, Sinks.MemorySink("mqtt_out"))
+    q.processAllAvailable()
+    // force the tail batch's source commit (see PolledSource scaladoc)
+    broker.publishString("sensors/sentinel", "sentinel")
+    q.processAllAvailable()
+
+    val rows = spark.table("mqtt_out").collect()
+      .filterNot(_.getAs[String]("topic") == "sensors/sentinel")
+    val byTopic = rows.groupBy(_.getAs[String]("topic"))
+    assert(rows.length == 3, s"expected 3 delivered, saw ${rows.length}")
+    assert(byTopic.keySet == Set("sensors/a", "sensors/b/x"))
+    // Key = broker-assigned MessageID: distinct, numeric, monotone with
+    // publish order (mqtt.go:278-285 envelope shape)
+    val ids = rows.map(_.getAs[String]("key").toLong).sorted
+    assert(ids.distinct.length == 3)
+    assert(rows.forall(_.getAs[Map[String, String]]("attributes")("qos") == "1"))
+    eventually() { assert(sub.acked == 3L, s"broker acked ${sub.acked} of 3") }
+    graft.streaming.StreamingOps.runToCompletion(q)
+    src.close()
+  }
+
+  test("broker topic filters: + single level, # suffix, exact") {
+    val b = new graft.sources.InProcBroker
+    assert(b.matches("#", "any/thing"))
+    assert(b.matches("a/+/c", "a/b/c"))
+    assert(!b.matches("a/+/c", "a/b/d"))
+    assert(!b.matches("a/+/c", "a/b/c/d"))
+    assert(b.matches("a/#", "a/b/c/d"))
+    assert(b.matches("a/b", "a/b"))
+    assert(!b.matches("a/b", "a"))
+    assert(!b.matches("a/+", "a"))
+  }
+
+  test("broker publish sink: pipeline output republished, S6→S5 loop") {
+    val broker = new graft.sources.InProcBroker
+    val echo = broker.subscribe("out/#")
+
+    val src = new graft.sources.MemoryMessageSource(spark)
+    src.add(Seq(
+      graft.core.Message.ofString("a", "hello", "in"),
+      graft.core.Message.ofString("b", "world", "in")))
+    val q = graft.core.Pipeline.from(src)
+      .start(spark, Sinks.BrokerSink(broker, "out/echo"))
+    graft.streaming.StreamingOps.runToCompletion(q)
+
+    eventually() { assert(echo.pending == 2, s"expected 2 republished, ${echo.pending} pending") }
+    val got = echo.poll(10)
+    assert(got.map(m => graft.core.Message.valueString(m)).sorted == Seq("hello", "world"))
+    assert(got.forall(_.topic == "out/echo"))
+  }
+
   test("multi-source union and tee sink fan-out") {
     val li = s"$sf/lineitem.parquet"
     val merged = MultiSource(Seq(ParquetSource(li), ParquetSource(li))).batch(spark)
