@@ -26,7 +26,9 @@ final case class Pipeline(
     transforms: Vector[DataFrame => DataFrame] = Vector.empty,
     trigger: Option[Trigger] = None,
     checkpoint: Option[String] = None,
-    restartsOnDontCommit: Int = 0) {
+    restartsOnDontCommit: Int = 0,
+    watchdog: Option[graft.streaming.Monitoring.StallWatchdog] = None,
+    metrics: Option[graft.streaming.Monitoring.MetricsListener] = None) {
 
   def via(t: DataFrame => DataFrame): Pipeline = copy(transforms = transforms :+ t)
 
@@ -39,6 +41,22 @@ final case class Pipeline(
 
   def withCheckpoint(path: String): Pipeline = copy(checkpoint = Some(path))
 
+  /** Stuck-batch watchdog — the reference's Tracing/Metrics processor
+    * options (processor.go:37-57) + batcher deadlock watchdog
+    * (x/batcher/batcher.go:296-339) as pipeline options. `onStall` fires
+    * at most once per stall episode (see
+    * [[graft.streaming.Monitoring.StallWatchdog]]); an idle stream —
+    * triggers finding no data — never trips. */
+  def withWatchdog(timeoutMs: Long)(
+      onStall: graft.streaming.Monitoring.Stall => Unit): Pipeline =
+    copy(watchdog =
+      Some(new graft.streaming.Monitoring.StallWatchdog(timeoutMs, onStall)))
+
+  /** Attach listener-bus metrics aggregation (rows, batches, state size,
+    * batch durations) — zero cost on the data path. */
+  def withMetrics(m: graft.streaming.Monitoring.MetricsListener): Pipeline =
+    copy(metrics = Some(m))
+
   /** Allow up to n query restarts on DontCommit batch failures
     * (ErrDontAck parity — redeliver instead of dying). */
   def withDontCommitRestarts(n: Int): Pipeline = copy(restartsOnDontCommit = n)
@@ -50,9 +68,13 @@ final case class Pipeline(
   def runBatch(spark: SparkSession, sink: Sink): Unit =
     sink.writeBatch(applyTransforms(source.batch(spark)))
 
-  /** Start the streaming query. */
-  def start(spark: SparkSession, sink: Sink): StreamingQuery =
+  /** Start the streaming query (attaching any configured observers —
+    * attach is idempotent across DontCommit restarts). */
+  def start(spark: SparkSession, sink: Sink): StreamingQuery = {
+    metrics.foreach(_.attach(spark))
+    watchdog.foreach(_.attach(spark))
     sink.writeStream(applyTransforms(source.stream(spark)), trigger, checkpoint)
+  }
 
   /** Start and block until completion, restarting on DontCommit failures
     * up to `restartsOnDontCommit` times (with the same checkpoint, so the

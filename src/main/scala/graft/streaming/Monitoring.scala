@@ -53,6 +53,16 @@ object Monitoring {
   /** Listener-bus metrics aggregation — zero cost on the data path. */
   final class MetricsListener extends StreamingQueryListener {
     private val stats = new ConcurrentHashMap[UUID, MutableStats]()
+    private val attached = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+    /** Idempotent: restart loops (Pipeline.run) may re-enter start(). */
+    def attach(spark: SparkSession): this.type = {
+      if (attached.compareAndSet(false, true)) spark.streams.addListener(this)
+      this
+    }
+
+    def detach(spark: SparkSession): Unit =
+      if (attached.compareAndSet(true, false)) spark.streams.removeListener(this)
 
     private def entry(id: UUID): MutableStats =
       stats.computeIfAbsent(id, _ => new MutableStats)
@@ -102,6 +112,10 @@ object Monitoring {
     }
     private val states = new ConcurrentHashMap[UUID, State]()
     private var checker: ScheduledExecutorService = _
+    private val attached = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+    /** Trip count across all stall episodes (observability/testing). */
+    private[graft] val totalTrips = new AtomicLong(0L)
 
     override def onQueryStarted(e: QueryStartedEvent): Unit = {
       val s = new State(Option(e.name).getOrElse(""))
@@ -130,24 +144,29 @@ object Monitoring {
         val since = now - s.lastAlive.get()
         if (since > timeoutMs && !s.tripped) {
           s.tripped = true
+          totalTrips.incrementAndGet()
           onStall(Stall(id, s.runId, s.name, since))
         }
       }
     }
 
+    /** Idempotent: restart loops (Pipeline.run) may re-enter start(). */
     def attach(spark: SparkSession): this.type = {
-      spark.streams.addListener(this)
-      checker = Executors.newSingleThreadScheduledExecutor { r =>
-        val t = new Thread(r, "graft-stall-watchdog"); t.setDaemon(true); t
+      if (attached.compareAndSet(false, true)) {
+        spark.streams.addListener(this)
+        checker = Executors.newSingleThreadScheduledExecutor { r =>
+          val t = new Thread(r, "graft-stall-watchdog"); t.setDaemon(true); t
+        }
+        val period = math.max(timeoutMs / 4, 10L)
+        checker.scheduleAtFixedRate(() => check(), period, period, TimeUnit.MILLISECONDS)
       }
-      val period = math.max(timeoutMs / 4, 10L)
-      checker.scheduleAtFixedRate(() => check(), period, period, TimeUnit.MILLISECONDS)
       this
     }
 
-    def detach(spark: SparkSession): Unit = {
-      spark.streams.removeListener(this)
-      if (checker != null) checker.shutdownNow()
-    }
+    def detach(spark: SparkSession): Unit =
+      if (attached.compareAndSet(true, false)) {
+        spark.streams.removeListener(this)
+        if (checker != null) checker.shutdownNow()
+      }
   }
 }
