@@ -46,10 +46,17 @@ object Bench {
           catch { case _: Throwable => () }
         }
       }
-    // Best-of-3 per query, with the min/median spread reported so ±15%
-    // run-to-run drift is classifiable as noise vs regression (reps=2
-    // min-of could not distinguish the two).
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    // 5 reps per query (r3 ran 3 and its max-vs-min spread could not
+    // resolve <35% deltas — the round-3 join "regressions" sat inside
+    // their own noise). Reported per query:
+    //   - min: the throughput headline (sum → total);
+    //   - median: proper order statistic — mean of the two middle values
+    //     for even rep counts, not the upper one;
+    //   - spread_pct = (median − min)/min: stability of the central
+    //     estimate. Unlike (max − min)/min it does not GROW with reps —
+    //     one straggler rep inflates max but leaves the median alone —
+    //     so round-over-round deltas above it are real regressions.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
     val results = selected.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val times = (1 to reps).map { _ =>
@@ -63,13 +70,16 @@ object Bench {
         name -> times
       }
     }
+    def median(ts: Seq[Double]): Double =
+      if (ts.size % 2 == 1) ts(ts.size / 2)
+      else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2.0
     def field(f: Seq[Double] => Double): String = results
       .map { case (k, ts) => "\"" + k + f"""\":${f(ts)}%.3f""" }
       .mkString("{", ",", "}")
     val qs = field(_.min)
-    val med = field(ts => ts(ts.size / 2))
+    val med = field(median)
     val spreadPct = field(ts =>
-      if (ts.min <= 0) 0.0 else (ts.max - ts.min) / ts.min * 100.0)
+      if (ts.min <= 0) 0.0 else (median(ts) - ts.min) / ts.min * 100.0)
     val total = results.map(_._2.min).sum
     val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_median":$med,"spread_pct":$spreadPct,"reps":$reps,"sf":"$sfDir"}"""
     println(json)

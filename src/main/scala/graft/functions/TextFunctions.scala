@@ -34,6 +34,14 @@ object TextFunctions {
   def shinglesN(text: Column, n: Int): Column =
     call_function("graft_shingles", text, lit(n))
 
+  /** Distinct xxhash64 shingle hashes in one kernel pass
+    * ([[TokenShingleHashes]]): bit-equal to
+    * `array_distinct(transform(shinglesN(text, n), s => xxhash64(s)))` but
+    * never materializes the shingle strings — the compact input for
+    * MinHash/Jaccard sketches. */
+  def shingleHashes(text: Column, n: Int): Column =
+    call_function("graft_shingle_hashes", text, lit(n))
+
   /** Set-semantics Jaccard similarity of two string arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

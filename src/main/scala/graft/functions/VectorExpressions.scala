@@ -257,5 +257,15 @@ object VectorExpressions {
         }
         TokenShingles(children(0), n)
       }))
+    e.injectFunction(desc("graft_shingle_hashes", classOf[TokenShingleHashes],
+      (children: Seq[Expression]) => {
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_shingle_hashes arg 2 must be a literal, got $other")
+        }
+        TokenShingleHashes(children(0), n)
+      }))
   }
 }

@@ -110,16 +110,40 @@ class DedupSimilaritySpec extends SparkSpec {
     // shared-vocabulary corpus; the round-3 params (12/8) must be a strict
     // subset and materially smaller — pinning that the registry query
     // demonstrates discrimination, not bucket noise.
+    // bucket cap disabled on BOTH runs: with the cap, a coarser 8-bit
+    // bucket can be dropped as oversized while its 12-bit sub-buckets
+    // survive, which would break the subset relation on a denser corpus
+    // even though both operators behave correctly. Uncapped, subset
+    // follows from prefix-of-prefix bucketing alone.
     val loose = Dedup.simhashNearDup(docs, "text", "doc_id",
-        prefixBits = 8, maxHamming = 16)
+        prefixBits = 8, maxHamming = 16, maxBucket = Int.MaxValue)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val tight = Dedup.simhashNearDup(docs, "text", "doc_id",
-        prefixBits = 12, maxHamming = 8)
+        prefixBits = 12, maxHamming = 8, maxBucket = Int.MaxValue)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(tight.subsetOf(loose), "hamming<=8 pairs are a subset of <=16")
     if (loose.size >= 10)
       assert(tight.size * 2 <= loose.size,
         s"tight params should prune the noise: ${tight.size} vs ${loose.size}")
+  }
+
+  test("ngramJaccard probe is memoized: re-construction runs zero Spark jobs") {
+    import java.util.concurrent.atomic.AtomicInteger
+    // first construction pays the plan-time probe jobs (and warms the memo)
+    Dedup.ngramJaccardPairs(docs, "text", "doc_id", "lang", threshold = 0.7)
+    val jobs = new AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // same input, same params → memo hit → plan construction only
+      Dedup.ngramJaccardPairs(docs, "text", "doc_id", "lang", threshold = 0.7)
+      Thread.sleep(1500) // listener bus is async
+      assert(jobs.get() == 0,
+        s"re-construction ran ${jobs.get()} probe job(s); memo failed")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("hll approx_count_distinct within rsd of exact") {
@@ -305,6 +329,26 @@ class DedupSimilaritySpec extends SparkSpec {
     val bad = edge.select(
         shingles(tokens(col("text")), 3).as("hof"),
         shinglesN(col("text"), 3).as("nat"))
+      .filter(col("hof") =!= col("nat")).count()
+    assert(bad == 0)
+  }
+
+  test("native graft_shingle_hashes equals array_distinct∘xxhash64∘shingles") {
+    import graft.functions.TextFunctions._
+    for (n <- Seq(2, 3, 5)) {
+      val bad = docs.select(
+          array_distinct(transform(shinglesN(col("text"), n), s => xxhash64(s))).as("hof"),
+          shingleHashes(col("text"), n).as("nat"))
+        .filter(col("hof") =!= col("nat")).count()
+      assert(bad == 0, s"shingle-hash mismatch for n=$n")
+    }
+    import spark.implicits._
+    val edge = Seq("", "   ", "one", "one two", "  A  b\tC ", "x y z w",
+        "dup dup dup dup dup") // repeated shingles → dedup order matters
+      .toDF("text")
+    val bad = edge.select(
+        array_distinct(transform(shinglesN(col("text"), 3), s => xxhash64(s))).as("hof"),
+        shingleHashes(col("text"), 3).as("nat"))
       .filter(col("hof") =!= col("nat")).count()
     assert(bad == 0)
   }
