@@ -48,9 +48,12 @@ object Transforms {
     * the full physical plan on the driver once per call just to read a
     * partition count (wasted driver work in a hot compile path at scale).
     * Non-file sources (in-memory relations report no input files) take the
-    * repartition: the safe side for a CPU-heavy downstream stage. */
+    * repartition: the safe side for a CPU-heavy downstream stage — as do
+    * streaming inputs (inputFiles asserts batch-only, and a micro-batch's
+    * parallelism is otherwise whatever the source handed it). */
   def fanOut(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.isStreaming) return df.repartition(target)
     val files = df.inputFiles.length
     val estSplits =
       if (files == 0) 0L
@@ -100,6 +103,19 @@ object Transforms {
     val o = coalesce(over, emptyMap)
     map_concat(map_filter(b, (k, _) => !map_contains_key(o, k)), o)
   }
+
+  /** Streaming corpus dedup as a Pipeline.via one-liner: normalized-text
+    * fingerprint + dropDuplicatesWithinWatermark. Re-ingestions of the
+    * same document (case/whitespace variants included) are dropped across
+    * micro-batches within the watermark horizon — the at-least-once →
+    * effectively-once property of the conformance suite
+    * (/root/reference/test/suite_test.go:95-104) as a corpus operator.
+    * Adds the `fp` column; state is bounded by the watermark. */
+  def dedupByFingerprint(text: Column, tsCol: String,
+      watermark: String): DataFrame => DataFrame =
+    df => df.withColumn("fp", graft.functions.TextFunctions.fingerprint(text))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("fp"))
 
   /** Typed Handler: 1 → 0..N, possibly different type (types.go:127-129).
     * Prefer Column transforms; this is the escape hatch. */

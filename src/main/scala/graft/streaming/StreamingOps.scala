@@ -48,6 +48,35 @@ object StreamingOps {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Streaming NEAR-dedup as a Pipeline.via one-liner: key each document
+    * by the minimum of its winnowing fingerprints
+    * ([[graft.ops.Dedup.winnowFingerprints]], SIGMOD'03) — the bottom-1
+    * sketch of the shingle set — and drop duplicates of that key within
+    * the watermark. Two documents share the key with probability equal to
+    * their shingle-set Jaccard similarity, so this drops re-worded
+    * re-ingestions (not just byte-identical ones) at a rate that tracks
+    * their similarity; it is probabilistic by design — the streaming
+    * counterpart of the batch pair-verify pipeline, for when a cheap
+    * bounded-state filter is worth a controlled false-drop rate. Exact
+    * duplicates always collide (identical fingerprint sets). Documents
+    * with no shingles (shorter than the shingle length) are passed
+    * through undeduplicated rather than silently collapsing onto one
+    * empty-sketch key. Adds the `winnow_key` column. */
+  def nearDedupByWinnow(textCol: String, idCol: String, tsCol: String,
+      watermark: String, shingleLen: Int = 3,
+      window: Int = 4): DataFrame => DataFrame =
+    df => {
+      val fps = graft.ops.Dedup.winnowFingerprints(
+        df, textCol, idCol, shingleLen, window, keep = Seq(tsCol))
+        .withColumn("winnow_key",
+          when(size(col("fps")) === 0, lit(null)).otherwise(array_min(col("fps"))))
+        .drop("fps")
+        .withWatermark(tsCol, watermark) // before the branch: both sides carry it
+      val keyed = fps.filter(col("winnow_key").isNotNull)
+        .dropDuplicatesWithinWatermark(Seq("winnow_key"))
+      keyed.unionByName(fps.filter(col("winnow_key").isNull))
+    }
+
   /** Arbitrary per-key running state (the generalization of the
     * reference's per-key ack/offset bookkeeping): counts events and emits
     * (key, runningCount) per update. Demonstrates mapGroupsWithState for

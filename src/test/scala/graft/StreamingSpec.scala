@@ -91,6 +91,45 @@ class StreamingSpec extends SparkSpec {
     assert(kept.length == 2, s"expected 2 unique docs, got ${kept.toSeq}")
   }
 
+  test("dedupByFingerprint one-liner: case/whitespace variants collapse via Pipeline-shaped transform") {
+    val ms = new MemoryStream[(String, Timestamp)](16, spark, None)
+    val df = ms.toDF().toDF("text", "ts")
+    // the named transform IS a DataFrame => DataFrame — Pipeline.via-ready
+    val out = graft.core.Transforms.dedupByFingerprint(col("text"), "ts", "10 minutes")(df)
+    val q = out.writeStream.format("memory").queryName("fpdedup_out")
+      .outputMode("append").start()
+    ms.addData(Seq("Hello  World" -> ts(0), "other doc" -> ts(1)))
+    q.processAllAvailable()
+    ms.addData(Seq("hello world" -> ts(2))) // re-worded whitespace/case only
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    assert(spark.table("fpdedup_out").count() == 2)
+  }
+
+  test("nearDedupByWinnow one-liner: re-worded near-dup dropped, distinct and short docs kept") {
+    val ms = new MemoryStream[(Long, String, Timestamp)](17, spark, None)
+    val df = ms.toDF().toDF("doc_id", "text", "ts")
+    val out = StreamingOps.nearDedupByWinnow("text", "doc_id", "ts", "10 minutes")(df)
+    val q = out.writeStream.format("memory").queryName("winnowdedup_out")
+      .outputMode("append").start()
+    val doc = "the quick brown fox jumps over the lazy dog while the cat sleeps near the warm fire"
+    ms.addData(Seq((1L, doc, ts(0)), (2L, "completely unrelated text about spark plans and shuffles today", ts(1))))
+    q.processAllAvailable()
+    ms.addData(Seq(
+      (3L, doc + " tonight", ts(2)), // near-dup: shares the doc's winnow minimum
+      (4L, doc, ts(3)),              // exact dup: identical fingerprint set
+      (5L, "hi", ts(4)),             // no shingles → passthrough branch
+      (6L, "yo", ts(5))))            // no shingles → must also survive
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    val kept = spark.table("winnowdedup_out").select("id").as[Long].collect().toSet
+    assert(kept.contains(1L) && kept.contains(2L), s"originals must survive: $kept")
+    assert(!kept.contains(4L), "exact duplicate must be dropped")
+    assert(!kept.contains(3L), "near-duplicate sharing the winnow minimum must be dropped")
+    assert(kept.contains(5L) && kept.contains(6L),
+      s"shingle-less docs must pass through undeduplicated: $kept")
+  }
+
   test("runningCountPerKey: state accumulates across micro-batches") {
     val ms = new MemoryStream[(String, Long)](12, spark, None)
     val out = StreamingOps.runningCountPerKey(ms.toDS())
