@@ -25,7 +25,8 @@ object Bench {
     "q_dedup_embed",      // embedding-cosine near-dup pairs
     "q_token_bpe",        // regex pre-tokenization pass
     "q_pii_redact",       // regex detect+redact pass
-    "q_fingerprint_winnow" // winnowing fingerprint sketch
+    "q_fingerprint_winnow", // winnowing fingerprint sketch
+    "q_decontaminate"     // broadcast n-gram overlap vs benchmark set
   )
 
   def main(args: Array[String]): Unit = {

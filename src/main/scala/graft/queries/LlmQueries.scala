@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.ops.{Dedup, Multimodal, Similarity}
+import graft.ops.{Curation, Dedup, Multimodal, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -265,6 +265,37 @@ object LlmQueries {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("chars"))),
 
+    // ---- corpus curation --------------------------------------------
+    // benchmark decontamination: every doc's n-gram overlap against a
+    // deterministic "eval suite" (docs with doc_id % 97 == 0), benchmark
+    // shingle hashes broadcast — the corpus is never shuffled by shingle
+    "q_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      Curation.contaminationCounts(docs, "text", "doc_id", bench, "text")
+        .join(docs.select(col("doc_id").as("id"), col("lang")), "id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_contam") > 0, 1L).otherwise(0L)).as("n_contaminated"),
+          sum("n_contam").as("sum_overlap"),
+          max("n_contam").as("max_overlap"))
+    }),
+
+    // deterministic md5-threshold train/test split: same doc → same split
+    // on any engine/run/topology; one narrow projection at any scale
+    "q_split_train_test" -> ((s, d) =>
+      Curation.hashSplit(Tables.documents(s, d), "doc_id", trainFrac = 0.8)
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))),
+
+    // within-doc repetition ratio (boilerplate / stuffing detector)
+    "q_repetition" -> ((s, d) =>
+      Curation.repetitionScore(Tables.documents(s, d), "text")
+        .groupBy("lang")
+        .agg(round(sum("repetition"), 2).as("sum_rep"),
+          round(max("repetition"), 2).as("max_rep"),
+          count(lit(1)).as("n"))),
+
     // ---- multimodal plumbing (binary columns + typed metadata) -------
     "q_multimodal_meta" -> ((s, d) =>
       Tables.documents(s, d)
@@ -492,6 +523,36 @@ object LlmQueries {
          | min(fp) AS min_fp
          |FROM (SELECT lang, unnest(fps) AS fp FROM w)
          |GROUP BY lang""".stripMargin,
+
+    "q_decontaminate" ->
+      s"""WITH b AS (SELECT DISTINCT unnest(${sqlShingles(sqlToks)}) AS s
+         |  FROM documents WHERE doc_id % 97 = 0),
+         |ds AS (SELECT doc_id, unnest(${sqlShingles(sqlToks)}) AS s FROM documents),
+         |hits AS (SELECT doc_id, count(*) AS n_contam
+         |  FROM ds JOIN b USING (s) GROUP BY doc_id),
+         |c AS (SELECT d.lang, coalesce(h.n_contam, 0) AS n_contam
+         |  FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id)
+         |SELECT lang, count(*) AS n_docs,
+         | sum(CASE WHEN n_contam > 0 THEN 1 ELSE 0 END)::BIGINT AS n_contaminated,
+         | sum(n_contam)::BIGINT AS sum_overlap,
+         | max(n_contam) AS max_overlap
+         |FROM c GROUP BY lang""".stripMargin,
+
+    "q_split_train_test" ->
+      """SELECT lang,
+        | CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'
+        |  THEN 'train' ELSE 'test' END AS split,
+        | count(*) AS n, sum(n_chars)::BIGINT AS chars
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    "q_repetition" ->
+      s"""WITH r AS (SELECT lang,
+         |  CASE WHEN len(shp) = 0 THEN 0.0
+         |   ELSE 1.0 - len(list_distinct(shp))::DOUBLE / len(shp)::DOUBLE END AS rep
+         | FROM (SELECT lang, ${sqlShinglesPos(sqlToks)} AS shp FROM documents))
+         |SELECT lang, round(sum(rep), 2) AS sum_rep, round(max(rep), 2) AS max_rep,
+         | count(*) AS n
+         |FROM r GROUP BY lang""".stripMargin,
 
     "q_quality_filter" ->
       s"""WITH t AS (SELECT lang, n_chars, $sqlToks AS toks FROM documents),

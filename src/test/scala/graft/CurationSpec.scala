@@ -1,0 +1,63 @@
+package graft
+
+import graft.ops.Curation
+import org.apache.spark.sql.functions._
+
+/** Curation-operator semantics beyond what the DuckDB-oracled registry
+  * queries pin: the decontamination filter drops exactly the overlapping
+  * documents, the hash split is deterministic and hits its fraction, and
+  * the repetition score orders degenerate text above novel text.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Tables.documents(spark, sf)
+
+  test("decontaminate drops exactly the docs sharing a shingle with the benchmark") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a completely different sentence about spark engines here"),
+      (3L, "we mention the quick brown fox in passing today"), // shares 'the quick brown' etc.
+      (4L, "nothing in common with anything else at all now"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "the quick brown fox ate")).toDF("doc_id", "text")
+
+    val counts = Curation.contaminationCounts(corpus, "text", "doc_id", bench, "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts(1L) > 0 && counts(3L) > 0, s"overlapping docs must count: $counts")
+    assert(counts(2L) == 0 && counts(4L) == 0, s"clean docs must count zero: $counts")
+
+    val kept = Curation.decontaminate(corpus, "text", "doc_id", bench, "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L), s"expected clean docs only, got $kept")
+  }
+
+  test("hashSplit: deterministic, exhaustive, and near the requested fraction") {
+    val split1 = Curation.hashSplit(docs, "doc_id", trainFrac = 0.8)
+    val split2 = Curation.hashSplit(docs, "doc_id", trainFrac = 0.8)
+    // deterministic: same doc → same split on re-evaluation
+    assert(split1.select("doc_id", "split").except(
+      split2.select("doc_id", "split")).isEmpty)
+    val bydoc = split1.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = bydoc.values.sum
+    assert(bydoc.keySet == Set("train", "test"), s"unexpected splits: $bydoc")
+    val frac = bydoc("train").toDouble / total
+    assert(math.abs(frac - 0.8) < 0.05, s"train fraction $frac too far from 0.8")
+  }
+
+  test("repetitionScore: repeated phrase scores high, novel text low, short text zero") {
+    val d = Seq(
+      (1L, "buy now buy now buy now buy now buy now buy now"),
+      (2L, "each of these words appears exactly once in this document"),
+      (3L, "hi"))
+      .toDF("doc_id", "text")
+    val rep = Curation.repetitionScore(d, "text")
+      .select("doc_id", "repetition").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rep(1L) > 0.7, s"repeated phrase should score high: ${rep(1L)}")
+    assert(rep(2L) == 0.0, s"novel text should score zero: ${rep(2L)}")
+    assert(rep(3L) == 0.0, s"unshingleable text scores zero: ${rep(3L)}")
+    assert(rep.values.forall(v => v >= 0.0 && v < 1.0), s"score out of [0,1): $rep")
+  }
+}
