@@ -42,6 +42,16 @@ object TextFunctions {
   def shingleHashes(text: Column, n: Int): Column =
     call_function("graft_shingle_hashes", text, lit(n))
 
+  /** One-pass winnowing fingerprints ([[WinnowFingerprints]]): distinct
+    * sliding-window minima of the positional shingle md5s. */
+  def winnowN(text: Column, n: Int, window: Int): Column =
+    call_function("graft_winnow", text, lit(n), lit(window))
+
+  /** One-pass MinHash sketch ([[ShingleSketch]]):
+    * struct(shh = distinct shingle hashes, sig = minhash signature). */
+  def shingleSketch(text: Column, n: Int, numHashes: Int): Column =
+    call_function("graft_shingle_sketch", text, lit(n), lit(numHashes))
+
   /** Set-semantics Jaccard similarity of two string arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

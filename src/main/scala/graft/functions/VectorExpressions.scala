@@ -257,6 +257,16 @@ object VectorExpressions {
         }
         TokenShingles(children(0), n)
       }))
+    e.injectFunction(desc("graft_winnow", classOf[WinnowFingerprints],
+      (children: Seq[Expression]) => {
+        def intLit(i: Int): Int = children(i) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_winnow arg ${i + 1} must be a literal, got $other")
+        }
+        WinnowFingerprints(children(0), intLit(1), intLit(2))
+      }))
     e.injectFunction(desc("graft_shingle_hashes", classOf[TokenShingleHashes],
       (children: Seq[Expression]) => {
         val n = children(1) match {
@@ -266,6 +276,16 @@ object VectorExpressions {
             s"graft_shingle_hashes arg 2 must be a literal, got $other")
         }
         TokenShingleHashes(children(0), n)
+      }))
+    e.injectFunction(desc("graft_shingle_sketch", classOf[ShingleSketch],
+      (children: Seq[Expression]) => {
+        def intLit(i: Int): Int = children(i) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_shingle_sketch arg ${i + 1} must be a literal, got $other")
+        }
+        ShingleSketch(children(0), intLit(1), intLit(2))
       }))
   }
 }

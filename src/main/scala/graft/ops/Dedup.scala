@@ -38,19 +38,6 @@ object Dedup {
     docs.join(keep, idCol) // canonical ids are unique → inner join keeps one per group
   }
 
-  // 2^31-1 (Mersenne prime): keeps a*h+b < 2^62, inside long range even
-  // under ANSI overflow checking.
-  private val MinhashP = 2147483647L
-
-  /** splitmix64 — deterministic driver-side coefficient derivation for the
-    * minhash permutations (public-domain constant-set, Steele et al. 2014). */
-  private def splitmix64(seed: Long): Long = {
-    var z = seed + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
-
   /** Candidate near-duplicate pairs via MinHash + banded LSH.
     *
     * numHashes = bands * rowsPerBand. Two docs become a candidate pair iff
@@ -69,39 +56,25 @@ object Dedup {
       shingleLen: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val p = MinhashP
-    // The shingle base feeds three consumers (signatures + both sides of
-    // the verify join). Tokenize ONCE: a single narrow kernel pass
-    // ([[graft.functions.TokenShingleHashes]]) emits each doc's distinct
-    // 64-bit shingle hashes — no shuffle, no Generate, no string arrays —
-    // and a localCheckpoint stages it, the run-local form of the staged
-    // (id, shingles, signature) table the 100 TB plan calls for. Staging
-    // the *hashed* sets (8-byte longs) is what makes the checkpoint pay:
-    // materializing the wide string arrays measured slower than
-    // recomputing them (BENCH_r02/r03), while the hash sets are ~an order
-    // of magnitude smaller, and every downstream step (min-hash mins,
-    // set intersection) needs only the hashes. 64-bit collisions are
-    // negligible at corpus scale (~n²/2⁶⁵).
+    // The shingle base feeds three consumers (bucketing + both sides of
+    // the verify join). ONE narrow kernel pass
+    // ([[graft.functions.ShingleSketch]]) tokenizes each doc once and
+    // emits both the distinct 64-bit shingle-hash set and the full
+    // minhash signature — no explode, no 64-min aggregation, no shuffle
+    // (the former explode/hash-aggregate shape materialized ~|shingles|
+    // rows per doc and shuffled them by id just to take minima a tight
+    // per-row loop computes for free). A localCheckpoint stages the
+    // result — the run-local form of the staged (id, shingles, signature)
+    // table the 100 TB plan calls for; staging the *hashed* sets (8-byte
+    // longs) is what makes the checkpoint pay, the wide string arrays
+    // measured slower to materialize than to recompute (BENCH_r02/r03).
+    // 64-bit collisions are negligible at corpus scale (~n²/2⁶⁵).
     val staged = Transforms.fanOut(docs.select(col(idCol).as("id"), col(textCol)))
-      .select(col("id"), shingleHashes(col(textCol), shingleLen).as("shh"))
+      .select(col("id"), shingleSketch(col(textCol), shingleLen, numHashes).as("sk"))
+      .select(col("id"), col("sk.shh").as("shh"), col("sk.sig").as("sig"))
       .filter(size(col("shh")) > 0)
       .localCheckpoint()
-    // signatures: explode the staged hashes into the explode/hash-aggregate
-    // shape (codegen'd partial mins, one shuffle by id), then checkpoint
-    // the tiny (id, sig) table — it feeds the bucket join twice and the
-    // oversized-bucket count once, and without the checkpoint the 64-min
-    // aggregate is re-planned for each of the three consumers.
-    val ex = staged.select(col("id"), explode(col("shh")).as("h0"))
-      .select(col("id"), pmod(col("h0"), lit(p)).as("h"))
-    val mins = (0 until numHashes).map { i =>
-      val a = java.lang.Long.remainderUnsigned(splitmix64(2 * i), p - 1) + 1
-      val b = java.lang.Long.remainderUnsigned(splitmix64(2 * i + 1), p)
-      min(pmod(lit(a) * col("h") + lit(b), lit(p))).as(s"m$i")
-    }
-    val withSig = ex.groupBy("id").agg(mins.head, mins.tail: _*)
-      .select(col("id"),
-        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
-      .localCheckpoint()
+    val withSig = staged.select("id", "sig")
     // explode into (band, hash-of-band-slice) buckets; drop the signature
     val banded = withSig.select(
       col("id"),
@@ -259,21 +232,18 @@ object Dedup {
     * Output: (id, fps: array<string>) plus any `keep` columns.
     */
   def winnowFingerprints(docs: DataFrame, textCol: String, idCol: String,
-      shingleLen: Int = 3, window: Int = 4, keep: Seq[String] = Nil): DataFrame = {
-    // positional shingles (NOT distinct — winnowing is order-sensitive),
-    // one native kernel call; the md5 hash array still goes through a
-    // barrier because the windowed-min lambda references it per window.
-    val withSh = Transforms.fanOut(
+      shingleLen: Int = 3, window: Int = 4, keep: Seq[String] = Nil): DataFrame =
+    // one native kernel call per row ([[graft.functions.WinnowKernel]]):
+    // tokenize → positional shingles → md5 → sliding-window min →
+    // distinct, all inside whole-stage codegen. Replaces the former
+    // Generate barrier + interpreted windowed-min HOF; bit-equality with
+    // that formulation is spec-enforced, and the DuckDB oracle
+    // (q_fingerprint_winnow) pins the semantics independently.
+    Transforms.fanOut(
       docs.select((Seq(col(idCol).as("id"), col(textCol)) ++ keep.map(col)): _*))
-      .withColumn("shp", shinglesN(col(textCol), shingleLen))
-    val withHs = Transforms.materialized(withSh, "hs",
-      transform(col("shp"), sh => md5(sh)))
-    val fps = when(size(col("hs")) === 0, array().cast("array<string>"))
-      .otherwise(array_distinct(
-        transform(sequence(lit(0), greatest(size(col("hs")) - window, lit(0))), j =>
-          array_min(slice(col("hs"), j + 1, lit(window))))))
-    withHs.select((Seq(col("id"), fps.as("fps")) ++ keep.map(col)): _*)
-  }
+      .select((Seq(col("id"),
+        winnowN(col(textCol), shingleLen, window).as("fps")) ++
+        keep.map(col)): _*)
 
   /** Exact n-gram Jaccard pairs within a blocking key, via a hot/cold
     * split inverted index.

@@ -353,6 +353,52 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("native graft_shingle_sketch equals the explode/aggregate minhash formulation") {
+    import graft.functions.TextFunctions._
+    val p = graft.functions.MinhashCoeffs.P
+    val (ca, cb) = graft.functions.MinhashCoeffs.get(8)
+    val base = docs.select(col("doc_id").as("id"), shingleHashes(col("text"), 3).as("shh"))
+      .filter(size(col("shh")) > 0)
+    val ex = base.select(col("id"), explode(col("shh")).as("h0"))
+      .select(col("id"), pmod(col("h0"), lit(p)).as("h"))
+    val mins = (0 until 8).map(i =>
+      min(pmod(lit(ca(i)) * col("h") + lit(cb(i)), lit(p))).as(s"m$i"))
+    val aggSig = ex.groupBy("id").agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until 8).map(i => col(s"m$i")): _*).as("agg_sig"))
+    val kernel = docs.select(col("doc_id").as("id"), shingleSketch(col("text"), 3, 8).as("sk"))
+      .select(col("id"), col("sk.shh").as("k_shh"), col("sk.sig").as("k_sig"))
+      .filter(size(col("k_shh")) > 0)
+    val joined = kernel.join(aggSig, "id")
+    assert(joined.count() > 0)
+    val badSig = joined.filter(col("k_sig") =!= col("agg_sig")).count()
+    assert(badSig == 0, "kernel signature must equal the aggregate formulation")
+    val badShh = kernel.join(base, "id").filter(col("k_shh") =!= col("shh")).count()
+    assert(badShh == 0, "kernel shingle-hash set must equal graft_shingle_hashes")
+  }
+
+  test("native graft_winnow equals the windowed-min Column formulation") {
+    import graft.functions.TextFunctions._
+    def hofWinnow(w: Int): org.apache.spark.sql.Column = {
+      val hs = transform(shinglesN(col("text"), 3), sh => md5(sh))
+      when(size(hs) === 0, array().cast("array<string>"))
+        .otherwise(array_distinct(
+          transform(sequence(lit(0), greatest(size(hs) - w, lit(0))), j =>
+            array_min(slice(hs, j + 1, lit(w))))))
+    }
+    for (w <- Seq(2, 4, 8)) {
+      val bad = docs.select(hofWinnow(w).as("hof"), winnowN(col("text"), 3, w).as("nat"))
+        .filter(col("hof") =!= col("nat")).count()
+      assert(bad == 0, s"winnow mismatch for window=$w")
+    }
+    import spark.implicits._
+    val edge = Seq("", "   ", "one two", "one two three",
+        "a b c d e f g h i j k l") // multiple full windows
+      .toDF("text")
+    val bad = edge.select(hofWinnow(4).as("hof"), winnowN(col("text"), 3, 4).as("nat"))
+      .filter(col("hof") =!= col("nat")).count()
+    assert(bad == 0)
+  }
+
   test("native graft_dot/graft_cosine are bit-identical to the HOF kernels") {
     import graft.functions.VectorFunctions._
     val pairs = emb.limit(50).select(col("vec_id"), col("embedding"))
