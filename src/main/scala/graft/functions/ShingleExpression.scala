@@ -296,6 +296,58 @@ object SketchKernel {
   }
 }
 
+/** One-pass SimHash kernel (Manku/Jain/Das Sarma, WWW'07): per token
+  * (every occurrence — votes are term-frequency weighted), xxhash64 with
+  * Spark's default seed 42, then 64 vote counters (+1 if bit set, −1
+  * otherwise); output bit i is set iff votes(i) > 0. Bit-equal to the
+  * explode + 64-sum-aggregate formulation (spec-enforced) without
+  * materializing one row per token. */
+object SimhashKernel {
+  def eval(text: UTF8String): Long = {
+    if (text == null) return 0L
+    val toks = text.toString.toLowerCase(java.util.Locale.ROOT)
+      .trim.split("\\s+")
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val u = UTF8String.fromString(toks(i))
+      val h = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+      var j = 0
+      while (j < 64) {
+        if ((h & (1L << j)) != 0) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+}
+
+/** graft_simhash(text): 64-bit SimHash signature of the token stream —
+  * see [[SimhashKernel]]. */
+case class SimhashSignature(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    SimhashKernel.eval(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimhashKernel.eval($c)")
+
+  override def prettyName: String = "graft_simhash"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** graft_shingle_sketch(text, n, numHashes):
   * struct(shh: array<long>, sig: array<long>) — the staged-table row for
   * MinHash dedup, produced in one narrow kernel call (see

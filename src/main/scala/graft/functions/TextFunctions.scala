@@ -52,6 +52,9 @@ object TextFunctions {
   def shingleSketch(text: Column, n: Int, numHashes: Int): Column =
     call_function("graft_shingle_sketch", text, lit(n), lit(numHashes))
 
+  /** One-pass 64-bit SimHash signature ([[SimhashSignature]]). */
+  def simhash64(text: Column): Column = call_function("graft_simhash", text)
+
   /** Set-semantics Jaccard similarity of two string arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

@@ -277,6 +277,8 @@ object VectorExpressions {
         }
         TokenShingleHashes(children(0), n)
       }))
+    e.injectFunction(desc("graft_simhash", classOf[SimhashSignature],
+      (children: Seq[Expression]) => SimhashSignature(children(0))))
     e.injectFunction(desc("graft_shingle_sketch", classOf[ShingleSketch],
       (children: Seq[Expression]) => {
         def intLit(i: Int): Int = children(i) match {

@@ -139,22 +139,14 @@ object Dedup {
     // same way. Fail loudly instead of silently losing recall.
     require(prefixBits >= 1 && prefixBits <= 63,
       s"prefixBits must be in [1, 63], got $prefixBits")
-    // explode + 64 sum-aggregates (codegen, map-side combine) — the
-    // explode/hash-aggregate shape, like minhashNearDup's signature step:
-    // the nested-array-lambda formulation is avoided because Catalyst's
-    // CollapseProject inlines the shingle-hash column into every lambda
-    // body, re-tokenizing numHashes × |shingles| times in interpreted
-    // eval (measured 28 s → >600 s pathologies at sf0.1).
-    val ex = docs.select(col(idCol).as("id"),
-        explode(tokens(col(textCol))).as("t"))
-      .select(col("id"), xxhash64(col("t")).as("h"))
-    val votes = (0 until 64).map { i =>
-      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1L).otherwise(-1L)).as(s"v$i")
-    }
-    val sigs = ex.groupBy("id").agg(votes.head, votes.tail: _*)
-      .select(col("id"),
-        (0 until 64).map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L))
-          .reduce(_ + _).as("sig"))
+    // ONE narrow kernel pass ([[graft.functions.SimhashKernel]]) computes
+    // the 64-bit signature per row — no explode, no 64-sum aggregation,
+    // no shuffle (bit-equality with that formulation is spec-enforced).
+    // The checkpoint stages the tiny (id, sig) table once for its three
+    // consumers (bucketing + both verify sides).
+    val sigs = Transforms.fanOut(docs.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"), simhash64(col(textCol)).as("sig"))
+      .localCheckpoint()
     val stride = 64 / bands
     val banded = sigs.select(col("id"),
       explode(array((0 until bands).map { b =>

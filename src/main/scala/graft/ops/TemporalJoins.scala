@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark has no built-in for — as-of (nearest
+  * prior event) and interval-range joins — in their scale-correct
+  * formulations: one bounded equi-shuffle each, never a per-row probe,
+  * inequality cross join, or range explosion.
+  */
+object TemporalJoins {
+
+  /** As-of join: for every left row, the single LATEST right row with
+    * `rightTs <= leftTs` in the same `key` group (inclusive at equal
+    * timestamps — DuckDB `ASOF JOIN`'s `>=` convention); left rows with
+    * no prior right row keep null payloads (left-outer semantics).
+    *
+    * Scale shape — the merge-join formulation: tag and union the two
+    * inputs, ONE shuffle+sort by (key, ts, tag), and a running
+    * `last(_, ignoreNulls)` carries each right payload forward to the
+    * left rows that follow it. Work is O((|L|+|R|) log) in the sort with
+    * no dependence on time-gap width; the naive inequality join is
+    * O(|L|·|R|) per key and a range-bucketed variant needs a gap bound.
+    * Right rows sort before left rows at an equal timestamp, which is
+    * what makes the match inclusive.
+    *
+    * Determinism: callers must make the right side unique per (key, ts)
+    * (pre-aggregate — e.g. max of the payload); with ties the carried
+    * row would depend on sort placement.
+    *
+    * Output: all left columns plus `payload` columns from the right
+    * (same names), null when no prior right row exists.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+    require(payload.nonEmpty, "asofJoin needs at least one right payload column")
+    val leftCols = left.columns.toSeq
+    require(!leftCols.exists(payload.contains),
+      s"payload names collide with left columns: ${payload.intersect(leftCols)}")
+    val lOther = leftCols.filterNot(_ == key)
+    val l2 = left.select(
+      Seq(col(key), col(leftTs).as("_ts"), lit(1).as("_tag")) ++
+        lOther.map(col) ++
+        payload.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")): _*)
+    val r2 = right.select(
+      Seq(col(key), col(rightTs).as("_ts"), lit(0).as("_tag")) ++
+        lOther.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payload.map(c => col(c).as(s"_r_$c")): _*)
+    val w = Window.partitionBy(key).orderBy(col("_ts"), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(l2.unionByName(r2)) { (df, c) =>
+      df.withColumn(s"_r_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_tag") === 1)
+      .select(leftCols.map(col) ++ payload.map(c => col(s"_r_$c").as(c)): _*)
+  }
+
+  /** Interval-range join: every (probe, interval) pair with
+    * `startCol <= probeTs <= endCol` in the same `key` group. All three
+    * columns must share one unit (e.g. epoch micros).
+    *
+    * Scale shape — time bucketing: a probe row lands in exactly one
+    * bucket of width `bucketWidth`; each interval is exploded to the
+    * buckets it covers. A qualifying pair meets in exactly the probe's
+    * bucket, so the equi-join on (key, bucket) + the exact BETWEEN
+    * filter produces each pair once — no dedup step, and never the
+    * O(|P|·|I|)-per-key inequality join. Interval replication is
+    * len/bucketWidth + 1 rows, so pick bucketWidth near the typical
+    * interval length (replication ≈ 2×).
+    *
+    * Output: all probe columns plus `payload` columns from the interval
+    * side (inner-join semantics — unmatched probes drop).
+    */
+  def rangeJoin(probe: DataFrame, probeTs: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      key: String, bucketWidth: Long, payload: Seq[String]): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val p = probe.withColumn("_b", expr(s"$probeTs div $bucketWidth"))
+    val i = intervals
+      .filter(col(startCol) <= col(endCol))
+      .select(Seq(col(key).as("_ik"), col(startCol).as("_start"),
+        col(endCol).as("_end")) ++ payload.map(col): _*)
+      .withColumn("_b", explode(sequence(
+        expr(s"_start div $bucketWidth"), expr(s"_end div $bucketWidth"))))
+    p.join(i, p(key) === i("_ik") && p("_b") === i("_b"))
+      .filter(col(probeTs).between(col("_start"), col("_end")))
+      .select(probe.columns.map(col).toSeq ++ payload.map(col): _*)
+  }
+}

@@ -126,6 +126,45 @@ object RelationalQueries {
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
     }),
 
+    // as-of join: each purchase matched to the user's latest prior click
+    // (graft.ops.TemporalJoins.asofJoin — union + one sort, merge-join
+    // shape; right side pre-aggregated unique per (user, ts) for
+    // determinism). DuckDB twin: native ASOF LEFT JOIN.
+    "q_join_asof" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("rus"), col("event_id"))
+        .groupBy("user_id", "rus").agg(max("event_id").as("click_id"))
+      graft.ops.TemporalJoins.asofJoin(purchases, clicks,
+          key = "user_id", leftTs = "us", rightTs = "rus",
+          payload = Seq("click_id", "rus"))
+        .select(col("event_id"), col("user_id"), col("click_id"),
+          (col("us") - col("rus")).as("gap_us"))
+    }),
+
+    // interval-range join: events falling inside [purchase, purchase+30m]
+    // windows of the same user (graft.ops.TemporalJoins.rangeJoin —
+    // bucketed equi-join, each pair produced exactly once, never the
+    // O(n·m) inequality join). DuckDB twin: plain inequality join.
+    "q_join_range" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val probe = ev.select(col("event_id"), col("event_type"),
+        col("user_id"), unix_micros(col("ts")).as("us"))
+      val intervals = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("w_start"),
+          (unix_micros(col("ts")) + lit(1800L * 1000000L)).as("w_end"),
+          col("event_id").as("purchase_id"))
+      graft.ops.TemporalJoins.rangeJoin(probe, "us", intervals,
+          "w_start", "w_end", key = "user_id",
+          bucketWidth = 1800L * 1000000L, payload = Seq("purchase_id"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_pairs"),
+          count_distinct(col("event_id")).as("n_events"),
+          count_distinct(col("purchase_id")).as("n_windows"))
+    }),
+
     // ---- aggregation -------------------------------------------------
     "q_agg_tpch_q1" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -463,6 +502,30 @@ object RelationalQueries {
         |GROUP BY c_mktsegment""".stripMargin,
 
     "q_join_cross" -> "SELECT count(*) AS n FROM region CROSS JOIN nation",
+
+    "q_join_asof" ->
+      """WITH r AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS rus,
+        |  max(event_id) AS click_id
+        | FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |l AS (SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) AS us
+        | FROM events WHERE event_type = 'purchase')
+        |SELECT l.event_id, l.user_id, r.click_id, l.us - r.rus AS gap_us
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.us >= r.rus""".stripMargin,
+
+    "q_join_range" ->
+      """WITH p AS (SELECT event_id, event_type, user_id,
+        |  epoch_us(ts::TIMESTAMP) AS us FROM events),
+        |i AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS w_start,
+        |  epoch_us(ts::TIMESTAMP) + 1800000000 AS w_end,
+        |  event_id AS purchase_id
+        | FROM events WHERE event_type = 'purchase')
+        |SELECT event_type, count(*) AS n_pairs,
+        | count(DISTINCT event_id) AS n_events,
+        | count(DISTINCT purchase_id) AS n_windows
+        |FROM p JOIN i
+        |  ON p.user_id = i.user_id AND p.us BETWEEN i.w_start AND i.w_end
+        |GROUP BY event_type""".stripMargin,
 
     "q_join_right" ->
       """SELECT count(*) AS n, count(o_orderkey) AS n_matched

@@ -376,6 +376,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(badShh == 0, "kernel shingle-hash set must equal graft_shingle_hashes")
   }
 
+  test("native graft_simhash equals the explode/vote-aggregate formulation") {
+    import graft.functions.TextFunctions._
+    val ex = docs.select(col("doc_id").as("id"), explode(tokens(col("text"))).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val votes = (0 until 64).map(i =>
+      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1L).otherwise(-1L)).as(s"v$i"))
+    val aggSig = ex.groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L))
+          .reduce(_ + _).as("agg_sig"))
+    val kernel = docs.select(col("doc_id").as("id"), simhash64(col("text")).as("k_sig"))
+    val bad = kernel.join(aggSig, "id").filter(col("k_sig") =!= col("agg_sig")).count()
+    assert(bad == 0, "kernel simhash must equal the vote-aggregate formulation")
+  }
+
   test("native graft_winnow equals the windowed-min Column formulation") {
     import graft.functions.TextFunctions._
     def hofWinnow(w: Int): org.apache.spark.sql.Column = {
