@@ -46,4 +46,43 @@ class PlanShapeSpec extends SparkSpec {
     val p2 = plan("q_sim_lsh")
     assert(p2.contains("graft_hyperplane_sig"))
   }
+
+  test("q_dedup_minhash: staged sketch kernel, no minhash aggregation shuffle") {
+    // the sketch (shh + sig) must come from the one-pass kernel on the
+    // checkpointed staged table — if the explode/64-min-aggregate shape
+    // reappears, partial_min markers and its Exchange reappear with it
+    val p = plan("q_dedup_minhash")
+    assert(p.contains("graft_shingle_sketch") || p.contains("Scan ExistingRDD"),
+      "staged kernel table expected in the plan")
+    assert(!p.contains("partial_min"), "minhash mins must not be an aggregate")
+    // hot-bucket cap stays a broadcast anti-join, not a window count
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p.take(500))
+  }
+
+  test("q_decontaminate: benchmark side broadcasts, corpus never shuffles by shingle") {
+    val df = SparkEntry.queries("q_decontaminate")(spark, sf)
+    df.collect() // AQE finalizes join strategies
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "benchmark shingle set must broadcast:\n" + p.take(500))
+  }
+
+  test("q_join_asof: merge-join shape — one sort per key partition, no inequality join") {
+    val p = plan("q_join_asof")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "as-of join must not plan an inequality/cross join:\n" + p.take(500))
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      "running last-value carry expected")
+  }
+
+  test("q_join_range: bucketed equi-join, never a cartesian/inequality join") {
+    val p = plan("q_join_range")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "range join must stay an equi-join on (key, bucket):\n" + p.take(500))
+  }
+
+  test("q_fingerprint_winnow: single winnow kernel call, no Generate barrier") {
+    val p = plan("q_fingerprint_winnow")
+    assert(p.contains("graft_winnow"), "native winnow kernel expected")
+  }
 }
