@@ -72,6 +72,43 @@ object Curation {
         .otherwise("test"))
   }
 
+  /** Deterministic stratified sampling: keep each stratum at its own
+    * rate, decided by the md5 of the row id (same row → same verdict on
+    * any engine, run, or topology — reproducible corpus subsets, unlike
+    * RNG sampling whose outcome depends on partition layout). Strata
+    * missing from `fractions` keep `defaultFrac`. One narrow projection +
+    * filter at any scale; rates are honored within ~2⁻¹⁶ per stratum
+    * (4-hex-digit threshold). */
+  def sampleStratified(df: DataFrame, idCol: String, strataCol: String,
+      fractions: Map[String, Double], defaultFrac: Double = 0.0): DataFrame = {
+    require((fractions.values ++ Seq(defaultFrac)).forall(f => f >= 0.0 && f <= 1.0),
+      "fractions must be in [0,1]")
+    def thr(f: Double): String = f"${math.round(f * 65536).toInt}%04x"
+    val cutoff = fractions.foldLeft(lit(thr(defaultFrac))) { case (acc, (k, f)) =>
+      when(col(strataCol) === k, lit(thr(f))).otherwise(acc)
+    }
+    df.filter(substring(md5(col(idCol).cast("string")), 1, 4) < cutoff)
+  }
+
+  /** Token-budget packing (the concat-and-chunk shape LLM training
+    * pipelines use): order documents deterministically within each group,
+    * lay them out on a contiguous token tape, and assign each document to
+    * the chunk containing its START offset — `pack_id = floor(
+    * (running − own) / budget)`. Window cumulative sum: one shuffle+sort
+    * per group, no driver state, and (unlike true greedy bin packing,
+    * which is inherently sequential) identical on any engine — the DuckDB
+    * twin is the same window expression. Adds `n_tokens` and `pack_id`. */
+  def packByTokenBudget(df: DataFrame, groupCol: String, orderCol: String,
+      textCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(orderCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("n_tokens", tokenCount(col(textCol)).cast("long"))
+      .withColumn("pack_id",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / lit(budget)))
+  }
+
   /** Within-document repetition ratio: 1 − |distinct shingles| /
     * |positional shingles| — 0 for fully novel text, → 1 for a document
     * that repeats one phrase (boilerplate, keyword stuffing, decoding

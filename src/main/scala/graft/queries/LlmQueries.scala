@@ -288,6 +288,25 @@ object LlmQueries {
         .groupBy("lang", "split")
         .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))),
 
+    // deterministic per-language sampling rates (md5-threshold per
+    // stratum) — reproducible subsets independent of partition layout
+    "q_sample_stratified" -> ((s, d) =>
+      Curation.sampleStratified(Tables.documents(s, d), "doc_id", "lang",
+          fractions = Map("en" -> 0.5, "de" -> 0.25), defaultFrac = 0.1)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("chars"),
+          min("doc_id").as("first_id"))),
+
+    // token-budget packing (concat-and-chunk): docs per chunk stats
+    "q_pack_budget" -> ((s, d) =>
+      Curation.packByTokenBudget(Tables.documents(s, d),
+          groupCol = "lang", orderCol = "doc_id", textCol = "text",
+          budget = 4096L)
+        .groupBy("lang")
+        .agg(count_distinct(col("pack_id")).as("n_packs"),
+          sum("n_tokens").as("total_tokens"),
+          max("pack_id").as("max_pack"))),
+
     // within-doc repetition ratio (boilerplate / stuffing detector)
     "q_repetition" -> ((s, d) =>
       Curation.repetitionScore(Tables.documents(s, d), "text")
@@ -544,6 +563,27 @@ object LlmQueries {
         |  THEN 'train' ELSE 'test' END AS split,
         | count(*) AS n, sum(n_chars)::BIGINT AS chars
         |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT lang, count(*) AS n_kept, sum(n_chars)::BIGINT AS chars,
+        | min(doc_id) AS first_id
+        |FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        |  CASE lang WHEN 'en' THEN '8000' WHEN 'de' THEN '4000' ELSE '199a' END
+        |GROUP BY lang""".stripMargin,
+
+    "q_pack_budget" ->
+      """WITH t AS (SELECT lang, doc_id,
+        |  len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))::BIGINT AS n_tokens
+        | FROM documents),
+        |p AS (SELECT lang, n_tokens,
+        |  (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+        |   // 4096 AS pack_id
+        | FROM t)
+        |SELECT lang, count(DISTINCT pack_id) AS n_packs,
+        | sum(n_tokens)::BIGINT AS total_tokens, max(pack_id) AS max_pack
+        |FROM p GROUP BY lang""".stripMargin,
 
     "q_repetition" ->
       s"""WITH r AS (SELECT lang,

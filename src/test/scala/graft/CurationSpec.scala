@@ -46,6 +46,43 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(frac - 0.8) < 0.05, s"train fraction $frac too far from 0.8")
   }
 
+  test("sampleStratified: per-stratum rates honored, deterministic, subset of input") {
+    val s1 = Curation.sampleStratified(docs, "doc_id", "lang",
+      fractions = Map("en" -> 0.5), defaultFrac = 0.1)
+    val s2 = Curation.sampleStratified(docs, "doc_id", "lang",
+      fractions = Map("en" -> 0.5), defaultFrac = 0.1)
+    assert(s1.select("doc_id").except(s2.select("doc_id")).isEmpty, "must be deterministic")
+    val total = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = s1.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enRate = kept.getOrElse("en", 0L).toDouble / total("en")
+    assert(math.abs(enRate - 0.5) < 0.1, s"en rate $enRate too far from 0.5")
+    total.keys.filterNot(_ == "en").foreach { l =>
+      val r = kept.getOrElse(l, 0L).toDouble / total(l)
+      assert(r < 0.3, s"stratum $l rate $r should be near 0.1")
+    }
+  }
+
+  test("packByTokenBudget: packs contiguous, start-offset assignment, totals add up") {
+    val d = Seq(
+      (1L, "en", "a b c d e"),        // 5 tokens, offsets 0-4  → pack 0
+      (2L, "en", "f g h i j k"),      // 6 tokens, offsets 5-10 → pack 0
+      (3L, "en", "l m n o"),          // 4 tokens, offset 11    → pack 1
+      (4L, "de", "x y z"))            // separate group         → pack 0
+      .toDF("doc_id", "lang", "text")
+    val out = Curation.packByTokenBudget(d, "lang", "doc_id", "text", budget = 10L)
+      .select("doc_id", "n_tokens", "pack_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((5L, 0L)) && out(2L) == ((6L, 0L)),
+      s"docs starting inside the first budget stay in pack 0: $out")
+    assert(out(3L) == ((4L, 1L)), s"doc starting past the budget rolls over: $out")
+    assert(out(4L) == ((3L, 0L)), "independent group restarts at pack 0")
+    // pack ids are contiguous from 0 within each group
+    val en = out.collect { case (id, (_, p)) if id <= 3 => p }.toSeq.sorted
+    assert(en == Seq(0L, 0L, 1L))
+  }
+
   test("repetitionScore: repeated phrase scores high, novel text low, short text zero") {
     val d = Seq(
       (1L, "buy now buy now buy now buy now buy now buy now"),
