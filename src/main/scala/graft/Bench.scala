@@ -26,7 +26,8 @@ object Bench {
     "q_token_bpe",        // regex pre-tokenization pass
     "q_pii_redact",       // regex detect+redact pass
     "q_fingerprint_winnow", // winnowing fingerprint sketch
-    "q_decontaminate"     // broadcast n-gram overlap vs benchmark set
+    "q_decontaminate",    // broadcast n-gram overlap vs benchmark set
+    "q_join_asof"         // merge-join-shaped temporal as-of join
   )
 
   def main(args: Array[String]): Unit = {
