@@ -215,6 +215,24 @@ object Dedup {
     labels
   }
 
+  /** The end-to-end "dedup my corpus" composition: given near-duplicate
+    * pairs (from [[ngramJaccardPairs]], [[minhashNearDup]], or
+    * [[simhashNearDup]]), cluster them with [[connectedComponents]] and
+    * keep ONE representative per cluster — the minimum id, matching
+    * [[exactDedup]]'s canonical choice — plus every unpaired document.
+    * The non-canonical id set is cluster-sized (tiny relative to the
+    * corpus), so the removal is a broadcastable anti-join: the corpus is
+    * scanned once and never shuffled. */
+  def keepCanonical(docs: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol)
+    val canonical = comp.groupBy("comp").agg(min("id").as("keep"))
+    val drop = comp.join(canonical, "comp")
+      .filter(col("id") =!= col("keep"))
+      .select(col("id").as(idCol))
+    docs.join(broadcast(drop), Seq(idCol), "left_anti")
+  }
+
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
     * hash every positional k-gram, slide a window of `window` hashes, keep
     * the minimum of each window, distinct the kept set. Robust to

@@ -143,6 +143,19 @@ object LlmQueries {
           max("sz").as("max_cluster"))
     }),
 
+    // the full near-dedup composition: pairs → clusters → keep min-id
+    // representative per cluster + all unpaired docs (the call a corpus
+    // curator actually makes)
+    "q_neardedup_keep" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", "lang",
+        threshold = 0.5)
+      Dedup.keepCanonical(docs, "doc_id", pairs)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("chars"),
+          min("doc_id").as("first_id"))
+    }),
+
     "q_dedup_exact_docs" -> ((s, d) =>
       Dedup.exactDupGroups(Tables.documents(s, d), "text", "doc_id")
         .agg(count(lit(1)).as("n_groups"), sum("n_dups").as("n_docs"),
@@ -460,6 +473,29 @@ object LlmQueries {
          |cs AS (SELECT comp, count(*) AS sz FROM lbl GROUP BY comp)
          |SELECT count(*) AS n_clusters, sum(sz)::BIGINT AS n_docs, max(sz) AS max_cluster
          |FROM cs""".stripMargin,
+
+    "q_neardedup_keep" ->
+      s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id, lang, ${sqlShingles(sqlToks)} AS sh FROM documents),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |  WHERE CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+         |   ELSE len(list_distinct(list_intersect(a.sh, b.sh)))::DOUBLE
+         |    / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE END >= 0.5),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM p
+         |      UNION SELECT id_b, id_a FROM p),
+         |nn AS (SELECT DISTINCT src AS id FROM e),
+         |r AS (SELECT id, id AS comp FROM nn
+         |      UNION
+         |      SELECT e.dst AS id, r.comp FROM e JOIN r ON e.src = r.id),
+         |lbl AS (SELECT id, min(comp) AS comp FROM r GROUP BY id),
+         |keepers AS (SELECT comp, min(id) AS keep FROM lbl GROUP BY comp),
+         |drops AS (SELECT lbl.id FROM lbl JOIN keepers USING (comp)
+         |  WHERE lbl.id <> keepers.keep)
+         |SELECT lang, count(*) AS n_kept, sum(n_chars)::BIGINT AS chars,
+         | min(doc_id) AS first_id
+         |FROM documents WHERE doc_id NOT IN (SELECT id FROM drops)
+         |GROUP BY lang""".stripMargin,
 
     "q_dedup_exact_docs" ->
       """SELECT count(*) AS n_groups, sum(n_dups)::BIGINT AS n_docs, max(n_dups) AS max_group
