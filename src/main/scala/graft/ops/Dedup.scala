@@ -302,6 +302,10 @@ object Dedup {
     // ([[graft.functions.TokenShingleHashes]]): one narrow kernel pass
     // and every downstream shuffle carries 8-byte keys instead of
     // shingle strings. Jaccard values are count ratios, unchanged.
+    // base is deliberately NOT checkpointed (unlike minhash's staged
+    // sketch): the kernel re-pass per join side measured within 3% of the
+    // staged variant here, and staying lazy keeps reconstruction free of
+    // plan-time jobs beyond the memoized probe.
     val base = Transforms.fanOut(
         renamed.select(col(idCol).as("id"), col(textCol), col("blk")))
       .select(col("id"), shingleHashes(col(textCol), shingleLen).as("sh"), col("blk"))
