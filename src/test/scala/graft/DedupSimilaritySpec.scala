@@ -414,6 +414,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("every native kernel resolves from plain SQL (SparkSessionExtensions)") {
+    val r = spark.sql("""
+      SELECT graft_shingles('a b c d', 3) AS sh,
+             graft_shingle_hashes('a b c d', 3) AS shh,
+             graft_winnow('a b c d e f', 3, 2) AS fps,
+             graft_simhash('hello world') AS sim,
+             graft_shingle_sketch('a b c d', 3, 4).sig AS sig,
+             graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dot,
+             graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cos
+    """).collect().head
+    assert(r.getAs[collection.Seq[String]]("sh").toSeq == Seq("a b c", "b c d"))
+    assert(r.getAs[collection.Seq[Long]]("shh").length == 2)
+    assert(r.getAs[collection.Seq[String]]("fps").nonEmpty)
+    assert(r.getAs[collection.Seq[Long]]("sig").length == 4)
+    assert(r.getAs[Double]("dot") == 11.0)
+    assert(math.abs(r.getAs[Double]("cos") - 1.0) < 1e-12)
+  }
+
   test("native graft_dot/graft_cosine are bit-identical to the HOF kernels") {
     import graft.functions.VectorFunctions._
     val pairs = emb.limit(50).select(col("vec_id"), col("embedding"))
