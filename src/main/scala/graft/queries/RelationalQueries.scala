@@ -306,6 +306,17 @@ object RelationalQueries {
         .pivot("l_returnflag", Seq("A", "N", "R"))
         .agg(round(sum("l_quantity"), 2))),
 
+    // unpivot — the inverse reshaping of q_pivot (wide metric columns →
+    // long (metric, value) rows), aggregated so the oracle is stable
+    "q_unpivot" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_quantity", "l_extendedprice", "l_discount")
+        .unpivot(Array.empty[org.apache.spark.sql.Column],
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "val")
+        .groupBy("metric")
+        .agg(round(sum("val"), 2).as("s"), count(lit(1)).as("n"))),
+
     "q_case_expr" -> ((s, d) =>
       Tables.orders(s, d)
         .groupBy(
@@ -689,6 +700,16 @@ object RelationalQueries {
         | round(sum(CASE WHEN l_returnflag='N' THEN l_quantity END), 2) AS N,
         | round(sum(CASE WHEN l_returnflag='R' THEN l_quantity END), 2) AS R
         |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT metric, round(sum(val), 2) AS s, count(*) AS n
+        |FROM (
+        | SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+        | UNION ALL
+        | SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        | UNION ALL
+        | SELECT 'l_discount', l_discount FROM lineitem)
+        |GROUP BY metric""".stripMargin,
 
     "q_case_expr" ->
       """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'

@@ -130,6 +130,32 @@ class StreamingSpec extends SparkSpec {
       s"shingle-less docs must pass through undeduplicated: $kept")
   }
 
+  test("stream-stream interval join: purchases match clicks within the window") {
+    // both sides watermarked; join condition bounds the state retention
+    // (click joins purchases within [click, click + 30 min])
+    val clicks = new MemoryStream[(Long, Timestamp)](18, spark, None)
+    val buys = new MemoryStream[(Long, Timestamp)](19, spark, None)
+    val c = clicks.toDF().toDF("user", "cts").withWatermark("cts", "10 minutes")
+    val b = buys.toDF().toDF("buyer", "bts").withWatermark("bts", "10 minutes")
+    val joined = c.join(b,
+      col("user") === col("buyer") &&
+        col("bts") >= col("cts") &&
+        col("bts") <= col("cts") + expr("interval 30 minutes"))
+    val q = joined.writeStream.format("memory").queryName("ssjoin_out")
+      .outputMode("append").start()
+    clicks.addData(Seq(1L -> ts(0), 2L -> ts(5)))
+    buys.addData(Seq(1L -> ts(10), 2L -> ts(50))) // user 2 buys too late
+    q.processAllAvailable()
+    // late-arriving click still joins (within watermark)
+    clicks.addData(Seq(3L -> ts(20)))
+    buys.addData(Seq(3L -> ts(25)))
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    val got = spark.table("ssjoin_out").select("user").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 3L),
+      s"expected users 1 and 3 joined (2 outside the 30-min window), got ${got.toSeq}")
+  }
+
   test("runningCountPerKey: state accumulates across micro-batches") {
     val ms = new MemoryStream[(String, Long)](12, spark, None)
     val out = StreamingOps.runningCountPerKey(ms.toDS())
