@@ -37,7 +37,8 @@ object Monitoring {
       inputRows: Long,
       stateRows: Long,
       totalBatchMs: Long,
-      lastProgressAtMs: Long) {
+      lastProgressAtMs: Long,
+      observed: Map[String, Map[String, String]] = Map.empty) {
     def avgBatchMs: Double = if (batches == 0) 0.0 else totalBatchMs.toDouble / batches
   }
 
@@ -48,6 +49,8 @@ object Monitoring {
     val totalBatchMs = new AtomicLong
     val lastProgressAt = new AtomicLong
     val name = new AtomicReference[String]("")
+    val observed =
+      new AtomicReference[Map[String, Map[String, String]]](Map.empty)
   }
 
   /** Listener-bus metrics aggregation — zero cost on the data path. */
@@ -80,6 +83,18 @@ object Monitoring {
         Option(e.progress.stateOperators).map(_.map(_.numRowsTotal).sum).getOrElse(0L))
       Option(e.progress.durationMs.get("triggerExecution"))
         .foreach(d => s.totalBatchMs.addAndGet(d.longValue()))
+      // user-defined Dataset.observe metrics: latest value per observation
+      // name, each row flattened to column → rendered value (gauges, so
+      // last-wins like stateRows)
+      val obs = e.progress.observedMetrics
+      if (obs != null && !obs.isEmpty) {
+        val flat = obs.asScala.map { case (name, row) =>
+          name -> row.schema.fieldNames.zipWithIndex.map { case (f, i) =>
+            f -> String.valueOf(row.get(i))
+          }.toMap
+        }.toMap
+        s.observed.updateAndGet(prev => prev ++ flat)
+      }
       s.lastProgressAt.set(System.currentTimeMillis())
     }
 
@@ -88,7 +103,8 @@ object Monitoring {
     def snapshot: Map[UUID, QueryStats] =
       stats.asScala.map { case (id, s) =>
         id -> QueryStats(s.name.get(), s.batches.get(), s.inputRows.get(),
-          s.stateRows.get(), s.totalBatchMs.get(), s.lastProgressAt.get())
+          s.stateRows.get(), s.totalBatchMs.get(), s.lastProgressAt.get(),
+          s.observed.get())
       }.toMap
   }
 

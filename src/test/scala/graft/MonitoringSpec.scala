@@ -89,6 +89,34 @@ class MonitoringSpec extends SparkSpec {
     }
   }
 
+  test("metrics: Dataset.observe user metrics surface in the snapshot") {
+    import org.apache.spark.sql.functions._
+    val metrics = new Monitoring.MetricsListener().attach(spark)
+    val src = new MemoryMessageSource(spark)
+    val observed = src.stream(spark)
+      .observe("envelope_stats", count(lit(1)).as("rows"),
+        sum(octet_length(col("value"))).as("bytes"))
+    val q = observed.writeStream.format("memory")
+      .queryName("mon_observe_out").start()
+    try {
+      src.add(Seq(Message.ofString("a", "12345", "t"),
+        Message.ofString("b", "123", "t")))
+      q.processAllAvailable()
+      eventually() {
+        val s = metrics.snapshot.collectFirst {
+          case (_, st) if st.name == "mon_observe_out" => st
+        }.getOrElse(fail("query not seen"))
+        val m = s.observed.getOrElse("envelope_stats",
+          fail(s"observation missing: ${s.observed}"))
+        assert(m("rows") == "2" && m("bytes") == "8", s"unexpected metrics: $m")
+      }
+    } finally {
+      q.stop()
+      q.awaitTermination()
+      metrics.detach(spark)
+    }
+  }
+
   test("metrics: stateRows is a gauge (last value), not a running sum") {
     val metrics = new Monitoring.MetricsListener().attach(spark)
     val src = new MemoryMessageSource(spark)
