@@ -66,11 +66,19 @@ object Curation {
       splitCol: String = "split"): DataFrame = {
     require(trainFrac > 0.0 && trainFrac < 1.0,
       s"trainFrac must be in (0,1), got $trainFrac")
-    val threshold = f"${math.round(trainFrac * 65536).toInt}%04x"
     df.withColumn(splitCol,
-      when(substring(md5(col(idCol).cast("string")), 1, 4) < threshold, "train")
-        .otherwise("test"))
+      when(substring(md5(col(idCol).cast("string")), 1, 4) < hexThreshold(trainFrac),
+        "train").otherwise("test"))
   }
+
+  /** 4-hex-char md5-prefix threshold for fraction `f`. Capped at 0xffff so
+    * rounding can never produce the 5-char "10000" (which, compared
+    * lexicographically against 4-char digests, would keep only ~6% of
+    * rows); f ≥ 1.0 maps to "g", which every hex digest sorts below, so
+    * the filter keeps all rows exactly. */
+  private def hexThreshold(f: Double): String =
+    if (f >= 1.0) "g"
+    else f"${math.min(math.round(f * 65536).toInt, 65535)}%04x"
 
   /** Deterministic stratified sampling: keep each stratum at its own
     * rate, decided by the md5 of the row id (same row → same verdict on
@@ -83,9 +91,9 @@ object Curation {
       fractions: Map[String, Double], defaultFrac: Double = 0.0): DataFrame = {
     require((fractions.values ++ Seq(defaultFrac)).forall(f => f >= 0.0 && f <= 1.0),
       "fractions must be in [0,1]")
-    def thr(f: Double): String = f"${math.round(f * 65536).toInt}%04x"
-    val cutoff = fractions.foldLeft(lit(thr(defaultFrac))) { case (acc, (k, f)) =>
-      when(col(strataCol) === k, lit(thr(f))).otherwise(acc)
+    val cutoff = fractions.foldLeft(lit(hexThreshold(defaultFrac))) {
+      case (acc, (k, f)) =>
+        when(col(strataCol) === k, lit(hexThreshold(f))).otherwise(acc)
     }
     df.filter(substring(md5(col(idCol).cast("string")), 1, 4) < cutoff)
   }

@@ -220,9 +220,12 @@ object Dedup {
     * [[simhashNearDup]]), cluster them with [[connectedComponents]] and
     * keep ONE representative per cluster — the minimum id, matching
     * [[exactDedup]]'s canonical choice — plus every unpaired document.
-    * The non-canonical id set is cluster-sized (tiny relative to the
-    * corpus), so the removal is a broadcastable anti-join: the corpus is
-    * scanned once and never shuffled. */
+    * The non-canonical id set scales with the number of DUPLICATE
+    * documents — routinely a large fraction of a web corpus — so the
+    * anti-join is left un-hinted: AQE broadcasts it when the measured
+    * size fits and falls back to a shuffled anti-join when it doesn't
+    * (a forced broadcast here would blow the driver at exactly the
+    * scale this operator targets). */
   def keepCanonical(docs: DataFrame, idCol: String, pairs: DataFrame,
       aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
     val comp = connectedComponents(pairs, aCol, bCol)
@@ -230,7 +233,7 @@ object Dedup {
     val drop = comp.join(canonical, "comp")
       .filter(col("id") =!= col("keep"))
       .select(col("id").as(idCol))
-    docs.join(broadcast(drop), Seq(idCol), "left_anti")
+    docs.join(drop, Seq(idCol), "left_anti")
   }
 
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
@@ -239,10 +242,15 @@ object Dedup {
     * insertions/reordering in a way a whole-document hash is not, and the
     * fingerprint set size is ~|doc|/window — the standard plagiarism /
     * near-dup sketch. md5 (lexicographic min) keeps it DuckDB-mirrorable.
-    * Output: (id, fps: array<string>) plus any `keep` columns.
+    * Output: (id, fps: array<string>) plus any `keep` columns (`keep`
+    * may include `textCol` to carry the document body through).
     */
   def winnowFingerprints(docs: DataFrame, textCol: String, idCol: String,
-      shingleLen: Int = 3, window: Int = 4, keep: Seq[String] = Nil): DataFrame =
+      shingleLen: Int = 3, window: Int = 4, keep: Seq[String] = Nil): DataFrame = {
+    // `keep` may name textCol/idCol (to carry the payload through); they
+    // are already selected, so drop them from the input projection to
+    // avoid duplicate columns.
+    val keepIn = keep.filterNot(c => c == textCol || c == idCol)
     // one native kernel call per row ([[graft.functions.WinnowKernel]]):
     // tokenize → positional shingles → md5 → sliding-window min →
     // distinct, all inside whole-stage codegen. Replaces the former
@@ -250,10 +258,11 @@ object Dedup {
     // that formulation is spec-enforced, and the DuckDB oracle
     // (q_fingerprint_winnow) pins the semantics independently.
     Transforms.fanOut(
-      docs.select((Seq(col(idCol).as("id"), col(textCol)) ++ keep.map(col)): _*))
+      docs.select((Seq(col(idCol).as("id"), col(textCol)) ++ keepIn.map(col)): _*))
       .select((Seq(col("id"),
         winnowN(col(textCol), shingleLen, window).as("fps")) ++
-        keep.map(col)): _*)
+        keep.filterNot(_ == idCol).map(col)): _*)
+  }
 
   /** Exact n-gram Jaccard pairs within a blocking key, via a hot/cold
     * split inverted index.
@@ -377,6 +386,12 @@ object Dedup {
     * hotDf) → same verdict, paid once per session (registry/bench callers
     * reconstruct the query per repetition). Bounded: cleared wholesale if
     * it ever grows past 256 distinct inputs. */
+  // Perf-only cache, keyed on the canonicalized logical plan: if the files
+  // BEHIND an identical plan are overwritten mid-session, the stale verdict
+  // is reused — acceptable because both plans are exact (a wrong verdict
+  // costs time, never correctness). Entries are inserted via
+  // computeIfAbsent so one caller computes per key; the coarse size bound
+  // below can race with it, but a lost entry only shrinks the cache.
   private val probeMemo =
     new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int), java.lang.Boolean]()
 
@@ -407,9 +422,8 @@ object Dedup {
   private def corpusHasHotShingles(renamed: DataFrame, inv: DataFrame,
       textCol: String, shingleLen: Int, hotDf: Int): Boolean = {
     val key = (renamed.queryExecution.analyzed.canonicalized, shingleLen, hotDf)
-    val cached = probeMemo.get(key)
-    if (cached != null) return cached.booleanValue()
-    val verdict = {
+    if (probeMemo.size > 256) probeMemo.clear()
+    probeMemo.computeIfAbsent(key, _ => {
       val exactMaxBytes = 128L << 10
       val bytes = renamed.queryExecution.analyzed.stats.sizeInBytes
       if (bytes <= exactMaxBytes) {
@@ -426,10 +440,7 @@ object Dedup {
         !sampleInv.groupBy("blk", "s").agg(count(lit(1)).as("df"))
           .filter(col("df") > cutoff).isEmpty
       }
-    }
-    if (probeMemo.size > 256) probeMemo.clear()
-    probeMemo.put(key, java.lang.Boolean.valueOf(verdict))
-    verdict
+    }).booleanValue()
   }
 
   /** The pre-split exact formulation, planned when the df aggregate proves

@@ -30,7 +30,10 @@ object TemporalJoins {
     * row would depend on sort placement.
     *
     * Output: all left columns plus `payload` columns from the right
-    * (same names), null when no prior right row exists.
+    * (same names), null when no prior right row exists. The payload
+    * columns always come from the SAME matched right row (carried as one
+    * struct), so a matched row's genuinely-NULL payload value surfaces
+    * as NULL rather than a stale value from an older row.
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
@@ -39,21 +42,27 @@ object TemporalJoins {
     require(!leftCols.exists(payload.contains),
       s"payload names collide with left columns: ${payload.intersect(leftCols)}")
     val lOther = leftCols.filterNot(_ == key)
+    // The whole right payload travels as ONE struct so the carried value
+    // is atomically the matched (latest prior) right row: a genuinely
+    // NULL payload value inside it stays NULL instead of being
+    // back-filled per-column from an older right row.
+    val rNullStruct = org.apache.spark.sql.types.StructType(
+      payload.map(c => right.schema(c).copy(name = c)))
     val l2 = left.select(
       Seq(col(key), col(leftTs).as("_ts"), lit(1).as("_tag")) ++
         lOther.map(col) ++
-        payload.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")): _*)
+        Seq(lit(null).cast(rNullStruct).as("_r")): _*)
     val r2 = right.select(
       Seq(col(key), col(rightTs).as("_ts"), lit(0).as("_tag")) ++
         lOther.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.map(c => col(c).as(s"_r_$c")): _*)
+        Seq(struct(payload.map(col): _*).as("_r")): _*)
     val w = Window.partitionBy(key).orderBy(col("_ts"), col("_tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(l2.unionByName(r2)) { (df, c) =>
-      df.withColumn(s"_r_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("_tag") === 1)
-      .select(leftCols.map(col) ++ payload.map(c => col(s"_r_$c").as(c)): _*)
+    l2.unionByName(r2)
+      .withColumn("_r", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1)
+      .select(leftCols.map(col) ++
+        payload.map(c => col("_r").getField(c).as(c)): _*)
   }
 
   /** Interval-range join: every (probe, interval) pair with

@@ -613,9 +613,9 @@ object LlmQueries {
         |  len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))::BIGINT AS n_tokens
         | FROM documents),
         |p AS (SELECT lang, n_tokens,
-        |  (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |  ((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
-        |   // 4096 AS pack_id
+        |   // 4096)::BIGINT AS pack_id
         | FROM t)
         |SELECT lang, count(DISTINCT pack_id) AS n_packs,
         | sum(n_tokens)::BIGINT AS total_tokens, max(pack_id) AS max_pack

@@ -61,16 +61,21 @@ object StreamingOps {
     * duplicates always collide (identical fingerprint sets). Documents
     * with no shingles (shorter than the shingle length) are passed
     * through undeduplicated rather than silently collapsing onto one
-    * empty-sketch key. Adds the `winnow_key` column. */
+    * empty-sketch key. Output: every input column (payload preserved,
+    * `idCol` keeps its name) plus the added `winnow_key` column. */
   def nearDedupByWinnow(textCol: String, idCol: String, tsCol: String,
       watermark: String, shingleLen: Int = 3,
       window: Int = 4): DataFrame => DataFrame =
     df => {
+      require(idCol == "id" || !df.columns.contains("id"),
+        "nearDedupByWinnow: input already has an 'id' column distinct from idCol")
+      val others = df.columns.toSeq.filterNot(_ == idCol)
       val fps = graft.ops.Dedup.winnowFingerprints(
-        df, textCol, idCol, shingleLen, window, keep = Seq(tsCol))
+          df, textCol, idCol, shingleLen, window, keep = others)
         .withColumn("winnow_key",
           when(size(col("fps")) === 0, lit(null)).otherwise(array_min(col("fps"))))
         .drop("fps")
+        .withColumnRenamed("id", idCol)
         .withWatermark(tsCol, watermark) // before the branch: both sides carry it
       val keyed = fps.filter(col("winnow_key").isNotNull)
         .dropDuplicatesWithinWatermark(Seq("winnow_key"))

@@ -64,6 +64,36 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("sampleStratified: boundary fractions — 1.0 keeps every row, 0.0 keeps none") {
+    // f = 1.0 used to round to the 5-char threshold "10000", which kept
+    // only digests starting with '0' (~6%); the "g" sentinel keeps all.
+    val n = docs.count()
+    val all = Curation.sampleStratified(docs, "doc_id", "lang",
+      fractions = Map.empty, defaultFrac = 1.0)
+    assert(all.count() == n, "defaultFrac=1.0 must keep every row")
+    val mixed = Curation.sampleStratified(docs, "doc_id", "lang",
+      fractions = Map("en" -> 1.0), defaultFrac = 0.0)
+    val total = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = mixed.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept == Map("en" -> total("en")),
+      s"en at 1.0 keeps all, every other stratum at 0.0 keeps none: $kept")
+    // near-1 fractions must not overflow the 4-hex threshold either
+    val near = Curation.sampleStratified(docs, "doc_id", "lang",
+      fractions = Map.empty, defaultFrac = 0.999999)
+    assert(near.count() >= n - (n >> 8), "f→1 must keep ~all rows")
+  }
+
+  test("hashSplit: trainFrac just under 1.0 routes ~everything to train") {
+    val bydoc = Curation.hashSplit(docs, "doc_id", trainFrac = 0.999999)
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = bydoc.values.sum
+    assert(bydoc.getOrElse("train", 0L).toDouble / total > 0.99,
+      s"trainFrac≈1 must not overflow the threshold: $bydoc")
+  }
+
   test("packByTokenBudget: packs contiguous, start-offset assignment, totals add up") {
     val d = Seq(
       (1L, "en", "a b c d e"),        // 5 tokens, offsets 0-4  → pack 0

@@ -122,7 +122,12 @@ class StreamingSpec extends SparkSpec {
       (6L, "yo", ts(5))))            // no shingles → must also survive
     q.processAllAvailable()
     q.stop(); q.awaitTermination()
-    val kept = spark.table("winnowdedup_out").select("id").as[Long].collect().toSet
+    val outDf = spark.table("winnowdedup_out")
+    assert(outDf.columns.toSet == Set("doc_id", "text", "ts", "winnow_key"),
+      s"payload columns and the original id name must survive: ${outDf.columns.toSeq}")
+    val kept = outDf.select("doc_id").as[Long].collect().toSet
+    assert(outDf.filter(col("doc_id") === 1L).select("text").as[String].head() == doc,
+      "document body must pass through the dedup")
     assert(kept.contains(1L) && kept.contains(2L), s"originals must survive: $kept")
     assert(!kept.contains(4L), "exact duplicate must be dropped")
     assert(!kept.contains(3L), "near-duplicate sharing the winnow minimum must be dropped")

@@ -32,6 +32,24 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out.length == 1 && out.head.isNullAt(3))
   }
 
+  test("asofJoin: matched row's NULL payload stays NULL (atomic row carry)") {
+    // The matched (latest prior) right row has rv = NULL; the older row
+    // at ts=10 has rv = 7. Per-column carry would back-fill 7 — the
+    // struct carry must surface the matched row's genuine NULL, while
+    // the other payload column proves the match itself happened.
+    val left = Seq((1L, 100L, "a")).toDF("k", "ts", "tag")
+    val right = Seq(
+        (1L, 10L, Some(7L), "old"),
+        (1L, 50L, None: Option[Long], "new"))
+      .toDF("k", "rts", "rv", "rname")
+    val out = TemporalJoins.asofJoin(left, right, "k", "ts", "rts",
+      Seq("rv", "rname")).collect()
+    assert(out.length == 1)
+    assert(out.head.getString(4) == "new", "latest prior row must match")
+    assert(out.head.isNullAt(3),
+      "NULL payload of the matched row must not be back-filled from an older row")
+  }
+
   test("rangeJoin: inclusive bounds, one row per pair even across buckets") {
     val probe = Seq((1L, 5L, "p5"), (1L, 10L, "p10"), (1L, 25L, "p25"),
         (1L, 26L, "p26"), (2L, 10L, "q10"))
