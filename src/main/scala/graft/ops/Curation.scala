@@ -117,6 +117,81 @@ object Curation {
         floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / lit(budget)))
   }
 
+  /** Corpus-level boilerplate-segment removal (the C4-style cleanup):
+    * split every document into segments on `delim` (lines by default),
+    * count each distinct segment's document frequency across the whole
+    * corpus, drop segments appearing in MORE than `maxDf` documents
+    * (navigation bars, cookie banners, license headers — anything
+    * repeated verbatim across the corpus), and reassemble each
+    * document's surviving segments in their original order.
+    *
+    * Scale shape: the *hot* segment set is what gets joined, not the
+    * full vocabulary — by construction it holds at most
+    * |corpus segments| / maxDf entries (a segment needs > maxDf distinct
+    * documents to qualify), so the pruning join is a left-anti against a
+    * small relation that AQE turns into a broadcast when it fits; the
+    * corpus side is never shuffled by segment for the join itself. The
+    * df aggregate is the one segment-keyed shuffle, with map-side
+    * partial aggregation. Reassembly groups by document id —
+    * segments of one document fit in one task by the same assumption
+    * every per-document operator here makes.
+    *
+    * Adds `outCol` (pruned text, original segment order, `delim`-joined,
+    * "" when everything was boilerplate) and `n_kept` (surviving segment
+    * count). All input columns pass through.
+    */
+  def pruneFrequentSegments(df: DataFrame, textCol: String, idCol: String,
+      maxDf: Long, delim: String = "\n",
+      outCol: String = "text_pruned"): DataFrame = {
+    require(maxDf > 0, s"maxDf must be positive, got $maxDf")
+    val segs = df.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim)))
+        .as(Seq("_pos", "_seg")))
+    val hot = segs.groupBy("_seg")
+      .agg(count_distinct(col(idCol)).as("_df"))
+      .filter(col("_df") > maxDf)
+      .select("_seg")
+    val rebuilt = segs.join(hot, Seq("_seg"), "left_anti")
+      .groupBy(idCol)
+      .agg(array_sort(collect_list(struct(col("_pos"), col("_seg"))))
+        .as("_ps"))
+      .select(col(idCol),
+        concat_ws(delim, transform(col("_ps"), p => p("_seg"))).as(outCol),
+        size(col("_ps")).as("n_kept"))
+    df.join(rebuilt, Seq(idCol), "left")
+      .withColumn(outCol, coalesce(col(outCol), lit("")))
+      .withColumn("n_kept", coalesce(col("n_kept"), lit(0)))
+  }
+
+  /** Fixed-size token-window chunking with overlap — the context-window
+    * packing step before embedding or training: split `textCol` on
+    * `delim` (single literal space by default), emit one row per window
+    * of `chunkSize` tokens advancing by `chunkSize − overlap`, so
+    * consecutive chunks share `overlap` tokens and every token is
+    * covered. The final chunk may be shorter. Purely narrow — a
+    * per-row explode, no shuffle at any scale.
+    *
+    * Output: (`idCol`, `chunk_id` 0-based, `chunk_text`, `n_tokens`).
+    */
+  def chunkByTokens(df: DataFrame, textCol: String, idCol: String,
+      chunkSize: Int, overlap: Int = 0, delim: String = " "): DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap must be in [0, chunkSize), got $overlap")
+    val stride = chunkSize - overlap
+    Transforms.materialized(
+        df.select(col(idCol), col(textCol)), "_t",
+        split(col(textCol), java.util.regex.Pattern.quote(delim)))
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0), greatest(size(col("_t")) - 1, lit(0)), lit(stride)),
+          s => slice(col("_t"), s + 1, lit(chunkSize))))
+          .as(Seq("chunk_id", "_chunk")))
+      .select(col(idCol), col("chunk_id"),
+        concat_ws(delim, col("_chunk")).as("chunk_text"),
+        size(col("_chunk")).as("n_tokens"))
+  }
+
   /** Within-document repetition ratio: 1 − |distinct shingles| /
     * |positional shingles| — 0 for fully novel text, → 1 for a document
     * that repeats one phrase (boilerplate, keyword stuffing, decoding

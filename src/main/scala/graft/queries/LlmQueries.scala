@@ -328,6 +328,21 @@ object LlmQueries {
           round(max("repetition"), 2).as("max_rep"),
           count(lit(1)).as("n"))),
 
+    // corpus-level boilerplate removal (C4-style): drop segments whose
+    // document frequency exceeds the cap, reassemble survivors in order.
+    // The test corpus has no newlines, so segments are tokens here
+    // (DF-based vocabulary pruning — same machinery, delim = " ").
+    "q_df_prune" -> ((s, d) =>
+      Curation.pruneFrequentSegments(Tables.documents(s, d), "text", "doc_id",
+          maxDf = 380L, delim = " ")
+        .select(col("doc_id"), col("text_pruned"), col("n_kept"))),
+
+    // fixed-size token-window chunking with overlap — the context-window
+    // packing step before embedding/training (purely narrow explode)
+    "q_chunk_tokens" -> ((s, d) =>
+      Curation.chunkByTokens(Tables.documents(s, d), "text", "doc_id",
+        chunkSize = 32, overlap = 8)),
+
     // ---- multimodal plumbing (binary columns + typed metadata) -------
     "q_multimodal_meta" -> ((s, d) =>
       Tables.documents(s, d)
@@ -620,6 +635,33 @@ object LlmQueries {
         |SELECT lang, count(DISTINCT pack_id) AS n_packs,
         | sum(n_tokens)::BIGINT AS total_tokens, max(pack_id) AS max_pack
         |FROM p GROUP BY lang""".stripMargin,
+
+    "q_df_prune" ->
+      """WITH segs AS (SELECT doc_id,
+        |  unnest(string_split(text, ' ')) AS seg,
+        |  generate_subscripts(string_split(text, ' '), 1) AS pos
+        | FROM documents),
+        |hot AS (SELECT seg FROM segs GROUP BY seg
+        |  HAVING count(DISTINCT doc_id) > 380),
+        |kept AS (SELECT s.doc_id, s.seg, s.pos
+        |  FROM segs s ANTI JOIN hot h USING (seg))
+        |SELECT d.doc_id,
+        | coalesce(string_agg(k.seg, ' ' ORDER BY k.pos), '') AS text_pruned,
+        | CAST(count(k.seg) AS INT) AS n_kept
+        |FROM documents d LEFT JOIN kept k USING (doc_id)
+        |GROUP BY d.doc_id""".stripMargin,
+
+    "q_chunk_tokens" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents),
+        |st AS (SELECT doc_id, t,
+        |  unnest(generate_series(1, greatest(len(t), 1), 24)) AS s
+        | FROM toks)
+        |SELECT doc_id,
+        | CAST((s - 1) // 24 AS INT) AS chunk_id,
+        | array_to_string(t[s : least(s + 31, len(t))], ' ') AS chunk_text,
+        | CAST(least(s + 31, len(t)) - s + 1 AS INT) AS n_tokens
+        |FROM st""".stripMargin,
 
     "q_repetition" ->
       s"""WITH r AS (SELECT lang,

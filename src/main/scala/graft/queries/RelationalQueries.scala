@@ -228,6 +228,29 @@ object RelationalQueries {
           min_by(col("o_orderpriority"), col("o_orderkey")).as("first_prio"),
           max("o_orderkey").as("max_key"))),
 
+    // Quantile sketch with its exact twin (the q_approx_hll pattern): the
+    // GK sketch (percentile_approx) is not bit-comparable across engines,
+    // so the oracled columns are the exact quartiles plus `approx_ok` —
+    // Spark evaluates the real sketch at accuracy 10000 (rank error
+    // ≤ n/10000, well under one quantity step) and asserts its median
+    // lands within one unit of exact; the oracle's twin column is literal
+    // TRUE. Quartiles are %.4f-formatted strings: l_quantity is
+    // integer-valued, so interpolated quarters are exactly representable
+    // and the formatting is engine-stable.
+    "q_approx_quantile" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("_qs"),
+          percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("_approx"),
+          expr("percentile(l_quantity, 0.5D)").as("_med"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          array_join(transform(col("_qs"),
+            x => format_string("%.4f", x)), "|").as("quartiles"),
+          (abs(col("_approx") - col("_med")) <= lit(1.0)).as("approx_ok"),
+          col("n"))),
+
     // ---- window functions --------------------------------------------
     "q_window_rownum" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -384,6 +407,19 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"),
           round(sum("p_retailprice"), 2).as("price"),
           sum(length(col("p_name"))).as("chars"))),
+
+    // regex function family: extract-all, first-group extract, global
+    // replace, and match-test in one pass (patterns restricted to the
+    // RE2/Java-common subset so the DuckDB twin is exact; replaced text
+    // compared by md5 to keep the result compact)
+    "q_regexp_fns" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 25)
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("ta[a-z]+"), lit(0))).as("n_ta"),
+          regexp_extract(col("text"), "(sc[a-z]+)", 1).as("first_sc"),
+          md5(regexp_replace(col("text"), "table", "TBL")).as("replaced_md5"),
+          col("text").rlike("slow [a-z]+ fast").as("has_pat"))),
 
     "q_date_fns" -> ((s, d) =>
       Tables.orders(s, d)
@@ -635,6 +671,15 @@ object RelationalQueries {
         | max(o_orderkey) AS max_key
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
+    "q_approx_quantile" ->
+      """SELECT l_returnflag,
+        | array_to_string(list_transform(
+        |   quantile_cont(l_quantity, [0.25, 0.5, 0.75]),
+        |   x -> printf('%.4f', x)), '|') AS quartiles,
+        | TRUE AS approx_ok,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
     "q_window_rownum" ->
       """SELECT event_id, user_id,
         | row_number() OVER (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id) AS rn
@@ -755,6 +800,14 @@ object RelationalQueries {
         | sum(length(p_name))::BIGINT AS chars
         |FROM part WHERE p_type LIKE '%O%'
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_regexp_fns" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, 'ta[a-z]+')) AS INT) AS n_ta,
+        | regexp_extract(text, '(sc[a-z]+)', 1) AS first_sc,
+        | md5(regexp_replace(text, 'table', 'TBL', 'g')) AS replaced_md5,
+        | regexp_matches(text, 'slow [a-z]+ fast') AS has_pat
+        |FROM documents WHERE doc_id < 25""".stripMargin,
 
     "q_date_fns" ->
       """SELECT date_trunc('month', o_orderdate)::DATE AS m,

@@ -113,6 +113,56 @@ class CurationSpec extends SparkSpec {
     assert(en == Seq(0L, 0L, 1L))
   }
 
+  test("pruneFrequentSegments: drops corpus-frequent lines, keeps order, empties fully-boilerplate docs") {
+    val d = Seq(
+      (1L, "cookie banner\nunique alpha\nall rights reserved"),
+      (2L, "cookie banner\nunique beta\nall rights reserved"),
+      (3L, "cookie banner\nunique gamma one\nunique gamma two\nall rights reserved"),
+      (4L, "cookie banner\nall rights reserved")) // nothing survives
+      .toDF("doc_id", "text")
+    // maxDf = 3: "cookie banner" / "all rights reserved" appear in 4 docs → dropped
+    val out = Curation.pruneFrequentSegments(d, "text", "doc_id", maxDf = 3L)
+      .select("doc_id", "text_pruned", "n_kept").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(out(1L) == (("unique alpha", 1)), s"boilerplate must go: $out")
+    assert(out(2L) == (("unique beta", 1)), s"boilerplate must go: $out")
+    assert(out(3L) == (("unique gamma one\nunique gamma two", 2)),
+      s"surviving segments keep their original order: $out")
+    assert(out(4L) == (("", 0)), s"fully-boilerplate doc stays, empty: $out")
+    // a column on the input passes through untouched
+    val withExtra = Curation.pruneFrequentSegments(
+      d.withColumn("lang", lit("en")), "text", "doc_id", maxDf = 3L)
+    assert(withExtra.columns.toSet ==
+      Set("doc_id", "text", "lang", "text_pruned", "n_kept"))
+  }
+
+  test("chunkByTokens: full coverage, overlap between neighbors, short final chunk") {
+    val d = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, "solo"))
+      .toDF("doc_id", "text")
+    val out = Curation.chunkByTokens(d, "text", "doc_id", chunkSize = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    // stride 3: starts at tokens 1,4,7,10
+    val doc1 = out.filter(_._1 == 1L)
+    assert(doc1.map(_._3).toSeq == Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10", "t10"),
+      s"windows must advance by chunkSize-overlap: ${doc1.toSeq}")
+    assert(doc1.map(_._2).toSeq == Seq(0, 1, 2, 3), "chunk ids are 0-based ordinals")
+    assert(doc1.map(_._4).toSeq == Seq(4, 4, 4, 1), "final chunk may be short")
+    // every token appears in at least one chunk
+    val covered = doc1.flatMap(_._3.split(" ")).toSet
+    assert(covered == (1 to 10).map(i => s"t$i").toSet, "no token may be dropped")
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, "solo", 1)),
+      "short doc yields exactly one chunk")
+    intercept[IllegalArgumentException] {
+      Curation.chunkByTokens(d, "text", "doc_id", chunkSize = 4, overlap = 4)
+    }
+    // narrow at any scale: chunking introduces no shuffle
+    val plan = Curation.chunkByTokens(d, "text", "doc_id", 4, 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must stay shuffle-free:\n$plan")
+  }
+
   test("repetitionScore: repeated phrase scores high, novel text low, short text zero") {
     val d = Seq(
       (1L, "buy now buy now buy now buy now buy now buy now"),
