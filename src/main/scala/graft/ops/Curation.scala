@@ -192,6 +192,68 @@ object Curation {
         size(col("_chunk")).as("n_tokens"))
   }
 
+  /** Per-document unigram token entropy in bits — the classic
+    * text-quality / diversity signal (word salad and boilerplate both
+    * score low; H = 0 for a one-token vocabulary). Uses the identity
+    * H = log₂n − (Σ c·log₂c)/n over per-token counts c, with the counts
+    * taken as run lengths of the SORTED token array — a pure per-row
+    * higher-order-function pass, so the whole corpus is scored with ZERO
+    * shuffle (the explode+groupBy formulation would shuffle every token).
+    * Adds `entropy` (0.0 for empty documents). */
+  def tokenEntropy(df: DataFrame, textCol: String): DataFrame = {
+    val base = Transforms.materialized(df, "_srt",
+      array_sort(tokens(col(textCol))))
+    // Σ c·log₂c accumulated over runs: state = (previous token, current
+    // run length, sum over closed runs). The sentinel can't collide —
+    // tokenization never yields a   token.
+    def cLog2(c: Column): Column =
+      when(c > 1L, c.cast("double") * log2(c.cast("double"))).otherwise(lit(0.0))
+    val stateZero = struct(lit(" ").as("prev"), lit(0L).as("run"),
+      lit(0.0).as("acc"))
+    val folded = aggregate(
+      col("_srt"), stateZero,
+      (st, t) => when(t === st.getField("prev"),
+          struct(t.as("prev"), (st.getField("run") + 1L).as("run"),
+            st.getField("acc").as("acc")))
+        .otherwise(
+          struct(t.as("prev"), lit(1L).as("run"),
+            (st.getField("acc") + cLog2(st.getField("run"))).as("acc"))),
+      st => st.getField("acc") + cLog2(st.getField("run")))
+    val n = size(col("_srt")).cast("double")
+    base.withColumn("entropy",
+        when(n <= 0.0, lit(0.0)).otherwise(log2(n) - folded / n))
+      .drop("_srt")
+  }
+
+  /** Sample a corpus down to target mixture `weights` over `strataCol`
+    * with maximum retention: the binding stratum (smallest count/weight
+    * ratio) is kept in full and every other stratum is down-sampled so
+    * the output proportions match the weights. Strata not in `weights`
+    * are dropped. Sampling is the deterministic md5-threshold of
+    * [[sampleStratified]], so the mix is reproducible on any engine or
+    * topology.
+    *
+    * The per-stratum counts are collected to the driver — |weights| rows,
+    * bounded by the mixture spec the caller wrote, never by corpus size.
+    * Proportions are honored within the 2⁻¹⁶ threshold quantization. */
+  def mixToWeights(df: DataFrame, idCol: String, strataCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0.0),
+      "weights must be positive")
+    val inMix = df.filter(col(strataCol).isin(weights.keys.toSeq: _*))
+    val counts = inMix.groupBy(strataCol).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = weights.filter { case (k, _) => counts.getOrElse(k, 0L) > 0L }
+    if (present.isEmpty) inMix.limit(0)
+    else {
+      // largest total size every stratum can still supply its share of
+      val scale = present.map { case (k, w) => counts(k) / w }.min
+      val fractions = present.map { case (k, w) =>
+        k -> math.min(1.0, scale * w / counts(k)) }
+      sampleStratified(inMix, idCol, strataCol, fractions, defaultFrac = 0.0)
+    }
+  }
+
   /** Within-document repetition ratio: 1 − |distinct shingles| /
     * |positional shingles| — 0 for fully novel text, → 1 for a document
     * that repeats one phrase (boilerplate, keyword stuffing, decoding

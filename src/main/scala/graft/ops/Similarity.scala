@@ -136,6 +136,22 @@ object Similarity {
       .select("q_id", "rnk", "n_id", "sim")
   }
 
+  /** Per-label element-wise mean embedding (the cluster-centroid /
+    * class-prototype primitive): posexplode to (label, pos, v), average
+    * per coordinate, reassemble in position order. The shuffle is keyed
+    * on (label, pos) — |labels|·dim keys with map-side partial averages,
+    * so the reduce side is tiny at any corpus size.
+    * Output: (`labelCol`, centroid: array<double>, n). */
+  def centroids(df: DataFrame, vecCol: String, labelCol: String): DataFrame =
+    df.select(col(labelCol), posexplode(col(vecCol)).as(Seq("_pos", "_v")))
+      .groupBy(labelCol, "_pos")
+      .agg(avg("_v").as("_m"), count(lit(1)).as("_n"))
+      .groupBy(labelCol)
+      .agg(
+        transform(array_sort(collect_list(struct(col("_pos"), col("_m")))),
+          p => p("_m")).as("centroid"),
+        max("_n").as("n"))
+
   /** kNN label vote: for each query, the majority label among its top-k
     * exact-cosine neighbors (ties broken by smaller label id). */
   def knnLabel(queries: DataFrame, corpus: DataFrame,
