@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.core.Transforms
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators a training-data pipeline runs between dedup
@@ -242,14 +242,18 @@ object Curation {
       "weights must be positive")
     val inMix = df.filter(col(strataCol).isin(weights.keys.toSeq: _*))
     val counts = inMix.groupBy(strataCol).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
     val present = weights.filter { case (k, _) => counts.getOrElse(k, 0L) > 0L }
     if (present.isEmpty) inMix.limit(0)
     else {
-      // largest total size every stratum can still supply its share of
-      val scale = present.map { case (k, w) => counts(k) / w }.min
+      // largest total size every stratum can still supply its share of;
+      // the binding stratum gets fraction exactly 1.0 (not a float
+      // round-trip of the same ratio, which can land at 0.999…)
+      val binding = present.minBy { case (k, w) => (counts(k) / w, k) }._1
+      val scale = counts(binding) / present(binding)
       val fractions = present.map { case (k, w) =>
-        k -> math.min(1.0, scale * w / counts(k)) }
+        k -> (if (k == binding) 1.0
+              else math.min(1.0, scale * w / counts(k))) }
       sampleStratified(inMix, idCol, strataCol, fractions, defaultFrac = 0.0)
     }
   }
