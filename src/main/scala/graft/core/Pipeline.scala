@@ -28,7 +28,8 @@ final case class Pipeline(
     checkpoint: Option[String] = None,
     restartsOnDontCommit: Int = 0,
     watchdog: Option[graft.streaming.Monitoring.StallWatchdog] = None,
-    metrics: Option[graft.streaming.Monitoring.MetricsListener] = None) {
+    metrics: Option[graft.streaming.Monitoring.MetricsListener] = None,
+    tracer: Option[graft.streaming.Monitoring.SpanTracer] = None) {
 
   def via(t: DataFrame => DataFrame): Pipeline = copy(transforms = transforms :+ t)
 
@@ -57,6 +58,12 @@ final case class Pipeline(
   def withMetrics(m: graft.streaming.Monitoring.MetricsListener): Pipeline =
     copy(metrics = Some(m))
 
+  /** Attach per-hop span emission — the reference's Tracing option
+    * (processor.go:13-17, 91-115) with the micro-batch as the hop; see
+    * [[graft.streaming.Monitoring.SpanTracer]]. */
+  def withTracing(t: graft.streaming.Monitoring.SpanTracer): Pipeline =
+    copy(tracer = Some(t))
+
   /** Allow up to n query restarts on DontCommit batch failures
     * (ErrDontAck parity — redeliver instead of dying). */
   def withDontCommitRestarts(n: Int): Pipeline = copy(restartsOnDontCommit = n)
@@ -73,6 +80,7 @@ final case class Pipeline(
   def start(spark: SparkSession, sink: Sink): StreamingQuery = {
     metrics.foreach(_.attach(spark))
     watchdog.foreach(_.attach(spark))
+    tracer.foreach(_.attach(spark))
     sink.writeStream(applyTransforms(source.stream(spark)), trigger, checkpoint)
   }
 

@@ -239,6 +239,15 @@ object LlmQueries {
           "vec_id", "embedding", "label", threshold = 0.35)
         .select(col("id_a"), col("id_b"), round(col("cos"), 2).as("c"))),
 
+    // per-label mean embedding (cluster centroid / class prototype);
+    // shuffle keyed on (label, pos) with map-side partial averages —
+    // reduce side is |labels|·dim keys at any corpus size
+    "q_centroids" -> ((s, d) =>
+      Similarity.centroids(Tables.embeddings(s, d), "embedding", "label")
+        .select(col("label"),
+          transform(col("centroid"), x => round(x, 4)).as("centroid_r"),
+          col("n"))),
+
     // IVF-style ANN — deterministic coarse cells; no DuckDB twin for the
     // cell assignment, so rows-only + recall ScalaTest like q_sim_lsh.
     "q_sim_ivf" -> ((s, d) => {
@@ -342,6 +351,24 @@ object LlmQueries {
     "q_chunk_tokens" -> ((s, d) =>
       Curation.chunkByTokens(Tables.documents(s, d), "text", "doc_id",
         chunkSize = 32, overlap = 8)),
+
+    // per-document unigram entropy (quality/diversity signal) — zero
+    // shuffle: run-length fold over the sorted token array per row
+    "q_token_entropy" -> ((s, d) =>
+      Curation.tokenEntropy(Tables.documents(s, d), "text")
+        .groupBy("lang")
+        .agg(round(sum("entropy"), 2).as("sum_ent"),
+          round(max("entropy"), 2).as("max_ent"),
+          count(lit(1)).as("n"))),
+
+    // sample to a target language mixture with max retention: binding
+    // stratum kept in full, others md5-threshold down-sampled
+    "q_mix_weights" -> ((s, d) =>
+      Curation.mixToWeights(Tables.documents(s, d), "doc_id", "lang",
+          weights = Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), min("doc_id").as("first_id"),
+          sum("n_chars").as("chars"))),
 
     // ---- multimodal plumbing (binary columns + typed metadata) -------
     "q_multimodal_meta" -> ((s, d) =>
@@ -662,6 +689,54 @@ object LlmQueries {
         | array_to_string(t[s : least(s + 31, len(t))], ' ') AS chunk_text,
         | CAST(least(s + 31, len(t)) - s + 1 AS INT) AS n_tokens
         |FROM st""".stripMargin,
+
+    // H = log2 n − (Σ c·log2 c)/n over per-token counts — the groupBy
+    // formulation; the Spark side computes the same identity as a
+    // per-row run-length fold over the sorted token array
+    "q_token_entropy" ->
+      s"""WITH cnt AS (SELECT doc_id, lang, count(*) AS c
+         |  FROM (SELECT doc_id, lang, unnest($sqlToks) AS tok FROM documents)
+         |  GROUP BY doc_id, lang, tok),
+         |h AS (SELECT doc_id, lang, sum(c)::DOUBLE AS n,
+         |  sum(c * log2(c::DOUBLE)) AS s FROM cnt GROUP BY doc_id, lang),
+         |e AS (SELECT lang,
+         |  CASE WHEN n <= 0 THEN 0.0 ELSE log2(n) - s / n END AS entropy
+         | FROM h)
+         |SELECT lang, round(sum(entropy), 2) AS sum_ent,
+         | round(max(entropy), 2) AS max_ent, count(*) AS n
+         |FROM e GROUP BY lang""".stripMargin,
+
+    // same mixture algebra as Curation.mixToWeights: binding stratum =
+    // argmin count/weight (tie-break by key) kept in full ('g' sorts
+    // above every hex digest), others at the 4-hex md5 threshold
+    "q_mix_weights" ->
+      """WITH w(lang, wt) AS (VALUES ('en', 0.5), ('de', 0.3), ('fr', 0.2)),
+        |c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |j AS (SELECT c.lang, wt, n FROM c JOIN w USING (lang)),
+        |b AS (SELECT lang AS blang, n / wt AS scale FROM j
+        |  ORDER BY n / wt, lang LIMIT 1),
+        |f AS (SELECT j.lang,
+        |  CASE WHEN j.lang = (SELECT blang FROM b) THEN 1.0
+        |       ELSE least(1.0, (SELECT scale FROM b) * wt / n) END AS frac
+        | FROM j),
+        |t AS (SELECT lang, CASE WHEN frac >= 1.0 THEN 'g'
+        |  ELSE printf('%04x', least(CAST(round(frac * 65536) AS INT), 65535))
+        |  END AS thr FROM f)
+        |SELECT d.lang, count(*) AS n_kept, min(d.doc_id) AS first_id,
+        | sum(d.n_chars)::BIGINT AS chars
+        |FROM documents d JOIN t USING (lang)
+        |WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < thr
+        |GROUP BY d.lang""".stripMargin,
+
+    "q_centroids" ->
+      """WITH e AS (SELECT label, unnest(embedding::DOUBLE[]) AS v,
+        |    generate_subscripts(embedding, 1) AS pos FROM embeddings),
+        |m AS (SELECT label, pos, avg(v) AS m, count(*) AS n
+        |  FROM e GROUP BY label, pos)
+        |SELECT label,
+        | list_transform(list(m ORDER BY pos), x -> round(x, 4)) AS centroid_r,
+        | max(n) AS n
+        |FROM m GROUP BY label""".stripMargin,
 
     "q_repetition" ->
       s"""WITH r AS (SELECT lang,

@@ -72,6 +72,75 @@ object Sinks {
         trigger, checkpoint).start()
   }
 
+  /** Exact-fidelity flush layout of the reference's S3 destination: ONE
+    * gzip NDJSON object per flush, keyed
+    * `prefix/yyyy/MM/dd/HH/<ksuid>_<unixSeconds>.gz` from the FLUSH time
+    * in UTC (x/s3/s3.go:143-148) — the key format a kawa user's
+    * downstream consumers parse. Targets any Hadoop-compatible FS
+    * (s3a:// included).
+    *
+    * Scale contract: this sink mirrors the reference's BATCHER semantics
+    * — a flush is a bounded batch (default 100 msgs, x/batcher/
+    * batcher.go:180-189), so serializing one flush through the driver is
+    * bounded by the flush size, never the corpus. For bulk exports use
+    * [[NdjsonGzipSink]] (partitioned, fully distributed); this one
+    * exists for byte-level layout fidelity on streaming flushes. */
+  final case class S3ObjectLayoutSink(path: String) extends Sink {
+    def writeBatch(df: DataFrame): Unit = {
+      val lines = df.toJSON.collect() // bounded by the batcher flush size
+      if (lines.nonEmpty) writeObject(lines)
+    }
+    private def writeObject(lines: Array[String]): Unit = {
+      val now = java.time.Instant.now()
+      val dir = java.time.format.DateTimeFormatter.ofPattern("yyyy/MM/dd/HH")
+        .withZone(java.time.ZoneOffset.UTC).format(now)
+      val p = new org.apache.hadoop.fs.Path(
+        s"$path/$dir/${Ksuid.next(now)}_${now.getEpochSecond}.gz")
+      val fs = p.getFileSystem(
+        org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+      val out = new java.util.zip.GZIPOutputStream(fs.create(p, false))
+      try lines.foreach { l =>
+        out.write(l.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out.write('\n')
+      } finally out.close()
+    }
+    def writeStream(df: DataFrame, trigger: Option[Trigger],
+        checkpoint: Option[String]): StreamingQuery =
+      applyTrigger(
+        df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+          writeBatch(batch)
+        }, trigger, checkpoint).start()
+  }
+
+  /** Minimal KSUID (github.com/segmentio/ksuid layout, public spec):
+    * 4-byte big-endian seconds since the KSUID epoch (2014-05-13,
+    * 1400000000) + 16 random bytes, base62-encoded to exactly 27 chars —
+    * k-sortable by creation time, like the ids the reference's S3 keys
+    * embed. */
+  private[sinks] object Ksuid {
+    private val Epoch = 1400000000L
+    private val Alphabet =
+      "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+    private val rng = new java.security.SecureRandom()
+    def next(now: java.time.Instant): String = {
+      val raw = new Array[Byte](20)
+      val ts = (now.getEpochSecond - Epoch).toInt
+      raw(0) = (ts >>> 24).toByte; raw(1) = (ts >>> 16).toByte
+      raw(2) = (ts >>> 8).toByte; raw(3) = ts.toByte
+      val rand = new Array[Byte](16); rng.nextBytes(rand)
+      System.arraycopy(rand, 0, raw, 4, 16)
+      var n = new java.math.BigInteger(1, raw)
+      val sixtyTwo = java.math.BigInteger.valueOf(62)
+      val sb = new StringBuilder
+      while (n.signum() > 0) {
+        val Array(q, r) = n.divideAndRemainder(sixtyTwo)
+        sb.append(Alphabet.charAt(r.intValue())); n = q
+      }
+      while (sb.length < 27) sb.append('0')
+      sb.reverse.toString
+    }
+  }
+
   /** Fan-out tee — the reference's MultiDestination
     * (x/multi/multidest.go:9-49): each micro-batch is persisted once and
     * written to every child; offsets commit only after the last child

@@ -185,11 +185,23 @@ private[sources] class PolledMicroBatchStream(pollerId: String, batchSize: Int)
 
   override def deserializeOffset(json: String): Offset = PollOffset(json.toLong)
 
+  /** The committed [start,end) range is split into up to
+    * `defaultParallelism` InputPartitions so a high-rate poller's batch
+    * fans out across executor cores instead of bottlenecking one task
+    * (the poll itself is serial per the reference contract — poller.go —
+    * but the downstream transform work need not be). */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[PollOffset].n
     val e = end.asInstanceOf[PollOffset].n
     if (e <= s) Array.empty
-    else Array(PolledPartition(handle.slice(s, e)))
+    else {
+      val rows = handle.slice(s, e)
+      val k = math.min(
+        org.apache.spark.SparkContext.getOrCreate().defaultParallelism,
+        rows.length).max(1)
+      val chunk = (rows.length + k - 1) / k
+      rows.grouped(chunk).map(PolledPartition.apply).toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

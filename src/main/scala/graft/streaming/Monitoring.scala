@@ -108,6 +108,71 @@ object Monitoring {
       }.toMap
   }
 
+  /** One emitted span — the engine's analogue of the reference's OTel
+    * span (processor.go:13-17, 91-115). `traceId` is the query run,
+    * `parentId` links children to their batch's root span. */
+  final case class Span(
+      traceId: String, spanId: String, parentId: Option[String],
+      name: String, batchId: Long, durationMs: Long,
+      attrs: Map[String, String] = Map.empty)
+
+  /** Minimal per-hop tracer — the reference wraps every
+    * recv→handle→send iteration in OTel spans (`kawa.processor.full` ⊃
+    * `src.recv`, `handler.handle`, `dst.send`; processor.go:91-115).
+    * Here the micro-batch IS the hop, and Spark already times its phases:
+    * `durationMs` on every progress event carries latestOffset/getBatch
+    * (the recv), addBatch (the handle+send — Spark fuses them in one
+    * plan execution), and walCommit/commitOffsets (the ack). This
+    * listener re-emits that decomposition as a span tree per batch —
+    * zero instrumentation on the data path, exactly like the metrics
+    * listener. `export` receives each completed span (stdout JSON, OTLP
+    * adapter, …); spans are also ring-buffered for inspection. */
+  final class SpanTracer(export: Span => Unit = _ => (),
+      keep: Int = 1024) extends StreamingQueryListener {
+    private val buf = new java.util.concurrent.ConcurrentLinkedDeque[Span]()
+    private val attached = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+    private def emit(s: Span): Unit = {
+      buf.addLast(s)
+      while (buf.size() > keep) buf.pollFirst()
+      export(s)
+    }
+
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      val p = e.progress
+      val trace = p.runId.toString
+      val root = s"$trace-${p.batchId}"
+      def dur(keys: String*): Long = keys.flatMap { k =>
+        Option(p.durationMs.get(k)).map(_.longValue())
+      }.sum
+      def child(name: String, keys: String*): Unit = {
+        val d = dur(keys: _*)
+        if (d >= 0 && keys.exists(k => p.durationMs.containsKey(k)))
+          emit(Span(trace, s"$root/$name", Some(root), name, p.batchId, d))
+      }
+      child("graft.processor.src.recv", "latestOffset", "getBatch")
+      child("graft.processor.handle.send", "addBatch")
+      child("graft.processor.ack", "walCommit", "commitOffsets")
+      emit(Span(trace, root, None, "graft.processor.full", p.batchId,
+        dur("triggerExecution"),
+        Map("query" -> Option(p.name).getOrElse(""),
+          "numInputRows" -> p.numInputRows.toString)))
+    }
+
+    def spans: Seq[Span] = buf.toArray(Array.empty[Span]).toSeq
+
+    /** Idempotent: restart loops (Pipeline.run) may re-enter start(). */
+    def attach(spark: SparkSession): this.type = {
+      if (attached.compareAndSet(false, true)) spark.streams.addListener(this)
+      this
+    }
+    def detach(spark: SparkSession): Unit =
+      if (attached.compareAndSet(true, false)) spark.streams.removeListener(this)
+  }
+
   /** A stall detected by [[StallWatchdog]]: `sinceMs` is how long the query
     * has been inside a micro-batch with no progress and no idle tick. */
   final case class Stall(id: UUID, runId: UUID, name: String, sinceMs: Long)

@@ -6,6 +6,7 @@ import graft.sources.{MultiSource, ParquetSource, ScannerSource}
 import org.apache.spark.sql.functions._
 
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 /** Connector behaviors from the reference's test fixtures:
   * multi-byte-delimiter scanning (test/stream_test.go:43-55), the
@@ -53,6 +54,30 @@ class ConnectorSpec extends SparkSpec {
     // round-trips through the json reader
     val back = spark.read.json(s"$out/year=*/month=*/day=*/hour=*/*.json.gz")
     assert(back.count() == 50)
+  }
+
+  test("s3-layout sink: ONE gzip object per flush, exact reference key format") {
+    val out = tmpDir("s3layout")
+    val df = Tables.events(spark, sf).limit(30)
+    val sink = Sinks.S3ObjectLayoutSink(out)
+    sink.writeBatch(df)
+    sink.writeBatch(df.limit(5))
+    val gz = Files.walk(Paths.get(out)).toArray.map(_.toString)
+      .filter(_.endsWith(".gz"))
+    assert(gz.length == 2, s"expected exactly one object per flush, got: ${gz.toSeq}")
+    // key = prefix/yyyy/MM/dd/HH/<27-char-base62-ksuid>_<unixSeconds>.gz
+    // (x/s3/s3.go:143-148)
+    val keyRe = (java.util.regex.Pattern.quote(out) +
+      "/\\d{4}/\\d{2}/\\d{2}/\\d{2}/[0-9A-Za-z]{27}_\\d{10}\\.gz").r
+    gz.foreach(k => assert(keyRe.matches(k), s"unexpected key layout: $k"))
+    // payload is gzip NDJSON: line count == row count, json round-trip
+    val back = spark.read.json(gz.toSeq: _*)
+    assert(back.count() == 35)
+    // empty flush writes no object
+    sink.writeBatch(df.limit(0))
+    val after = Files.walk(Paths.get(out)).toArray.map(_.toString)
+      .count(_.endsWith(".gz"))
+    assert(after == 2, "empty flush must not emit an object")
   }
 
   test("attributes chain: layered provenance merges, later layer wins") {
@@ -144,6 +169,31 @@ class ConnectorSpec extends SparkSpec {
     }
     assert(poller.ackCalls.get() <= 4,
       s"ack not coalesced: ${poller.ackCalls.get()} calls for 25 messages")
+  }
+
+  test("poller source: a large polled batch fans out across >1 input partition") {
+    val payloads = Seq.tabulate(512)(i =>
+      graft.core.Message.ofString(s"k$i", s"v$i", "poll"))
+    val poller = new QueuePoller(payloads)
+    val src = graft.sources.PolledSource(poller, batchSize = 512)
+    val partCounts = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val probe = new graft.core.Sink {
+      def writeBatch(df: org.apache.spark.sql.DataFrame): Unit = {
+        if (df.count() > 0) partCounts.add(df.rdd.getNumPartitions)
+      }
+      def writeStream(df: org.apache.spark.sql.DataFrame,
+          trigger: Option[org.apache.spark.sql.streaming.Trigger],
+          checkpoint: Option[String]): org.apache.spark.sql.streaming.StreamingQuery =
+        df.writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          writeBatch(b)
+        }.start()
+    }
+    val q = graft.core.Pipeline.from(src).start(spark, probe)
+    q.processAllAvailable()
+    q.stop()
+    assert(partCounts.size() >= 1, "no non-empty micro-batch observed")
+    assert(partCounts.asScala.max > 1,
+      s"512-row polled batch must span >1 partition: ${partCounts.asScala.toSeq}")
     graft.streaming.StreamingOps.runToCompletion(q)
     src.close()
   }

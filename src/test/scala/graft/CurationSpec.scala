@@ -177,4 +177,52 @@ class CurationSpec extends SparkSpec {
     assert(rep(3L) == 0.0, s"unshingleable text scores zero: ${rep(3L)}")
     assert(rep.values.forall(v => v >= 0.0 && v < 1.0), s"score out of [0,1): $rep")
   }
+
+  test("tokenEntropy matches H = log2 n − (Σ c·log2 c)/n on known distributions") {
+    val d = Seq(
+      (1L, "a a a a"),          // one symbol → H = 0
+      (2L, "a b c d"),          // uniform over 4 → H = 2
+      (3L, "a a b b"),          // uniform over 2 → H = 1
+      (4L, "a a b"),            // {2,1}: log2(3) − 2/3 ≈ 0.9183
+      (5L, ""))                 // empty → 0 by definition
+      .toDF("doc_id", "text")
+    val h = Curation.tokenEntropy(d, "text")
+      .select("doc_id", "entropy").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(h(1L) - 0.0) < 1e-12, s"constant doc: ${h(1L)}")
+    assert(math.abs(h(2L) - 2.0) < 1e-12, s"uniform-4 doc: ${h(2L)}")
+    assert(math.abs(h(3L) - 1.0) < 1e-12, s"uniform-2 doc: ${h(3L)}")
+    val expected4 = math.log(3.0) / math.log(2.0) - 2.0 / 3.0
+    assert(math.abs(h(4L) - expected4) < 1e-12, s"2-1 doc: ${h(4L)}")
+    assert(h(5L) == 0.0, s"empty doc: ${h(5L)}")
+    // shuffle-free: the fold is a per-row projection at any corpus size
+    val plan = Curation.tokenEntropy(d, "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"entropy must stay narrow:\n$plan")
+  }
+
+  test("mixToWeights: binding stratum kept in full, proportions match weights") {
+    val d = ((1 to 400).map(i => (i.toLong, "a")) ++
+      (401 to 500).map(i => (i.toLong, "b")) ++
+      (501 to 550).map(i => (i.toLong, "junk"))).toDF("doc_id", "strat")
+    // ratios: a 400/0.5 = 800, b 100/0.5 = 200 → b binds, kept in full;
+    // a sampled at 200·0.5/400 = 0.25 → ≈100; junk dropped entirely
+    val out = Curation.mixToWeights(d, "doc_id", "strat",
+      weights = Map("a" -> 0.5, "b" -> 0.5))
+    val kept = out.groupBy("strat").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!kept.contains("junk"), s"unlisted strata must be dropped: $kept")
+    assert(kept("b") == 100L, s"binding stratum must be kept in FULL: $kept")
+    assert(math.abs(kept("a") - 100.0) / 100.0 < 0.25,
+      s"stratum a should land near the 1:1 mixture: $kept")
+    // deterministic + subset of input
+    val again = Curation.mixToWeights(d, "doc_id", "strat",
+      weights = Map("a" -> 0.5, "b" -> 0.5))
+    assert(out.select("doc_id").except(again.select("doc_id")).isEmpty)
+    assert(out.select("doc_id").except(d.select("doc_id")).isEmpty)
+    // a stratum with zero rows in the data must not divide by zero
+    val noB = Curation.mixToWeights(d.filter(col("strat") =!= "b"),
+      "doc_id", "strat", weights = Map("a" -> 0.5, "b" -> 0.5))
+    assert(noB.groupBy("strat").count().collect().map(_.getString(0)).toSet == Set("a"))
+  }
 }

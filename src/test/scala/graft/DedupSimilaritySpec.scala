@@ -460,4 +460,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rows.map(_.toSeq).sortBy(_.toString).toSeq ==
       again.map(_.toSeq).sortBy(_.toString).toSeq)
   }
+
+  test("centroids: element-wise mean per label, coordinates in position order") {
+    import spark.implicits._
+    val d = Seq(
+      (0, Array(1.0f, 2.0f, 30.0f)),
+      (0, Array(3.0f, 4.0f, 10.0f)),
+      (1, Array(10.0f, 20.0f, 0.0f)))
+      .toDF("label", "embedding")
+    val out = Similarity.centroids(d, "embedding", "label")
+      .collect().map(r => r.getInt(0) ->
+        (r.getSeq[Double](1), r.getLong(2))).toMap
+    assert(out(0)._1 == Seq(2.0, 3.0, 20.0),
+      s"label-0 centroid must average position-wise in order: ${out(0)._1}")
+    assert(out(1)._1 == Seq(10.0, 20.0, 0.0),
+      s"singleton label is its own centroid: ${out(1)._1}")
+    assert(out(0)._2 == 2L && out(1)._2 == 1L, "n must count the label's vectors")
+  }
 }

@@ -144,4 +144,42 @@ class MonitoringSpec extends SparkSpec {
       metrics.detach(spark)
     }
   }
+
+  test("tracer: each micro-batch emits the reference's span tree (full ⊃ recv/send/ack)") {
+    val exported = new java.util.concurrent.ConcurrentLinkedQueue[Monitoring.Span]()
+    val tracer = new Monitoring.SpanTracer(export = exported.add(_))
+    val src = new graft.sources.MemoryMessageSource(spark)
+    val q = Pipeline.from(src)
+      .withTracing(tracer)
+      .start(spark, Sinks.MemorySink("trace_out"))
+    try {
+      src.add(Seq(Message.ofString("k1", "v1", "t"), Message.ofString("k2", "v2", "t")))
+      q.processAllAvailable()
+      eventually() {
+        val spans = tracer.spans
+        val roots = spans.filter(_.name == "graft.processor.full")
+        assert(roots.nonEmpty, s"no root spans: $spans")
+        // every child links to its batch's root within the same trace
+        // (processor.go:91-115 span tree, micro-batch as the hop)
+        val children = spans.filter(_.parentId.isDefined)
+        assert(children.nonEmpty, "no child phase spans emitted")
+        children.foreach { c =>
+          val root = spans.find(s => s.spanId == c.parentId.get)
+            .getOrElse(fail(s"orphan child span: $c"))
+          assert(root.traceId == c.traceId && root.batchId == c.batchId)
+        }
+        val names = children.map(_.name).toSet
+        assert(names.contains("graft.processor.src.recv"), s"missing recv: $names")
+        assert(names.contains("graft.processor.handle.send"), s"missing send: $names")
+        // a root span carries the hop attributes, durations are sane
+        val withRows = roots.filter(_.attrs.get("numInputRows").exists(_.toLong > 0))
+        assert(withRows.nonEmpty, "no root span saw the input rows")
+        assert(spans.forall(_.durationMs >= 0))
+        // exporter saw exactly the buffered spans
+        assert(exported.size() == spans.size)
+      }
+    } finally {
+      q.stop(); q.awaitTermination(); tracer.detach(spark)
+    }
+  }
 }
