@@ -55,6 +55,32 @@ object Curation {
     docs.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Streaming-safe decontamination: the per-row formulation of
+    * [[decontaminate]]. The benchmark's distinct shingle-hash set is
+    * collected once (bounded by eval-suite size — megabytes by nature,
+    * same contract as the broadcast in [[contaminationCounts]]) and
+    * broadcast; each document is then a pure per-row filter — no explode,
+    * no shuffle, no aggregation — so it composes into an append-mode
+    * streaming pipeline where the batch operator's groupBy + anti-join
+    * cannot. The set-membership probe is the one place a UDF is justified:
+    * no built-in tests array elements against a driver-built set. At
+    * larger bench sizes swap the Set for
+    * `org.apache.spark.util.sketch.BloomFilter` (public Spark API) inside
+    * the same broadcast — identical plumbing, sub-1% false-drop. */
+  def decontaminateStream(docs: DataFrame, textCol: String,
+      bench: DataFrame, benchTextCol: String, shingleLen: Int = 3,
+      minOverlap: Int = 1): DataFrame = {
+    val spark = docs.sparkSession
+    val hashes = bench
+      .select(explode(shingleHashes(col(benchTextCol), shingleLen)).as("s"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val bc = spark.sparkContext.broadcast(hashes)
+    val overlap = udf { sh: Seq[Long] =>
+      var n = 0; sh.foreach(h => if (bc.value.contains(h)) n += 1); n
+    }
+    docs.filter(overlap(shingleHashes(col(textCol), shingleLen)) < minOverlap)
+  }
+
   /** Deterministic hash split: assign each row to "train" or "test" from
     * the md5 of its id — stable across runs, engines, and cluster
     * topology (no RNG, no row order dependence), so the same document

@@ -303,6 +303,19 @@ object LlmQueries {
           max("n_contam").as("max_overlap"))
     }),
 
+    // streaming-safe decontamination: same filter semantics as
+    // q_decontaminate's minOverlap=1 drop, but per-row against a
+    // broadcast benchmark hash set — zero shuffle, composes into
+    // append-mode streams (see the IntegrationSpec ingest pipeline)
+    "q_decontaminate_stream" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      Curation.decontaminateStream(docs, "text", bench, "text")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("chars"),
+          min("doc_id").as("first_id"))
+    }),
+
     // deterministic md5-threshold train/test split: same doc → same split
     // on any engine/run/topology; one narrow projection at any scale
     "q_split_train_test" -> ((s, d) =>
@@ -634,6 +647,17 @@ object LlmQueries {
          | sum(n_contam)::BIGINT AS sum_overlap,
          | max(n_contam) AS max_overlap
          |FROM c GROUP BY lang""".stripMargin,
+
+    "q_decontaminate_stream" ->
+      s"""WITH b AS (SELECT DISTINCT unnest(${sqlShingles(sqlToks)}) AS s
+         |  FROM documents WHERE doc_id % 97 = 0),
+         |bad AS (SELECT DISTINCT doc_id FROM
+         |  (SELECT doc_id, unnest(${sqlShingles(sqlToks)}) AS s
+         |   FROM documents) ds JOIN b USING (s))
+         |SELECT lang, count(*) AS n_kept, sum(n_chars)::BIGINT AS chars,
+         | min(doc_id) AS first_id
+         |FROM documents d ANTI JOIN bad USING (doc_id)
+         |GROUP BY lang""".stripMargin,
 
     "q_split_train_test" ->
       """SELECT lang,
