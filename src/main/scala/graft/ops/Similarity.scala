@@ -152,6 +152,78 @@ object Similarity {
           p => p("_m")).as("centroid"),
         max("_n").as("n"))
 
+  /** Lloyd's k-means over an embedding column — the semantic-clustering
+    * primitive behind diversity sampling and semantic dedup of a training
+    * corpus. MLlib's dataflow without the MLlib dependency:
+    *
+    *   - init: the vectors of the k rows with the smallest `md5(id)` —
+    *     hash-shuffled but fully deterministic on any engine/topology;
+    *   - assign: each row scores k dot products against a BROADCAST
+    *     literal centroid array (squared-L2 on pre-normalized vectors ≡
+    *     cosine ordering) — a narrow per-row pass, the corpus is never
+    *     joined or shuffled; ties break toward the lower cluster index;
+    *   - update: [[centroids]]' (cluster,pos)-keyed partial-average
+    *     shuffle — reduce side is k·dim keys at any corpus size; the
+    *     driver only ever holds k·dim doubles per iteration. Clusters
+    *     that go empty keep their previous centroid.
+    *
+    * Output: input columns + `cluster` (0-based). */
+  def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int = 5): DataFrame = {
+    require(k > 0 && iters > 0, "k and iters must be positive")
+    // pre-normalize once so dot == cosine (zero vectors stay zero)
+    val vd = transform(col(vecCol), _.cast("double"))
+    val norm = sqrt(aggregate(vd, lit(0.0), (a, x) => a + x * x))
+    val normed = df.withColumn("_nv",
+      when(norm === 0.0, vd).otherwise(zip_with(vd,
+        array_repeat(norm, size(col(vecCol))), (x, n) => x / n)))
+    normed.persist()
+    try {
+      var cents: Array[Seq[Double]] = normed
+        .select(col("_nv"), md5(col(idCol).cast("string")).as("_h"))
+        .orderBy("_h").limit(k)
+        .collect().map(_.getSeq[Double](0))
+      def assigned: DataFrame = {
+        val best = array_max(array(cents.zipWithIndex.map { case (c, j) =>
+          struct(
+            aggregate(zip_with(col("_nv"), typedLit(c), (x, y) => x * y),
+              lit(0.0), (a, x) => a + x).as("s"),
+            lit(-j).as("nj"))
+        }.toIndexedSeq: _*))
+        normed.withColumn("cluster", -best.getField("nj"))
+      }
+      for (_ <- 1 to iters) {
+        val next = centroids(assigned, "_nv", "cluster")
+          .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+        cents = cents.zipWithIndex.map { case (old, j) => next.getOrElse(j, old) }
+      }
+      assigned.drop("_nv")
+    } finally normed.unpersist()
+  }
+
+  /** Symmetric per-vector int8 quantization — the embedding storage path
+    * at corpus scale (4× smaller than float32, dot products stay
+    * rank-faithful). `scale = max|v| / 127`, `q_i = floor(v_i/scale + .5)`
+    * ∈ [-127, 127] (explicit half-up — engine-independent, unlike
+    * round()); zero vectors quantize to zeros with scale 0. Purely narrow.
+    * Adds `q_scale: double` and `q_vec: array<tinyint>`. */
+  def quantizeInt8(df: DataFrame, vecCol: String): DataFrame = {
+    val vd = transform(col(vecCol), _.cast("double"))
+    val s = aggregate(vd, lit(0.0), (a, x) => greatest(a, abs(x))) / lit(127.0)
+    df.withColumn("q_scale", s)
+      .withColumn("q_vec", transform(col(vecCol), x =>
+        when(col("q_scale") === 0.0, lit(0))
+          .otherwise(floor(x.cast("double") / col("q_scale") + 0.5))
+          .cast("tinyint")))
+  }
+
+  /** Reconstruct float vectors from [[quantizeInt8]] output (`q_i·scale`).
+    * Adds `deq_vec: array<double>`. */
+  def dequantizeInt8(df: DataFrame, qCol: String = "q_vec",
+      scaleCol: String = "q_scale"): DataFrame =
+    df.withColumn("deq_vec",
+      transform(col(qCol), x => x.cast("double") * col(scaleCol)))
+
   /** kNN label vote: for each query, the majority label among its top-k
     * exact-cosine neighbors (ties broken by smaller label id). */
   def knnLabel(queries: DataFrame, corpus: DataFrame,

@@ -248,6 +248,31 @@ object LlmQueries {
           transform(col("centroid"), x => round(x, 4)).as("centroid_r"),
           col("n"))),
 
+    // Lloyd's k-means (semantic clustering / diversity sampling) — the
+    // iterative update has no DuckDB twin, so rows-only + the exact
+    // recovery/determinism ScalaTest; deterministic md5 init
+    "q_kmeans" -> ((s, d) =>
+      Similarity.kmeans(Tables.embeddings(s, d), "vec_id", "embedding",
+          k = 8, iters = 3)
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n"), min("vec_id").as("first_id"))),
+
+    // symmetric int8 quantization round-trip: per-label reconstruction
+    // error stats — the 4×-smaller embedding storage path
+    "q_embed_quant" -> ((s, d) => {
+      val q = Similarity.dequantizeInt8(
+        Similarity.quantizeInt8(Tables.embeddings(s, d), "embedding"))
+      q.select(col("label"),
+          aggregate(zip_with(col("embedding"), col("deq_vec"),
+            (x, y) => abs(x.cast("double") - y)), lit(0.0), (a, x) => a + x)
+            .as("err"),
+          col("q_scale"))
+        .groupBy("label")
+        .agg(round(sum("err"), 4).as("sum_err"),
+          round(max("q_scale"), 6).as("max_scale"),
+          count(lit(1)).as("n"))
+    }),
+
     // IVF-style ANN — deterministic coarse cells; no DuckDB twin for the
     // cell assignment, so rows-only + recall ScalaTest like q_sim_lsh.
     "q_sim_ivf" -> ((s, d) => {
@@ -751,6 +776,22 @@ object LlmQueries {
         |FROM documents d JOIN t USING (lang)
         |WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < thr
         |GROUP BY d.lang""".stripMargin,
+
+    // same half-up quantization algebra as Similarity.quantizeInt8
+    // (explicit floor(x/s + 0.5) — engine-independent, see SKILL gotcha
+    // on round())
+    "q_embed_quant" ->
+      """WITH v AS (SELECT label, embedding::DOUBLE[] AS vd FROM embeddings),
+        |q AS (SELECT label, vd,
+        |  list_max(list_transform(vd, x -> abs(x))) / 127.0 AS s FROM v),
+        |e AS (SELECT label, s,
+        |  CASE WHEN s = 0 THEN 0.0 ELSE
+        |    list_sum(list_transform(vd, x -> abs(x - floor(x / s + 0.5) * s)))
+        |  END AS err
+        | FROM q)
+        |SELECT label, round(sum(err), 4) AS sum_err,
+        | round(max(s), 6) AS max_scale, count(*) AS n
+        |FROM e GROUP BY label""".stripMargin,
 
     "q_centroids" ->
       """WITH e AS (SELECT label, unnest(embedding::DOUBLE[]) AS v,

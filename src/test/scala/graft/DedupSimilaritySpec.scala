@@ -477,4 +477,53 @@ class DedupSimilaritySpec extends SparkSpec {
       s"singleton label is its own centroid: ${out(1)._1}")
     assert(out(0)._2 == 2L && out(1)._2 == 1L, "n must count the label's vectors")
   }
+
+  test("kmeans: separated direction clusters recovered, deterministic across runs") {
+    import spark.implicits._
+    // three well-separated cosine directions; ids 6/7/4 (the 3 smallest
+    // md5(id) — the deterministic init) sit one per ground-truth group,
+    // so 5 Lloyd iterations must recover the exact partition
+    val d = Seq(
+      (6L, Array(10f, 0f)), (1L, Array(9f, 1f)), (2L, Array(11f, -1f)),
+      (7L, Array(0f, 10f)), (3L, Array(1f, 9f)), (5L, Array(-1f, 11f)),
+      (4L, Array(-10f, -10f)), (8L, Array(-9f, -11f)))
+      .toDF("id", "embedding")
+    val out = Similarity.kmeans(d, "id", "embedding", k = 3, iters = 5)
+      .select("id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val groups = Seq(Set(6L, 1L, 2L), Set(7L, 3L, 5L), Set(4L, 8L))
+      .map(_.map(out))
+    groups.foreach(g =>
+      assert(g.size == 1, s"ground-truth group split across clusters: $out"))
+    assert(groups.flatten.toSet.size == 3,
+      s"distinct groups must land in distinct clusters: $out")
+    assert(out.values.forall(c => c >= 0 && c < 3))
+    // deterministic: same input → identical assignment
+    val again = Similarity.kmeans(d, "id", "embedding", k = 3, iters = 5)
+      .select("id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == again, "kmeans must be deterministic")
+  }
+
+  test("quantizeInt8 round-trips within scale/2 per element; zero vector safe") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.127f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("id", "embedding")
+    val q = Similarity.dequantizeInt8(Similarity.quantizeInt8(d, "embedding"))
+      .select("id", "embedding", "q_scale", "q_vec", "deq_vec").collect()
+      .map(r => r.getLong(0) ->
+        (r.getSeq[Float](1), r.getDouble(2), r.getSeq[Byte](3), r.getSeq[Double](4)))
+      .toMap
+    val (v1, s1, q1, dq1) = q(1L)
+    assert(math.abs(s1 - 1.0 / 127.0) < 1e-12, s"scale: $s1")
+    assert(q1.head == 127 && q1.forall(b => b >= -127 && b <= 127), s"q: $q1")
+    v1.zip(dq1).foreach { case (orig, deq) =>
+      assert(math.abs(orig - deq) <= s1 / 2 + 1e-12,
+        s"reconstruction off by more than scale/2: $orig vs $deq") }
+    val (_, s2, q2, dq2) = q(2L)
+    assert(s2 == 0.0 && q2.forall(_ == 0) && dq2.forall(_ == 0.0),
+      "zero vector must quantize to zeros without dividing by zero")
+  }
 }
