@@ -85,4 +85,32 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q_fingerprint_winnow")
     assert(p.contains("graft_winnow"), "native winnow kernel expected")
   }
+
+  test("decontaminateStream: pure per-row filter — zero Exchange on the corpus") {
+    val docs = Tables.documents(spark, sf)
+    val bench = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 97 === 0)
+    val p = graft.ops.Curation.decontaminateStream(docs, "text", bench, "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      "streaming decontamination must stay narrow:\n" + p.take(500))
+  }
+
+  test("quantizeInt8 + dequantize: narrow projections, no shuffle, no Generate") {
+    val p = graft.ops.Similarity.dequantizeInt8(
+        graft.ops.Similarity.quantizeInt8(Tables.embeddings(spark, sf), "embedding"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Generate"),
+      "quantization must stay a per-row projection:\n" + p.take(500))
+  }
+
+  test("centroids: exactly the (label,pos)-keyed + label-keyed shuffles, partial avg") {
+    val df = graft.ops.Similarity.centroids(
+      Tables.embeddings(spark, sf), "embedding", "label")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_avg") || p.contains("partial_average"),
+      "map-side partial averages expected:\n" + p.take(800))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2,
+      s"centroids must shuffle at most twice ((label,pos) then label), saw $exchanges:\n" + p.take(800))
+  }
 }
