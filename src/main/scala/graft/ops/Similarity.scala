@@ -183,14 +183,20 @@ object Similarity {
         .select(col("_nv"), md5(col(idCol).cast("string")).as("_h"))
         .orderBy("_h").limit(k)
         .collect().map(_.getSeq[Double](0))
+      // One 2-D array<array<double>> literal carries all k centroids, so
+      // the expression tree stays CONSTANT-size in k (a per-centroid
+      // expression fan-out would grow the plan O(k·dim) nodes and choke
+      // Catalyst at k in the hundreds; a serialized data literal is just
+      // bytes). Beyond k·dim ~ millions, move the argmax into a custom
+      // codegen Expression over a broadcast matrix.
       def assigned: DataFrame = {
-        val best = array_max(array(cents.zipWithIndex.map { case (c, j) =>
-          struct(
-            aggregate(zip_with(col("_nv"), typedLit(c), (x, y) => x * y),
+        val centsLit = typedLit(cents.map(_.toIndexedSeq).toIndexedSeq)
+        val scored = zip_with(centsLit, sequence(lit(0), lit(cents.length - 1)),
+          (c, j) => struct(
+            aggregate(zip_with(col("_nv"), c, (x, y) => x * y),
               lit(0.0), (a, x) => a + x).as("s"),
-            lit(-j).as("nj"))
-        }.toIndexedSeq: _*))
-        normed.withColumn("cluster", -best.getField("nj"))
+            (lit(0) - j).as("nj")))
+        normed.withColumn("cluster", -array_max(scored).getField("nj"))
       }
       for (_ <- 1 to iters) {
         val next = centroids(assigned, "_nv", "cluster")
