@@ -26,6 +26,23 @@ import scala.jdk.CollectionConverters._
   *   - topic filters: MQTT semantics — `+` matches one level, trailing
   *     `#` matches any suffix, default filter `#` (mqtt.go:227, default
   *     topic "#").
+  *
+  * Wire-protocol swap-in point: a real network MQTT client (the
+  * reference uses paho — broker connection, QoS, reconnect watch,
+  * mqtt.go:96-285) plugs in WITHOUT touching any pipeline code, because
+  * both halves are already behind the generic interfaces:
+  *   - source side: implement [[graft.sources.Poller]] whose
+  *     subscribe-callback enqueues into a local buffer and whose
+  *     `poll(max)`/`ack(n)` drain/acknowledge it — [[PolledSource]]
+  *     turns that into an offset-committed DSv2 stream exactly as it
+  *     does for [[Subscription]] here (ack-on-commit preserved);
+  *   - sink side: swap [[graft.sinks.Sinks.BrokerSink]]'s
+  *     `ForeachWriter` for one that opens the network client in
+  *     `open()` and publishes per row — the at-least-once
+  *     publish-then-commit contract is unchanged.
+  * This sandbox has no network egress, so the wire client itself is
+  * intentionally out of the build; the semantics it must satisfy are
+  * pinned by ConnectorSpec's S5/S6 round-trip tests.
   */
 final class InProcBroker {
   private val nextId = new AtomicLong(0L)
