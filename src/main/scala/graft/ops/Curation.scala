@@ -76,7 +76,8 @@ object Curation {
       .distinct().collect().map(_.getLong(0)).toSet
     val bc = spark.sparkContext.broadcast(hashes)
     val overlap = udf { sh: Seq[Long] =>
-      var n = 0; sh.foreach(h => if (bc.value.contains(h)) n += 1); n
+      if (sh == null) 0
+      else { var n = 0; sh.foreach(h => if (bc.value.contains(h)) n += 1); n }
     }
     docs.filter(overlap(shingleHashes(col(textCol), shingleLen)) < minOverlap)
   }

@@ -178,6 +178,25 @@ class CurationSpec extends SparkSpec {
     assert(rep.values.forall(v => v >= 0.0 && v < 1.0), s"score out of [0,1): $rep")
   }
 
+  test("decontaminateStream matches the batch filter; null text passes through") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a completely different sentence about spark engines here"),
+      (3L, "we mention the quick brown fox in passing today"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "the quick brown fox ate")).toDF("doc_id", "text")
+    val kept = Curation.decontaminateStream(corpus, "text", bench, "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L),
+      s"contaminated docs dropped, clean + null-text kept: $kept")
+    // agrees with the batch anti-join variant on non-null rows
+    val batchKept = Curation.decontaminate(
+        corpus.filter(col("text").isNotNull), "text", "doc_id", bench, "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept - 4L == batchKept, "stream and batch variants must agree")
+  }
+
   test("tokenEntropy matches H = log2 n − (Σ c·log2 c)/n on known distributions") {
     val d = Seq(
       (1L, "a a a a"),          // one symbol → H = 0
