@@ -242,10 +242,13 @@ object LlmQueries {
     // per-label mean embedding (cluster centroid / class prototype);
     // shuffle keyed on (label, pos) with map-side partial averages —
     // reduce side is |labels|·dim keys at any corpus size
+    // "+ 0.0" collapses IEEE negative zero — round(-1e-9, 4) renders as
+    // -0.0 in DuckDB but 0.0 in Spark, and the driver's canonicalizer
+    // does not re-round inside arrays
     "q_centroids" -> ((s, d) =>
       Similarity.centroids(Tables.embeddings(s, d), "embedding", "label")
         .select(col("label"),
-          transform(col("centroid"), x => round(x, 4)).as("centroid_r"),
+          transform(col("centroid"), x => round(x, 4) + lit(0.0)).as("centroid_r"),
           col("n"))),
 
     // Lloyd's k-means (semantic clustering / diversity sampling) — the
@@ -799,7 +802,7 @@ object LlmQueries {
         |m AS (SELECT label, pos, avg(v) AS m, count(*) AS n
         |  FROM e GROUP BY label, pos)
         |SELECT label,
-        | list_transform(list(m ORDER BY pos), x -> round(x, 4)) AS centroid_r,
+        | list_transform(list(m ORDER BY pos), x -> round(x, 4) + 0.0) AS centroid_r,
         | max(n) AS n
         |FROM m GROUP BY label""".stripMargin,
 
