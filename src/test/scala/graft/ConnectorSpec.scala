@@ -80,6 +80,25 @@ class ConnectorSpec extends SparkSpec {
     assert(after == 2, "empty flush must not emit an object")
   }
 
+  test("s3-layout sink streaming: one object per micro-batch flush") {
+    val out = tmpDir("s3stream")
+    val src = new graft.sources.MemoryMessageSource(spark)
+    val q = graft.core.Pipeline.from(src)
+      .start(spark, Sinks.S3ObjectLayoutSink(out))
+    try {
+      src.add(Seq(graft.core.Message.ofString("k1", "v1", "t"),
+        graft.core.Message.ofString("k2", "v2", "t")))
+      q.processAllAvailable()
+      src.add(Seq(graft.core.Message.ofString("k3", "v3", "t")))
+      q.processAllAvailable()
+      val gz = Files.walk(Paths.get(out)).toArray.map(_.toString)
+        .filter(_.endsWith(".gz"))
+      assert(gz.length == 2, s"one object per non-empty flush: ${gz.toSeq}")
+      val back = spark.read.json(gz.toSeq: _*)
+      assert(back.count() == 3, "all flushed rows must round-trip")
+    } finally { q.stop(); q.awaitTermination() }
+  }
+
   test("attributes chain: layered provenance merges, later layer wins") {
     // the reference's Attributes chain-walk (types.go:28-30): an outer
     // layer shadows inner keys; both the Scala-side merge and the Column

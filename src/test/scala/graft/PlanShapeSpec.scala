@@ -103,6 +103,16 @@ class PlanShapeSpec extends SparkSpec {
       "quantization must stay a per-row projection:\n" + p.take(500))
   }
 
+  test("kmeans assignment: broadcast-literal argmax, zero Exchange on the corpus side") {
+    val out = graft.ops.Similarity.kmeans(
+      Tables.embeddings(spark, sf), "vec_id", "embedding", k = 4, iters = 1)
+    val p = out.queryExecution.executedPlan.toString
+    // the returned assignment plan is a pure projection over the scan —
+    // no join against a centroid table, no shuffle of the corpus
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      "kmeans assignment must stay narrow:\n" + p.take(600))
+  }
+
   test("centroids: exactly the (label,pos)-keyed + label-keyed shuffles, partial avg") {
     val df = graft.ops.Similarity.centroids(
       Tables.embeddings(spark, sf), "embedding", "label")
