@@ -135,4 +135,24 @@ object TextFunctions {
   /** Hamming distance between two 64-bit hashes. */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** Per-document distinct (term, cnt) pairs as `array<struct<term,cnt>>`
+    * — the term-frequency half of TF-IDF, computed per row with ZERO
+    * shuffle. The run-length trick: over the SORTED token array, a term's
+    * run ends at position i where `srt[i] != srt[i+1]` (or i = n); the
+    * boundary positions are found with one `filter` pass and the counts
+    * are consecutive-boundary differences via `zip_with` — O(n) per row,
+    * all codegen HOFs. The explode+groupBy(doc,term) formulation would
+    * shuffle every token occurrence in the corpus; this emits only the
+    * distinct terms per document and shuffles nothing. */
+  def termCounts(text: Column): Column = {
+    val srt = array_sort(tokens(text))
+    val n = size(srt)
+    val bounds = filter(sequence(lit(1), n),
+      i => (i === n) || element_at(srt, i) =!= element_at(srt, i + 1))
+    val prevs = concat(array(lit(0)), slice(bounds, lit(1), size(bounds) - 1))
+    when(n <= 0, array().cast("array<struct<term:string,cnt:int>>"))
+      .otherwise(zip_with(bounds, prevs, (b, p) =>
+        struct(element_at(srt, b).as("term"), (b - p).as("cnt"))))
+  }
 }

@@ -1,0 +1,67 @@
+package graft.ops
+
+import graft.core.Transforms
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus TF-IDF scoring and keyword extraction (SURVEY.md §2.3 "text
+  * analysis" north-star row) — the classic relevance / topicality signal a
+  * training-data pipeline uses for keyword tagging, topic balancing, and
+  * boilerplate-vs-content weighting.
+  *
+  * Scale shape (the part that matters at 100 TB):
+  *   - the TF half is [[graft.functions.TextFunctions.termCounts]] — a
+  *     per-row run-length pass over the sorted token array, so the corpus
+  *     is NEVER shuffled by token occurrence (the naive explode+groupBy
+  *     (doc, term) shuffles every token in the corpus);
+  *   - the DF half aggregates the per-document distinct terms by term with
+  *     map-side partial counts — the only full shuffle, and its payload is
+  *     distinct (doc, term) pairs, not occurrences;
+  *   - the IDF join back onto the TF relation is left to AQE: when the
+  *     vocabulary fits (dimension-sized after DF pruning) it broadcasts
+  *     and the TF side is never shuffled at all; otherwise it is a plain
+  *     shuffle-hash join on term.
+  * The corpus count N is a driver-side scalar (one count job), folded into
+  * the score as a literal so the scoring stage stays fully codegen'd.
+  */
+object TfIdf {
+
+  /** Corpus document frequencies: one row per distinct term with the
+    * number of documents containing it. One shuffle, map-side combined. */
+  def documentFrequencies(df: DataFrame, textCol: String): DataFrame =
+    Transforms.materialized(df.select(col(textCol)), "_tc",
+        termCounts(col(textCol)))
+      .select(explode(col("_tc.term")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df_t"))
+
+  /** Per-(document, term) TF-IDF: (idCol, term, cnt, tfidf) with
+    * tfidf = cnt · ln(N / df_term). Documents too short to tokenize
+    * contribute their empty-string token like every other term (keeps the
+    * DuckDB oracle twin exact). */
+  def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val nDocs = df.count().toDouble
+    val tf = Transforms.materialized(df.select(col(idCol), col(textCol)), "_tc",
+        termCounts(col(textCol)))
+      .select(col(idCol), explode(col("_tc")).as("_p"))
+      .select(col(idCol), col("_p.term").as("term"),
+        col("_p.cnt").cast("long").as("cnt"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+    tf.join(dft, "term")
+      .select(col(idCol), col("term"), col("cnt"),
+        (col("cnt") * log(lit(nDocs) / col("df_t"))).as("tfidf"))
+  }
+
+  /** Top-k keywords per document by TF-IDF, rank 1 = highest score, ties
+    * broken on term so the output is engine-stable. One additional
+    * shuffle on the document id (per-group top-k window). */
+  def keywords(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    tfIdf(df, idCol, textCol)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(idCol).orderBy(desc("tfidf"), asc("term"))))
+      .filter(col("rnk") <= k)
+  }
+}

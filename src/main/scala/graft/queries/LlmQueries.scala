@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.ops.{Curation, Dedup, Multimodal, Similarity}
+import graft.ops.{Curation, Dedup, Multimodal, Similarity, TfIdf}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -411,6 +411,23 @@ object LlmQueries {
         .agg(count(lit(1)).as("n_kept"), min("doc_id").as("first_id"),
           sum("n_chars").as("chars"))),
 
+    // ---- TF-IDF / keyword extraction ---------------------------------
+    // top-5 keywords per document by tf·idf — TF is the zero-shuffle
+    // run-length kernel; DF is the only full shuffle (distinct doc-term
+    // pairs, map-side combined); idf join left to AQE (broadcast when the
+    // vocabulary is dimension-sized)
+    "q_tfidf_keywords" -> ((s, d) =>
+      TfIdf.keywords(Tables.documents(s, d), "doc_id", "text", k = 5)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("rnk"), col("term"),
+          round(col("tfidf"), 2).as("score_r"))),
+
+    // corpus vocabulary head: 20 most document-frequent terms
+    "q_doc_freq" -> ((s, d) =>
+      TfIdf.documentFrequencies(Tables.documents(s, d), "text")
+        .orderBy(desc("df_t"), asc("term"))
+        .limit(20)),
+
     // ---- multimodal plumbing (binary columns + typed metadata) -------
     "q_multimodal_meta" -> ((s, d) =>
       Tables.documents(s, d)
@@ -472,6 +489,31 @@ object LlmQueries {
          |   / len(toks)::DOUBLE END), 2) AS sum_mean_len,
          | count(*) AS n
          |FROM t GROUP BY lang""".stripMargin,
+
+    "q_tfidf_keywords" ->
+      s"""WITH tfc AS (
+         |  SELECT doc_id, term, count(*) AS cnt FROM (
+         |    SELECT doc_id, unnest($sqlToks) AS term FROM documents)
+         |  GROUP BY doc_id, term),
+         |dft AS (SELECT term, count(*) AS df_t FROM tfc GROUP BY term),
+         |n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT doc_id, tfc.term AS term,
+         |    cnt * ln(n_docs / df_t) AS tfidf
+         |  FROM tfc JOIN dft USING (term) CROSS JOIN n),
+         |ranked AS (
+         |  SELECT doc_id, term, tfidf, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+         |  FROM scored)
+         |SELECT doc_id, rnk, term, round(tfidf, 2) AS score_r
+         |FROM ranked WHERE rnk <= 5 AND doc_id < 50""".stripMargin,
+
+    "q_doc_freq" ->
+      s"""SELECT term, count(*) AS df_t FROM (
+         |  SELECT doc_id, term FROM (
+         |    SELECT doc_id, unnest($sqlToks) AS term FROM documents)
+         |  GROUP BY doc_id, term)
+         |GROUP BY term ORDER BY df_t DESC, term LIMIT 20""".stripMargin,
 
     "q_approx_topk" ->
       """SELECT event_type AS item, count(*) AS n FROM events

@@ -228,6 +228,15 @@ object RelationalQueries {
           min_by(col("o_orderpriority"), col("o_orderkey")).as("first_prio"),
           max("o_orderkey").as("max_key"))),
 
+    // Equi-width histogram via portable floor arithmetic (DuckDB has no
+    // width_bucket); bucket boundaries integer-exact, so engine-stable.
+    // One map-side-combined shuffle of ≤ |buckets| keys at any scale.
+    "q_agg_histogram" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(floor(col("l_extendedprice") / 5000).cast("long").as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"))),
+
     // Quantile sketch with its exact twin (the q_approx_hll pattern): the
     // GK sketch (percentile_approx) is not bit-comparable across engines,
     // so the oracled columns are the exact quartiles plus `approx_ok` —
@@ -670,6 +679,11 @@ object RelationalQueries {
         | arg_min(o_orderpriority, o_orderkey) AS first_prio,
         | max(o_orderkey) AS max_key
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q_agg_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bucket,
+        | count(*) AS n
+        |FROM lineitem GROUP BY bucket""".stripMargin,
 
     "q_approx_quantile" ->
       """SELECT l_returnflag,
