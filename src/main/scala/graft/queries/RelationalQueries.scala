@@ -92,6 +92,17 @@ object RelationalQueries {
       Tables.region(s, d).crossJoin(Tables.nation(s, d))
         .agg(count(lit(1)).as("n"))),
 
+    // salted skew join: result multiset identical to the plain equi-join
+    // (the oracle is the plain join) — salt only routes rows; plan shape
+    // (both shuffles keyed on (key, salt)) pinned in SkewJoinSpec
+    "q_join_salted" -> ((s, d) =>
+      graft.ops.SkewJoins.saltedEquiJoin(
+          Tables.orders(s, d), Tables.customer(s, d),
+          "o_custkey", "c_custkey", salts = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          round(sum("o_totalprice"), 2).as("rev"))),
+
     "q_join_multiway" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       val o = Tables.orders(s, d)
@@ -558,6 +569,12 @@ object RelationalQueries {
         |GROUP BY c_mktsegment""".stripMargin,
 
     "q_join_cross" -> "SELECT count(*) AS n FROM region CROSS JOIN nation",
+
+    "q_join_salted" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        | round(sum(o_totalprice), 2) AS rev
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
 
     "q_join_asof" ->
       """WITH r AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS rus,

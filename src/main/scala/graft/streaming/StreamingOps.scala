@@ -39,6 +39,33 @@ object StreamingOps {
       .withColumn("session_end", col("session_window.end"))
       .drop("session_window")
 
+  /** Watermarked stream–stream interval join: each left event joins right
+    * events with the same key whose timestamp lands in
+    * [leftTs, leftTs + maxDelay]. Both sides carry the watermark and the
+    * time bound appears in the join condition — that pair is what lets
+    * Spark EVICT join state (without it, both sides buffer forever and a
+    * 100 TB/day stream OOMs by lunch). State per key is bounded by
+    * watermark + maxDelay; output is append-mode once both watermarks
+    * pass the bound. */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, leftTs: String, rightTs: String,
+      watermark: String, maxDelay: String): DataFrame =
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        col(leftKey) === col(rightKey) &&
+          col(rightTs) >= col(leftTs) &&
+          col(rightTs) <= col(leftTs) + expr(s"interval $maxDelay"))
+
+  /** Stream–static enrichment join: the dimension is broadcast to every
+    * task, so the stream is never shuffled and no join state is kept —
+    * the right shape for decorating an event stream with a
+    * dimension-sized lookup (the batch twin is q_join_inner_groupby's
+    * broadcast join). The dimension is re-resolved per micro-batch, so a
+    * refreshed Delta/parquet dim picks up new rows without a restart. */
+  def enrich(stream: DataFrame, dim: DataFrame, streamKey: String,
+      dimKey: String, joinType: String = "left"): DataFrame =
+    stream.join(broadcast(dim), col(streamKey) === col(dimKey), joinType)
+
   /** Exact streaming dedup within the watermark horizon — at-least-once
     * input → effectively-once output (≈ the conformance suite's no-dup
     * assertion, /root/reference/test/suite_test.go:95-104, as an operator).

@@ -140,12 +140,10 @@ class StreamingSpec extends SparkSpec {
     // (click joins purchases within [click, click + 30 min])
     val clicks = new MemoryStream[(Long, Timestamp)](18, spark, None)
     val buys = new MemoryStream[(Long, Timestamp)](19, spark, None)
-    val c = clicks.toDF().toDF("user", "cts").withWatermark("cts", "10 minutes")
-    val b = buys.toDF().toDF("buyer", "bts").withWatermark("bts", "10 minutes")
-    val joined = c.join(b,
-      col("user") === col("buyer") &&
-        col("bts") >= col("cts") &&
-        col("bts") <= col("cts") + expr("interval 30 minutes"))
+    val joined = StreamingOps.streamIntervalJoin(
+      clicks.toDF().toDF("user", "cts"), buys.toDF().toDF("buyer", "bts"),
+      "user", "buyer", "cts", "bts",
+      watermark = "10 minutes", maxDelay = "30 minutes")
     val q = joined.writeStream.format("memory").queryName("ssjoin_out")
       .outputMode("append").start()
     clicks.addData(Seq(1L -> ts(0), 2L -> ts(5)))
@@ -159,6 +157,29 @@ class StreamingSpec extends SparkSpec {
     val got = spark.table("ssjoin_out").select("user").as[Long].collect().sorted
     assert(got.toSeq == Seq(1L, 3L),
       s"expected users 1 and 3 joined (2 outside the 30-min window), got ${got.toSeq}")
+  }
+
+  test("enrich: stream decorated from a broadcast dimension, no state, no shuffle") {
+    val ms = new MemoryStream[(Long, Timestamp)](21, spark, None)
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("dk", "tier")
+    val out = StreamingOps.enrich(ms.toDF().toDF("user", "ets"), dim, "user", "dk")
+    val q = out.writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    ms.addData(Seq(1L -> ts(0), 2L -> ts(1), 9L -> ts(2)))
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    val got = spark.table("enrich_out")
+      .select("user", "tier").as[(Long, Option[String])].collect().toMap
+    assert(got == Map(1L -> Some("gold"), 2L -> Some("silver"), 9L -> None),
+      s"left-enrichment must keep unmatched stream rows: $got")
+    // plan: broadcast join, and the stream side must NOT hit an Exchange
+    val p = spark.table("enrich_out").queryExecution.executedPlan.toString
+    val batchPlan = StreamingOps.enrich(
+        Seq((1L, ts(0))).toDF("user", "ets"), dim, "user", "dk")
+      .queryExecution.executedPlan.toString
+    assert(batchPlan.contains("BroadcastHashJoin"), batchPlan.take(600))
+    assert(!batchPlan.contains("Exchange hashpartitioning"),
+      s"stream side must stay unshuffled:\n${batchPlan.take(600)}")
   }
 
   test("runningCountPerKey: state accumulates across micro-batches") {
