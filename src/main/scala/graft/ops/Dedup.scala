@@ -38,6 +38,55 @@ object Dedup {
     docs.join(keep, idCol) // canonical ids are unique → inner join keeps one per group
   }
 
+  /** Corpus-wide exact SPAN dedup — the distributed, windowed variant of
+    * duplicated-substring removal (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better": repeated long spans,
+    * not just whole documents, are what LMs memorize). Each document is
+    * chunked into fixed non-overlapping `windowTokens`-token spans
+    * ([[Curation.chunkByTokens]], purely narrow); only the corpus-wide
+    * FIRST occurrence of each distinct span — ordered by (document id,
+    * chunk position) — survives, and documents are reassembled from their
+    * surviving spans in order.
+    *
+    * Scale shape: winner election is a groupBy on the span's xxhash64
+    * (fixed 8-byte shuffle key — the span TEXT never shuffles) with a
+    * map-side-combined `min(struct(id, pos))`, then a semi-join back;
+    * reassembly is one groupBy on the document id. Nothing is quadratic
+    * and no suffix array is needed.
+    *
+    * Output: all columns of `df` plus `text_dedup` (surviving spans
+    * joined by `delim`; "" when every span was dropped), `n_chunks_kept`,
+    * `n_tokens_kept`.
+    */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int, delim: String = " "): DataFrame = {
+    val c = Curation.chunkByTokens(df, textCol, idCol,
+      chunkSize = windowTokens, overlap = 0, delim = delim)
+    val winners = c
+      .groupBy(xxhash64(col("chunk_text")).as("_ch"))
+      .agg(min(struct(col(idCol), col("chunk_id"))).as("_w"))
+      .select(col("_ch"), col("_w")(idCol).as("_wid"),
+        col("_w")("chunk_id").as("_wcid"))
+    val kept = c.join(winners,
+      xxhash64(col("chunk_text")) === col("_ch") &&
+        col(idCol) === col("_wid") && col("chunk_id") === col("_wcid"),
+      "left_semi")
+    val rebuilt = kept
+      .groupBy(idCol)
+      .agg(array_sort(collect_list(
+        struct(col("chunk_id"), col("chunk_text"), col("n_tokens")))).as("_cs"))
+      .select(col(idCol),
+        concat_ws(delim, transform(col("_cs"), p => p("chunk_text")))
+          .as("text_dedup"),
+        size(col("_cs")).as("n_chunks_kept"),
+        aggregate(col("_cs"), lit(0L),
+          (a, p) => a + p("n_tokens").cast("long")).as("n_tokens_kept"))
+    df.join(rebuilt, Seq(idCol), "left")
+      .withColumn("text_dedup", coalesce(col("text_dedup"), lit("")))
+      .withColumn("n_chunks_kept", coalesce(col("n_chunks_kept"), lit(0)))
+      .withColumn("n_tokens_kept", coalesce(col("n_tokens_kept"), lit(0L)))
+  }
+
   /** Candidate near-duplicate pairs via MinHash + banded LSH.
     *
     * numHashes = bands * rowsPerBand. Two docs become a candidate pair iff

@@ -393,6 +393,19 @@ object LlmQueries {
       Curation.chunkByTokens(Tables.documents(s, d), "text", "doc_id",
         chunkSize = 32, overlap = 8)),
 
+    // corpus-wide exact span dedup (Lee et al. windowed substring
+    // removal): only the first occurrence of each 32-token span survives
+    "q_span_dedup" -> ((s, d) =>
+      Dedup.spanDedup(Tables.documents(s, d), "doc_id", "text",
+          windowTokens = 32)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chunks_kept").as("chunks_kept"),
+          sum("n_tokens_kept").as("tokens_kept"),
+          sum(length(col("text_dedup"))).as("chars_kept"),
+          sum(when(col("n_chunks_kept") === 0, 1L).otherwise(0L))
+            .as("n_emptied"))),
+
     // per-document unigram entropy (quality/diversity signal) — zero
     // shuffle: run-length fold over the sorted token array per row
     "q_token_entropy" -> ((s, d) =>
@@ -783,6 +796,34 @@ object LlmQueries {
         | array_to_string(t[s : least(s + 31, len(t))], ' ') AS chunk_text,
         | CAST(least(s + 31, len(t)) - s + 1 AS INT) AS n_tokens
         |FROM st""".stripMargin,
+
+    // same chunk grid as q_chunk_tokens (stride = size, no overlap);
+    // winner per span = row_number 1 over (doc_id, chunk_id) — identical
+    // to the Spark side's min(struct) election by span hash
+    "q_span_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents),
+        |st AS (SELECT doc_id, t,
+        |  unnest(generate_series(1, greatest(len(t), 1), 32)) AS s
+        | FROM toks),
+        |c AS (SELECT doc_id,
+        |  CAST((s - 1) // 32 AS INT) AS chunk_id,
+        |  array_to_string(t[s : least(s + 31, len(t))], ' ') AS chunk_text,
+        |  least(s + 31, len(t)) - s + 1 AS n_tokens
+        | FROM st),
+        |k AS (SELECT *, row_number() OVER (
+        |  PARTITION BY chunk_text ORDER BY doc_id, chunk_id) AS rn FROM c),
+        |r AS (SELECT doc_id,
+        |  string_agg(chunk_text, ' ' ORDER BY chunk_id) AS text_dedup,
+        |  count(*) AS n_chunks_kept, sum(n_tokens)::BIGINT AS n_tokens_kept
+        | FROM k WHERE rn = 1 GROUP BY doc_id)
+        |SELECT lang, count(*) AS n_docs,
+        | sum(coalesce(n_chunks_kept, 0))::BIGINT AS chunks_kept,
+        | sum(coalesce(n_tokens_kept, 0))::BIGINT AS tokens_kept,
+        | sum(length(coalesce(text_dedup, '')))::BIGINT AS chars_kept,
+        | sum(CASE WHEN r.doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_emptied
+        |FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
+        |GROUP BY lang""".stripMargin,
 
     // H = log2 n − (Σ c·log2 c)/n over per-token counts — the groupBy
     // formulation; the Spark side computes the same identity as a

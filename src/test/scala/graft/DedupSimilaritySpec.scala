@@ -526,4 +526,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(s2 == 0.0 && q2.forall(_ == 0) && dq2.forall(_ == 0.0),
       "zero vector must quantize to zeros without dividing by zero")
   }
+
+  test("spanDedup: first span occurrence survives, later ones drop, docs reassemble") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d"),   // spans [a b][c d] — both first occurrences
+      (2L, "a b x y"),   // [a b] duplicates doc 1 → dropped; [x y] kept
+      (3L, "c d"),       // single span duplicates doc 1 → doc emptied
+      (4L, "c"))         // short doc, own 1-token span, kept
+      .toDF("doc_id", "text")
+    val out = Dedup.spanDedup(d, "doc_id", "text", windowTokens = 2)
+      .select("doc_id", "text_dedup", "n_chunks_kept", "n_tokens_kept")
+      .as[(Long, String, Int, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == (("a b c d", 2, 4L)), s"doc 1: ${out(1L)}")
+    assert(out(2L) == (("x y", 1, 2L)), s"doc 2: ${out(2L)}")
+    assert(out(3L) == (("", 0, 0L)), s"doc 3 must be emptied: ${out(3L)}")
+    assert(out(4L) == (("c", 1, 1L)), s"doc 4: ${out(4L)}")
+    // election shuffles the 8-byte span hash, never the span text
+    val p = Dedup.spanDedup(d, "doc_id", "text", 2)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("hashpartitioning(chunk_text"),
+      s"span text must not be a shuffle key:\n${p.take(800)}")
+  }
 }
