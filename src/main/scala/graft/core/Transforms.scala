@@ -71,7 +71,10 @@ object Transforms {
     * hot-tenant shape). The left (large, skewed) side derives a
     * deterministic salt from `tieBreak`; the right side is replicated
     * `salt` times, so the join key becomes (key, salt) and the hot key
-    * spreads over `salt` tasks. Result is row-identical to a plain join. */
+    * spreads over `salt` tasks. Result is row-identical to a plain join.
+    * This is the USING-join convenience (same key name both sides, keys
+    * merged, inner only); for differently-named keys or left-outer of the
+    * big side use [[graft.ops.SkewJoins.saltedEquiJoin]]. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       tieBreak: String, salt: Int): DataFrame = {
     val l = left.withColumn("_salt", pmod(hash(col(tieBreak)), lit(salt)))

@@ -16,6 +16,10 @@ import org.apache.spark.sql.functions._
   * `explode(sequence(...))` and the join runs on (key, salt). The result
   * multiset is EXACTLY the plain equi-join's — salt only routes rows —
   * which is what the DuckDB oracle checks (q_join_salted).
+  *
+  * [[graft.core.Transforms.saltedJoin]] is the USING-join convenience
+  * variant (same key name, merged key column, inner only); this is the
+  * general form.
   */
 object SkewJoins {
 

@@ -239,6 +239,29 @@ object RelationalQueries {
           min_by(col("o_orderpriority"), col("o_orderkey")).as("first_prio"),
           max("o_orderkey").as("max_key"))),
 
+    // conditional aggregation (SQL FILTER clause): one pass over the fact
+    // table computing disjoint sliced aggregates — the idiomatic
+    // replacement for N self-joins
+    "q_agg_filter" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          count(when(col("l_discount") > 0.05, 1)).as("n_highdisc"),
+          count(when(col("l_returnflag") === "R", 1)).as("n_returned"),
+          round(sum(when(col("l_quantity") < 10, col("l_extendedprice"))
+            .otherwise(lit(0.0))), 2).as("small_rev"),
+          count(lit(1)).as("n"))),
+
+    // ordered string aggregation (listagg / string_agg with ORDER BY) —
+    // deterministic via the unique order key; portable
+    // array_sort(collect_list(struct)) form, one shuffle
+    "q_agg_listagg" -> ((s, d) =>
+      Tables.nation(s, d)
+        .groupBy("n_regionkey")
+        .agg(concat_ws(",",
+          transform(array_sort(collect_list(struct(col("n_nationkey"),
+            col("n_name")))), p => p("n_name"))).as("names"))),
+
     // Equi-width histogram via portable floor arithmetic (DuckDB has no
     // width_bucket); bucket boundaries integer-exact, so engine-stable.
     // One map-side-combined shuffle of ≤ |buckets| keys at any scale.
@@ -324,6 +347,22 @@ object RelationalQueries {
           round(percent_rank().over(w), 4).as("pr"),
           round(cume_dist().over(w), 4).as("cd"))
         .filter(col("o_orderkey") < 2000)
+    }),
+
+    // navigation window fns: first/last/nth over an explicit running
+    // frame (last_value needs the full ordering + frame to be
+    // deterministic — both engines default RANGE UNBOUNDED PRECEDING..
+    // CURRENT ROW, pinned explicitly here)
+    "q_window_first_last" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          first(col("o_totalprice")).over(w).as("first_price"),
+          last(col("o_totalprice")).over(w).as("running_last"),
+          nth_value(col("o_totalprice"), 3).over(w).as("third_price"))
+        .filter(col("o_orderkey") < 1000)
     }),
 
     // ---- sort / limit / top-k ----------------------------------------
@@ -701,6 +740,31 @@ object RelationalQueries {
       """SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bucket,
         | count(*) AS n
         |FROM lineitem GROUP BY bucket""".stripMargin,
+
+    "q_agg_filter" ->
+      """SELECT l_returnflag,
+        | count(*) FILTER (WHERE l_discount > 0.05) AS n_highdisc,
+        | count(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
+        | round(sum(CASE WHEN l_quantity < 10 THEN l_extendedprice
+        |   ELSE 0 END), 2) AS small_rev,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_agg_listagg" ->
+      """SELECT n_regionkey,
+        | string_agg(n_name, ',' ORDER BY n_nationkey) AS names
+        |FROM nation GROUP BY n_regionkey""".stripMargin,
+
+    "q_window_first_last" ->
+      """SELECT * FROM (
+        | SELECT o_orderpriority, o_orderkey,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  last_value(o_totalprice) OVER w AS running_last,
+        |  nth_value(o_totalprice, 3) OVER w AS third_price
+        | FROM orders
+        | WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |WHERE o_orderkey < 1000""".stripMargin,
 
     "q_approx_quantile" ->
       """SELECT l_returnflag,
