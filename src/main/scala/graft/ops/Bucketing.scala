@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed-layout co-located joins — the 100 TB answer to "this join
+  * shuffles the fact table every single run".
+  *
+  * Writing both sides `bucketBy(n, key)` once means every subsequent
+  * equi-join on that key is Exchange-free: each task reads bucket i of
+  * both tables and sort-merge-joins them locally. At cluster scale the
+  * one-time bucketed write replaces a per-query shuffle of the larger
+  * table — the canonical amortization for a fact table joined on the
+  * same key by many queries (kawa's `Message.Key` sharding generalized
+  * to persistent layout; reference keys messages for exactly this
+  * co-location purpose, types.go:13-14).
+  *
+  * Uses Spark's built-in datasource bucketing (in-memory catalog +
+  * parquet — no Hive needed). Bucket counts must match on both sides
+  * (Spark also joins k·n vs n buckets, but identical counts avoid the
+  * bucket-coalescing read amplification).
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed+sorted parquet table `name` (overwrite).
+    * Drops any prior table AND its on-disk location first: with the
+    * in-memory catalog a previous JVM's managed-table directory survives
+    * in the warehouse while the catalog entry does not, and saveAsTable
+    * refuses the orphaned location (LOCATION_ALREADY_EXISTS). */
+  def writeBucketed(df: DataFrame, name: String, key: String,
+      buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(name)
+  }
+
+  /** Bucket both inputs by the join key, then inner-join the bucketed
+    * tables. The join itself is shuffle-free (zero Exchange — pinned in
+    * PlanShapeSpec); with `sortBy` it is merge-ready too. Result multiset
+    * is identical to `left.join(right, key)` — the oracle is the plain
+    * equi-join.
+    */
+  def bucketedJoin(spark: SparkSession, left: DataFrame, right: DataFrame,
+      key: String, buckets: Int,
+      namePrefix: String = "graft_bkt"): DataFrame = {
+    writeBucketed(left, s"${namePrefix}_l", key, buckets)
+    writeBucketed(right, s"${namePrefix}_r", key, buckets)
+    spark.table(s"${namePrefix}_l")
+      .join(spark.table(s"${namePrefix}_r"), key)
+  }
+}

@@ -429,6 +429,76 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), round(min("o_totalprice"), 2).as("min_above"))
     }),
 
+    // post-aggregation predicate (HAVING; TPC-H Q18 inner shape) —
+    // l_quantity is integer-valued so the 150 threshold is exact on
+    // both engines
+    "q_having" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"))
+        .filter(col("sum_qty") > 150)
+        .agg(count(lit(1)).as("n_big"), round(max("sum_qty"), 2).as("max_qty"))),
+
+    // TPC-H Q3 (shipping-priority) through the SQL entry point: parser →
+    // Catalyst decides join order/strategy; ORDER BY the ROUNDED revenue
+    // with a key tie-break so the LIMIT cut is engine-stable
+    "q_sql_tpch_q3" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("g_customer")
+      Tables.orders(s, d).createOrReplaceTempView("g_orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("g_lineitem")
+      s.sql("""SELECT l_orderkey,
+              | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+              | o_orderdate
+              |FROM g_customer, g_orders, g_lineitem
+              |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+              |  AND l_orderkey = o_orderkey
+              |  AND o_orderdate < TIMESTAMP '1995-03-15'
+              |  AND l_shipdate > TIMESTAMP '1995-03-15'
+              |GROUP BY l_orderkey, o_orderdate
+              |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)
+    }),
+
+    // correlated EXISTS / NOT EXISTS through the SQL entry point —
+    // Catalyst decorrelates both into a semi + anti join
+    // (RewritePredicateSubquery), so the correlated probe never
+    // re-executes per outer row; the oracle runs the identical SQL
+    "q_subquery_exists" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("g_customer")
+      Tables.orders(s, d).createOrReplaceTempView("g_orders")
+      s.sql("""SELECT c_mktsegment, count(*) AS n
+              |FROM g_customer c
+              |WHERE EXISTS (SELECT 1 FROM g_orders o
+              |   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+              |  AND NOT EXISTS (SELECT 1 FROM g_orders o2
+              |   WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+              |GROUP BY c_mktsegment""".stripMargin)
+    }),
+
+    // IN / NOT IN subqueries (semi join; null-aware anti join) — keys are
+    // non-null so NOT IN's three-valued-logic trap doesn't bite
+    "q_subquery_in" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("g_orders")
+      Tables.customer(s, d).createOrReplaceTempView("g_customer")
+      Tables.lineitem(s, d).createOrReplaceTempView("g_lineitem")
+      s.sql("""SELECT o_orderpriority, count(*) AS n
+              |FROM g_orders
+              |WHERE o_custkey IN (SELECT c_custkey FROM g_customer
+              |                    WHERE c_acctbal > 8000)
+              |  AND o_orderkey NOT IN (SELECT l_orderkey FROM g_lineitem
+              |                         WHERE l_quantity > 49)
+              |GROUP BY o_orderpriority""".stripMargin)
+    }),
+
+    // lateral view / table-generating function: one row per split token
+    // (generator stays inside whole-stage codegen — no UDTF overhead)
+    "q_lateral_view" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(col("p_retailprice"),
+          explode(split(col("p_name"), " ")).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("n"),
+          round(avg("p_retailprice"), 2).as("avg_price"))),
+
     // ---- set operations ----------------------------------------------
     "q_set_distinct" -> ((s, d) =>
       Tables.customer(s, d).select(col("c_nationkey").as("k")).distinct()),
@@ -555,6 +625,85 @@ object RelationalQueries {
       Tables.events(s, d).agg(
         count_distinct(col("event_id")).as("n_ids"),
         count_distinct(col("user_id"), col("event_type")).as("n_user_type"))),
+
+    // boolean + bitwise aggregate family (every/any, bit_and/or/xor) —
+    // all partial-aggregable, so map-side combine keeps the shuffle at
+    // |groups| rows at any scale
+    "q_agg_bool_bit" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_linestatus")
+        .agg(
+          bool_and(col("l_quantity") < 50).as("all_small"),
+          bool_or(col("l_discount") > 0.09).as("any_highdisc"),
+          bit_and(col("l_linenumber")).as("band"),
+          bit_or(col("l_linenumber")).as("bor"),
+          bit_xor(col("l_linenumber")).as("bxor"),
+          count(lit(1)).as("n"))),
+
+    // time-series gap fill: zero-fill missing hours on a generated
+    // event-time grid, forward-fill the last observed hourly average
+    // (hour(ts)=3 dropped on both engines so the gap path is exercised).
+    // The grid is hours-between-min-and-max — tiny at any corpus size —
+    // so the single-partition window over it is safe at 100 TB; the only
+    // full-data pass is the map-side-combined hourly aggregate.
+    "q_gap_fill" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .filter(hour(col("ts")) =!= 3)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n_obs"))
+      val grid = hourly
+        .agg(min("hour").as("lo"), max("hour").as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 hour"))).as("hour"))
+      val w = Window.orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // forward fill carries the last OBSERVED hour's count (integer —
+      // exactly engine-stable; a carried avg can land on a .xx5 rounding
+      // boundary and flip the 2dp hash between engines)
+      grid.join(hourly, Seq("hour"), "left")
+        .select(col("hour"),
+          coalesce(col("n_obs"), lit(0L)).as("n"),
+          last(col("n_obs"), ignoreNulls = true).over(w).as("ff_n"))
+    }),
+
+    // per-group z-score outlier detection: two-pass (tiny stats agg,
+    // broadcast back over the fact table — the fact side is never
+    // shuffled); same shape as the LM-quality two-pass scorer
+    "q_outlier_zscore" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val stats = li.groupBy("l_returnflag")
+        .agg(avg("l_extendedprice").as("mu"),
+          stddev_pop("l_extendedprice").as("sigma"))
+      val z = (col("l_extendedprice") - col("mu")) / col("sigma")
+      li.join(broadcast(stats), "l_returnflag")
+        .filter(z > 1.5)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_outliers"),
+          round(max(z), 2).as("max_z"))
+    }),
+
+    // co-located bucketed join: both sides written bucketBy(key) once,
+    // then joined with ZERO Exchange (pinned in PlanShapeSpec) — the
+    // layout amortization that replaces a per-query fact-table shuffle
+    // at 100 TB; result multiset == the plain equi-join (the oracle)
+    "q_join_bucketed" -> ((s, d) => {
+      val o = Tables.orders(s, d).select("o_custkey", "o_totalprice")
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      graft.ops.Bucketing.bucketedJoin(s, o, c, "o_custkey", 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("rev"))
+    }),
+
+    // Z-order (Morton) multi-dim layout key: the oracled column is the
+    // interleaved-bits Z-value itself (pure integer shift/mask arithmetic,
+    // engine-stable); the repartitionByRange clustering it drives is
+    // pinned in LayoutSpec
+    "q_zorder_layout" -> ((s, d) =>
+      Tables.part(s, d).filter(col("p_partkey") < 500)
+        .select(col("p_partkey"), col("p_size"),
+          graft.ops.Layout.zvalue(col("p_size"),
+            pmod(col("p_partkey"), lit(65536))).as("zval"))),
 
     // ---- UDF / UDAF surface ------------------------------------------
     "q_udf_clamp" -> ((s, d) => {
@@ -976,6 +1125,114 @@ object RelationalQueries {
       """SELECT event_type,
         | round(sum(least(greatest(value, 0), 10)), 2) AS sum_clamped
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_having" ->
+      """SELECT count(*) AS n_big, round(max(sum_qty), 2) AS max_qty
+        |FROM (SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING round(sum(l_quantity), 2) > 150)""".stripMargin,
+
+    "q_sql_tpch_q3" ->
+      """SELECT l_orderkey,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | o_orderdate
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q_subquery_exists" ->
+      """SELECT c_mktsegment, count(*) AS n
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |   WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q_subquery_in" ->
+      """SELECT o_orderpriority, count(*) AS n
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_acctbal > 8000)
+        |  AND o_orderkey NOT IN (SELECT l_orderkey FROM lineitem
+        |                         WHERE l_quantity > 49)
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q_lateral_view" ->
+      """SELECT word, count(*) AS n, round(avg(p_retailprice), 2) AS avg_price
+        |FROM (SELECT unnest(string_split(p_name, ' ')) AS word,
+        |             p_retailprice
+        |      FROM part)
+        |GROUP BY word""".stripMargin,
+
+    "q_agg_bool_bit" ->
+      """SELECT l_linestatus,
+        | bool_and(l_quantity < 50) AS all_small,
+        | bool_or(l_discount > 0.09) AS any_highdisc,
+        | bit_and(l_linenumber) AS band,
+        | bit_or(l_linenumber) AS bor,
+        | bit_xor(l_linenumber) AS bxor,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH h AS (
+        |  SELECT date_trunc('hour', ts::TIMESTAMP) AS hour,
+        |         count(*) AS n_obs
+        |  FROM events
+        |  WHERE extract('hour' FROM ts::TIMESTAMP) <> 3
+        |  GROUP BY 1),
+        | g AS (
+        |  SELECT unnest(generate_series((SELECT min(hour) FROM h),
+        |    (SELECT max(hour) FROM h), INTERVAL 1 HOUR)) AS hour)
+        |SELECT g.hour, coalesce(h.n_obs, 0) AS n,
+        |  last_value(h.n_obs IGNORE NULLS)
+        |    OVER (ORDER BY g.hour
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff_n
+        |FROM g LEFT JOIN h ON g.hour = h.hour""".stripMargin,
+
+    "q_outlier_zscore" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, avg(l_extendedprice) AS mu,
+        |         stddev_pop(l_extendedprice) AS sigma
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag, count(*) AS n_outliers,
+        |  round(max((l_extendedprice - mu) / sigma), 2) AS max_z
+        |FROM lineitem l JOIN s ON l.l_returnflag = s.l_returnflag
+        |WHERE (l_extendedprice - mu) / sigma > 1.5
+        |GROUP BY l.l_returnflag""".stripMargin,
+
+    "q_join_bucketed" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        | round(sum(o_totalprice), 2) AS rev
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q_zorder_layout" ->
+      """SELECT p_partkey, p_size, (sx | (sy * 2)) AS zval
+        |FROM (
+        | SELECT p_partkey, p_size,
+        |  ((dx | (dx << 1)) & 1431655765) AS sx,
+        |  ((dy | (dy << 1)) & 1431655765) AS sy
+        | FROM (
+        |  SELECT p_partkey, p_size,
+        |   ((cx | (cx << 2)) & 858993459) AS dx,
+        |   ((cy | (cy << 2)) & 858993459) AS dy
+        |  FROM (
+        |   SELECT p_partkey, p_size,
+        |    ((bx | (bx << 4)) & 252645135) AS cx,
+        |    ((by | (by << 4)) & 252645135) AS cy
+        |   FROM (
+        |    SELECT p_partkey, p_size,
+        |     ((x | (x << 8)) & 16711935) AS bx,
+        |     ((y | (y << 8)) & 16711935) AS by
+        |    FROM (SELECT p_partkey, p_size, p_size::BIGINT AS x,
+        |                 (p_partkey % 65536)::BIGINT AS y
+        |          FROM part WHERE p_partkey < 500)))))""".stripMargin,
 
     "q_udaf_weighted_avg" ->
       """SELECT l_returnflag,

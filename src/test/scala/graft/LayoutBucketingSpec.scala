@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins the two write-side layout idioms that replace per-query work at
+  * 100 TB: bucketed tables (join with zero Exchange, amortizing the
+  * fact-table shuffle into a one-time layout write) and Z-order
+  * clustering (tight parquet min/max footer stats on BOTH filter
+  * columns, so scans prune on either dimension).
+  */
+class LayoutBucketingSpec extends SparkSpec {
+
+  test("bucketedJoin: co-located join plans ZERO Exchange") {
+    val o = Tables.orders(spark, sf).select("o_custkey", "o_totalprice")
+    val c = Tables.customer(spark, sf)
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = graft.ops.Bucketing.bucketedJoin(
+        spark, o, c, "o_custkey", 4, namePrefix = "graft_spec_bkt")
+      joined.collect() // AQE: finalize
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(600))
+      assert(!p.contains("Exchange"),
+        "bucketed join must not shuffle either side:\n" + p.take(800))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("bucketedJoin result == plain equi-join result") {
+    val o = Tables.orders(spark, sf).select("o_custkey", "o_totalprice")
+    val c = Tables.customer(spark, sf)
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    val got = graft.ops.Bucketing.bucketedJoin(
+        spark, o, c, "o_custkey", 4, namePrefix = "graft_spec_bkt2")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = o.join(c, "o_custkey")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
+  test("zvalue: exact Morton codes for hand-interleaved inputs") {
+    val df = spark.range(1).select(
+      graft.ops.Layout.zvalue(lit(3), lit(5)).as("a"),      // 0b101 | 0b100010
+      graft.ops.Layout.zvalue(lit(65535), lit(0)).as("b"),  // even bits set
+      graft.ops.Layout.zvalue(lit(0), lit(65535)).as("c"),  // odd bits set
+      graft.ops.Layout.zvalue(lit(0), lit(0)).as("d"))
+    val r = df.collect()(0)
+    assert(r.getLong(0) === 39L)
+    assert(r.getLong(1) === 0x55555555L)
+    assert(r.getLong(2) === 0xAAAAAAAAL)
+    assert(r.getLong(3) === 0L)
+  }
+
+  test("zorderBy: rows unchanged, partitions cover disjoint z-ranges") {
+    val df = Tables.part(spark, sf).select("p_partkey", "p_size")
+    val clustered = graft.ops.Layout.zorderBy(df, "p_size", "p_partkey", 4)
+    assert(clustered.count() === df.count())
+    // each output partition must own a contiguous, non-overlapping slice
+    // of the z-space (that is what makes footer stats selective)
+    val ranges = clustered
+      .withColumn("z", graft.ops.Layout.zvalue(col("p_size"),
+        pmod(col("p_partkey"), lit(65536))))
+      .groupBy(spark_partition_id().as("pid"))
+      .agg(min("z").as("lo"), max("z").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"overlapping z-ranges: $ranges")
+      case _ =>
+    }
+  }
+}
