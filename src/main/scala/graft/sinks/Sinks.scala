@@ -215,6 +215,50 @@ object Sinks {
       applyTrigger(df.writeStream.foreach(writer), trigger, checkpoint).start()
   }
 
+  /** Exactly-once adapter over an at-least-once child sink: micro-batches
+    * whose batchId is already recorded in the commit manifest are skipped.
+    *
+    * Structured Streaming redelivers the in-flight batch after a
+    * crash-before-offset-commit — the engine's version of the reference's
+    * crash-before-ack window (types.go:76-96, SURVEY §1.4). For a child
+    * sink without transactions, the manifest check turns that
+    * at-least-once redelivery into exactly-once OUTPUT: redelivered
+    * (queryId-scoped) batchIds are recognized and not re-written.
+    *
+    * Marker ordering is write-then-mark, so the residual failure window
+    * is a crash BETWEEN child write and marker creation — exactly the
+    * reference's send-succeeded-but-ack-lost window. Closing it entirely
+    * requires the child write itself to be atomic (e.g. temp-file +
+    * rename, or a transactional target). The manifest is one empty
+    * marker file per batch via the Hadoop FS API, so it works on any
+    * shared filesystem a real cluster would use.
+    */
+  final case class IdempotentSink(child: Sink, manifestDir: String)
+      extends Sink {
+    private def fs(spark: SparkSession) =
+      new org.apache.hadoop.fs.Path(manifestDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    private def marker(batchId: Long) =
+      new org.apache.hadoop.fs.Path(manifestDir, s"batch-$batchId.committed")
+
+    /** Write `df` unless `batchId` is already committed; mark it after. */
+    def writeBatchIdempotent(df: DataFrame, batchId: Long): Unit = {
+      val f = fs(df.sparkSession)
+      if (!f.exists(marker(batchId))) {
+        child.writeBatch(df)
+        f.mkdirs(new org.apache.hadoop.fs.Path(manifestDir))
+        f.create(marker(batchId), true).close()
+      }
+    }
+
+    def writeBatch(df: DataFrame): Unit = child.writeBatch(df)
+    def writeStream(df: DataFrame, trigger: Option[Trigger],
+        checkpoint: Option[String]): StreamingQuery =
+      applyTrigger(df.writeStream.foreachBatch(writeBatchIdempotent _),
+        trigger, checkpoint).start()
+  }
+
   /** foreachBatch sink with the reference's batcher retry/error-handler
     * semantics (x/batcher/batcher.go:460-540) — see
     * [[graft.core.Reliability]]. */
