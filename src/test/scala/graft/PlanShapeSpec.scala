@@ -113,6 +113,36 @@ class PlanShapeSpec extends SparkSpec {
       "kmeans assignment must stay narrow:\n" + p.take(600))
   }
 
+  test("q_subquery_exists: decorrelated to semi+anti joins, no nested loop") {
+    val p = plan("q_subquery_exists")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "correlated EXISTS must decorrelate, not re-execute per row:\n" + p.take(500))
+    assert(p.contains("LeftSemi"), p.take(500))
+    assert(p.contains("LeftAnti"), p.take(500))
+  }
+
+  test("q_outlier_zscore: tiny stats side broadcasts; fact table is not sort-merge joined") {
+    val df = SparkEntry.queries("q_outlier_zscore")(spark, sf)
+    df.collect() // AQE finalizes join strategy
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "per-group stats must broadcast back over the fact table:\n" + p.take(500))
+    assert(!p.contains("SortMergeJoin"), p.take(500))
+  }
+
+  test("q_zorder_layout: Z-value is a pure projection — zero shuffle, stays in codegen") {
+    val p = plan("q_zorder_layout")
+    assert(!p.contains("Exchange") && !p.contains("Generate"),
+      "Morton key must be a narrow per-row computation:\n" + p.take(500))
+    assert(p.contains("*("), "bit arithmetic must stay in whole-stage codegen")
+  }
+
+  test("q_gap_fill: the only full-data pass is a map-side-combined aggregate") {
+    val p = plan("q_gap_fill")
+    assert(p.contains("partial_count"),
+      "hourly histogram must partial-aggregate before the shuffle:\n" + p.take(600))
+  }
+
   test("centroids: exactly the (label,pos)-keyed + label-keyed shuffles, partial avg") {
     val df = graft.ops.Similarity.centroids(
       Tables.embeddings(spark, sf), "embedding", "label")
