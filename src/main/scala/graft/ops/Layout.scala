@@ -32,6 +32,22 @@ object Layout {
   def zvalue(x: Column, y: Column): Column =
     spreadBits16(x).bitwiseOR(shiftleft(spreadBits16(y), 1))
 
+  /** Repartition so a subsequent write emits files of ≈ `targetBytes`
+    * (default 128 MB, the canonical parquet/HDFS block sweet spot) —
+    * the answer to the small-files problem: a 1000-executor job that
+    * writes its final partitioning verbatim produces millions of tiny
+    * files that throttle every later scan's file-listing and footer
+    * reads. Sizing uses Catalyst's plan-level size estimate (derived
+    * from source file sizes + selectivity — no extra job), so it is
+    * safe to call on a 100 TB input. */
+  def repartitionForWrite(df: DataFrame,
+      targetBytes: Long = 128L * 1024 * 1024): DataFrame = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val parts = ((est + targetBytes - 1) / targetBytes)
+      .min(BigInt(Int.MaxValue)).max(BigInt(1)).toInt
+    df.repartition(parts)
+  }
+
   /** Rewrite `df` clustered by the Z-order of (`xCol`, `yCol`):
     * range-partition on the Z-value (balanced output files via range
     * sampling, no hash skew) and sort within partitions, so parquet

@@ -230,6 +230,26 @@ object Similarity {
     df.withColumn("deq_vec",
       transform(col(qCol), x => x.cast("double") * col(scaleCol)))
 
+  /** Diversity-balanced subset: semantic-cluster the corpus with
+    * [[kmeans]], then keep at most `perCluster` rows per cluster —
+    * deterministic md5-rank selection (same engine-portable coin as
+    * [[Curation.sampleStratified]]), so the sample is reproducible on
+    * any topology. The quota filter is a rank-≤-N window, which Spark
+    * executes as a heap-based WindowGroupLimit — each cluster's
+    * candidates are pruned map-side, never fully sorted, so the pass
+    * stays bounded on a 100 TB corpus with billion-row clusters.
+    * Output: input columns + `cluster`. */
+  def diversitySample(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, perCluster: Int, iters: Int = 5): DataFrame = {
+    require(perCluster > 0, "perCluster must be positive")
+    val w = Window.partitionBy("cluster")
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    kmeans(df, idCol, vecCol, k, iters)
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= perCluster)
+      .drop("_rk")
+  }
+
   /** kNN label vote: for each query, the majority label among its top-k
     * exact-cosine neighbors (ties broken by smaller label id). */
   def knnLabel(queries: DataFrame, corpus: DataFrame,

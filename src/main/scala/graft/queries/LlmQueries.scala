@@ -260,6 +260,16 @@ object LlmQueries {
         .groupBy("cluster")
         .agg(count(lit(1)).as("n"), min("vec_id").as("first_id"))),
 
+    // diversity-balanced subset: k-means clusters, deterministic
+    // md5-rank quota per cluster (semantic stratification of a training
+    // corpus) — cluster ids are kmeans-derived, no DuckDB twin:
+    // rows-only check; quota/determinism semantics are spec-pinned
+    "q_diversity_sample" -> ((s, d) =>
+      Similarity.diversitySample(Tables.embeddings(s, d), "vec_id",
+          "embedding", k = 8, perCluster = 25, iters = 2)
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_kept"), min("vec_id").as("first_id"))),
+
     // symmetric int8 quantization round-trip: per-label reconstruction
     // error stats — the 4×-smaller embedding storage path
     "q_embed_quant" -> ((s, d) => {

@@ -92,6 +92,19 @@ object RelationalQueries {
       Tables.region(s, d).crossJoin(Tables.nation(s, d))
         .agg(count(lit(1)).as("n"))),
 
+    // shuffle-hash join hint: for a mid-size build side (too big to
+    // broadcast, small enough to hash per partition) SHJ skips both
+    // sort passes of the default sort-merge join — at 100 TB that is
+    // the difference between 2 sorts of the fact table and none;
+    // strategy pinned in PlanShapeSpec, result == the plain equi-join
+    "q_join_shuffle_hash" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d).hint("shuffle_hash")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(avg("o_totalprice"), 2).as("avg_price"))
+    }),
+
     // salted skew join: result multiset identical to the plain equi-join
     // (the oracle is the plain join) — salt only routes rows; plan shape
     // (both shuffles keyed on (key, salt)) pinned in SkewJoinSpec
@@ -1205,6 +1218,12 @@ object RelationalQueries {
         |FROM lineitem l JOIN s ON l.l_returnflag = s.l_returnflag
         |WHERE (l_extendedprice - mu) / sigma > 1.5
         |GROUP BY l.l_returnflag""".stripMargin,
+
+    "q_join_shuffle_hash" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        | round(avg(o_totalprice), 2) AS avg_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
 
     "q_join_bucketed" ->
       """SELECT c_mktsegment, count(*) AS n,

@@ -549,4 +549,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!p.contains("hashpartitioning(chunk_text"),
       s"span text must not be a shuffle key:\n${p.take(800)}")
   }
+
+  test("diversitySample: quotas honored, rows from input, deterministic") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf)
+    val run1 = graft.ops.Similarity.diversitySample(
+      e, "vec_id", "embedding", k = 4, perCluster = 3, iters = 2)
+    val perCluster = run1.groupBy("cluster").count().collect()
+    assert(perCluster.nonEmpty)
+    perCluster.foreach(r =>
+      assert(r.getLong(1) <= 3, s"cluster ${r.get(0)} over quota: $r"))
+    val ids1 = run1.select("vec_id").as[Long].collect().sorted
+    val allIds = e.select("vec_id").as[Long].collect().toSet
+    assert(ids1.forall(allIds), "sample must come from the input")
+    val ids2 = graft.ops.Similarity.diversitySample(
+        e, "vec_id", "embedding", k = 4, perCluster = 3, iters = 2)
+      .select("vec_id").as[Long].collect().sorted
+    assert(ids1.toSeq == ids2.toSeq, "md5-rank selection must be deterministic")
+  }
+
+  test("repartitionForWrite: partition count tracks the plan-size estimate") {
+    val df = Tables.lineitem(spark, sf)
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val target = (est / 4).max(BigInt(1)).toLong
+    val out = graft.ops.Layout.repartitionForWrite(df, target)
+    val expect = ((est + target - 1) / target).toInt
+    assert(out.rdd.getNumPartitions == expect,
+      s"est=$est target=$target")
+    // a tiny input never explodes into many files
+    val one = graft.ops.Layout.repartitionForWrite(
+      Tables.nation(spark, sf), 128L * 1024 * 1024)
+    assert(one.rdd.getNumPartitions == 1)
+  }
 }

@@ -113,6 +113,23 @@ class PlanShapeSpec extends SparkSpec {
       "kmeans assignment must stay narrow:\n" + p.take(600))
   }
 
+  test("q_join_shuffle_hash: hint plans a ShuffledHashJoin (no sort passes)") {
+    val df = SparkEntry.queries("q_join_shuffle_hash")(spark, sf)
+    df.collect() // AQE finalizes join strategy
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"),
+      "shuffle_hash hint must be honored:\n" + p.take(600))
+  }
+
+  test("diversitySample: per-cluster quota runs as heap-based WindowGroupLimit") {
+    val p = graft.ops.Similarity.diversitySample(
+        Tables.embeddings(spark, sf), "vec_id", "embedding",
+        k = 4, perCluster = 5, iters = 1)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      "quota filter must prune before the sort:\n" + p.take(600))
+  }
+
   test("q_subquery_exists: decorrelated to semi+anti joins, no nested loop") {
     val p = plan("q_subquery_exists")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
