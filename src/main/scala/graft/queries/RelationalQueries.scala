@@ -620,6 +620,15 @@ object RelationalQueries {
         .groupBy(window(col("ts"), "1 hour").getField("start").as("h"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))),
 
+    // sliding event-time window, batch twin (width 1 h, slide 30 min:
+    // every event lands in exactly 2 windows — the DuckDB twin unnests
+    // the two 30-min-aligned starts; epoch alignment matches Spark's)
+    "q_window_sliding" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes")
+          .getField("start").as("win_start"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))),
+
     "q_sessionize" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
       val wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1107,6 +1116,17 @@ object RelationalQueries {
         | sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
         |     THEN 1 ELSE 0 END)::BIGINT AS n_gt50
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_window_sliding" ->
+      """SELECT win_start, count(*) AS n, round(sum(value), 2) AS sum_v
+        |FROM (
+        |  SELECT unnest([
+        |      time_bucket(INTERVAL '30 minutes', ts::TIMESTAMP),
+        |      time_bucket(INTERVAL '30 minutes', ts::TIMESTAMP)
+        |        - INTERVAL '30 minutes']) AS win_start,
+        |    value
+        |  FROM events)
+        |GROUP BY win_start""".stripMargin,
 
     "q_time_bucket" ->
       """SELECT date_trunc('hour', ts::TIMESTAMP) AS h, count(*) AS n,
