@@ -55,6 +55,34 @@ object Curation {
     docs.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Per-benchmark-item leak report — [[contaminationCounts]] reversed:
+    * for each eval/benchmark document, how many of its distinct shingles
+    * occur anywhere in the corpus (`n_leaked` of `n_shingles`) and how
+    * many corpus-document hits they have in total (`n_doc_hits`). This is
+    * the question an eval owner asks ("which benchmark items are burned,
+    * and how badly") where [[decontaminate]] answers the curator's
+    * ("which training docs must go").
+    *
+    * Scale shape: identical to [[contaminationCounts]] — the corpus-side
+    * shingle pass is filtered by a broadcast of the (tiny) benchmark
+    * shingle set BEFORE any aggregation, so every shuffle is bounded by
+    * the benchmark's shingle vocabulary, never the corpus. */
+  def contaminationReport(docs: DataFrame, textCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      shingleLen: Int = 3): DataFrame = {
+    val benchSh = bench.select(col(benchIdCol).as("bid"),
+      explode(shingleHashes(col(benchTextCol), shingleLen)).as("s"))
+    val hits = Transforms.fanOut(docs.select(col(textCol)))
+      .select(explode(shingleHashes(col(textCol), shingleLen)).as("s"))
+      .join(broadcast(benchSh.select("s").distinct()), Seq("s"))
+      .groupBy("s").agg(count(lit(1)).as("df"))
+    benchSh.join(hits, Seq("s"), "left")
+      .groupBy("bid").agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("df").isNotNull, 1L).otherwise(0L)).as("n_leaked"),
+        coalesce(sum("df"), lit(0L)).as("n_doc_hits"))
+  }
+
   /** Streaming-safe decontamination: the per-row formulation of
     * [[decontaminate]]. The benchmark's distinct shingle-hash set is
     * collected once (bounded by eval-suite size — megabytes by nature,

@@ -354,6 +354,15 @@ object LlmQueries {
           min("doc_id").as("first_id"))
     }),
 
+    // per-benchmark-item leak report (decontamination reversed): which
+    // eval items are burned and how badly — all shuffles bounded by the
+    // benchmark shingle vocabulary, the corpus is never shuffled
+    "q_contamination_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      Curation.contaminationReport(docs, "text", bench, "doc_id", "text")
+    }),
+
     // deterministic md5-threshold train/test split: same doc → same split
     // on any engine/run/topology; one narrow projection at any scale
     "q_split_train_test" -> ((s, d) =>
@@ -751,6 +760,20 @@ object LlmQueries {
          | min(doc_id) AS first_id
          |FROM documents d ANTI JOIN bad USING (doc_id)
          |GROUP BY lang""".stripMargin,
+
+    "q_contamination_report" ->
+      s"""WITH bs AS (SELECT doc_id AS bid, unnest(${sqlShingles(sqlToks)}) AS s
+         |  FROM documents WHERE doc_id % 97 = 0),
+         |hits AS (SELECT s, count(*) AS df
+         |  FROM (SELECT unnest(${sqlShingles(sqlToks)}) AS s FROM documents)
+         |  WHERE s IN (SELECT DISTINCT s FROM bs)
+         |  GROUP BY s)
+         |SELECT bid, count(*) AS n_shingles,
+         | sum(CASE WHEN hits.df IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         |   AS n_leaked,
+         | coalesce(sum(hits.df), 0)::BIGINT AS n_doc_hits
+         |FROM bs LEFT JOIN hits USING (s)
+         |GROUP BY bid""".stripMargin,
 
     "q_split_train_test" ->
       """SELECT lang,

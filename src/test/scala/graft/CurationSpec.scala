@@ -32,6 +32,25 @@ class CurationSpec extends SparkSpec {
     assert(kept == Set(2L, 4L), s"expected clean docs only, got $kept")
   }
 
+  test("contaminationReport: per-bench-item leak counts over a hand-built corpus") {
+    val corpus = Seq(
+      (1L, "a b c x"),   // trigrams: "a b c", "b c x"
+      (2L, "b c d y"),   // trigrams: "b c d", "c d y"
+      (3L, "q r s t"))
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "a b c d"), // trigrams "a b c" (in doc 1), "b c d" (in doc 2)
+      (200L, "m m m"))   // trigram "m m m" — nowhere in the corpus
+      .toDF("doc_id", "text")
+    val rep = Curation.contaminationReport(corpus, "text", bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rep(100L) == ((2L, 2L, 2L)),
+      s"both bench trigrams leak, one corpus doc each: ${rep(100L)}")
+    assert(rep(200L) == ((1L, 0L, 0L)),
+      s"unleaked item reports zero: ${rep(200L)}")
+  }
+
   test("hashSplit: deterministic, exhaustive, and near the requested fraction") {
     val split1 = Curation.hashSplit(docs, "doc_id", trainFrac = 0.8)
     val split2 = Curation.hashSplit(docs, "doc_id", trainFrac = 0.8)
