@@ -54,6 +54,25 @@ class LayoutBucketingSpec extends SparkSpec {
     assert(r.getLong(3) === 0L)
   }
 
+  test("zvalue: matches a bit-by-bit reference on the full 8-bit grid + 16-bit edges") {
+    import spark.implicits._
+    def ref(x: Int, y: Int): Long =
+      (0 until 16).map(i =>
+        (((x >> i) & 1).toLong << (2 * i)) |
+        (((y >> i) & 1).toLong << (2 * i + 1))).reduce(_ | _)
+    val grid = (for { x <- 0 until 256; y <- 0 until 256 } yield (x, y)) ++
+      Seq((65535, 65535), (65535, 1), (1, 65535), (32768, 32767))
+    val got = grid.toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.ops.Layout.zvalue(col("x"), col("y")).as("z"))
+      .as[(Int, Int, Long)].collect()
+    got.foreach { case (x, y, z) =>
+      assert(z == ref(x, y), s"zvalue($x,$y)=$z, want ${ref(x, y)}")
+    }
+    // bijective on the grid: distinct inputs → distinct codes
+    assert(got.map(_._3).distinct.length == grid.length)
+  }
+
   test("zorderBy: rows unchanged, partitions cover disjoint z-ranges") {
     val df = Tables.part(spark, sf).select("p_partkey", "p_size")
     val clustered = graft.ops.Layout.zorderBy(df, "p_size", "p_partkey", 4)
