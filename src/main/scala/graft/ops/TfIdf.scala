@@ -53,6 +53,49 @@ object TfIdf {
         (col("cnt") * log(lit(nDocs) / col("df_t"))).as("tfidf"))
   }
 
+  /** Okapi BM25 relevance of every document against a fixed query-term
+    * set — the classic retrieval scorer (keyword search over a corpus,
+    * and the usual first-stage ranker in front of embedding re-rank).
+    * Output: one row per document containing ≥1 query term, with
+    * `score` = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) and
+    * `n_terms` = distinct query terms matched. idf is the
+    * ln(1 + (N−df+0.5)/(df+0.5)) form (always positive).
+    *
+    * Scale shape: term counts come from the zero-shuffle run-length
+    * kernel; the query-term filter runs INSIDE the counts array before
+    * explode, so the exploded relation is ≤ |queryTerms| rows per doc;
+    * df_t is ≤ |queryTerms| rows and broadcast back. N and avgdl are
+    * driver scalars folded in as literals — the scoring stage stays
+    * fully codegen'd, and no shuffle ever carries the corpus. */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val n = df.count().toDouble
+    val avgdl = df.select(avg(size(tokens(col(textCol)))).as("a"))
+      .first().getDouble(0)
+    val qlit = typedLit(queryTerms)
+    val tf = Transforms.materialized(
+        df.select(col(idCol), col(textCol)), "_tc",
+        termCounts(col(textCol)))
+      .select(col(idCol),
+        aggregate(col("_tc"), lit(0L), (a, p) => a + p.getField("cnt"))
+          .cast("double").as("dl"),
+        explode(filter(col("_tc"),
+          p => array_contains(qlit, p.getField("term")))).as("_p"))
+      .select(col(idCol), col("dl"), col("_p.term").as("term"),
+        col("_p.cnt").cast("double").as("cnt"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+    val idf = log(lit(1.0) +
+      (lit(n) - col("df_t") + 0.5) / (col("df_t") + 0.5))
+    tf.join(broadcast(dft), "term")
+      .withColumn("_s", idf * col("cnt") * (lit(k1) + 1.0) /
+        (col("cnt") + lit(k1) *
+          (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl))))
+      .groupBy(idCol)
+      .agg(sum("_s").as("score"), count(lit(1)).as("n_terms"))
+  }
+
   /** Top-k keywords per document by TF-IDF, rank 1 = highest score, ties
     * broken on term so the output is engine-stable. One additional
     * shuffle on the document id (per-group top-k window). */

@@ -454,6 +454,15 @@ object LlmQueries {
         .select(col("doc_id"), col("rnk"), col("term"),
           round(col("tfidf"), 2).as("score_r"))),
 
+    // Okapi BM25 keyword search: every doc matching ≥1 query term scored
+    // (first-stage ranker ahead of embedding re-rank); query-term filter
+    // runs inside the counts array pre-explode, df/idf broadcast back
+    "q_bm25_search" -> ((s, d) =>
+      TfIdf.bm25(Tables.documents(s, d), "doc_id", "text",
+          queryTerms = Seq("spark", "merge", "window"))
+        .select(col("doc_id"), col("n_terms"),
+          round(col("score"), 2).as("score_r"))),
+
     // corpus vocabulary head: 20 most document-frequent terms
     "q_doc_freq" -> ((s, d) =>
       TfIdf.documentFrequencies(Tables.documents(s, d), "text")
@@ -539,6 +548,25 @@ object LlmQueries {
          |  FROM scored)
          |SELECT doc_id, rnk, term, round(tfidf, 2) AS score_r
          |FROM ranked WHERE rnk <= 5 AND doc_id < 50""".stripMargin,
+
+    "q_bm25_search" ->
+      s"""WITH d AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |tfc AS (
+         |  SELECT doc_id, term, count(*)::DOUBLE AS cnt
+         |  FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+         |  WHERE term IN ('spark', 'merge', 'window')
+         |  GROUP BY doc_id, term),
+         |dls AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM d),
+         |stats AS (SELECT count(*)::DOUBLE AS n_docs,
+         |  avg(len(toks))::DOUBLE AS avgdl FROM d),
+         |dft AS (SELECT term, count(*) AS df_t FROM tfc GROUP BY term)
+         |SELECT tfc.doc_id AS doc_id, count(*) AS n_terms,
+         |  round(sum(ln(1 + (n_docs - df_t + 0.5) / (df_t + 0.5)) *
+         |    cnt * (1.2 + 1) /
+         |    (cnt + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 2) AS score_r
+         |FROM tfc JOIN dft USING (term) JOIN dls USING (doc_id)
+         |  CROSS JOIN stats
+         |GROUP BY tfc.doc_id""".stripMargin,
 
     "q_doc_freq" ->
       s"""SELECT term, count(*) AS df_t FROM (

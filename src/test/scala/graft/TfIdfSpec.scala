@@ -79,4 +79,40 @@ class TfIdfSpec extends SparkSpec {
     assert(!p.contains("hashpartitioning(doc_id"),
       s"TF relation must not be shuffled by doc id:\n${p.take(1200)}")
   }
+
+  test("bm25: exact score on a symmetric corpus; tf and idf monotonicity") {
+    // n=2 docs, query term in one: idf = ln(1 + 1.5/1.5) = ln 2; with
+    // tf=1 and dl=avgdl the tf part is (k1+1)/(1+k1) = 1 → score = ln 2
+    val d0 = Seq((1L, "a x"), (2L, "b y")).toDF("doc_id", "text")
+    val r0 = TfIdf.bm25(d0, "doc_id", "text", Seq("a"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(r0.keySet == Set(1L), s"only the matching doc scores: $r0")
+    assert(math.abs(r0(1L) - math.log(2.0)) < 1e-9, s"got ${r0(1L)}")
+
+    // same length, higher tf → higher score
+    val d1 = Seq((1L, "a a a b"), (2L, "a b c d")).toDF("doc_id", "text")
+    val r1 = TfIdf.bm25(d1, "doc_id", "text", Seq("a"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(r1(1L) > r1(2L), s"tf monotonicity: $r1")
+
+    // same tf and length, rarer term → higher score
+    val d2 = Seq((1L, "a b"), (2L, "a c"), (3L, "a d"), (4L, "e f"))
+      .toDF("doc_id", "text")
+    val r2 = TfIdf.bm25(d2, "doc_id", "text", Seq("a", "e"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(r2(4L) > r2(1L), s"idf monotonicity (df_e=1 < df_a=3): $r2")
+  }
+
+  test("bm25: query-term filter runs before explode; corpus never shuffled") {
+    val d = Seq((1L, "a b")).toDF("doc_id", "text")
+    val p = TfIdf.bm25(d, "doc_id", "text", Seq("a"))
+      .queryExecution.executedPlan.toString
+    // shuffles: df_t agg (tiny) + final per-doc agg; never an occurrence
+    // shuffle of (doc, term) before the query-term filter
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2,
+      s"bm25 must shuffle at most twice, saw $exchanges:\n${p.take(1200)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"df_t must broadcast back:\n${p.take(1200)}")
+  }
 }
