@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -167,16 +167,24 @@ object Similarity {
     *     driver only ever holds k·dim doubles per iteration. Clusters
     *     that go empty keep their previous centroid.
     *
-    * Output: input columns + `cluster` (0-based). */
+    * Output: input columns + `cluster` (0-based).
+    *
+    * `cosine = false` switches to raw squared-L2 Lloyd's (no
+    * normalization): argmin_c |x−c|² ≡ argmax_c (x·c − |c|²/2), with the
+    * per-centroid |c|²/2 folded into a literal alongside the centroid
+    * matrix — the assignment stays the same narrow broadcast-literal
+    * pass. This is the codebook-training mode product quantization
+    * needs. */
   def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int = 5): DataFrame = {
+      iters: Int = 5, cosine: Boolean = true): DataFrame = {
     require(k > 0 && iters > 0, "k and iters must be positive")
-    // pre-normalize once so dot == cosine (zero vectors stay zero)
+    // cosine: pre-normalize once so dot == cosine (zero vectors stay 0)
     val vd = transform(col(vecCol), _.cast("double"))
     val norm = sqrt(aggregate(vd, lit(0.0), (a, x) => a + x * x))
     val normed = df.withColumn("_nv",
-      when(norm === 0.0, vd).otherwise(zip_with(vd,
-        array_repeat(norm, size(col(vecCol))), (x, n) => x / n)))
+      if (cosine) when(norm === 0.0, vd).otherwise(zip_with(vd,
+        array_repeat(norm, size(col(vecCol))), (x, n) => x / n))
+      else vd)
     normed.persist()
     try {
       var cents: Array[Seq[Double]] = normed
@@ -191,10 +199,13 @@ object Similarity {
       // codegen Expression over a broadcast matrix.
       def assigned: DataFrame = {
         val centsLit = typedLit(cents.map(_.toIndexedSeq).toIndexedSeq)
+        val halfSq = typedLit(
+          cents.map(c => c.map(x => x * x).sum / 2).toIndexedSeq)
         val scored = zip_with(centsLit, sequence(lit(0), lit(cents.length - 1)),
           (c, j) => struct(
-            aggregate(zip_with(col("_nv"), c, (x, y) => x * y),
-              lit(0.0), (a, x) => a + x).as("s"),
+            (aggregate(zip_with(col("_nv"), c, (x, y) => x * y),
+              lit(0.0), (a, x) => a + x) -
+              (if (cosine) lit(0.0) else element_at(halfSq, j + 1))).as("s"),
             (lit(0) - j).as("nj")))
         normed.withColumn("cluster", -array_max(scored).getField("nj"))
       }
@@ -229,6 +240,67 @@ object Similarity {
       scaleCol: String = "q_scale"): DataFrame =
     df.withColumn("deq_vec",
       transform(col(qCol), x => x.cast("double") * col(scaleCol)))
+
+  /** Product-quantization codebooks: `m` contiguous subspaces, each with
+    * a `k`-codeword codebook trained by raw-L2 [[kmeans]] on the
+    * subvectors. Returns `m` codebooks of up to `k` codewords (empty
+    * clusters are dropped — the codebook is a codeword LIST; PQ codes
+    * index it, kmeans cluster ids are irrelevant). Codebooks are
+    * m·k·(dim/m) doubles — driver-held and broadcast as literals, tiny
+    * at any corpus size. */
+  def pqTrain(df: DataFrame, idCol: String, vecCol: String, m: Int,
+      k: Int, iters: Int = 3): Array[Array[Seq[Double]]] = {
+    val dim = df.select(size(col(vecCol))).first().getInt(0)
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    (0 until m).toArray.map { j =>
+      val subDf = df.select(col(idCol).as("_pid"),
+        transform(slice(col(vecCol), j * sub + 1, sub),
+          _.cast("double")).as("_sub"))
+      centroids(
+          kmeans(subDf, "_pid", "_sub", k, iters, cosine = false),
+          "_sub", "cluster")
+        .orderBy("cluster")
+        .collect().map(_.getSeq[Double](1))
+    }
+  }
+
+  /** Encode vectors against [[pqTrain]] codebooks: per subspace, the
+    * argmin-L2 codeword index (ties to the lower index). Adds
+    * `pq_code: array<int>` of length m — at k ≤ 256 that is m bytes of
+    * information per vector vs 4·dim float bytes (16 vs 256 bytes at
+    * dim=64/m=16). A pure broadcast-literal projection: no join, no
+    * shuffle, same shape as the kmeans assignment pass. */
+  def pqEncode(df: DataFrame, vecCol: String,
+      codebooks: Array[Array[Seq[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val dim = codebooks.map(_.head.length).sum
+    val sub = dim / m
+    def code(j: Int): Column = {
+      val cb = codebooks(j)
+      val cbLit = typedLit(cb.map(_.toIndexedSeq).toIndexedSeq)
+      val halfSq = typedLit(cb.map(c => c.map(x => x * x).sum / 2).toIndexedSeq)
+      val subV = transform(slice(col(vecCol), j * sub + 1, sub), _.cast("double"))
+      val scored = zip_with(cbLit, sequence(lit(0), lit(cb.length - 1)),
+        (c, i) => struct(
+          (aggregate(zip_with(subV, c, (x, y) => x * y),
+            lit(0.0), (a, x) => a + x) - element_at(halfSq, i + 1)).as("s"),
+          (lit(0) - i).as("ni")))
+      (lit(0) - array_max(scored).getField("ni")).cast("int")
+    }
+    df.withColumn("pq_code", array((0 until m).map(code): _*))
+  }
+
+  /** Reconstruct vectors from PQ codes (concatenated codewords). Adds
+    * `pq_vec: array<double>`. Narrow, codebooks as literals. */
+  def pqDecode(df: DataFrame, codebooks: Array[Array[Seq[Double]]],
+      codeCol: String = "pq_code"): DataFrame = {
+    val parts = codebooks.zipWithIndex.map { case (cb, j) =>
+      element_at(typedLit(cb.map(_.toIndexedSeq).toIndexedSeq),
+        element_at(col(codeCol), j + 1) + 1)
+    }
+    df.withColumn("pq_vec", flatten(array(parts: _*)))
+  }
 
   /** Diversity-balanced subset: semantic-cluster the corpus with
     * [[kmeans]], then keep at most `perCluster` rows per cluster —

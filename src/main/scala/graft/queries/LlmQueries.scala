@@ -270,6 +270,25 @@ object LlmQueries {
         .groupBy("cluster")
         .agg(count(lit(1)).as("n_kept"), min("vec_id").as("first_id"))),
 
+    // product quantization round-trip: m=4 subspace codebooks (k=8,
+    // L2 Lloyd's), encode to 4 code indices, reconstruct, per-label
+    // squared-error stats — 64× smaller than float32 at these params;
+    // codebooks are kmeans-derived (no DuckDB twin): rows-only check,
+    // exactness/monotonicity spec-pinned in DedupSimilaritySpec
+    "q_pq_roundtrip" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cb = Similarity.pqTrain(e, "vec_id", "embedding",
+        m = 4, k = 8, iters = 2)
+      Similarity.pqDecode(Similarity.pqEncode(e, "embedding", cb), cb)
+        .select(col("label"),
+          aggregate(zip_with(
+              transform(col("embedding"), _.cast("double")), col("pq_vec"),
+              (x, y) => (x - y) * (x - y)),
+            lit(0.0), (a, x) => a + x).as("_err"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), round(avg("_err"), 4).as("avg_sq_err"))
+    }),
+
     // symmetric int8 quantization round-trip: per-label reconstruction
     // error stats — the 4×-smaller embedding storage path
     "q_embed_quant" -> ((s, d) => {

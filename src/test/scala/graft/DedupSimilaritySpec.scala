@@ -568,6 +568,53 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ids1.toSeq == ids2.toSeq, "md5-rank selection must be deterministic")
   }
 
+  test("kmeans cosine=false: raw-L2 clustering separates 1-D magnitude clusters") {
+    import spark.implicits._
+    // 1-D vectors normalize to ±1, so cosine mode CANNOT separate these;
+    // L2 mode must: {0.0, 0.1} vs {10.0, 10.1}
+    val d = Seq((1L, Seq(0.0f)), (2L, Seq(0.1f)), (3L, Seq(10.0f)),
+      (4L, Seq(10.1f))).toDF("vec_id", "embedding")
+    val out = Similarity.kmeans(d, "vec_id", "embedding", k = 2, iters = 3,
+        cosine = false)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(out(1L) == out(2L) && out(3L) == out(4L) && out(1L) != out(3L),
+      s"magnitude clusters must separate under L2: $out")
+  }
+
+  test("PQ: codes bounded, deterministic, reconstruction within cluster spread") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Seq(0.0f, 10.0f)), (2L, Seq(0.0f, 12.0f)),
+      (3L, Seq(6.0f, 0.0f)), (4L, Seq(8.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val cb = Similarity.pqTrain(d, "vec_id", "embedding", m = 2, k = 2,
+      iters = 3)
+    assert(cb.length == 2 && cb.forall(_.forall(_.length == 1)))
+    val enc = Similarity.pqEncode(d, "embedding", cb)
+    val codes = enc.select("vec_id", "pq_code")
+      .as[(Long, Seq[Int])].collect().toMap
+    codes.values.foreach { c =>
+      assert(c.length == 2)
+      c.zipWithIndex.foreach { case (ci, j) =>
+        assert(ci >= 0 && ci < cb(j).length, s"code out of range: $codes")
+      }
+    }
+    val codes2 = Similarity.pqEncode(d, "embedding",
+        Similarity.pqTrain(d, "vec_id", "embedding", m = 2, k = 2, iters = 3))
+      .select("vec_id", "pq_code").as[(Long, Seq[Int])].collect().toMap
+    assert(codes == codes2, "PQ must be deterministic")
+    // reconstruction error per element bounded by the within-cluster
+    // spread of the planted data (≤ 2.0 per coordinate)
+    val errs = Similarity.pqDecode(enc, cb)
+      .select(col("vec_id"), zip_with(
+        transform(col("embedding"), _.cast("double")), col("pq_vec"),
+        (x, y) => abs(x - y)).as("e"))
+      .as[(Long, Seq[Double])].collect()
+    errs.foreach { case (id, e) =>
+      assert(e.forall(_ <= 2.0), s"vec $id reconstruction too lossy: $e")
+    }
+  }
+
   test("repartitionForWrite: partition count tracks the plan-size estimate") {
     val df = Tables.lineitem(spark, sf)
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
