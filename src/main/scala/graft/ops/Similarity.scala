@@ -302,6 +302,43 @@ object Similarity {
     df.withColumn("pq_vec", flatten(array(parts: _*)))
   }
 
+  /** ADC (asymmetric distance computation) top-k search over PQ codes:
+    * each query precomputes its m×k table of partial dot products
+    * against the codebooks (k·dim work, done once per query, inside the
+    * broadcast row); scoring a corpus vector is then m array lookups on
+    * its byte codes — the corpus pass reads m ints per row instead of
+    * dim floats, which is the entire point of PQ at 100 TB. The query
+    * side (queries + tables) broadcasts; the corpus is never shuffled;
+    * top-k per query is the standard heap-based window.
+    * Output: (q_id, rnk, n_id, sim_adc). */
+  def pqTopK(queries: DataFrame, corpusCodes: DataFrame,
+      codebooks: Array[Array[Seq[Double]]], idCol: String, vecCol: String,
+      codeIdCol: String, codeCol: String, k: Int): DataFrame = {
+    val m = codebooks.length
+    val dim = codebooks.map(_.head.length).sum
+    val sub = dim / m
+    val tab = array((0 until m).map { j =>
+      val cbLit = typedLit(codebooks(j).map(_.toIndexedSeq).toIndexedSeq)
+      val subV = transform(slice(col(vecCol), j * sub + 1, sub),
+        _.cast("double"))
+      transform(cbLit, c => aggregate(zip_with(subV, c, (x, y) => x * y),
+        lit(0.0), (a, x) => a + x))
+    }: _*)
+    val q = queries.select(col(idCol).as("q_id"), tab.as("_tab"))
+    val scored = corpusCodes
+      .select(col(codeIdCol).as("n_id"), col(codeCol).as("_code"))
+      .crossJoin(broadcast(q))
+      .withColumn("sim_adc", (0 until m).map(j =>
+          element_at(element_at(col("_tab"), j + 1),
+            element_at(col("_code"), j + 1) + 1))
+        .reduce(_ + _))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("sim_adc").desc, col("n_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "n_id", "sim_adc")
+  }
+
   /** Diversity-balanced subset: semantic-cluster the corpus with
     * [[kmeans]], then keep at most `perCluster` rows per cluster —
     * deterministic md5-rank selection (same engine-portable coin as

@@ -289,6 +289,20 @@ object LlmQueries {
         .agg(count(lit(1)).as("n"), round(avg("_err"), 4).as("avg_sq_err"))
     }),
 
+    // ADC top-k over PQ codes: the compressed-domain ANN search (m byte
+    // lookups per corpus row instead of dim float multiplies); codebooks
+    // kmeans-derived → rows-only check, recall spec-pinned
+    "q_pq_search" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cb = Similarity.pqTrain(e, "vec_id", "embedding",
+        m = 4, k = 8, iters = 2)
+      Similarity.pqTopK(
+          e.filter(col("vec_id") < 5), Similarity.pqEncode(e, "embedding", cb),
+          cb, "vec_id", "embedding", "vec_id", "pq_code", k = 3)
+        .select(col("q_id"), col("rnk"), col("n_id"),
+          round(col("sim_adc"), 4).as("sim_r"))
+    }),
+
     // symmetric int8 quantization round-trip: per-label reconstruction
     // error stats — the 4×-smaller embedding storage path
     "q_embed_quant" -> ((s, d) => {

@@ -615,6 +615,33 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pqTopK: ADC neighbors come from the query's own cluster; no corpus shuffle before top-k") {
+    import spark.implicits._
+    // two well-separated direction clusters in 2-D, m=2 subspaces
+    val corpus = Seq(
+      (1L, Seq(10.0f, 0.1f)), (2L, Seq(11.0f, 0.2f)), (3L, Seq(12.0f, 0.0f)),
+      (4L, Seq(0.1f, 10.0f)), (5L, Seq(0.0f, 11.0f)), (6L, Seq(0.2f, 12.0f)))
+      .toDF("vec_id", "embedding")
+    val cb = Similarity.pqTrain(corpus, "vec_id", "embedding", m = 2, k = 2,
+      iters = 3)
+    val codes = Similarity.pqEncode(corpus, "embedding", cb)
+    val queries = Seq((100L, Seq(10.5f, 0.0f)), (200L, Seq(0.0f, 10.5f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.pqTopK(queries, codes, cb,
+        "vec_id", "embedding", "vec_id", "pq_code", k = 3)
+      .select("q_id", "n_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    assert(top(100L) == Set(1L, 2L, 3L), s"x-cluster query: ${top(100L)}")
+    assert(top(200L) == Set(4L, 5L, 6L), s"y-cluster query: ${top(200L)}")
+    // plan: query side broadcasts; the only corpus shuffle is the
+    // per-query top-k window
+    val p = Similarity.pqTopK(queries, codes, cb,
+        "vec_id", "embedding", "vec_id", "pq_code", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"query side must broadcast:\n${p.take(600)}")
+  }
+
   test("repartitionForWrite: partition count tracks the plan-size estimate") {
     val df = Tables.lineitem(spark, sf)
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
