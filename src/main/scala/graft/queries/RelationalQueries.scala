@@ -92,6 +92,21 @@ object RelationalQueries {
       Tables.region(s, d).crossJoin(Tables.nation(s, d))
         .agg(count(lit(1)).as("n"))),
 
+    // null-safe join equality (<=> / IS NOT DISTINCT FROM): nulls match
+    // nulls — the semantics exact dedup and SCD lookups need; planned as
+    // a hash join (null-safe keys hash like values), not a nested loop
+    "q_join_nullsafe" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(when(col("o_orderkey") % 7 === 0, null)
+          .otherwise(col("o_custkey")).as("k"), col("o_totalprice"))
+      val c = Tables.customer(s, d)
+        .select(when(col("c_custkey") % 5 === 0, null)
+          .otherwise(col("c_custkey")).as("k"), col("c_mktsegment"))
+      o.join(c, o("k") <=> c("k"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(o("k").isNull, 1L).otherwise(0L)).as("n_null_matches"))
+    }),
+
     // shuffle-hash join hint: for a mid-size build side (too big to
     // broadcast, small enough to hash per partition) SHJ skips both
     // sort passes of the default sort-merge join — at 100 TB that is
@@ -727,6 +742,23 @@ object RelationalQueries {
           graft.ops.Layout.zvalue(col("p_size"),
             pmod(col("p_partkey"), lit(65536))).as("zval"))),
 
+    // edit-distance near-match pairs (levenshtein): the fuzzy-string
+    // primitive behind entity resolution / short-field dedup — blocked
+    // by brand so the pair space is |brand-group|², never corpus²
+    "q_edit_distance" -> ((s, d) => {
+      val p = Tables.part(s, d).filter(col("p_partkey") < 300)
+        .select(col("p_partkey"), col("p_brand"), col("p_name"))
+      val a = p.select(col("p_brand"), col("p_partkey").as("id_a"),
+        col("p_name").as("name_a"))
+      val b = p.select(col("p_brand"), col("p_partkey").as("id_b"),
+        col("p_name").as("name_b"))
+      a.join(b, "p_brand")
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist") <= 12)
+        .select("id_a", "id_b", "dist")
+    }),
+
     // ---- UDF / UDAF surface ------------------------------------------
     "q_udf_clamp" -> ((s, d) => {
       val clamp = udf((v: Double) => math.min(math.max(v, 0.0), 10.0))
@@ -1239,6 +1271,16 @@ object RelationalQueries {
         |WHERE (l_extendedprice - mu) / sigma > 1.5
         |GROUP BY l.l_returnflag""".stripMargin,
 
+    "q_join_nullsafe" ->
+      """WITH o AS (SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |    ELSE o_custkey END AS k, o_totalprice FROM orders),
+        | c AS (SELECT CASE WHEN c_custkey % 5 = 0 THEN NULL
+        |    ELSE c_custkey END AS k, c_mktsegment FROM customer)
+        |SELECT count(*) AS n,
+        | sum(CASE WHEN o.k IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |   AS n_null_matches
+        |FROM o JOIN c ON o.k IS NOT DISTINCT FROM c.k""".stripMargin,
+
     "q_join_shuffle_hash" ->
       """SELECT c_mktsegment, count(*) AS n,
         | round(avg(o_totalprice), 2) AS avg_price
@@ -1250,6 +1292,15 @@ object RelationalQueries {
         | round(sum(o_totalprice), 2) AS rev
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+
+    "q_edit_distance" ->
+      """WITH p AS (SELECT p_partkey, p_brand, p_name FROM part
+        |           WHERE p_partkey < 300)
+        |SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        | levenshtein(a.p_name, b.p_name) AS dist
+        |FROM p a JOIN p b ON a.p_brand = b.p_brand
+        |WHERE a.p_partkey < b.p_partkey
+        |  AND levenshtein(a.p_name, b.p_name) <= 12""".stripMargin,
 
     "q_zorder_layout" ->
       """SELECT p_partkey, p_size, (sx | (sy * 2)) AS zval

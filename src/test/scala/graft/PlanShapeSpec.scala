@@ -130,6 +130,15 @@ class PlanShapeSpec extends SparkSpec {
       "quota filter must prune before the sort:\n" + p.take(600))
   }
 
+  test("q_join_nullsafe: <=> plans as a hash join, never a nested loop") {
+    val df = SparkEntry.queries("q_join_nullsafe")(spark, sf)
+    df.collect() // AQE finalizes join strategy
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "null-safe equality must hash-join (coalesced keys):\n" + p.take(600))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(600))
+  }
+
   test("q_subquery_exists: decorrelated to semi+anti joins, no nested loop") {
     val p = plan("q_subquery_exists")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
