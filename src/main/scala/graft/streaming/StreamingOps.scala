@@ -49,12 +49,26 @@ object StreamingOps {
     * pass the bound. */
   def streamIntervalJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String, leftTs: String, rightTs: String,
-      watermark: String, maxDelay: String): DataFrame =
+      watermark: String, maxDelay: String,
+      joinType: String = "inner"): DataFrame =
     left.withWatermark(leftTs, watermark)
       .join(right.withWatermark(rightTs, watermark),
         col(leftKey) === col(rightKey) &&
           col(rightTs) >= col(leftTs) &&
-          col(rightTs) <= col(leftTs) + expr(s"interval $maxDelay"))
+          col(rightTs) <= col(leftTs) + expr(s"interval $maxDelay"),
+        joinType)
+
+  /** Left-outer stream–stream interval join: like the inner variant, but
+    * an unmatched left row is EMITTED WITH NULLS once the watermark
+    * passes its join window (Spark can only then prove no future match
+    * exists) — the streaming twin of "click with no purchase within N
+    * minutes". Same bounded-state contract; unmatched output is
+    * watermark-delayed by construction. */
+  def streamIntervalJoinLeftOuter(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, leftTs: String, rightTs: String,
+      watermark: String, maxDelay: String): DataFrame =
+    streamIntervalJoin(left, right, leftKey, rightKey, leftTs, rightTs,
+      watermark, maxDelay, joinType = "leftOuter")
 
   /** Stream–static enrichment join: the dimension is broadcast to every
     * task, so the stream is never shuffled and no join state is kept —

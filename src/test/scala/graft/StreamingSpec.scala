@@ -159,6 +159,32 @@ class StreamingSpec extends SparkSpec {
       s"expected users 1 and 3 joined (2 outside the 30-min window), got ${got.toSeq}")
   }
 
+  test("left-outer interval join: unmatched rows emit nulls after watermark expiry") {
+    val clicks = new MemoryStream[(Long, Timestamp)](28, spark, None)
+    val buys = new MemoryStream[(Long, Timestamp)](29, spark, None)
+    val joined = StreamingOps.streamIntervalJoinLeftOuter(
+      clicks.toDF().toDF("user", "cts"), buys.toDF().toDF("buyer", "bts"),
+      "user", "buyer", "cts", "bts",
+      watermark = "10 minutes", maxDelay = "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssjoin_lo_out")
+      .outputMode("append").start()
+    clicks.addData(Seq(1L -> ts(0), 2L -> ts(0))) // 1 will match; 2 won't
+    buys.addData(Seq(1L -> ts(10)))
+    q.processAllAvailable()
+    // advance both watermarks far past user 2's join window so the
+    // unmatched click can be finalized and emitted with nulls
+    clicks.addData(Seq(9L -> ts(300)))
+    buys.addData(Seq(8L -> ts(300)))
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    val rows = spark.table("ssjoin_lo_out")
+      .select(col("user"), col("buyer").isNull.as("unmatched"))
+      .as[(Long, Boolean)].collect().toSet
+    assert(rows.contains((1L, false)), s"user 1 must match: $rows")
+    assert(rows.contains((2L, true)),
+      s"user 2 must emit with nulls after expiry: $rows")
+  }
+
   test("enrich: stream decorated from a broadcast dimension, no state, no shuffle") {
     val ms = new MemoryStream[(Long, Timestamp)](21, spark, None)
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("dk", "tier")
