@@ -629,6 +629,37 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
           sum(when(col("k") > 50, 1L).otherwise(0L)).as("n_gt50"))),
 
+    // malformed-JSON tolerance: a tenth of the payloads truncated to
+    // invalid JSON on both engines; the parse must degrade to null (and
+    // be counted), never fail the pipeline — the ingest-reality twin of
+    // q_json_fns
+    "q_json_malformed" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("_raw", when(col("event_id") % 10 === 0,
+          expr("substr(props, 1, length(props) - 2)")).otherwise(col("props")))
+        .select(col("event_type"),
+          get_json_object(col("_raw"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_bad"),
+          sum(coalesce(col("k"), lit(0L))).as("sum_k"))),
+
+    // multi-CTE query through the SQL entry point (WITH-chain of filter →
+    // grouped agg → final rollup; CTEs inline into one Catalyst plan)
+    "q_sql_cte" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("g_orders")
+      s.sql("""WITH big AS (
+              |  SELECT o_custkey, o_totalprice FROM g_orders
+              |  WHERE o_totalprice > 200000),
+              | agg AS (
+              |  SELECT o_custkey, count(*) AS n,
+              |    round(sum(o_totalprice), 2) AS rev
+              |  FROM big GROUP BY o_custkey)
+              |SELECT count(*) AS n_cust, round(sum(rev), 2) AS total_rev,
+              |  max(n) AS max_orders
+              |FROM agg""".stripMargin)
+    }),
+
     // ---- event-time buckets (batch equivalents of streaming windows) --
     "q_time_bucket" -> ((s, d) =>
       Tables.events(s, d)
@@ -1148,6 +1179,32 @@ object RelationalQueries {
         | sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
         |     THEN 1 ELSE 0 END)::BIGINT AS n_gt50
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_json_malformed" ->
+      """WITH r AS (SELECT event_type,
+        |  CASE WHEN event_id % 10 = 0
+        |    THEN substr(props, 1, length(props) - 2) ELSE props END AS raw
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        | sum(CASE WHEN NOT json_valid(raw)
+        |   OR json_extract_string(raw, '$.k') IS NULL
+        |   THEN 1 ELSE 0 END)::BIGINT AS n_bad,
+        | sum(CASE WHEN json_valid(raw)
+        |   THEN coalesce(json_extract_string(raw, '$.k')::BIGINT, 0)
+        |   ELSE 0 END)::BIGINT AS sum_k
+        |FROM r GROUP BY event_type""".stripMargin,
+
+    "q_sql_cte" ->
+      """WITH big AS (
+        |  SELECT o_custkey, o_totalprice FROM orders
+        |  WHERE o_totalprice > 200000),
+        | agg AS (
+        |  SELECT o_custkey, count(*) AS n,
+        |    round(sum(o_totalprice), 2) AS rev
+        |  FROM big GROUP BY o_custkey)
+        |SELECT count(*) AS n_cust, round(sum(rev), 2) AS total_rev,
+        |  max(n) AS max_orders
+        |FROM agg""".stripMargin,
 
     "q_window_sliding" ->
       """SELECT win_start, count(*) AS n, round(sum(value), 2) AS sum_v
