@@ -48,9 +48,13 @@ object Bench {
           catch { case _: Throwable => () }
         }
       }
-    // 5 reps per query (r3 ran 3 and its max-vs-min spread could not
-    // resolve <35% deltas — the round-3 join "regressions" sat inside
-    // their own noise). Reported per query:
+    // 3 reps per query + the untimed target-SF warmup rep. r3's 3-rep
+    // noise problem was a (max−min)/min spread with NO warmup; with the
+    // warmup rep burning first-touch costs and the median-based spread
+    // below, 3 timed reps resolve real deltas — and the shorter wall
+    // clock matters: the r7 driver machine was loaded enough that the
+    // 5-rep run took 41 min, crowding the round's verify budget.
+    // Reported per query:
     //   - min: the throughput headline (sum → total);
     //   - median: proper order statistic — mean of the two middle values
     //     for even rep counts, not the upper one;
@@ -58,7 +62,7 @@ object Bench {
     //     estimate. Unlike (max − min)/min it does not GROW with reps —
     //     one straggler rep inflates max but leaves the median alone —
     //     so round-over-round deltas above it are real regressions.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val results = selected.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         // One untimed warmup rep at the TARGET SF: the sf0.001 pass above

@@ -25,7 +25,12 @@ object Bucketing {
     * Drops any prior table AND its on-disk location first: with the
     * in-memory catalog a previous JVM's managed-table directory survives
     * in the warehouse while the catalog entry does not, and saveAsTable
-    * refuses the orphaned location (LOCATION_ALREADY_EXISTS). */
+    * refuses the orphaned location (LOCATION_ALREADY_EXISTS). The
+    * recursive location delete is scoped to `warehouse/<name>` — callers
+    * must treat bucketed-table names as owned by this helper (the
+    * [[bucketedJoin]] defaults are suffixed with the Spark application
+    * id precisely so two sessions sharing a warehouse cannot race on,
+    * or destroy, each other's directories). */
   def writeBucketed(df: DataFrame, name: String, key: String,
       buckets: Int): Unit = {
     val spark = df.sparkSession
@@ -47,10 +52,15 @@ object Bucketing {
     */
   def bucketedJoin(spark: SparkSession, left: DataFrame, right: DataFrame,
       key: String, buckets: Int,
-      namePrefix: String = "graft_bkt"): DataFrame = {
-    writeBucketed(left, s"${namePrefix}_l", key, buckets)
-    writeBucketed(right, s"${namePrefix}_r", key, buckets)
-    spark.table(s"${namePrefix}_l")
-      .join(spark.table(s"${namePrefix}_r"), key)
+      namePrefix: String = ""): DataFrame = {
+    // Default prefix is per-application: concurrent sessions sharing one
+    // warehouse dir must not DROP + delete each other's staging tables.
+    val prefix = if (namePrefix.nonEmpty) namePrefix
+      else "graft_bkt_" + spark.sparkContext.applicationId
+        .replaceAll("[^A-Za-z0-9_]", "_")
+    writeBucketed(left, s"${prefix}_l", key, buckets)
+    writeBucketed(right, s"${prefix}_r", key, buckets)
+    spark.table(s"${prefix}_l")
+      .join(spark.table(s"${prefix}_r"), key)
   }
 }

@@ -17,10 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  /** Spread the low 16 bits of `v` so bit i lands at position 2i
-    * (0 ≤ v < 65536). Standard Morton-code dilation. */
+  /** Spread the low 16 bits of `v` so bit i lands at position 2i.
+    * Standard Morton-code dilation. Inputs are masked to 16 bits first,
+    * so keys ≥ 2^16 degrade to a defined (modular) clustering instead of
+    * producing garbage interleavings — callers with wider domains should
+    * pre-bucket (e.g. `pmod` or range-rank) if mod-65536 locality is not
+    * what they want. */
   def spreadBits16(v: Column): Column = {
-    val a = v.cast("long")
+    val a = v.cast("long").bitwiseAND(lit(0xFFFFL))
     val b = (a.bitwiseOR(shiftleft(a, 8))).bitwiseAND(lit(0x00FF00FFL))
     val c = (b.bitwiseOR(shiftleft(b, 4))).bitwiseAND(lit(0x0F0F0F0FL))
     val d = (c.bitwiseOR(shiftleft(c, 2))).bitwiseAND(lit(0x33333333L))
@@ -39,12 +43,22 @@ object Layout {
     * files that throttle every later scan's file-listing and footer
     * reads. Sizing uses Catalyst's plan-level size estimate (derived
     * from source file sizes + selectivity — no extra job), so it is
-    * safe to call on a 100 TB input. */
+    * safe to call on a 100 TB input.
+    *
+    * The estimate is UNCOMPRESSED in-memory bytes; parquet output is
+    * typically several times smaller, so `compressionRatio` (default 3×,
+    * a common snappy-parquet ratio for mixed columns) divides it before
+    * sizing — tune it per table for tight file sizes. Join-multiplied
+    * default stats can also explode the estimate, so the partition count
+    * is capped at `maxPartitions` rather than trusting the plan blindly. */
   def repartitionForWrite(df: DataFrame,
-      targetBytes: Long = 128L * 1024 * 1024): DataFrame = {
+      targetBytes: Long = 128L * 1024 * 1024,
+      compressionRatio: Double = 3.0,
+      maxPartitions: Int = 1 << 20): DataFrame = {
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val parts = ((est + targetBytes - 1) / targetBytes)
-      .min(BigInt(Int.MaxValue)).max(BigInt(1)).toInt
+    val out = (BigDecimal(est) / compressionRatio).toBigInt
+    val parts = ((out + targetBytes - 1) / targetBytes)
+      .min(BigInt(maxPartitions)).max(BigInt(1)).toInt
     df.repartition(parts)
   }
 

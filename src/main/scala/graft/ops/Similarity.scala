@@ -308,9 +308,13 @@ object Similarity {
     * broadcast row); scoring a corpus vector is then m array lookups on
     * its byte codes — the corpus pass reads m ints per row instead of
     * dim floats, which is the entire point of PQ at 100 TB. The query
-    * side (queries + tables) broadcasts; the corpus is never shuffled;
-    * top-k per query is the standard heap-based window.
-    * Output: (q_id, rnk, n_id, sim_adc). */
+    * side (queries + tables) broadcasts, so the SCAN is shuffle-free;
+    * the top-k window then exchanges scored rows by q_id — bounded by
+    * |corpus|·|queries| before reduction, but Spark's WindowGroupLimit
+    * rewrite applies the rank filter map-side first, so what actually
+    * crosses the wire is ≤ k·partitions rows per query. With a
+    * non-trivial query set that per-query term, not zero, is the real
+    * shuffle bound. Output: (q_id, rnk, n_id, sim_adc). */
   def pqTopK(queries: DataFrame, corpusCodes: DataFrame,
       codebooks: Array[Array[Seq[Double]]], idCol: String, vecCol: String,
       codeIdCol: String, codeCol: String, k: Int): DataFrame = {

@@ -773,6 +773,116 @@ object RelationalQueries {
           graft.ops.Layout.zvalue(col("p_size"),
             pmod(col("p_partkey"), lit(65536))).as("zval"))),
 
+    // linear-regression aggregate family (regr_slope/intercept/r2/count):
+    // all algebraic over (n, Σx, Σy, Σxy, Σx², Σy²) partials, so
+    // map-side combine keeps the shuffle at |groups| rows at any scale
+    "q_regr_fns" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4)
+            .as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 2)
+            .as("icept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6)
+            .as("r2"),
+          regr_count(col("l_extendedprice"), col("l_quantity"))
+            .cast("long").as("n"))),
+
+    // higher-order array functions (transform/filter/aggregate/exists/
+    // forall) — all narrow per-row lambdas inside whole-stage codegen;
+    // the double-cast BEFORE the fold pins both engines to the same
+    // left-to-right double accumulation order
+    "q_array_hof" -> ((s, d) =>
+      Tables.embeddings(s, d).filter(col("vec_id") < 200)
+        .select(
+          col("vec_id"),
+          round(aggregate(
+            transform(col("embedding"), x => x.cast("double") * 2),
+            lit(0.0), (a, x) => a + x), 4).as("sum2x"),
+          size(filter(col("embedding"), x => x > lit(0f))).as("n_pos"),
+          exists(col("embedding"), x => x > lit(0.2f)).as("has_big"),
+          forall(col("embedding"), x => abs(x) <= lit(1f)).as("all_unit"))),
+
+    // URL decomposition (parse_url HOST/PATH/QUERY-param): the URLs are
+    // synthesized deterministically from document columns, so the oracle
+    // recomputes the expected parts directly — the check is that Spark's
+    // parser agrees with ground truth. Narrow projection, no shuffle.
+    "q_url_fns" -> ((s, d) =>
+      Tables.documents(s, d).filter(col("doc_id") < 500)
+        .withColumn("url", concat(lit("https://"), col("source"),
+          lit(".example.com/"), col("lang"), lit("/doc-"), col("doc_id"),
+          lit("?k="), pmod(col("doc_id"), lit(7))))
+        .select(col("doc_id"),
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY', 'k')").as("k"))),
+
+    // CIDR containment over synthesized IPv4s — the security-telemetry
+    // staple (the reference's domain is exactly this kind of event
+    // filtering). String → octets → u32 via split+cast, containment via
+    // shiftright: pure codegen'd integer arithmetic, fully pushdown- and
+    // combine-friendly; group to /24 counts
+    "q_ip_cidr" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("ip", concat_ws(".", lit(10),
+          pmod(col("event_id"), lit(64)),
+          pmod(expr("event_id div 64"), lit(200)),
+          pmod(col("event_id") * 7 + 3, lit(256))))
+      val oct = (i: Int) =>
+        element_at(split(col("ip"), "\\."), i).cast("long")
+      val ipInt = ((oct(1) * 256 + oct(2)) * 256 + oct(3)) * 256 + oct(4)
+      ev.withColumn("ip_int", ipInt)
+        .filter(shiftright(col("ip_int"), 16) === lit(10 * 256 + 42))
+        .groupBy(concat(lit("10.42."), shiftright(col("ip_int"), 8)
+          .bitwiseAND(lit(255L)), lit(".0/24")).as("prefix24"))
+        .agg(count(lit(1)).as("n_events"),
+          count_distinct(col("user_id")).as("n_users"))
+    }),
+
+    // null-on-error arithmetic (try_divide / try_cast / try_add): the
+    // ANSI-mode-safe projection idiom — at 100 TB one poison row must
+    // not kill the job, and TRY ops keep that guarantee inside codegen
+    // instead of via a UDF try/catch
+    "q_try_arith" -> ((s, d) =>
+      Tables.orders(s, d).filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"),
+          round(try_divide(col("o_totalprice"),
+            pmod(col("o_custkey"), lit(3)).cast("double")), 2).as("safe_div"),
+          expr("try_cast(o_orderpriority AS INT)").as("prio_int"),
+          expr("try_add(9223372036854775807L, o_orderkey)").as("ovf"))),
+
+    // grouping() provenance bits under ROLLUP — distinguishes "NULL
+    // because subtotal row" from "NULL because data", which a consumer
+    // of the rollup output needs; composed gid is engine-portable
+    "q_grouping_id" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          (grouping(col("l_returnflag")).cast("int") * 2 +
+            grouping(col("l_linestatus")).cast("int")).as("gid"))),
+
+    // TPC-H Q10 (returned-item reporting): fact-fact join on orderkey,
+    // dimension broadcast, top-20 customers by lost revenue — rounded
+    // BEFORE the order-by with a key tie-break so the LIMIT frontier is
+    // engine-stable
+    "q_sql_tpch_q10" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // edit-distance near-match pairs (levenshtein): the fuzzy-string
     // primitive behind entity resolution / short-field dedup — blocked
     // by brand so the pair space is |brand-group|², never corpus²
@@ -1384,6 +1494,78 @@ object RelationalQueries {
     "q_udaf_weighted_avg" ->
       """SELECT l_returnflag,
         | round(sum(l_extendedprice*l_quantity)/sum(l_quantity), 2) AS wavg_price
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_regr_fns" ->
+      """SELECT l_returnflag,
+        | round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        | round(regr_intercept(l_extendedprice, l_quantity), 2) AS icept,
+        | round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        | regr_count(l_extendedprice, l_quantity)::BIGINT AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_array_hof" ->
+      """SELECT vec_id,
+        | round(list_reduce(list_transform(embedding,
+        |   x -> CAST(x AS DOUBLE) * 2), (a, b) -> a + b), 4) AS sum2x,
+        | len(list_filter(embedding, x -> x > 0))::INT AS n_pos,
+        | len(list_filter(embedding, x -> x > 0.2)) > 0 AS has_big,
+        | len(list_filter(embedding, x -> abs(x) <= 1)) = len(embedding)
+        |   AS all_unit
+        |FROM embeddings WHERE vec_id < 200""".stripMargin,
+
+    "q_url_fns" ->
+      """SELECT doc_id,
+        | source || '.example.com' AS host,
+        | '/' || lang || '/doc-' || doc_id::VARCHAR AS path,
+        | (doc_id % 7)::VARCHAR AS k
+        |FROM documents WHERE doc_id < 500""".stripMargin,
+
+    "q_ip_cidr" ->
+      """WITH ips AS (
+        | SELECT user_id,
+        |  '10.' || (event_id % 64)::VARCHAR || '.' ||
+        |  ((event_id // 64) % 200)::VARCHAR || '.' ||
+        |  ((event_id * 7 + 3) % 256)::VARCHAR AS ip
+        | FROM events),
+        |parsed AS (
+        | SELECT user_id,
+        |  ((string_split(ip, '.')[1]::BIGINT * 256 +
+        |    string_split(ip, '.')[2]::BIGINT) * 256 +
+        |    string_split(ip, '.')[3]::BIGINT) * 256 +
+        |    string_split(ip, '.')[4]::BIGINT AS ip_int
+        | FROM ips)
+        |SELECT '10.42.' || ((ip_int >> 8) & 255)::VARCHAR || '.0/24'
+        |   AS prefix24,
+        | count(*) AS n_events, count(DISTINCT user_id) AS n_users
+        |FROM parsed WHERE (ip_int >> 16) = 2602
+        |GROUP BY 1""".stripMargin,
+
+    "q_try_arith" ->
+      """SELECT o_orderkey,
+        | round(o_totalprice / NULLIF(o_custkey % 3, 0), 2) AS safe_div,
+        | TRY_CAST(o_orderpriority AS INTEGER) AS prio_int,
+        | CASE WHEN o_orderkey > 0 THEN NULL
+        |      ELSE 9223372036854775807 + o_orderkey END AS ovf
+        |FROM orders WHERE o_orderkey < 2000""".stripMargin,
+
+    "q_grouping_id" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | (GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus))::INT AS gid
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_sql_tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin
   )
 }

@@ -239,16 +239,33 @@ object Sinks {
       new org.apache.hadoop.fs.Path(manifestDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-    private def marker(batchId: Long) =
-      new org.apache.hadoop.fs.Path(manifestDir, s"batch-$batchId.committed")
+    /** Markers are namespaced by the streaming query's id — batchIds are
+      * only unique within one checkpoint lineage (they restart at 0 for a
+      * fresh checkpoint), so an un-namespaced `batch-0.committed` left in
+      * a reused manifestDir would silently swallow the first batches of a
+      * NEW query: real data loss in the exactly-once component. The query
+      * id is persisted in the checkpoint, so a restart from the same
+      * checkpoint keeps its namespace (dedup still works), while a fresh
+      * checkpoint gets a fresh one. Inside foreachBatch the id is
+      * published by the engine as the `sql.streaming.queryId` local
+      * property; batch-mode calls fall back to a shared namespace. */
+    private def queryNs(df: DataFrame): String =
+      Option(df.sparkSession.sparkContext
+          .getLocalProperty("sql.streaming.queryId"))
+        .getOrElse("batch")
+
+    private def marker(ns: String, batchId: Long) =
+      new org.apache.hadoop.fs.Path(manifestDir,
+        s"$ns-batch-$batchId.committed")
 
     /** Write `df` unless `batchId` is already committed; mark it after. */
     def writeBatchIdempotent(df: DataFrame, batchId: Long): Unit = {
       val f = fs(df.sparkSession)
-      if (!f.exists(marker(batchId))) {
+      val m = marker(queryNs(df), batchId)
+      if (!f.exists(m)) {
         child.writeBatch(df)
         f.mkdirs(new org.apache.hadoop.fs.Path(manifestDir))
-        f.create(marker(batchId), true).close()
+        f.create(m, true).close()
       }
     }
 

@@ -73,6 +73,20 @@ class LayoutBucketingSpec extends SparkSpec {
     assert(got.map(_._3).distinct.length == grid.length)
   }
 
+  test("zvalue: inputs ≥ 2^16 degrade to defined mod-65536 clustering") {
+    // keys wider than 16 bits (p_partkey at big SFs) must produce the
+    // same code as their masked low 16 bits — a defined degradation —
+    // not a corrupt interleaving from unmasked high bits
+    val df = spark.range(1).select(
+      graft.ops.Layout.zvalue(lit(65536L + 3), lit(131072L + 5)).as("a"),
+      graft.ops.Layout.zvalue(lit(3), lit(5)).as("b"),
+      graft.ops.Layout.zvalue(lit(-1L), lit(0)).as("c"),
+      graft.ops.Layout.zvalue(lit(65535), lit(0)).as("d"))
+    val r = df.collect()(0)
+    assert(r.getLong(0) === r.getLong(1), "high bits must be masked off")
+    assert(r.getLong(2) === r.getLong(3), "-1 masks to 0xFFFF")
+  }
+
   test("zorderBy: rows unchanged, partitions cover disjoint z-ranges") {
     val df = Tables.part(spark, sf).select("p_partkey", "p_size")
     val clustered = graft.ops.Layout.zorderBy(df, "p_size", "p_partkey", 4)

@@ -151,14 +151,48 @@ class ReliabilitySpec extends SparkSpec {
         sys.error("unused")
     }
     val sink = Sinks.IdempotentSink(child, manifest)
-    StreamingOps.runToCompletion(Pipeline.from(src).start(spark, sink))
-    // simulate the crash-before-offset-commit replay of batch 0: if the
-    // manifest check fails, the sentinel row lands in `seen`
+    val q = Pipeline.from(src).start(spark, sink)
+    StreamingOps.runToCompletion(q)
+    // simulate the crash-before-offset-commit replay of batch 0: a real
+    // redelivery runs under the SAME query id (it is persisted in the
+    // checkpoint), so replay under that id; if the manifest check fails,
+    // the sentinel row lands in `seen`
     import spark.implicits._
     val replay = Seq("vDUP".getBytes("UTF-8")).toDF("value")
-    sink.writeBatchIdempotent(replay, 0L)
+    spark.sparkContext.setLocalProperty("sql.streaming.queryId",
+      q.id.toString)
+    try sink.writeBatchIdempotent(replay, 0L)
+    finally spark.sparkContext.setLocalProperty("sql.streaming.queryId", null)
     val vals = seen.toArray(Array.empty[String]).toSeq.sorted
     assert(vals == (1 to 5).map(i => s"v$i").sorted,
       s"replayed batch must not duplicate output: $vals")
+  }
+
+  test("IdempotentSink: a NEW query's batch 0 is not swallowed by an old marker") {
+    // batchIds restart at 0 for a fresh checkpoint; markers are
+    // namespaced by query id, so query B's batch 0 must write even when
+    // query A already committed ITS batch 0 into the same manifestDir.
+    val writes = new AtomicInteger
+    val child = new graft.core.Sink {
+      def writeBatch(df: org.apache.spark.sql.DataFrame): Unit = {
+        df.count(); writes.incrementAndGet(); ()
+      }
+      def writeStream(df: org.apache.spark.sql.DataFrame,
+          trigger: Option[org.apache.spark.sql.streaming.Trigger],
+          checkpoint: Option[String]) =
+        sys.error("unused")
+    }
+    val sink = Sinks.IdempotentSink(child, tmpDir("idem-ns"))
+    val df = Tables.nation(spark, sf)
+    def as(qid: String)(body: => Unit): Unit = {
+      spark.sparkContext.setLocalProperty("sql.streaming.queryId", qid)
+      try body
+      finally spark.sparkContext.setLocalProperty("sql.streaming.queryId", null)
+    }
+    as("query-A") { sink.writeBatchIdempotent(df, 0L) } // A/0: writes
+    as("query-A") { sink.writeBatchIdempotent(df, 0L) } // A replay: skipped
+    as("query-B") { sink.writeBatchIdempotent(df, 0L) } // B/0: MUST write
+    assert(writes.get() === 2,
+      "query B's batch 0 must not be deduped against query A's marker")
   }
 }
