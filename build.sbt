@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked-run stdout through verbatim: sbt's default logger wraps
+// every line in "[info] " decoration, which breaks the driver's
+// JSON-line parse of Bench's output (BENCH_r07 recorded parsed:null
+// from exactly this). StdoutOutput inherits the parent's streams.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -502,6 +502,89 @@ object LlmQueries {
         .orderBy(desc("df_t"), asc("term"))
         .limit(20)),
 
+    // ---- collocations: bigram PMI over the corpus --------------------
+    // pointwise mutual information ln(p(xy)/(p(x)p(y))) — the classic
+    // phrase-mining signal (word2vec's phrase pass). Bigrams come from a
+    // zip of the token array with its own tail (pure array ops, no
+    // positional self-join); unigram and bigram counts are two shuffles
+    // on word keys with map-side combine, and the corpus totals join
+    // back as broadcast scalars, so the whole thing is 100 TB-safe:
+    // nothing driver-side, no |corpus|² anywhere
+    "q_collocations_pmi" -> ((s, d) => {
+      val toks = graft.core.Transforms.materialized(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "toks", tokens(col("text")))
+      val uni = toks.select(explode(col("toks")).as("w"))
+      val uniCnt = uni.groupBy("w").agg(count(lit(1)).as("c_w"))
+      val bi = toks
+        .select(explode(arrays_zip(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1))).as("b"))
+        .select(col("b.0").as("w1"), col("b.1").as("w2"))
+      val biCnt = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+      val nU = uni.agg(count(lit(1)).cast("double").as("n_u"))
+      val nB = bi.agg(count(lit(1)).cast("double").as("n_b"))
+      biCnt
+        .join(uniCnt.withColumnRenamed("w", "w1")
+          .withColumnRenamed("c_w", "c_w1"), "w1")
+        .join(uniCnt.withColumnRenamed("w", "w2")
+          .withColumnRenamed("c_w", "c_w2"), "w2")
+        .crossJoin(broadcast(nU)).crossJoin(broadcast(nB))
+        .filter(col("c_xy") >= 5)
+        // floor(x*100+0.5)/100, not round(): deterministic across engines
+        .withColumn("pmi", floor(log(col("c_xy").cast("double") *
+            col("n_u") * col("n_u") /
+            (col("n_b") * col("c_w1") * col("c_w2"))) * 100 + 0.5) / 100)
+        .select("w1", "w2", "c_xy", "pmi")
+        .orderBy(desc("pmi"), asc("w1"), asc("w2"))
+        .limit(20)
+    }),
+
+    // ---- stopword filtering (content-token extraction) ---------------
+    // the cheap, universal first pass of every text pipeline: a codegen'd
+    // array lambda per row, zero shuffles — embarrassingly parallel at
+    // any scale
+    "q_stopword_filter" -> ((s, d) => {
+      val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+      graft.core.Transforms.materialized(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          "toks", tokens(col("text")))
+        .withColumn("content",
+          filter(col("toks"), t => !t.isin(stop: _*)))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_total"),
+          size(col("content")).as("n_content"),
+          array_join(slice(col("content"), 1, 8), " ").as("head_content"))
+    }),
+
+    // ---- prefix near-dup groups --------------------------------------
+    // dedup on the normalized head of the document (URL-less mirror /
+    // boilerplate-clone detector): one md5-keyed shuffle with map-side
+    // combine — the cheapest useful near-dup pass, run before the
+    // expensive MinHash stage to shrink its input
+    "q_prefix_dedup" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("pfx", md5(regexp_replace(
+          lower(substring(col("text"), 1, 64)), "\\s+", " ")))
+        .groupBy("pfx")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("canonical_id"))
+        .filter(col("n_docs") > 1)
+        .orderBy("canonical_id")),
+
+    // ---- sentence segmentation stats ---------------------------------
+    // regex sentence split + per-doc stats: narrow per-row work; the
+    // floor-round idiom keeps the per-row average engine-deterministic
+    // (avg chars/n hits exact .xx5 midpoints whenever n divides 200)
+    "q_sentence_stats" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("sents",
+          filter(split(col("text"), "[.!?]+"), x => length(trim(x)) > 0))
+        .filter(size(col("sents")) > 0)
+        .select(col("doc_id"), size(col("sents")).as("n_sents"),
+          (floor(aggregate(col("sents"), lit(0L),
+              (acc, x) => acc + length(trim(x))).cast("double")
+            / size(col("sents")) * 100 + 0.5) / 100).as("avg_sent_chars"))),
+
     // ---- multimodal plumbing (binary columns + typed metadata) -------
     "q_multimodal_meta" -> ((s, d) =>
       Tables.documents(s, d)
@@ -755,6 +838,49 @@ object LlmQueries {
         | round(sum(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 2) AS sum_sq,
         | count(*) AS n
         |FROM embeddings GROUP BY label""".stripMargin,
+
+    "q_collocations_pmi" ->
+      s"""WITH toks AS (SELECT $sqlToks AS t FROM documents),
+         |u AS (SELECT unnest(t) AS w FROM toks),
+         |uc AS (SELECT w, count(*) AS c_w FROM u GROUP BY w),
+         |b AS (SELECT t[i] AS w1, t[i+1] AS w2 FROM toks,
+         |      LATERAL (SELECT unnest(range(1, len(t))) AS i) r),
+         |bc AS (SELECT w1, w2, count(*) AS c_xy FROM b GROUP BY w1, w2),
+         |nu AS (SELECT count(*)::DOUBLE AS n_u FROM u),
+         |nb AS (SELECT count(*)::DOUBLE AS n_b FROM b)
+         |SELECT w1, w2, c_xy,
+         | floor(ln(c_xy::DOUBLE * n_u * n_u / (n_b * c_w1 * c_w2)) * 100
+         |   + 0.5) / 100 AS pmi
+         |FROM bc
+         |JOIN (SELECT w AS w1j, c_w AS c_w1 FROM uc) ON w1 = w1j
+         |JOIN (SELECT w AS w2j, c_w AS c_w2 FROM uc) ON w2 = w2j
+         |CROSS JOIN nu CROSS JOIN nb
+         |WHERE c_xy >= 5
+         |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
+
+    "q_stopword_filter" ->
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents)
+         |SELECT doc_id, len(toks) AS n_total, len(content) AS n_content,
+         | array_to_string(content[1:8], ' ') AS head_content
+         |FROM (SELECT doc_id, toks, list_filter(toks, x -> x NOT IN
+         |  ('the','a','of','and','to','in','is')) AS content FROM t)""".stripMargin,
+
+    "q_prefix_dedup" ->
+      """SELECT md5(regexp_replace(lower(substring(text, 1, 64)),
+        |   '\s+', ' ', 'g')) AS pfx,
+        | count(*) AS n_docs, min(doc_id) AS canonical_id
+        |FROM documents GROUP BY 1 HAVING count(*) > 1
+        |ORDER BY canonical_id""".stripMargin,
+
+    "q_sentence_stats" ->
+      """WITH s AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '[.!?]+'),
+        |    x -> len(trim(x)) > 0) AS sents
+        | FROM documents)
+        |SELECT doc_id, len(sents) AS n_sents,
+        | floor(list_sum(list_transform(sents, x -> len(trim(x))))::DOUBLE
+        |   / len(sents) * 100 + 0.5) / 100 AS avg_sent_chars
+        |FROM s WHERE len(sents) > 0""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT source, count(*) AS n, sum(strlen(text))::BIGINT AS n_bytes,

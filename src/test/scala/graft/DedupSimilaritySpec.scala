@@ -646,10 +646,19 @@ class DedupSimilaritySpec extends SparkSpec {
     val df = Tables.lineitem(spark, sf)
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val target = (est / 4).max(BigInt(1)).toLong
-    val out = graft.ops.Layout.repartitionForWrite(df, target)
+    // ratio 1.0 isolates the sizing math; the default 3× compression
+    // ratio divides the estimate before sizing (ADVICE r8)
+    val out = graft.ops.Layout.repartitionForWrite(df, target,
+      compressionRatio = 1.0)
     val expect = ((est + target - 1) / target).toInt
     assert(out.rdd.getNumPartitions == expect,
       s"est=$est target=$target")
+    // default ratio shrinks the count ~3× (estimate is in-memory bytes,
+    // parquet lands smaller)
+    val shrunk = graft.ops.Layout.repartitionForWrite(df, target)
+    val expectShrunk = ((est / 3 + target - 1) / target).max(BigInt(1)).toInt
+    assert(math.abs(shrunk.rdd.getNumPartitions - expectShrunk) <= 1,
+      s"est=$est target=$target shrunk=${shrunk.rdd.getNumPartitions}")
     // a tiny input never explodes into many files
     val one = graft.ops.Layout.repartitionForWrite(
       Tables.nation(spark, sf), 128L * 1024 * 1024)
