@@ -4,9 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * The operator surface lives in two registries:
+  * The operator surface lives in three registries:
   *   - [[graft.queries.RelationalQueries]] — SURVEY §2.3 relational rows
   *   - [[graft.queries.LlmQueries]]        — north-star LLM-pipeline rows
+  *   - [[graft.queries.EventQueries]]      — event-stream analytics rows
   * Each query name appears in `queries` (Spark plan) and, when DuckDB can
   * express identical semantics, in `oracleSql` (hash-compared by driver).
   */
@@ -19,12 +20,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.RelationalQueries.queries ++ graft.queries.LlmQueries.queries
+    graft.queries.RelationalQueries.queries ++
+      graft.queries.LlmQueries.queries ++
+      graft.queries.EventQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for the hash-based ops (MinHash /
     * SimHash / LSH / HLL) whose hash functions have no DuckDB twin —
     * driver records a weaker rows-only check; ScalaTest covers semantics. */
   def oracleSql: Map[String, String] =
-    graft.queries.RelationalQueries.oracle ++ graft.queries.LlmQueries.oracle
+    graft.queries.RelationalQueries.oracle ++
+      graft.queries.LlmQueries.oracle ++
+      graft.queries.EventQueries.oracle
 }

@@ -1,0 +1,157 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics operators over the `events` table — the query
+  * family a log/event engine's users actually run on their ingested
+  * streams (funnels, cohort retention, state transitions, Pareto
+  * frontiers). The reference's domain is event pipelines
+  * (`/root/reference/types.go:13-38` — keyed, timestamped messages);
+  * these are the standard OLAP consumers of that data model, built
+  * Spark-first.
+  *
+  * Scale shapes: every query here shuffles at most by `user_id` (150 at
+  * sf0.01, millions in production — a fine shuffle key with no skew since
+  * per-user event counts are bounded), or sorts once globally on an
+  * analytic axis. Nothing is quadratic; nothing collects to the driver.
+  */
+object EventQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // ---- funnel conversion (view → click → purchase) -----------------
+    // ordered-step funnel: t1 = first view, t2 = first click at/after
+    // t1, t3 = first purchase at/after t2; counts = users reaching each
+    // step. Three aggregations keyed by user_id — AQE plans them as one
+    // shuffle lineage (same key), and each stage's join input is the
+    // per-user step table (|users| rows, not |events|), so the event log
+    // is scanned, never re-shuffled whole.
+    "q_funnel_steps" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val s1 = ev.groupBy("user_id")
+        .agg(min(when(col("event_type") === "view", col("ts"))).as("t1"))
+        .filter(col("t1").isNotNull)
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(s1, Seq("user_id"))
+        .filter(col("ts") >= col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, Seq("user_id"))
+        .filter(col("ts") >= col("t2"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+        .agg(count("t1").as("n_view"),
+          count("t2").as("n_view_click"),
+          count("t3").as("n_view_click_purchase"))
+    }),
+
+    // ---- cohort retention --------------------------------------------
+    // users grouped by first-seen day; for each cohort, distinct active
+    // users at day offsets 0..7. The cohort table is |users| rows and
+    // joins back to events on user_id (broadcast at any realistic
+    // users-to-events ratio is wrong — users is the BIG dim here, so
+    // this stays a shuffle join on the same user_id key as the cohort
+    // aggregation, which AQE co-locates).
+    "q_retention_cohort" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val cohort = ev.groupBy("user_id")
+        .agg(min(to_date(col("ts"))).as("d0"))
+      ev.select(col("user_id"), to_date(col("ts")).as("day"))
+        .join(cohort, Seq("user_id"))
+        .withColumn("day_offset", datediff(col("day"), col("d0")))
+        .filter(col("day_offset").between(0, 7))
+        .groupBy("d0", "day_offset")
+        .agg(count_distinct(col("user_id")).as("n_active"))
+        .orderBy("d0", "day_offset")
+    }),
+
+    // ---- event-type transition matrix --------------------------------
+    // per-user Markov transition counts: lag(event_type) over the
+    // user's event-time order (event_id tie-break — synthetic ts can
+    // collide), then count (prev, curr) pairs. One window shuffle by
+    // user_id, one tiny |types|² aggregation.
+    "q_event_transitions" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("curr_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("prev_type", "curr_type")
+    }),
+
+    // ---- Pareto skyline (price ↓ better, size ↑ better) --------------
+    // the dominance frontier without the naive |n|² self-anti-join: one
+    // global sort by price gives BOTH dominance tests as window
+    // functions — a strictly-cheaper running max of size (dense_rank
+    // axis so RANGE 'strictly less' is exact on tied prices) and a
+    // same-price max. At 100 TB this is a single range-partitioned
+    // sort + two windows over the same order, vs a quadratic join.
+    "q_skyline" -> ((s, d) => {
+      val byPrice = Window.orderBy("p_retailprice")
+      val strictlyCheaper = Window.orderBy("pr")
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val samePrice = Window.partitionBy("p_retailprice")
+      Tables.part(s, d)
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+        .withColumn("pr", dense_rank().over(byPrice))
+        .withColumn("max_cheaper", max("p_size").over(strictlyCheaper))
+        .withColumn("max_same", max("p_size").over(samePrice))
+        .filter((col("max_cheaper").isNull ||
+            col("max_cheaper") < col("p_size")) &&
+          col("max_same") === col("p_size"))
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_retailprice", "p_partkey")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_funnel_steps" ->
+      """WITH s1 AS (SELECT user_id,
+        |   min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+        |  FROM events GROUP BY user_id HAVING t1 IS NOT NULL),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= s1.t1
+        |  GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+        |  GROUP BY e.user_id)
+        |SELECT count(t1) AS n_view, count(t2) AS n_view_click,
+        | count(t3) AS n_view_click_purchase
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
+
+    "q_retention_cohort" ->
+      """WITH cohort AS (SELECT user_id, min(ts::DATE) AS d0
+        |  FROM events GROUP BY user_id)
+        |SELECT d0, date_diff('day', d0, ts::DATE) AS day_offset,
+        | count(DISTINCT user_id) AS n_active
+        |FROM events JOIN cohort USING (user_id)
+        |WHERE date_diff('day', d0, ts::DATE) BETWEEN 0 AND 7
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_event_transitions" ->
+      """WITH lagged AS (SELECT
+        |  lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev_type,
+        |  event_type AS curr_type
+        | FROM events)
+        |SELECT prev_type, curr_type, count(*) AS n
+        |FROM lagged WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_skyline" ->
+      """SELECT p_partkey, p_retailprice, p_size
+        |FROM part a
+        |WHERE NOT EXISTS (SELECT 1 FROM part b
+        |  WHERE b.p_retailprice <= a.p_retailprice
+        |    AND b.p_size >= a.p_size
+        |    AND (b.p_retailprice < a.p_retailprice
+        |      OR b.p_size > a.p_size))
+        |ORDER BY p_retailprice, p_partkey""".stripMargin
+  )
+}
