@@ -70,6 +70,18 @@ object StreamingOps {
     streamIntervalJoin(left, right, leftKey, rightKey, leftTs, rightTs,
       watermark, maxDelay, joinType = "leftOuter")
 
+  /** Full-outer stream–stream interval join: unmatched rows from BOTH
+    * sides emit with nulls once their watermark-bounded join window
+    * closes — "every click and every purchase, matched where possible".
+    * Same bounded-state contract as the inner variant; each side's
+    * unmatched output is delayed until the opposite watermark proves no
+    * future partner can arrive. */
+  def streamIntervalJoinFullOuter(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, leftTs: String, rightTs: String,
+      watermark: String, maxDelay: String): DataFrame =
+    streamIntervalJoin(left, right, leftKey, rightKey, leftTs, rightTs,
+      watermark, maxDelay, joinType = "fullOuter")
+
   /** Stream–static enrichment join: the dimension is broadcast to every
     * task, so the stream is never shuffled and no join state is kept —
     * the right shape for decorating an event stream with a

@@ -185,6 +185,35 @@ class StreamingSpec extends SparkSpec {
       s"user 2 must emit with nulls after expiry: $rows")
   }
 
+  test("full-outer interval join: both sides emit nulls after watermark expiry") {
+    val clicks = new MemoryStream[(Long, Timestamp)](38, spark, None)
+    val buys = new MemoryStream[(Long, Timestamp)](39, spark, None)
+    val joined = StreamingOps.streamIntervalJoinFullOuter(
+      clicks.toDF().toDF("user", "cts"), buys.toDF().toDF("buyer", "bts"),
+      "user", "buyer", "cts", "bts",
+      watermark = "10 minutes", maxDelay = "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssjoin_fo_out")
+      .outputMode("append").start()
+    // 1 matches; click 2 has no purchase; purchase 7 has no click
+    clicks.addData(Seq(1L -> ts(0), 2L -> ts(0)))
+    buys.addData(Seq(1L -> ts(10), 7L -> ts(10)))
+    q.processAllAvailable()
+    // advance both watermarks past every join window so the unmatched
+    // rows on each side can be finalized
+    clicks.addData(Seq(9L -> ts(300)))
+    buys.addData(Seq(8L -> ts(300)))
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    val rows = spark.table("ssjoin_fo_out")
+      .select(col("user"), col("buyer"))
+      .as[(Option[Long], Option[Long])].collect().toSet
+    assert(rows.contains((Some(1L), Some(1L))), s"user 1 must match: $rows")
+    assert(rows.contains((Some(2L), None)),
+      s"unmatched click must emit with null buyer: $rows")
+    assert(rows.contains((None, Some(7L))),
+      s"unmatched purchase must emit with null user: $rows")
+  }
+
   test("enrich: stream decorated from a broadcast dimension, no state, no shuffle") {
     val ms = new MemoryStream[(Long, Timestamp)](21, spark, None)
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("dk", "tier")
