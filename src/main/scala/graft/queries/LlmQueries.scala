@@ -234,6 +234,31 @@ object LlmQueries {
             lit(0.10) * col("exact_u").cast("double")).as("approx_ok"),
           col("n"))),
 
+    // Mergeable sketches — the piece approx_count_distinct doesn't give
+    // you: Datasketches HLL sketches aggregate per partition (here: per
+    // day) into a compact binary, and the binaries UNION into the
+    // cross-partition estimate without re-reading raw data. That's the
+    // 100 TB pattern: a daily rollup job keeps |days| sketch rows, and
+    // any date-range distinct count is a union over sketches, not a scan
+    // over events. Oracled like q_approx_hll: exact twin + in-query
+    // error-bound assertion; the sketch path executes in every run.
+    "q_hll_merge" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("day", to_date(col("ts")))
+      val daily = ev.groupBy("day")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"),
+          count(lit(1)).as("n_events"))
+      val merged = daily.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_m"),
+        sum("n_events").as("n_events"),
+        count(lit(1)).as("n_days"))
+      val exact = ev.agg(count_distinct(col("user_id")).as("exact_m"))
+      merged.crossJoin(broadcast(exact))
+        .select(col("exact_m"),
+          (abs(col("approx_m") - col("exact_m")).cast("double") <=
+            lit(0.10) * col("exact_m").cast("double")).as("approx_ok"),
+          col("n_events"), col("n_days"))
+    }),
+
     "q_dedup_embed" -> ((s, d) =>
       Similarity.cosineNearDupPairs(Tables.embeddings(s, d),
           "vec_id", "embedding", "label", threshold = 0.35)
@@ -701,6 +726,11 @@ object LlmQueries {
       """SELECT event_type, count(DISTINCT user_id) AS exact_u,
         | TRUE AS approx_ok, count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_hll_merge" ->
+      """SELECT count(DISTINCT user_id) AS exact_m, TRUE AS approx_ok,
+        | count(*) AS n_events, count(DISTINCT ts::DATE) AS n_days
+        |FROM events""".stripMargin,
 
     "q_quality_lm" ->
       s"""WITH tok AS (SELECT doc_id, lang, unnest($sqlToks) AS t FROM documents),

@@ -981,6 +981,33 @@ object RelationalQueries {
         .select("id_a", "id_b", "dist")
     }),
 
+    // CDC merge/upsert (MERGE INTO semantics, last-writer-wins): base ∪
+    // change-set, then one row_number window per key keeps the highest
+    // version — the declarative twin of a Delta/Iceberg MERGE. At scale
+    // this is ONE shuffle on the merge key (the same cost MERGE pays for
+    // its join); the change-set is derived here (every 7th order doubled,
+    // status 'U') so the query is self-contained and oracleable. The *2
+    // price update is exact in binary (exponent bump), so no mid-pipeline
+    // rounding is needed.
+    "q_merge_upsert" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("_v", lit(1))
+      val changes = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          (col("o_totalprice") * 2).as("o_totalprice"))
+        .withColumn("_v", lit(2))
+      val w = Window.partitionBy("o_orderkey").orderBy(desc("_v"))
+      base.unionByName(changes)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     // ---- UDF / UDAF surface ------------------------------------------
     "q_udf_clamp" -> ((s, d) => {
       val clamp = udf((v: Double) => math.min(math.max(v, 0.0), 10.0))
@@ -1650,6 +1677,19 @@ object RelationalQueries {
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue DESC, c_custkey
         |LIMIT 20""".stripMargin,
+
+    "q_merge_upsert" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |   1 AS _v FROM orders),
+        |changes AS (SELECT o_orderkey, 'U' AS o_orderstatus,
+        |   o_totalprice * 2 AS o_totalprice, 2 AS _v
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |merged AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |    ORDER BY _v DESC) AS rn
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM changes))
+        |SELECT o_orderstatus, count(*) AS n,
+        | round(sum(o_totalprice), 2) AS total
+        |FROM merged WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_sql_tpch_q6" ->
       """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
