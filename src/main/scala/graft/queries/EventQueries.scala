@@ -84,28 +84,16 @@ object EventQueries {
     }),
 
     // ---- Pareto skyline (price ↓ better, size ↑ better) --------------
-    // the dominance frontier without the naive |n|² self-anti-join: one
-    // global sort by price gives BOTH dominance tests as window
-    // functions — a strictly-cheaper running max of size (dense_rank
-    // axis so RANGE 'strictly less' is exact on tied prices) and a
-    // same-price max. At 100 TB this is a single range-partitioned
-    // sort + two windows over the same order, vs a quadratic join.
-    "q_skyline" -> ((s, d) => {
-      val byPrice = Window.orderBy("p_retailprice")
-      val strictlyCheaper = Window.orderBy("pr")
-        .rangeBetween(Window.unboundedPreceding, -1)
-      val samePrice = Window.partitionBy("p_retailprice")
-      Tables.part(s, d)
-        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
-        .withColumn("pr", dense_rank().over(byPrice))
-        .withColumn("max_cheaper", max("p_size").over(strictlyCheaper))
-        .withColumn("max_same", max("p_size").over(samePrice))
-        .filter((col("max_cheaper").isNull ||
-            col("max_cheaper") < col("p_size")) &&
-          col("max_same") === col("p_size"))
-        .select("p_partkey", "p_retailprice", "p_size")
-        .orderBy("p_retailprice", "p_partkey")
-    })
+    // two-phase distributed dominance frontier ([[graft.ops.Skyline]]):
+    // local frontier per partition (distributed windows), then the same
+    // filter over the tiny union of local frontiers — neither the |n|²
+    // self-anti-join nor a single-partition global sort of all rows.
+    "q_skyline" -> ((s, d) =>
+      graft.ops.Skyline.skyline2D(
+          Tables.part(s, d)
+            .select(col("p_partkey"), col("p_retailprice"), col("p_size")),
+          "p_retailprice", "p_size")
+        .orderBy("p_retailprice", "p_partkey"))
   )
 
   val oracle: Map[String, String] = Map(

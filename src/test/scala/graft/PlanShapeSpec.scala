@@ -169,6 +169,39 @@ class PlanShapeSpec extends SparkSpec {
       "hourly histogram must partial-aggregate before the shuffle:\n" + p.take(600))
   }
 
+  test("q_sql_tpch_q6: all three predicates pushed to the parquet scan") {
+    val p = plan("q_sql_tpch_q6")
+    // shipdate range, discount band, quantity cap must ALL appear as
+    // pushed filters — Q6 is IO-bound at scale and unpushed predicates
+    // turn row-group pruning off
+    assert(p.contains("PushedFilters:"), p.take(600))
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters:")).mkString
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(pushed.contains(c), s"$c must be pushed:\n$pushed")
+  }
+
+  test("q_skyline: two-phase frontier — distributed local pass, no quadratic join") {
+    val p = plan("q_skyline")
+    assert(p.contains("Window"), p.take(400))
+    // phase 1 must be partitioned by spark_partition_id (distributed),
+    // so the only unpartitioned window runs on frontier-sized input
+    assert(p.contains("SPARK_PARTITION_ID") || p.contains("_pid"),
+      "local-frontier phase must partition by spark_partition_id:\n" + p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "skyline must not fall back to the |n|² self-join:\n" + p.take(600))
+  }
+
+  test("q_merge_upsert: last-writer-wins is one merge-key shuffle") {
+    val p = plan("q_merge_upsert")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    // one Exchange for the per-key window; the groupBy on o_orderstatus
+    // rides AQE (tiny), anything beyond 2 means the union re-shuffled
+    assert(exchanges <= 2,
+      s"merge must shuffle on the key once (+1 tiny agg), saw $exchanges:\n" + p.take(800))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "final agg must map-side combine:\n" + p.take(600))
+  }
+
   test("centroids: exactly the (label,pos)-keyed + label-keyed shuffles, partial avg") {
     val df = graft.ops.Similarity.centroids(
       Tables.embeddings(spark, sf), "embedding", "label")
