@@ -83,6 +83,39 @@ object EventQueries {
         .orderBy("prev_type", "curr_type")
     }),
 
+    // ---- burst / spike detection -------------------------------------
+    // security-telemetry staple: bucket events per (type, hour), then
+    // flag buckets where the count exceeds mean + 2σ for that type. The
+    // per-type stats table is |types| rows — broadcast back onto the
+    // bucket counts, so the event log is aggregated once and never
+    // re-shuffled for the flagging pass.
+    "q_anomaly_burst" -> ((s, d) => {
+      val buckets = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+      val stats = buckets.groupBy("event_type")
+        .agg(avg("n").as("mu"), stddev_pop("n").as("sigma"))
+      buckets.join(broadcast(stats), "event_type")
+        .filter(col("n") > col("mu") + lit(2.0) * col("sigma"))
+        .select(col("event_type"), col("bucket"), col("n"),
+          floor((col("n") - col("mu")) / col("sigma") * 100 + 0.5)
+            .cast("long").as("z_x100"))
+        .orderBy("event_type", "bucket")
+    }),
+
+    // ---- time-hierarchy rollup ---------------------------------------
+    // day ⊃ (day, type) subtotals + grand total in ONE pass via rollup
+    // (Expand feeds a single partial+final aggregate — one shuffle for
+    // all three granularities, vs three separate scans+shuffles)
+    "q_rollup_time" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("day", to_date(col("ts")))
+        .rollup("day", "event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum("value"), 2).as("sum_value"))
+        .orderBy(asc_nulls_first("day"), asc_nulls_first("event_type"))),
+
     // ---- Pareto skyline (price ↓ better, size ↑ better) --------------
     // two-phase distributed dominance frontier ([[graft.ops.Skyline]]):
     // local frontier per partition (distributed windows), then the same
@@ -131,6 +164,24 @@ object EventQueries {
         |SELECT prev_type, curr_type, count(*) AS n
         |FROM lagged WHERE prev_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_anomaly_burst" ->
+      """WITH buckets AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |   count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (SELECT event_type, avg(n) AS mu, stddev_pop(n) AS sigma
+        |  FROM buckets GROUP BY 1)
+        |SELECT event_type, bucket, n,
+        | CAST(floor((n - mu) / sigma * 100 + 0.5) AS BIGINT) AS z_x100
+        |FROM buckets JOIN stats USING (event_type)
+        |WHERE n > mu + 2.0 * sigma
+        |ORDER BY event_type, bucket""".stripMargin,
+
+    "q_rollup_time" ->
+      """SELECT ts::DATE AS day, event_type, count(*) AS n,
+        | round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY ROLLUP (day, event_type)
+        |ORDER BY day NULLS FIRST, event_type NULLS FIRST""".stripMargin,
 
     "q_skyline" ->
       """SELECT p_partkey, p_retailprice, p_size
