@@ -48,6 +48,28 @@ object EventQueries {
           count("t3").as("n_view_click_purchase"))
     }),
 
+    // ---- conversion lag ----------------------------------------------
+    // time-to-convert for funnel completers: seconds from first view to
+    // first purchase at/after it. Same per-user step tables as
+    // q_funnel_steps; second-resolution via unix_timestamp floor-each,
+    // which matches DuckDB's boundary-crossing date_diff exactly.
+    "q_conversion_lag" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val s1 = ev.groupBy("user_id")
+        .agg(min(when(col("event_type") === "view", col("ts"))).as("t1"))
+        .filter(col("t1").isNotNull)
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s1, Seq("user_id"))
+        .filter(col("ts") >= col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      s1.join(s3, Seq("user_id"))
+        .select((unix_timestamp(col("t3")) - unix_timestamp(col("t1")))
+          .as("lag_sec"))
+        .agg(count(lit(1)).as("n_converted"),
+          (floor(avg("lag_sec") * 100 + 0.5) / 100).as("avg_lag_sec"),
+          max("lag_sec").as("max_lag_sec"))
+    }),
+
     // ---- cohort retention --------------------------------------------
     // users grouped by first-seen day; for each cohort, distinct active
     // users at day offsets 0..7. The cohort table is |users| rows and
@@ -164,6 +186,20 @@ object EventQueries {
         |SELECT prev_type, curr_type, count(*) AS n
         |FROM lagged WHERE prev_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_conversion_lag" ->
+      """WITH s1 AS (SELECT user_id,
+        |   min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+        |  FROM events GROUP BY user_id HAVING t1 IS NOT NULL),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s1.t1
+        |  GROUP BY e.user_id)
+        |SELECT count(*) AS n_converted,
+        | floor(avg(date_diff('second', t1, t3)) * 100 + 0.5) / 100
+        |   AS avg_lag_sec,
+        | max(date_diff('second', t1, t3)) AS max_lag_sec
+        |FROM s1 JOIN s3 USING (user_id)""".stripMargin,
 
     "q_anomaly_burst" ->
       """WITH buckets AS (SELECT event_type, date_trunc('hour', ts) AS bucket,

@@ -644,6 +644,19 @@ object RelationalQueries {
           sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_bad"),
           sum(coalesce(col("k"), lit(0L))).as("sum_k"))),
 
+    // semi-structured VARIANT path (Spark 4): parse once into the binary
+    // variant encoding, then typed variant_get extraction — the
+    // schema-on-read answer for ragged JSON at scale (one parse per row,
+    // no per-field re-parse like chained get_json_object; the oracle twin
+    // is DuckDB's JSON extraction, same values)
+    "q_json_variant" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          variant_get(parse_json(col("props")), "$.k", "int").as("k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n_k"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))),
+
     // multi-CTE query through the SQL entry point (WITH-chain of filter →
     // grouped agg → final rollup; CTEs inline into one Catalyst plan)
     "q_sql_cte" -> ((s, d) => {
@@ -1397,6 +1410,14 @@ object RelationalQueries {
         | sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
         |     THEN 1 ELSE 0 END)::BIGINT AS n_gt50
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_json_variant" ->
+      """SELECT event_type, count(k) AS n_k, sum(k)::BIGINT AS sum_k,
+        | min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT event_type,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        | FROM events)
+        |GROUP BY event_type""".stripMargin,
 
     "q_json_malformed" ->
       """WITH r AS (SELECT event_type,
