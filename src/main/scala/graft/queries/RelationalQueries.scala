@@ -977,6 +977,113 @@ object RelationalQueries {
               |        AND l_quantity BETWEEN 20 AND 30))""".stripMargin)
     }),
 
+    // TPC-H Q7 (volume shipping): 6-table join where BOTH nation dims
+    // broadcast twice (supplier's and customer's) and the symmetric
+    // nation-pair disjunction prunes before the year rollup — the
+    // bilateral-trade report shape
+    "q_sql_tpch_q7" -> ((s, d) => {
+      Seq("supplier", "lineitem", "orders", "customer", "nation")
+        .foreach(t => Tables.table(s, d, t).createOrReplaceTempView(s"g_$t"))
+      s.sql("""SELECT supp_nation, cust_nation, l_year,
+              | round(sum(volume), 2) AS revenue
+              |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+              |   year(l_shipdate) AS l_year,
+              |   l_extendedprice * (1 - l_discount) AS volume
+              |  FROM g_supplier, g_lineitem, g_orders, g_customer,
+              |   g_nation n1, g_nation n2
+              |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+              |   AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+              |   AND c_nationkey = n2.n_nationkey
+              |   AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              |   AND l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+              |     AND TIMESTAMP '1997-12-31') shipping
+              |GROUP BY supp_nation, cust_nation, l_year
+              |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
+    }),
+
+    // TPC-H Q8 (national market share): 8-table join, conditional-agg
+    // ratio per year — region prunes the customer side two dimension
+    // levels deep while the p_type filter prunes the part side
+    "q_sql_tpch_q8" -> ((s, d) => {
+      Seq("part", "supplier", "lineitem", "orders", "customer", "nation",
+        "region").foreach(t =>
+        Tables.table(s, d, t).createOrReplaceTempView(s"g_$t"))
+      s.sql("""SELECT o_year,
+              | round(sum(CASE WHEN nation = 'NATION_1' THEN volume
+              |     ELSE 0 END) / sum(volume), 4) AS mkt_share
+              |FROM (SELECT year(o_orderdate) AS o_year,
+              |   l_extendedprice * (1 - l_discount) AS volume,
+              |   n2.n_name AS nation
+              |  FROM g_part, g_supplier, g_lineitem, g_orders, g_customer,
+              |   g_nation n1, g_nation n2, g_region
+              |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+              |   AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+              |   AND c_nationkey = n1.n_nationkey
+              |   AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+              |   AND s_nationkey = n2.n_nationkey
+              |   AND o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+              |     AND TIMESTAMP '1997-12-31'
+              |   AND p_type = 'PROMO') all_nations
+              |GROUP BY o_year ORDER BY o_year""".stripMargin)
+    }),
+
+    // TPC-H Q13 (customer order-count distribution): the left-outer
+    // twist — zero-order customers must survive into the c_count=0
+    // bucket; two aggregations, the second over |customers| rows
+    // (original's o_comment NOT LIKE filter dropped: no comment column
+    // in this schema)
+    "q_sql_tpch_q13" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("g_customer")
+      Tables.orders(s, d).createOrReplaceTempView("g_orders")
+      s.sql("""SELECT c_count, count(*) AS custdist
+              |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+              |  FROM g_customer LEFT OUTER JOIN g_orders
+              |    ON c_custkey = o_custkey
+              |  GROUP BY c_custkey) c_orders
+              |GROUP BY c_count
+              |ORDER BY custdist DESC, c_count DESC""".stripMargin)
+    }),
+
+    // TPC-H Q18 (large-volume customers): the IN-subquery over a grouped
+    // HAVING — Catalyst plans the >300-quantity orderkey set as a
+    // semi-join build side; the outer 3-table join then re-aggregates
+    // only qualifying orders
+    "q_sql_tpch_q18" -> ((s, d) => {
+      Seq("customer", "orders", "lineitem").foreach(t =>
+        Tables.table(s, d, t).createOrReplaceTempView(s"g_$t"))
+      s.sql("""SELECT c_custkey, o_orderkey, o_orderdate,
+              | round(o_totalprice, 2) AS o_totalprice,
+              | sum(l_quantity) AS sum_qty
+              |FROM g_customer, g_orders, g_lineitem
+              |WHERE o_orderkey IN (SELECT l_orderkey FROM g_lineitem
+              |   GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+              |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+              |GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+              |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+              |LIMIT 100""".stripMargin)
+    }),
+
+    // TPC-H Q22 shape (global-acctbal scalar subquery + NOT EXISTS
+    // anti-join): high-balance customers with no large order, grouped by
+    // nation (adapted: no c_phone column, so nationkey stands in for the
+    // phone-prefix country code; the big-order threshold keeps the
+    // anti-join selective instead of the original's no-orders-at-all,
+    // which this dataset never satisfies)
+    "q_sql_tpch_q22" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("g_customer")
+      Tables.orders(s, d).createOrReplaceTempView("g_orders")
+      s.sql("""SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+              | round(sum(c_acctbal), 2) AS totacctbal
+              |FROM g_customer c
+              |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM g_customer
+              |    WHERE c_acctbal > 0)
+              |  AND NOT EXISTS (SELECT 1 FROM g_orders o
+              |    WHERE o.o_custkey = c.c_custkey
+              |      AND o.o_totalprice > 300000)
+              |GROUP BY c_nationkey ORDER BY cntrycode""".stripMargin)
+    }),
+
     // edit-distance near-match pairs (levenshtein): the fuzzy-string
     // primitive behind entity resolution / short-field dedup — blocked
     // by brand so the pair space is |brand-group|², never corpus²
@@ -1756,6 +1863,75 @@ object RelationalQueries {
         |    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
         |        AND l_quantity BETWEEN 10 AND 20)
         |    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
-        |        AND l_quantity BETWEEN 20 AND 30))""".stripMargin
+        |        AND l_quantity BETWEEN 20 AND 30))""".stripMargin,
+
+    "q_sql_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        | round(sum(volume), 2) AS revenue
+        |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |   year(l_shipdate) AS l_year,
+        |   l_extendedprice * (1 - l_discount) AS volume
+        |  FROM supplier, lineitem, orders, customer,
+        |   nation n1, nation n2
+        |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        |   AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        |   AND c_nationkey = n2.n_nationkey
+        |   AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |   AND l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+        |     AND TIMESTAMP '1997-12-31') shipping
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q_sql_tpch_q8" ->
+      """SELECT o_year,
+        | round(sum(CASE WHEN nation = 'NATION_1' THEN volume
+        |     ELSE 0 END) / sum(volume), 4) AS mkt_share
+        |FROM (SELECT year(o_orderdate) AS o_year,
+        |   l_extendedprice * (1 - l_discount) AS volume,
+        |   n2.n_name AS nation
+        |  FROM part, supplier, lineitem, orders, customer,
+        |   nation n1, nation n2, region
+        |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |   AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |   AND c_nationkey = n1.n_nationkey
+        |   AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |   AND s_nationkey = n2.n_nationkey
+        |   AND o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+        |     AND TIMESTAMP '1997-12-31'
+        |   AND p_type = 'PROMO') all_nations
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "q_sql_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey
+        |  GROUP BY c_custkey) c_orders
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q_sql_tpch_q18" ->
+      """SELECT c_custkey, o_orderkey, o_orderdate,
+        | round(o_totalprice, 2) AS o_totalprice,
+        | sum(l_quantity) AS sum_qty
+        |FROM customer, orders, lineitem
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |   GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+        |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        |LIMIT 100""".stripMargin,
+
+    "q_sql_tpch_q22" ->
+      """SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+        | round(sum(c_acctbal), 2) AS totacctbal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+        |    WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_totalprice > 300000)
+        |GROUP BY c_nationkey ORDER BY cntrycode""".stripMargin
   )
 }
