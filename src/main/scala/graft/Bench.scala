@@ -27,7 +27,11 @@ object Bench {
     "q_pii_redact",       // regex detect+redact pass
     "q_fingerprint_winnow", // winnowing fingerprint sketch
     "q_decontaminate",    // broadcast n-gram overlap vs benchmark set
-    "q_join_asof"         // merge-join-shaped temporal as-of join
+    "q_join_asof",        // merge-join-shaped temporal as-of join
+    "q_funnel_steps",     // ordered-step funnel (per-user step tables)
+    "q_anomaly_burst",    // bucket counts + broadcast stats flag
+    "q_hll_merge",        // mergeable HLL sketch rollup
+    "q_sql_tpch_q7"       // 6-table SQL join via the parser
   )
 
   def main(args: Array[String]): Unit = {
