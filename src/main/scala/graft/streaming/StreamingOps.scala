@@ -152,6 +152,34 @@ object StreamingOps {
           (key, next)
       }
 
+  /** Streaming funnel: per-key progression through an ordered step list
+    * (the streaming twin of the batch q_funnel_steps). State per key is
+    * two numbers — (steps reached, event-time of the last advance) — so
+    * a 100 TB/day stream carries O(|active users|) state, not events.
+    * Rows are applied in event-time order WITHIN each micro-batch; the
+    * step machine is forward-only, so a late earlier-step event can
+    * never regress progress (it is simply ignored — the documented
+    * trade-off of funnel tracking without full event buffering). Emits
+    * (key, stepsReached, converted) per updated key, Update-mode. */
+  def funnelProgress(ds: Dataset[(Long, String, java.sql.Timestamp)],
+      steps: Seq[String]): Dataset[(Long, Int, Boolean)] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, String, java.sql.Timestamp)],
+            state: GroupState[(Int, Long)]) =>
+          var (idx, lastTs) = state.getOption.getOrElse((0, Long.MinValue))
+          rows.toSeq.sortBy(_._3.getTime).foreach { case (_, et, ts) =>
+            if (idx < steps.length && et == steps(idx) &&
+                ts.getTime >= lastTs) {
+              idx += 1; lastTs = ts.getTime
+            }
+          }
+          state.update((idx, lastTs))
+          (user, idx, idx == steps.length)
+      }
+  }
+
   /** Per-key running (count, sum, max) via transformWithState — Spark 4's
     * arbitrary-state API (successor to mapGroupsWithState; typed state
     * handles, timers, TTL, RocksDB-backed). Requires

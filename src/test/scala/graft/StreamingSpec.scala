@@ -237,6 +237,30 @@ class StreamingSpec extends SparkSpec {
       s"stream side must stay unshuffled:\n${batchPlan.take(600)}")
   }
 
+  test("funnelProgress: forward-only step machine across micro-batches") {
+    val ms = new MemoryStream[(Long, String, Timestamp)](48, spark, None)
+    val out = StreamingOps.funnelProgress(ms.toDS(),
+      Seq("view", "click", "purchase"))
+    val q = out.toDF("user", "steps", "converted").writeStream
+      .format("memory").queryName("funnel_out").outputMode("update").start()
+    // batch 1: user 1 views then clicks; user 2 clicks only (no view yet
+    // — must NOT advance, the funnel is ordered)
+    ms.addData(Seq((1L, "view", ts(0)), (1L, "click", ts(5)),
+      (2L, "click", ts(0))))
+    q.processAllAvailable()
+    // batch 2: user 1 purchases (converts); user 2 views (starts step 1)
+    ms.addData(Seq((1L, "purchase", ts(10)), (2L, "view", ts(6))))
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    val last = spark.table("funnel_out").groupBy("user")
+      .agg(max("steps").as("steps"), max("converted").as("converted"))
+      .as[(Long, Int, Boolean)].collect()
+      .map { case (u, s, c) => u -> ((s, c)) }.toMap
+    assert(last(1L) == ((3, true)), s"user 1 must convert: $last")
+    assert(last(2L) == ((1, false)),
+      s"user 2's pre-view click must not count: $last")
+  }
+
   test("runningCountPerKey: state accumulates across micro-batches") {
     val ms = new MemoryStream[(String, Long)](12, spark, None)
     val out = StreamingOps.runningCountPerKey(ms.toDS())
