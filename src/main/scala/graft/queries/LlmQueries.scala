@@ -5,6 +5,7 @@ import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
 import graft.ops.{Curation, Dedup, Multimodal, Similarity, TfIdf}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline operators (SURVEY.md §2.3 north-star rows):
@@ -610,6 +611,38 @@ object LlmQueries {
               (acc, x) => acc + length(trim(x))).cast("double")
             / size(col("sents")) * 100 + 0.5) / 100).as("avg_sent_chars"))),
 
+    // ---- sentence-aware chunking (RAG ingestion) ---------------------
+    // q_chunk_tokens cuts mid-sentence; this variant segments on
+    // sentence boundaries FIRST (hard-splitting any sentence longer
+    // than maxSeg tokens — the standard fallback for punctuation-poor
+    // text, which this corpus is), then assigns each segment to a chunk
+    // by its cumulative token start-offset (floor(cum_before/budget)),
+    // so chunk boundaries land between segments. Two narrow explodes +
+    // one per-doc ROWS window + a (doc, chunk) aggregate — the same
+    // shuffle budget as the token chunker, boundary-aligned.
+    "q_chunk_sentences" -> ((s, d) => {
+      val budget = 40
+      val maxSeg = 12
+      val w = Window.partitionBy("doc_id").orderBy("pos", "sub")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(
+          filter(split(col("text"), "[.!?]+"),
+            x => length(trim(x)) > 0)).as(Seq("pos", "sent")))
+        .withColumn("n_tok", size(split(trim(col("sent")), "\\s+")))
+        .select(col("doc_id"), col("pos"), posexplode(
+          transform(sequence(lit(0),
+              ceil(col("n_tok") / lit(maxSeg.toDouble)).cast("int") - 1),
+            i => least(lit(maxSeg), col("n_tok") - i * maxSeg)))
+          .as(Seq("sub", "seg_tok")))
+        .withColumn("cum", sum("seg_tok").over(w))
+        .withColumn("chunk_id",
+          floor((col("cum") - col("seg_tok")) / budget).cast("int"))
+        .groupBy("doc_id", "chunk_id")
+        .agg(count(lit(1)).as("n_segs"), sum("seg_tok").as("chunk_tokens"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // ---- multimodal plumbing (binary columns + typed metadata) -------
     "q_multimodal_meta" -> ((s, d) =>
       Tables.documents(s, d)
@@ -911,6 +944,31 @@ object LlmQueries {
         | floor(list_sum(list_transform(sents, x -> len(trim(x))))::DOUBLE
         |   / len(sents) * 100 + 0.5) / 100 AS avg_sent_chars
         |FROM s WHERE len(sents) > 0""".stripMargin,
+
+    "q_chunk_sentences" ->
+      """WITH s AS (SELECT doc_id, unnest(sents) AS sent,
+        |   generate_subscripts(sents, 1) AS pos
+        |  FROM (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '[.!?]+'),
+        |      x -> len(trim(x)) > 0) AS sents
+        |   FROM documents)),
+        |t AS (SELECT doc_id, pos,
+        |   len(string_split_regex(trim(sent), '\s+')) AS n_tok
+        |  FROM s),
+        |seg AS (SELECT doc_id, pos, unnest(segs) AS seg_tok,
+        |   generate_subscripts(segs, 1) AS sub
+        |  FROM (SELECT doc_id, pos,
+        |    list_transform(range(0, CAST(ceil(n_tok / 12.0) AS INTEGER)),
+        |      i -> least(12, n_tok - i * 12)) AS segs
+        |   FROM t)),
+        |c AS (SELECT doc_id, seg_tok,
+        |   sum(seg_tok) OVER (PARTITION BY doc_id ORDER BY pos, sub
+        |     ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM seg)
+        |SELECT doc_id,
+        | CAST(floor((cum - seg_tok) / 40) AS INTEGER) AS chunk_id,
+        | count(*) AS n_segs, sum(seg_tok)::BIGINT AS chunk_tokens
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT source, count(*) AS n, sum(strlen(text))::BIGINT AS n_bytes,
