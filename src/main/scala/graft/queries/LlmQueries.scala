@@ -429,6 +429,26 @@ object LlmQueries {
         .groupBy("lang", "split")
         .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))),
 
+    // importance-weighted sampling: per-ROW keep probability (here a
+    // length proxy for quality — clamp(n_chars/400, ·, 1)) instead of
+    // the per-stratum rate. Same engine-portable mechanic as hashSplit:
+    // the row's md5 4-hex prefix compares against its own
+    // printf('%04x')-rendered threshold, so the verdict is a pure
+    // projection — deterministic on any engine, run, or partition
+    // layout, and the keep rate tracks the weight within 2⁻¹⁶
+    "q_sample_importance" -> ((s, d) => {
+      val w = least(lit(1.0), col("n_chars") / lit(400.0))
+      Tables.documents(s, d)
+        .withColumn("thr", format_string("%04x",
+          least(lit(65535), floor(w * 65536).cast("int"))))
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 4) <
+          col("thr"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("chars_kept"),
+          min("doc_id").as("first_id"))
+        .orderBy("lang")
+    }),
+
     // deterministic per-language sampling rates (md5-threshold per
     // stratum) — reproducible subsets independent of partition layout
     "q_sample_stratified" -> ((s, d) =>
@@ -1056,6 +1076,16 @@ object LlmQueries {
         |  THEN 'train' ELSE 'test' END AS split,
         | count(*) AS n, sum(n_chars)::BIGINT AS chars
         |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    "q_sample_importance" ->
+      """SELECT lang, count(*) AS n_kept, sum(n_chars)::BIGINT AS chars_kept,
+        | min(doc_id) AS first_id
+        |FROM (SELECT *, printf('%04x', least(65535,
+        |    CAST(floor(least(1.0, n_chars / 400.0) * 65536) AS INTEGER)))
+        |   AS thr
+        |  FROM documents)
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < thr
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_sample_stratified" ->
       """SELECT lang, count(*) AS n_kept, sum(n_chars)::BIGINT AS chars,
