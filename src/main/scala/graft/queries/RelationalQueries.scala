@@ -1128,6 +1128,34 @@ object RelationalQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // data-quality audit (Deequ-style constraint checking): the nightly
+    // gate every warehouse runs — range/null/positivity violations in ONE
+    // map-side-combined pass over the fact table, primary-key uniqueness
+    // as a keyed count, referential integrity as a left-anti join against
+    // the parent. Each check is a scalar, so the combine is three
+    // broadcast-joined single-row tables; nothing here re-scans
+    "q_dq_audit" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val rowChecks = li.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_quantity").between(1, 50), 0L).otherwise(1L))
+          .as("bad_quantity"),
+        sum(when(col("l_discount").between(0, 0.1), 0L).otherwise(1L))
+          .as("bad_discount"),
+        sum(when(col("l_extendedprice") > 0, 0L).otherwise(1L))
+          .as("bad_price"),
+        sum(when(col("l_shipdate").isNull, 1L).otherwise(0L))
+          .as("null_shipdate"))
+      val pk = li.groupBy("l_orderkey", "l_linenumber")
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+        .agg(count(lit(1)).as("dup_pk"))
+      val orphans = li
+        .join(o, col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("orphan_lineitems"))
+      rowChecks.crossJoin(broadcast(pk)).crossJoin(broadcast(orphans))
+    }),
+
     // ---- UDF / UDAF surface ------------------------------------------
     "q_udf_clamp" -> ((s, d) => {
       val clamp = udf((v: Double) => math.min(math.max(v, 0.0), 10.0))
@@ -1805,6 +1833,24 @@ object RelationalQueries {
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue DESC, c_custkey
         |LIMIT 20""".stripMargin,
+
+    "q_dq_audit" ->
+      """SELECT count(*) AS n_rows,
+        | sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END)
+        |   ::BIGINT AS bad_quantity,
+        | sum(CASE WHEN l_discount BETWEEN 0 AND 0.1 THEN 0 ELSE 1 END)
+        |   ::BIGINT AS bad_discount,
+        | sum(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END)
+        |   ::BIGINT AS bad_price,
+        | sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+        |   ::BIGINT AS null_shipdate,
+        | (SELECT count(*) FROM (SELECT 1 FROM lineitem
+        |    GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1))
+        |   AS dup_pk,
+        | (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |   AS orphan_lineitems
+        |FROM lineitem""".stripMargin,
 
     "q_merge_upsert" ->
       """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
