@@ -48,6 +48,34 @@ object EventQueries {
           count("t3").as("n_view_click_purchase"))
     }),
 
+    // ---- windowed funnel ---------------------------------------------
+    // the production funnel form: each step must land within a horizon
+    // of the FIRST step (click ≤ 1 day after view, purchase ≤ 3 days
+    // after view) — without the horizon, month-old views "convert" on
+    // unrelated purchases. Same per-user step-table shape as
+    // q_funnel_steps, horizon predicates pushed into each stage's join.
+    "q_funnel_window" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val s1 = ev.groupBy("user_id")
+        .agg(min(when(col("event_type") === "view", col("ts"))).as("t1"))
+        .filter(col("t1").isNotNull)
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(s1, Seq("user_id"))
+        .filter(col("ts") >= col("t1") &&
+          col("ts") <= col("t1") + expr("interval 1 day"))
+        .groupBy("user_id").agg(min("ts").as("t2"), first("t1").as("t1"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, Seq("user_id"))
+        .filter(col("ts") >= col("t2") &&
+          col("ts") <= col("t1") + expr("interval 3 days"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      s1.join(s2.select("user_id", "t2"), Seq("user_id"), "left")
+        .join(s3, Seq("user_id"), "left")
+        .agg(count("t1").as("n_view"),
+          count("t2").as("n_click_1d"),
+          count("t3").as("n_purchase_3d"))
+    }),
+
     // ---- conversion lag ----------------------------------------------
     // time-to-convert for funnel completers: seconds from first view to
     // first purchase at/after it. Same per-user step tables as
@@ -186,6 +214,25 @@ object EventQueries {
         |SELECT prev_type, curr_type, count(*) AS n
         |FROM lagged WHERE prev_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_funnel_window" ->
+      """WITH s1 AS (SELECT user_id,
+        |   min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+        |  FROM events GROUP BY user_id HAVING t1 IS NOT NULL),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2, min(s1.t1) AS t1
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= s1.t1
+        |    AND e.ts <= s1.t1 + INTERVAL 1 DAY
+        |  GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+        |    AND e.ts <= s2.t1 + INTERVAL 3 DAY
+        |  GROUP BY e.user_id)
+        |SELECT count(t1) AS n_view, count(t2) AS n_click_1d,
+        | count(t3) AS n_purchase_3d
+        |FROM s1 LEFT JOIN (SELECT user_id, t2 FROM s2) USING (user_id)
+        | LEFT JOIN s3 USING (user_id)""".stripMargin,
 
     "q_conversion_lag" ->
       """WITH s1 AS (SELECT user_id,
