@@ -133,6 +133,31 @@ object EventQueries {
         .orderBy("prev_type", "curr_type")
     }),
 
+    // ---- A/B test statistic (Welch's t) ------------------------------
+    // two-sample mean comparison between event cohorts: per-group
+    // (n, mean, variance) is ONE map-side-combined aggregate over the
+    // log; the t statistic assembles from the two single-row sides.
+    // This is the whole experiment-analysis pattern at scale — the
+    // scan cost is the aggregate, the statistics are free.
+    "q_abtest_welch" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "view"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), avg("value").as("m"),
+          var_samp(col("value")).as("v"))
+      val a = ev.filter(col("event_type") === "click")
+        .select(col("n").as("n_a"), col("m").as("m_a"), col("v").as("v_a"))
+      val b = ev.filter(col("event_type") === "view")
+        .select(col("n").as("n_b"), col("m").as("m_b"), col("v").as("v_b"))
+      a.crossJoin(b).select(
+        col("n_a"), col("n_b"),
+        (floor(col("m_a") * 1000 + 0.5) / 1000).as("mean_a"),
+        (floor(col("m_b") * 1000 + 0.5) / 1000).as("mean_b"),
+        (floor((col("m_a") - col("m_b")) /
+          sqrt(col("v_a") / col("n_a") + col("v_b") / col("n_b")) * 1000
+          + 0.5) / 1000).as("t_welch"))
+    }),
+
     // ---- burst / spike detection -------------------------------------
     // security-telemetry staple: bucket events per (type, hour), then
     // flag buckets where the count exceeds mean + 2σ for that type. The
@@ -247,6 +272,22 @@ object EventQueries {
         |   AS avg_lag_sec,
         | max(date_diff('second', t1, t3)) AS max_lag_sec
         |FROM s1 JOIN s3 USING (user_id)""".stripMargin,
+
+    "q_abtest_welch" ->
+      """WITH g AS (SELECT event_type, count(*) AS n, avg(value) AS m,
+        |   var_samp(value) AS v
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  GROUP BY event_type),
+        |a AS (SELECT n AS n_a, m AS m_a, v AS v_a FROM g
+        |  WHERE event_type = 'click'),
+        |b AS (SELECT n AS n_b, m AS m_b, v AS v_b FROM g
+        |  WHERE event_type = 'view')
+        |SELECT n_a, n_b,
+        | floor(m_a * 1000 + 0.5) / 1000 AS mean_a,
+        | floor(m_b * 1000 + 0.5) / 1000 AS mean_b,
+        | floor((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b) * 1000 + 0.5)
+        |   / 1000 AS t_welch
+        |FROM a CROSS JOIN b""".stripMargin,
 
     "q_anomaly_burst" ->
       """WITH buckets AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
