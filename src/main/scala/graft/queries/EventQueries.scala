@@ -133,6 +133,32 @@ object EventQueries {
         .orderBy("prev_type", "curr_type")
     }),
 
+    // ---- RFM segmentation (recency / frequency / monetary) -----------
+    // the classic customer-value cut: per-customer aggregate (one
+    // custkey-keyed shuffle with map-side combine), recency against the
+    // dataset's max date (broadcast scalar), threshold CASE into
+    // segments, then a tiny per-segment rollup. Two aggregates total —
+    // the segmentation itself costs nothing beyond the fact scan.
+    "q_rfm_segments" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val maxD = o.agg(max("o_orderdate").as("max_d"))
+      o.groupBy("o_custkey")
+        .agg(max("o_orderdate").as("last_d"),
+          count(lit(1)).as("freq"), sum("o_totalprice").as("monetary"))
+        .crossJoin(broadcast(maxD))
+        .withColumn("recency_days", datediff(col("max_d"), col("last_d")))
+        .withColumn("segment",
+          when(col("recency_days") <= 60 && col("freq") >= 12, "champion")
+            .when(col("recency_days") <= 180, "active")
+            .otherwise("lapsed"))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n_customers"),
+          (floor(avg("freq") * 100 + 0.5) / 100).as("avg_freq"),
+          (floor(avg("monetary") * 100 + 0.5) / 100).as("avg_monetary"),
+          max("recency_days").as("max_recency"))
+        .orderBy("segment")
+    }),
+
     // ---- A/B test statistic (Welch's t) ------------------------------
     // two-sample mean comparison between event cohorts: per-group
     // (n, mean, variance) is ONE map-side-combined aggregate over the
@@ -272,6 +298,24 @@ object EventQueries {
         |   AS avg_lag_sec,
         | max(date_diff('second', t1, t3)) AS max_lag_sec
         |FROM s1 JOIN s3 USING (user_id)""".stripMargin,
+
+    "q_rfm_segments" ->
+      """WITH r AS (SELECT o_custkey, max(o_orderdate) AS last_d,
+        |   count(*) AS freq, sum(o_totalprice) AS monetary
+        |  FROM orders GROUP BY o_custkey),
+        |m AS (SELECT max(o_orderdate) AS max_d FROM orders),
+        |seg AS (SELECT
+        |   date_diff('day', last_d, max_d) AS recency_days, freq, monetary,
+        |   CASE WHEN date_diff('day', last_d, max_d) <= 60 AND freq >= 12
+        |     THEN 'champion'
+        |    WHEN date_diff('day', last_d, max_d) <= 180 THEN 'active'
+        |    ELSE 'lapsed' END AS segment
+        |  FROM r CROSS JOIN m)
+        |SELECT segment, count(*) AS n_customers,
+        | floor(avg(freq) * 100 + 0.5) / 100 AS avg_freq,
+        | floor(avg(monetary) * 100 + 0.5) / 100 AS avg_monetary,
+        | max(recency_days) AS max_recency
+        |FROM seg GROUP BY segment ORDER BY segment""".stripMargin,
 
     "q_abtest_welch" ->
       """WITH g AS (SELECT event_type, count(*) AS n, avg(value) AS m,
