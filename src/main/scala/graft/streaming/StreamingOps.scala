@@ -210,6 +210,68 @@ object StreamingOps {
     }
   }
 
+  /** Timeout-emitted sessions via transformWithState EVENT-TIME TIMERS —
+    * the piece `session_window` aggregation doesn't give you: an output
+    * row the moment the watermark proves a key's session is over (gap
+    * elapsed), not when the next aggregation trigger happens to fire.
+    * Per key the state is two longs (event count, pending timer); every
+    * batch re-arms the timer at maxEventTime + gap, and the expiry
+    * callback emits (key, sessionCount) and clears — bounded state, no
+    * event buffering, deterministic under event-time (the spec drives
+    * the watermark with data, not wall clock). */
+  class SessionEmitProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, java.sql.Timestamp), (Long, Long)] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var cnt: ValueState[Long] = _
+    @transient private var pendingTimer: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      cnt = getHandle.getValueState[Long]("cnt", Encoders.scalaLong,
+        TTLConfig.NONE)
+      pendingTimer = getHandle.getValueState[Long]("pendingTimer",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, java.sql.Timestamp)],
+        timerValues: TimerValues): Iterator[(Long, Long)] = {
+      var n = if (cnt.exists()) cnt.get() else 0L
+      var maxTs = Long.MinValue
+      rows.foreach { case (_, ts) =>
+        n += 1; if (ts.getTime > maxTs) maxTs = ts.getTime
+      }
+      cnt.update(n)
+      if (pendingTimer.exists()) getHandle.deleteTimer(pendingTimer.get())
+      val t = maxTs + gapMs
+      getHandle.registerTimer(t)
+      pendingTimer.update(t)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long)] = {
+      val n = if (cnt.exists()) cnt.get() else 0L
+      cnt.clear(); pendingTimer.clear()
+      Iterator.single((key, n))
+    }
+  }
+
+  /** transformWithState wiring for [[SessionEmitProcessor]]: requires a
+    * watermark on `tsCol` (event-time timers fire off the watermark). */
+  def sessionEmit(ds: Dataset[(Long, java.sql.Timestamp)], tsCol: String,
+      watermark: String, gapMs: Long): Dataset[(Long, Long)] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import ds.sparkSession.implicits._
+    ds.toDF("k", tsCol).withWatermark(tsCol, watermark)
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionEmitProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** transformWithState wiring for [[RunningStatsProcessor]]. */
   def runningStats(ds: Dataset[(String, Double)]): Dataset[(String, Long, Double, Double)] = {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}

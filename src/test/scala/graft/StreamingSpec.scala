@@ -261,6 +261,32 @@ class StreamingSpec extends SparkSpec {
       s"user 2's pre-view click must not count: $last")
   }
 
+  test("sessionEmit: event-time timer emits the session when the gap elapses") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = new MemoryStream[(Long, Timestamp)](58, spark, None)
+    val out = StreamingOps.sessionEmit(ms.toDS(), "ets",
+      watermark = "0 seconds", gapMs = 10 * 60 * 1000)
+    val q = out.toDF("user", "n").writeStream.format("memory")
+      .queryName("session_emit_out").outputMode("append").start()
+    // user 1: two events close together — one session of 2
+    ms.addData(Seq(1L -> ts(0), 1L -> ts(2)))
+    q.processAllAvailable()
+    // no emission yet: watermark has not passed t(2) + 10min
+    assert(spark.table("session_emit_out").isEmpty)
+    // another key's event drives the watermark far past the gap
+    ms.addData(Seq(9L -> ts(60)))
+    q.processAllAvailable()
+    // one more batch so the expired timer's emission lands in the sink
+    ms.addData(Seq(9L -> ts(61)))
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    val got = spark.table("session_emit_out").select("user", "n")
+      .as[(Long, Long)].collect().toMap
+    assert(got.get(1L).contains(2L),
+      s"user 1's 2-event session must emit on timer expiry: $got")
+  }
+
   test("runningCountPerKey: state accumulates across micro-batches") {
     val ms = new MemoryStream[(String, Long)](12, spark, None)
     val out = StreamingOps.runningCountPerKey(ms.toDS())
