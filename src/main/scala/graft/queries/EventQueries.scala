@@ -133,6 +133,47 @@ object EventQueries {
         .orderBy("prev_type", "curr_type")
     }),
 
+    // ---- nearest-event as-of join ------------------------------------
+    // for each click, the temporally NEAREST purchase by the same user
+    // (backward OR forward — attribution when the touchpoint can precede
+    // or follow). One tagged union + one (user, ts)-sorted window pass
+    // with two frames: running last purchase (backward) and running
+    // first purchase (forward) — never the |clicks|×|purchases|
+    // inequality join. Ties (equal gap both ways) resolve backward,
+    // matching the oracle's ORDER BY abs(gap), ts.
+    "q_join_asof_nearest" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          lit(null).cast("long").as("event_id"))
+      // purchases sort before clicks at equal ts (tag 0 < 1), so a
+      // same-instant purchase lands in the backward frame with gap 0
+      val tagged = buys.withColumn("tag", lit(0))
+        .withColumn("bts", col("ts"))
+        .unionByName(clicks.withColumn("tag", lit(1))
+          .withColumn("bts", lit(null).cast("timestamp")))
+      val ord = Window.partitionBy("user_id").orderBy("ts", "tag")
+      val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      tagged
+        .withColumn("prev_buy", last("bts", ignoreNulls = true).over(back))
+        .withColumn("next_buy", first("bts", ignoreNulls = true).over(fwd))
+        .filter(col("tag") === 1)
+        .withColumn("gap_back",
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_buy")))
+        .withColumn("gap_fwd",
+          unix_timestamp(col("next_buy")) - unix_timestamp(col("ts")))
+        .withColumn("nearest_gap_sec",
+          when(col("gap_back").isNotNull &&
+              (col("gap_fwd").isNull || col("gap_back") <= col("gap_fwd")),
+            col("gap_back")).otherwise(col("gap_fwd")))
+        .filter(col("user_id") < 30 && col("nearest_gap_sec").isNotNull)
+        .select(col("user_id"), col("event_id"), col("nearest_gap_sec"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // ---- RFM segmentation (recency / frequency / monetary) -----------
     // the classic customer-value cut: per-customer aggregate (one
     // custkey-keyed shuffle with map-side combine), recency against the
@@ -298,6 +339,19 @@ object EventQueries {
         |   AS avg_lag_sec,
         | max(date_diff('second', t1, t3)) AS max_lag_sec
         |FROM s1 JOIN s3 USING (user_id)""".stripMargin,
+
+    "q_join_asof_nearest" ->
+      """SELECT c.user_id, c.event_id,
+        | (SELECT abs(date_diff('second', p.ts, c.ts))
+        |   FROM events p
+        |   WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+        |   ORDER BY abs(date_diff('second', p.ts, c.ts)), p.ts
+        |   LIMIT 1) AS nearest_gap_sec
+        |FROM events c
+        |WHERE c.event_type = 'click' AND c.user_id < 30
+        |  AND EXISTS (SELECT 1 FROM events p WHERE p.event_type = 'purchase'
+        |    AND p.user_id = c.user_id)
+        |ORDER BY c.user_id, c.event_id""".stripMargin,
 
     "q_rfm_segments" ->
       """WITH r AS (SELECT o_custkey, max(o_orderdate) AS last_d,
