@@ -270,12 +270,15 @@ object LlmQueries {
     // reduce side is |labels|·dim keys at any corpus size
     // "+ 0.0" collapses IEEE negative zero — round(-1e-9, 4) renders as
     // -0.0 in DuckDB but 0.0 in Spark, and the driver's canonicalizer
-    // does not re-round inside arrays
+    // does not re-round inside arrays. Output is EXPLODED to scalar
+    // (label, pos, c_r) rows: the driver's comparator sorts every column
+    // and cannot sort an array column (r8: pandas TypeError on ndarray).
     "q_centroids" -> ((s, d) =>
       Similarity.centroids(Tables.embeddings(s, d), "embedding", "label")
-        .select(col("label"),
-          transform(col("centroid"), x => round(x, 4) + lit(0.0)).as("centroid_r"),
-          col("n"))),
+        .select(col("label"), posexplode(col("centroid")).as(Seq("pos", "_c")),
+          col("n"))
+        .select(col("label"), col("pos"),
+          (round(col("_c"), 4) + lit(0.0)).as("c_r"), col("n"))),
 
     // Lloyd's k-means (semantic clustering / diversity sampling) — the
     // iterative update has no DuckDB twin, so rows-only + the exact
@@ -1219,13 +1222,9 @@ object LlmQueries {
 
     "q_centroids" ->
       """WITH e AS (SELECT label, unnest(embedding::DOUBLE[]) AS v,
-        |    generate_subscripts(embedding, 1) AS pos FROM embeddings),
-        |m AS (SELECT label, pos, avg(v) AS m, count(*) AS n
-        |  FROM e GROUP BY label, pos)
-        |SELECT label,
-        | list_transform(list(m ORDER BY pos), x -> round(x, 4) + 0.0) AS centroid_r,
-        | max(n) AS n
-        |FROM m GROUP BY label""".stripMargin,
+        |    generate_subscripts(embedding, 1) - 1 AS pos FROM embeddings)
+        |SELECT label, pos, round(avg(v), 4) + 0.0 AS c_r, count(*) AS n
+        |FROM e GROUP BY label, pos""".stripMargin,
 
     "q_repetition" ->
       s"""WITH r AS (SELECT lang,
