@@ -144,23 +144,35 @@ object RelationalQueries {
           count(lit(1)).as("n"))
     }),
 
-    // TPC-H Q5 shape: 6-way join (fact ⋈ 3 mid tables ⋈ 2 broadcast dims)
-    // with a region filter that prunes through two join levels
+    // TPC-H Q5 shape: 6-way join with a region filter that prunes through
+    // two join levels. The fact table STREAMS through broadcast probes —
+    // it is never a build side and never shuffles for a join — and the
+    // first probe is the ASIA-pruned supplier (supplier ⋈ nation ⋈
+    // region, ~0.04% of the dataset at any TPC-H SF), so lineitem
+    // shrinks 5× before the orders/customer probes. The asiaSu broadcast
+    // is an explicit hint for two reasons: it is the scale-correct
+    // choice (a dimension pruned by a 1-of-5 region filter), and the
+    // static planner otherwise misestimates column-pruned lineitem
+    // (4 of 16 cols of a 10 MB file) under the broadcast threshold and
+    // builds a hash table from the 600k-row FACT side (observed r9: a
+    // 0.95 s → 1.5 s regression from that one flipped build side).
     "q_join_tpch_q5" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       val o = Tables.orders(s, d)
         .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp")
           && col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
       val c = Tables.customer(s, d)
-      val su = Tables.supplier(s, d)
       val n = Tables.nation(s, d)
       val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
-      li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .join(c, o("o_custkey") === c("c_custkey"))
-        .join(su, li("l_suppkey") === su("s_suppkey")
-          && c("c_nationkey") === su("s_nationkey"))
-        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
-        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      val asiaSu = Tables.supplier(s, d)
+        .join(broadcast(n.join(broadcast(r),
+            n("n_regionkey") === r("r_regionkey")).select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+      li.join(broadcast(asiaSu), li("l_suppkey") === asiaSu("s_suppkey"))
+        .join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey")
+          && asiaSu("s_nationkey") === c("c_nationkey"))
         .groupBy("n_name")
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
     }),
