@@ -280,9 +280,10 @@ object LlmQueries {
         .select(col("label"), col("pos"),
           (round(col("_c"), 4) + lit(0.0)).as("c_r"), col("n"))),
 
-    // Lloyd's k-means (semantic clustering / diversity sampling) — the
-    // iterative update has no DuckDB twin, so rows-only + the exact
-    // recovery/determinism ScalaTest; deterministic md5 init
+    // Lloyd's k-means (semantic clustering / diversity sampling) —
+    // deterministic md5 init + fixed iterations, so the oracle unrolls
+    // the exact Lloyd's loop in SQL (r9); recovery/determinism also
+    // spec-pinned in DedupSimilaritySpec
     "q_kmeans" -> ((s, d) =>
       Similarity.kmeans(Tables.embeddings(s, d), "vec_id", "embedding",
           k = 8, iters = 3)
@@ -291,8 +292,8 @@ object LlmQueries {
 
     // diversity-balanced subset: k-means clusters, deterministic
     // md5-rank quota per cluster (semantic stratification of a training
-    // corpus) — cluster ids are kmeans-derived, no DuckDB twin:
-    // rows-only check; quota/determinism semantics are spec-pinned
+    // corpus) — exact SQL twin via the unrolled k-means chain (r9);
+    // quota/determinism semantics also spec-pinned
     "q_diversity_sample" -> ((s, d) =>
       Similarity.diversitySample(Tables.embeddings(s, d), "vec_id",
           "embedding", k = 8, perCluster = 25, iters = 2)
@@ -302,8 +303,9 @@ object LlmQueries {
     // product quantization round-trip: m=4 subspace codebooks (k=8,
     // L2 Lloyd's), encode to 4 code indices, reconstruct, per-label
     // squared-error stats — 64× smaller than float32 at these params;
-    // codebooks are kmeans-derived (no DuckDB twin): rows-only check,
-    // exactness/monotonicity spec-pinned in DedupSimilaritySpec
+    // codebook training is deterministic, so the oracle replays the
+    // per-subspace L2 kmeans + encode in SQL (r9); exactness/
+    // monotonicity also spec-pinned in DedupSimilaritySpec
     "q_pq_roundtrip" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val cb = Similarity.pqTrain(e, "vec_id", "embedding",
@@ -319,8 +321,8 @@ object LlmQueries {
     }),
 
     // ADC top-k over PQ codes: the compressed-domain ANN search (m byte
-    // lookups per corpus row instead of dim float multiplies); codebooks
-    // kmeans-derived → rows-only check, recall spec-pinned
+    // lookups per corpus row instead of dim float multiplies); exact
+    // SQL twin via the replayed codebooks (r9), recall spec-pinned
     "q_pq_search" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val cb = Similarity.pqTrain(e, "vec_id", "embedding",
@@ -348,8 +350,9 @@ object LlmQueries {
           count(lit(1)).as("n"))
     }),
 
-    // IVF-style ANN — deterministic coarse cells; no DuckDB twin for the
-    // cell assignment, so rows-only + recall ScalaTest like q_sim_lsh.
+    // IVF-style ANN — deterministic coarse cells (rank-by-|x| over the
+    // first nlist dims), fully DuckDB-expressible → exact oracle (r9);
+    // recall-vs-exact stays spec-pinned in DedupSimilaritySpec.
     "q_sim_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.ivfTopK(e.filter(col("vec_id") < 10), e,
@@ -676,9 +679,10 @@ object LlmQueries {
           min(octet_length(col("payload"))).as("min_bytes"))),
 
     // decode / resize / frame-sample / feature pipeline over binary
-    // payloads — STUB codecs (deterministic), so rows-only check +
-    // MultimodalSpec; the Spark plumbing (schema, UDF batch shape,
-    // explode) is the real surface.
+    // payloads — STUB codecs (deterministic JVM arithmetic), which since
+    // r9 the DuckDB oracle replays exactly (mod-2^32 polynomial hash in
+    // SQL); the Spark plumbing (schema, UDF batch shape, explode) is the
+    // real surface, and MultimodalSpec pins the per-row semantics.
     "q_multimodal_decode" -> ((s, d) => {
       val media = Tables.documents(s, d)
         .select(col("doc_id").as("media_id"),
@@ -703,6 +707,120 @@ object LlmQueries {
           min(size(col("features"))).as("dim"))
     })
   )
+
+  /** The q_sim_lsh hyperplane sign matrix (splitmix64-derived,
+    * driver-side — same code path the codegen kernel embeds) rendered as
+    * DuckDB VALUES rows `(table, bit, ±1.0-list)`, so the oracle replays
+    * the exact sign-flip folds: list_dot_product(v, ±1-list) performs the
+    * identical in-order sequence of adds as the kernel's `acc += ±x`. */
+  private def lshSignRows(bits: Int, tables: Int, dim: Int, seed: Long): String = {
+    import graft.functions.HyperplaneSignature.{signMatrix, MaxDim}
+    (for (t <- 0 until tables; b <- 0 until bits) yield {
+      val m = signMatrix(bits, seed + t)
+      val lst = (0 until dim)
+        .map(j => if (m(b * MaxDim + j)) "1.0" else "-1.0")
+        .mkString("[", ",", "]")
+      s"($t, $b, $lst)"
+    }).mkString(", ")
+  }
+
+  /** Unrolled Lloyd's k-means as a DuckDB WITH-chain (no trailing
+    * SELECT): replays [[graft.ops.Similarity.kmeans]] step for step —
+    * md5-rank init, per-iteration argmax-dot assignment (ties to the
+    * lower cluster), per-(cluster,pos) mean update with empty clusters
+    * keeping their previous centroid, and one final assignment `af`
+    * under the last centroids. Cosine mode (pre-normalized vectors).
+    * Expects a `nv(vec_id, nv)` CTE upstream. */
+  private def kmeansSqlChain(k: Int, iters: Int): String = {
+    val sb = new StringBuilder(
+      s"""c0 AS (SELECT cluster, nv AS cv FROM (
+         |    SELECT nv, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cluster
+         |    FROM nv) WHERE cluster < $k)""".stripMargin)
+    var prev = "c0"
+    for (i <- 1 to iters) {
+      sb.append(s""",
+        |a$i AS (SELECT vec_id, nv, cluster FROM (
+        |    SELECT vec_id, nv, cluster,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cluster) AS rn
+        |    FROM (SELECT n.vec_id, n.nv, c.cluster, list_dot_product(n.nv, c.cv) AS s
+        |          FROM nv n CROSS JOIN $prev c)) WHERE rn = 1),
+        |c$i AS (SELECT p.cluster, COALESCE(nl.cv, p.cv) AS cv
+        |  FROM $prev p LEFT JOIN (
+        |    SELECT cluster, list(m ORDER BY pos) AS cv FROM (
+        |      SELECT cluster, pos, avg(x) AS m FROM (
+        |        SELECT cluster, unnest(nv) AS x, generate_subscripts(nv, 1) AS pos FROM a$i)
+        |      GROUP BY cluster, pos) GROUP BY cluster) nl
+        |  ON p.cluster = nl.cluster)""".stripMargin)
+      prev = s"c$i"
+    }
+    sb.append(s""",
+      |af AS (SELECT vec_id, nv, cluster FROM (
+      |    SELECT vec_id, nv, cluster,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cluster) AS rn
+      |    FROM (SELECT n.vec_id, n.nv, c.cluster, list_dot_product(n.nv, c.cv) AS s
+      |          FROM nv n CROSS JOIN $prev c)) WHERE rn = 1)""".stripMargin)
+    sb.toString
+  }
+
+  /** The normalization prefix [[kmeansSqlChain]] expects. */
+  private val kmeansNvPrefix: String =
+    """v AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
+      |nrm AS (SELECT vec_id, vd, sqrt(list_dot_product(vd, vd)) AS nr FROM v),
+      |nv AS (SELECT vec_id,
+      |    CASE WHEN nr = 0 THEN vd ELSE list_transform(vd, x -> x / nr) END AS nv
+      |  FROM nrm)""".stripMargin
+
+  /** Product-quantization training/encode as a DuckDB WITH-chain: one
+    * raw-L2 [[kmeansSqlChain]]-shaped loop per subspace (argmax of
+    * dot − |c|²/2 — identical add sequence to the Scala fold since
+    * list_dot_product(cv,cv) replays c.map(x*x).sum), codebooks taken
+    * from the FINAL assignment's fresh per-cluster means and
+    * dense-ranked by cluster id (empty clusters drop out — PQ codes
+    * index the codeword LIST), then per-vector argmin-L2 codes.
+    * Produces `sv{s}`, `cb{s}(ci, cv)`, `code{s}(vec_id, ci)` per
+    * subspace. Expects `v(vec_id, vd, label)` upstream. */
+  private def pqSqlChain(m: Int, k: Int, sub: Int, iters: Int): String =
+    (0 until m).map { s =>
+      val lo = s * sub + 1; val hi = s * sub + sub
+      val sb = new StringBuilder(
+        s"""sv$s AS (SELECT vec_id, vd[$lo:$hi] AS sub FROM v),
+           |i${s}c0 AS (SELECT cluster, sub AS cv FROM (
+           |    SELECT sub, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cluster
+           |    FROM sv$s) WHERE cluster < $k)""".stripMargin)
+      var prev = s"i${s}c0"
+      val assign = (alias: String, src: String) =>
+        s"""$alias AS (SELECT vec_id, sub, cluster FROM (
+           |    SELECT vec_id, sub, cluster,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, cluster) AS rn
+           |    FROM (SELECT n.vec_id, n.sub, c.cluster,
+           |            list_dot_product(n.sub, c.cv) - list_dot_product(c.cv, c.cv)/2 AS sc
+           |          FROM sv$s n CROSS JOIN $src c)) WHERE rn = 1)""".stripMargin
+      for (i <- 1 to iters) {
+        sb.append(",\n").append(assign(s"i${s}a$i", prev))
+        sb.append(s""",
+          |i${s}c$i AS (SELECT p.cluster, COALESCE(nl.cv, p.cv) AS cv
+          |  FROM $prev p LEFT JOIN (
+          |    SELECT cluster, list(m ORDER BY pos) AS cv FROM (
+          |      SELECT cluster, pos, avg(x) AS m FROM (
+          |        SELECT cluster, unnest(sub) AS x, generate_subscripts(sub,1) AS pos FROM i${s}a$i)
+          |      GROUP BY cluster, pos) GROUP BY cluster) nl
+          |  ON p.cluster = nl.cluster)""".stripMargin)
+        prev = s"i${s}c$i"
+      }
+      sb.append(",\n").append(assign(s"i${s}af", prev))
+      sb.append(s""",
+        |cb$s AS (SELECT row_number() OVER (ORDER BY cluster) - 1 AS ci, cv FROM (
+        |    SELECT cluster, list(m ORDER BY pos) AS cv FROM (
+        |      SELECT cluster, pos, avg(x) AS m FROM (
+        |        SELECT cluster, unnest(sub) AS x, generate_subscripts(sub,1) AS pos FROM i${s}af)
+        |      GROUP BY cluster, pos) GROUP BY cluster)),
+        |code$s AS (SELECT vec_id, ci FROM (
+        |    SELECT n.vec_id, c.ci,
+        |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |        list_dot_product(n.sub, c.cv) - list_dot_product(c.cv, c.cv)/2 DESC, c.ci) AS rn
+        |    FROM sv$s n CROSS JOIN cb$s c) WHERE rn = 1)""".stripMargin)
+      sb.toString
+    }.mkString(",\n")
 
   val oracle: Map[String, String] = Map(
     "q_text_stats" ->
@@ -902,6 +1020,124 @@ object LlmQueries {
         |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rnk FROM s)
         |SELECT q_id, rnk, n_id, round(sim, 4) AS sim FROM r WHERE rnk <= 5""".stripMargin,
 
+    // LSH signatures are deterministic given the seed: the oracle embeds
+    // the same driver-derived ±1 hyperplane matrix as VALUES literals and
+    // rebuilds buckets (t·2^bits + sig), multi-probes the two
+    // single-bit-flip neighbors (xor p ∈ {0,1,2}), and re-ranks
+    // candidates with the validated cosine idiom.
+    "q_sim_lsh" -> {
+      s"""WITH sgn(t, b, s) AS (VALUES ${lshSignRows(6, 4, 64, 42L)}),
+         |v AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
+         |acc AS (SELECT vec_id, t, b, list_dot_product(vd, s::DOUBLE[]) AS a
+         |        FROM v CROSS JOIN sgn),
+         |sig AS (SELECT vec_id, t,
+         |  sum(CASE WHEN a >= 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sg
+         | FROM acc GROUP BY vec_id, t),
+         |cb AS (SELECT vec_id AS n_id, t*64 + sg AS bucket FROM sig),
+         |qb AS (SELECT DISTINCT vec_id AS q_id, t*64 + xor(sg, p::BIGINT) AS bucket
+         |       FROM sig CROSS JOIN (VALUES (0), (1), (2)) pr(p)
+         |       WHERE vec_id < 10),
+         |cand AS (SELECT DISTINCT q_id, n_id
+         |         FROM qb JOIN cb USING (bucket) WHERE q_id <> n_id),
+         |s2 AS (SELECT q_id, n_id,
+         |  list_dot_product(qv.vd, nv.vd)
+         |   / (sqrt(list_dot_product(qv.vd, qv.vd))
+         |      * sqrt(list_dot_product(nv.vd, nv.vd))) AS sim
+         | FROM cand JOIN v qv ON cand.q_id = qv.vec_id
+         |           JOIN v nv ON cand.n_id = nv.vec_id),
+         |r AS (SELECT q_id, n_id, sim,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rnk FROM s2)
+         |SELECT q_id, rnk, n_id, round(sim, 4) AS sim FROM r WHERE rnk <= 5""".stripMargin
+    },
+
+    // Lloyd's k-means is deterministic end to end (md5 init, fixed
+    // iteration count, tie-broken argmax) — the oracle unrolls the
+    // exact iterations in SQL. Cross-row float-sum order in the mean
+    // update is the one engine difference; it perturbs centroids at
+    // ~1e-16, far below any assignment boundary in this data.
+    "q_kmeans" ->
+      s"""WITH $kmeansNvPrefix,
+         |${kmeansSqlChain(8, 3)}
+         |SELECT cluster, count(*) AS n, min(vec_id) AS first_id
+         |FROM af GROUP BY cluster""".stripMargin,
+
+    "q_diversity_sample" ->
+      s"""WITH $kmeansNvPrefix,
+         |${kmeansSqlChain(8, 2)},
+         |kept AS (SELECT vec_id, cluster, row_number() OVER (
+         |    PARTITION BY cluster ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+         |  FROM af)
+         |SELECT cluster, count(*) AS n_kept, min(vec_id) AS first_id
+         |FROM kept WHERE rk <= 25 GROUP BY cluster""".stripMargin,
+
+    "q_pq_roundtrip" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vd, label FROM embeddings),
+         |${pqSqlChain(4, 8, 16, 2)},
+         |dec AS (SELECT v.vec_id, v.label, v.vd,
+         |    b0.cv || b1.cv || b2.cv || b3.cv AS pqv
+         |  FROM v
+         |  JOIN code0 ON v.vec_id = code0.vec_id JOIN cb0 b0 ON code0.ci = b0.ci
+         |  JOIN code1 ON v.vec_id = code1.vec_id JOIN cb1 b1 ON code1.ci = b1.ci
+         |  JOIN code2 ON v.vec_id = code2.vec_id JOIN cb2 b2 ON code2.ci = b2.ci
+         |  JOIN code3 ON v.vec_id = code3.vec_id JOIN cb3 b3 ON code3.ci = b3.ci),
+         |err AS (SELECT label,
+         |    list_sum(list_transform(range(1, 65),
+         |      i -> (vd[i::INT] - pqv[i::INT]) * (vd[i::INT] - pqv[i::INT]))) AS e
+         |  FROM dec)
+         |SELECT label, count(*) AS n, round(avg(e), 4) AS avg_sq_err
+         |FROM err GROUP BY label""".stripMargin,
+
+    "q_pq_search" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vd, label FROM embeddings),
+         |${pqSqlChain(4, 8, 16, 2)},
+         |scored AS (
+         |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         |    list_dot_product(qs0.sub, b0.cv) + list_dot_product(qs1.sub, b1.cv)
+         |     + list_dot_product(qs2.sub, b2.cv) + list_dot_product(qs3.sub, b3.cv) AS sim_adc
+         |  FROM (SELECT vec_id FROM v WHERE vec_id < 5) q
+         |  JOIN sv0 qs0 ON q.vec_id = qs0.vec_id
+         |  JOIN sv1 qs1 ON q.vec_id = qs1.vec_id
+         |  JOIN sv2 qs2 ON q.vec_id = qs2.vec_id
+         |  JOIN sv3 qs3 ON q.vec_id = qs3.vec_id
+         |  CROSS JOIN v n
+         |  JOIN code0 ON n.vec_id = code0.vec_id JOIN cb0 b0 ON code0.ci = b0.ci
+         |  JOIN code1 ON n.vec_id = code1.vec_id JOIN cb1 b1 ON code1.ci = b1.ci
+         |  JOIN code2 ON n.vec_id = code2.vec_id JOIN cb2 b2 ON code2.ci = b2.ci
+         |  JOIN code3 ON n.vec_id = code3.vec_id JOIN cb3 b3 ON code3.ci = b3.ci),
+         |r AS (SELECT q_id, n_id, sim_adc,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY sim_adc DESC, n_id) AS rnk
+         |  FROM scored)
+         |SELECT q_id, rnk, n_id, round(sim_adc, 4) AS sim_r FROM r WHERE rnk <= 3""".stripMargin,
+
+    // IVF cells are deterministic relational logic (rank dims of the
+    // first nlist=16 coords by |x| desc, idx asc; cell = idx*2 +
+    // sign bit), so the whole probe→candidate→re-rank path has an exact
+    // DuckDB twin — corpus takes its top cell, queries probe top-6.
+    "q_sim_ivf" ->
+      """WITH e AS (
+        | SELECT vec_id, unnest(embedding) AS x,
+        |        generate_subscripts(embedding, 1) - 1 AS i
+        | FROM embeddings),
+        |rk AS (
+        | SELECT vec_id, i*2 + CASE WHEN x >= 0 THEN 0 ELSE 1 END AS cell,
+        |        row_number() OVER (PARTITION BY vec_id ORDER BY abs(x) DESC, i) AS rn
+        | FROM e WHERE i < 16),
+        |cc AS (SELECT vec_id AS n_id, cell FROM rk WHERE rn = 1),
+        |qc AS (SELECT DISTINCT vec_id AS q_id, cell FROM rk
+        |       WHERE rn <= 6 AND vec_id < 10),
+        |v AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
+        |cand AS (SELECT DISTINCT q_id, n_id
+        |         FROM qc JOIN cc USING (cell) WHERE q_id <> n_id),
+        |s AS (SELECT q_id, n_id,
+        |  list_dot_product(qv.vd, nv.vd)
+        |   / (sqrt(list_dot_product(qv.vd, qv.vd))
+        |      * sqrt(list_dot_product(nv.vd, nv.vd))) AS sim
+        | FROM cand JOIN v qv ON cand.q_id = qv.vec_id
+        |           JOIN v nv ON cand.n_id = nv.vec_id),
+        |r AS (SELECT q_id, n_id, sim,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rnk FROM s)
+        |SELECT q_id, rnk, n_id, round(sim, 4) AS sim FROM r WHERE rnk <= 5""".stripMargin,
+
     "q_knn_label" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
         |  FROM embeddings WHERE vec_id < 50),
@@ -997,6 +1233,74 @@ object LlmQueries {
       """SELECT source, count(*) AS n, sum(strlen(text))::BIGINT AS n_bytes,
         | min(strlen(text)) AS min_bytes
         |FROM documents GROUP BY source""".stripMargin,
+
+    // The stub codec is deterministic JVM arithmetic (Arrays.hashCode =
+    // 31-polynomial over the UTF-8 bytes with int32 wraparound), so the
+    // whole decode→resize pipeline IS DuckDB-expressible: list_reduce
+    // replays the polynomial in BIGINT with an explicit mod-2^32 wrap
+    // (documents.text is all-ASCII, so ord(char) == byte), and >> k on a
+    // signed int32 is floor(h / 2^k). This oracles the real surface —
+    // schema, UDF plumbing, resize algebra — not just row counts.
+    "q_multimodal_decode" ->
+      """WITH b AS (
+        | SELECT doc_id, source AS mime, length(text) AS len,
+        |  CASE WHEN length(text) = 0 THEN NULL ELSE
+        |   list_reduce(
+        |    list_prepend(1::BIGINT,
+        |     list_transform(range(1, length(text)+1),
+        |      i -> ord(substr(text, i::INT, 1))::BIGINT)),
+        |    (a, x) -> ((31*a + x + 2147483648) % 4294967296 + 4294967296)
+        |              % 4294967296 - 2147483648)
+        |  END AS h
+        | FROM documents),
+        |m AS (
+        | SELECT mime, len,
+        |  CASE WHEN h IS NULL THEN 0 ELSE abs(h % 1920) + 1 END AS w,
+        |  CASE WHEN h IS NULL THEN 0
+        |   ELSE abs(CAST(floor(h / 256.0) AS BIGINT) % 1080) + 1 END AS hh,
+        |  (h IS NOT NULL) AS ok
+        | FROM b),
+        |rz AS (
+        | SELECT mime, ok, least(w, 640) AS w_cap,
+        |  CASE WHEN len = 0 OR w <= 0 OR hh <= 0 THEN len
+        |   ELSE least(greatest(1, CAST(trunc(
+        |     (len * least(1.0, least(640.0/w, 480.0/hh)))
+        |      * least(1.0, least(640.0/w, 480.0/hh))) AS BIGINT)), len)
+        |  END AS rbytes
+        | FROM m)
+        |SELECT mime, count(*) AS n,
+        | sum(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT AS n_ok,
+        | max(w_cap) AS max_w, sum(rbytes)::BIGINT AS resized_bytes
+        |FROM rz GROUP BY mime""".stripMargin,
+
+    "q_multimodal_frames" ->
+      """WITH b AS (
+        | SELECT doc_id, source AS mime,
+        |  CASE WHEN length(text) = 0 THEN NULL ELSE
+        |   list_reduce(
+        |    list_prepend(1::BIGINT,
+        |     list_transform(range(1, length(text)+1),
+        |      i -> ord(substr(text, i::INT, 1))::BIGINT)),
+        |    (a, x) -> ((31*a + x + 2147483648) % 4294967296 + 4294967296)
+        |              % 4294967296 - 2147483648)
+        |  END AS h
+        | FROM documents WHERE doc_id < 200),
+        |m AS (
+        | SELECT doc_id, mime,
+        |  CASE WHEN h IS NULL THEN 0
+        |   ELSE abs(CAST(floor(h / 65536.0) AS BIGINT) % 300) + 1 END AS f
+        | FROM b),
+        |fr AS (
+        | SELECT doc_id, mime,
+        |  CASE WHEN f >= 1 THEN
+        |   CAST(floor((f - 1) / greatest(1, CAST(trunc(f / 4.0) AS BIGINT)))
+        |     AS BIGINT) + 1
+        |  ELSE 0 END AS nf
+        | FROM m)
+        |SELECT mime, sum(nf)::BIGINT AS n_frames,
+        | count(DISTINCT CASE WHEN nf > 0 THEN doc_id END) AS n_media,
+        | 8 AS dim
+        |FROM fr GROUP BY mime""".stripMargin,
 
     "q_dedup_embed" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
