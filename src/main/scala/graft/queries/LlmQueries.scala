@@ -162,7 +162,14 @@ object LlmQueries {
         .agg(count(lit(1)).as("n_groups"), sum("n_dups").as("n_docs"),
           max("n_dups").as("max_group"))),
 
-    // hash-based candidates — no DuckDB twin, rows-only check + ScalaTest
+    // Output pairs are EXACT-jaccard-verified candidates, so with the
+    // banding tuned for recall (16 bands × 4 rows → P(candidate) >
+    // 0.999 at j=0.8, where this corpus's true dups live) the result
+    // set equals the all-pairs exact answer — which is the DuckDB
+    // oracle (r9; recall verified 1.0 against exact at sf0.01 AND
+    // sf0.1: 25/25 and 256/256 pairs, j values bit-equal). The banded
+    // candidate generation itself stays spec-pinned in
+    // DedupSimilaritySpec's recall/precision cases.
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minhashNearDup(Tables.documents(s, d), "text", "doc_id",
         bands = 16, rowsPerBand = 4, threshold = 0.5)
@@ -954,6 +961,19 @@ object LlmQueries {
          |    / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE END AS j
          | FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
          |SELECT id_a, id_b, round(j, 4) AS j FROM p WHERE j >= 0.2""".stripMargin,
+
+    // exact all-pairs twin of the minhash pipeline (see the q_dedup_minhash
+    // registration comment for why equality holds): jaccard over distinct
+    // trigram shingle STRINGS == over their 64-bit hashes (collisions
+    // ~n²/2⁶⁵), cross-lang (minhashNearDup has no blocking key)
+    "q_dedup_minhash" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlShingles(sqlToks)} AS sh FROM documents),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+         |   ELSE len(list_intersect(a.sh, b.sh))::DOUBLE
+         |    / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE END AS j
+         | FROM t a JOIN t b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, round(j, 4) AS j FROM p WHERE j >= 0.5""".stripMargin,
 
     "q_ngram_counts" ->
       s"""SELECT s, count(*) AS n
