@@ -26,13 +26,22 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** `events` with `ts` normalized to a µs TimestampType column. */
+  /** `events` with `ts` normalized to a µs TimestampType column.
+    * The driver has shipped this file with two physical types so far:
+    * TIMESTAMP(NANOS) (reads as a ns long under nanosAsLong — rounds
+    * ≤8) and TIMESTAMP(MICROS, isAdjustedToUTC=false) (reads as
+    * TIMESTAMP_NTZ — r9 regeneration). Both normalize to the same UTC
+    * instant here (session tz is pinned UTC), so every downstream
+    * consumer — unix_micros, window(), watermarks — sees one type
+    * regardless of which generation of the file is on disk. */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = table(s, d, "events")
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     raw.schema("ts").dataType match {
       case LongType => // nanosAsLong path: ns long → µs timestamp (floor)
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => // naive µs → same wall clock, UTC-labeled
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }
   }
