@@ -328,4 +328,43 @@ object Curation {
             size(array_distinct(col("_shp"))).cast("double") /
               size(col("_shp")).cast("double")))
       .drop("_shp")
+
+  /** Curriculum staging: split the corpus into `nStages` difficulty
+    * stages by quantile cut points of `scoreCol` (easy → hard is the
+    * standard curriculum-learning schedule). Adds `stage` ∈ [1, nStages]:
+    * stage = 1 + |{cuts below score}| — a row on a cut boundary goes to
+    * the LOWER stage, so the assignment is a pure threshold comparison,
+    * not a global rank. The cut points are one exact-`percentile`
+    * aggregation (nStages−1 doubles on the driver, bounded by the stage
+    * count); the assignment pass is narrow. At 100 TB swap the exact
+    * percentile for `percentile_approx` — the assignment pass and
+    * everything downstream are unchanged (same dial as
+    * q_approx_quantile's sketch-vs-exact pairing). */
+  def curriculumStages(df: DataFrame, scoreCol: String,
+      nStages: Int = 4): DataFrame = {
+    require(nStages >= 2, "nStages must be >= 2")
+    val qs = (1 until nStages).map(i => s"${i.toDouble / nStages}D")
+    val cuts = df
+      .agg(expr(s"percentile($scoreCol, array(${qs.mkString(", ")}))"))
+      .first().getSeq[Double](0)
+    df.withColumn("stage", cuts.foldLeft(lit(1)) { (acc, c) =>
+      acc + when(col(scoreCol) > c, 1).otherwise(0) })
+  }
+
+  /** Class rebalancing by deterministic undersampling: keep exactly
+    * `min(class count)` rows of every class, selected by md5 rank within
+    * the class (the engine-portable coin of [[sampleStratified]]), so the
+    * balanced subset is reproducible on any topology. The minority count
+    * is one scalar to the driver; the quota filter is a rank-≤-N window
+    * Spark executes as a map-side-pruned WindowGroupLimit — no class is
+    * ever fully sorted. */
+  def balanceClasses(df: DataFrame, labelCol: String,
+      idCol: String): DataFrame = {
+    val minN = df.groupBy(labelCol).agg(count(lit(1)).as("_n"))
+      .agg(min("_n")).first().getLong(0)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(labelCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= minN).drop("_rk")
+  }
 }

@@ -363,6 +363,30 @@ object Similarity {
       .drop("_rk")
   }
 
+  /** Hard-negative mining for contrastive training: for each query row,
+    * the top-k most-cosine-similar corpus rows with a DIFFERENT label —
+    * the "close but wrong" examples a retrieval/embedding trainer pairs
+    * against positives. Same scale shape as [[bruteForceTopK]]: the
+    * query set broadcasts, the corpus streams through one narrow scoring
+    * pass, and the per-query top-k is a WindowGroupLimit heap (map-side
+    * pruned, never a full sort). At 100 TB the label filter rides the
+    * scan (predicate on the streamed side, no shuffle).
+    * Output: q_id, q_label, rnk, n_id, n_label, sim. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"),
+      col(labelCol).as("q_label"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("nv"),
+      col(labelCol).as("n_label"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    broadcast(q).crossJoin(c)
+      .filter(col("q_label") =!= col("n_label"))
+      .withColumn("sim", cosineN(col("qv"), col("nv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "q_label", "rnk", "n_id", "n_label", "sim")
+  }
+
   /** kNN label vote: for each query, the majority label among its top-k
     * exact-cosine neighbors (ties broken by smaller label id). */
   def knnLabel(queries: DataFrame, corpus: DataFrame,

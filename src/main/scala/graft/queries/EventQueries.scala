@@ -246,6 +246,23 @@ object EventQueries {
         .orderBy("event_type", "bucket")
     }),
 
+    // ---- sequential pattern mining (top 3-step paths) ----------------
+    // per-user ordered event stream → overlapping 3-grams of event types
+    // via two lead() windows (one user_id-keyed sort, no self-joins),
+    // then a global count + top-10. The path alphabet is tiny, so the
+    // final agg reduces to |types|³ keys regardless of corpus size.
+    "q_event_paths" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("e2", lead("event_type", 1).over(w))
+        .withColumn("e3", lead("event_type", 2).over(w))
+        .filter(col("e3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path")).limit(10)
+    }),
+
     // ---- time-hierarchy rollup ---------------------------------------
     // day ⊃ (day, type) subtotals + grand total in ONE pass via rollup
     // (Expand feeds a single partial+final aggregate — one shuffle for
@@ -306,6 +323,15 @@ object EventQueries {
         |SELECT prev_type, curr_type, count(*) AS n
         |FROM lagged WHERE prev_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_event_paths" ->
+      """WITH g AS (SELECT event_type,
+        |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+        |  lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+        | FROM events)
+        |SELECT concat_ws('>', event_type, e2, e3) AS path, count(*) AS n
+        |FROM g WHERE e3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin,
 
     "q_funnel_window" ->
       """WITH s1 AS (SELECT user_id,

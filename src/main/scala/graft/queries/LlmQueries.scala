@@ -184,6 +184,41 @@ object LlmQueries {
       Dedup.simhashNearDup(Tables.documents(s, d), "text", "doc_id",
         prefixBits = 12, maxHamming = 8)),
 
+    // curriculum staging: quantile-cut the corpus by a difficulty proxy
+    // (mean chars per token — longer tokens ≈ harder text) into 4
+    // stages; output per-stage composition. Exact-percentile cuts are
+    // the oracle surface; percentile_approx is the documented 100 TB
+    // dial (see Curation.curriculumStages).
+    "q_curriculum" -> ((s, d) => {
+      val scored = Tables.documents(s, d).withColumn("score",
+        col("n_chars").cast("double") /
+          greatest(size(tokens(col("text"))), lit(1)))
+      Curation.curriculumStages(scored, "score", nStages = 4)
+        .groupBy("stage")
+        .agg(count(lit(1)).as("n_docs"),
+          round(min("score"), 4).as("min_s"),
+          round(max("score"), 4).as("max_s"),
+          sum("n_chars").as("chars"))
+    }),
+
+    // class rebalancing: undersample every label to the minority count
+    // with the deterministic md5 coin — balanced-training-set
+    // construction, reproducible on any topology
+    "q_class_balance" -> ((s, d) =>
+      Curation.balanceClasses(Tables.embeddings(s, d), "label", "vec_id")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_kept"), min("vec_id").as("first_id"))),
+
+    // hard-negative mining: per query, top-3 most-similar OTHER-label
+    // rows (contrastive-pair construction)
+    "q_hard_negatives" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.hardNegatives(e.filter(col("vec_id") < 20), e,
+          "vec_id", "embedding", "label", k = 3)
+        .select(col("q_id"), col("q_label"), col("rnk"), col("n_id"),
+          col("n_label"), round(col("sim"), 4).as("sim"))
+    }),
+
     // ---- embedding similarity ---------------------------------------
     "q_sim_cosine_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -1039,6 +1074,48 @@ object LlmQueries {
         |r AS (SELECT q_id, n_id, sim,
         |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rnk FROM s)
         |SELECT q_id, rnk, n_id, round(sim, 4) AS sim FROM r WHERE rnk <= 5""".stripMargin,
+
+    // exact-percentile cuts (DuckDB percentile_cont matches Spark's
+    // exact percentile — the validated q_approx_quantile pairing);
+    // boundary rows go to the lower stage on both sides (strict >)
+    "q_curriculum" ->
+      s"""WITH t AS (SELECT doc_id, n_chars,
+         |  n_chars::DOUBLE / greatest(len($sqlToks), 1) AS score FROM documents),
+         |c AS (SELECT
+         |  percentile_cont(0.25) WITHIN GROUP (ORDER BY score) AS c1,
+         |  percentile_cont(0.5)  WITHIN GROUP (ORDER BY score) AS c2,
+         |  percentile_cont(0.75) WITHIN GROUP (ORDER BY score) AS c3 FROM t),
+         |st AS (SELECT t.n_chars, t.score,
+         |  1 + (t.score > c.c1)::INT + (t.score > c.c2)::INT
+         |    + (t.score > c.c3)::INT AS stage
+         | FROM t CROSS JOIN c)
+         |SELECT stage, count(*) AS n_docs,
+         | round(min(score), 4) AS min_s, round(max(score), 4) AS max_s,
+         | sum(n_chars)::BIGINT AS chars
+         |FROM st GROUP BY stage""".stripMargin,
+
+    "q_class_balance" ->
+      """WITH c AS (SELECT min(cnt) AS m FROM (
+        |  SELECT count(*) AS cnt FROM embeddings GROUP BY label)),
+        |r AS (SELECT label, vec_id, row_number() OVER (
+        |  PARTITION BY label ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+        | FROM embeddings)
+        |SELECT label, count(*) AS n_kept, min(vec_id) AS first_id
+        |FROM r CROSS JOIN c WHERE rk <= m GROUP BY label""".stripMargin,
+
+    "q_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS q_id, label AS q_label,
+        |  embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),
+        |cp AS (SELECT vec_id AS n_id, label AS n_label,
+        |  embedding::DOUBLE[] AS nv FROM embeddings),
+        |s AS (SELECT q_id, q_label, n_id, n_label,
+        |  list_dot_product(qv, nv)
+        |   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))) AS sim
+        | FROM q CROSS JOIN cp WHERE q_label <> n_label),
+        |r AS (SELECT q_id, q_label, n_id, n_label, sim,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rnk FROM s)
+        |SELECT q_id, q_label, rnk, n_id, n_label, round(sim, 4) AS sim
+        |FROM r WHERE rnk <= 3""".stripMargin,
 
     // LSH signatures are deterministic given the seed: the oracle embeds
     // the same driver-derived ±1 hyperplane matrix as VALUES literals and

@@ -263,4 +263,41 @@ class CurationSpec extends SparkSpec {
       "doc_id", "strat", weights = Map("a" -> 0.5, "b" -> 0.5))
     assert(noB.groupBy("strat").count().collect().map(_.getString(0)).toSet == Set("a"))
   }
+
+  test("curriculumStages: monotone in score, boundary rows to the lower stage") {
+    val d = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "score")
+    val staged = Curation.curriculumStages(d, "score", nStages = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // exact quartile cuts of 1..100 are 25.75/50.5/75.25 → 25/25/25/25
+    val sizes = staged.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(sizes == Map(1 -> 25, 2 -> 25, 3 -> 25, 4 -> 25), s"got $sizes")
+    // monotone: a higher score can never land in a lower stage
+    val sorted = staged.toSeq.sortBy(_._1).map(_._2)
+    assert(sorted == sorted.sorted, "stage must be monotone in score")
+    // a row exactly ON a cut goes to the LOWER stage: 3 values, cuts at
+    // interpolated quantiles of (1,2,3) = 1.5/2.0/2.5 → score 2.0 is on
+    // the median cut and must stage as 2, not 3
+    val tri = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("id", "score")
+    val t = Curation.curriculumStages(tri, "score", nStages = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(t(2L) == 2, s"boundary row must take the lower stage: $t")
+    assert(t(1L) == 1 && t(3L) == 4, s"extremes must hit the end stages: $t")
+  }
+
+  test("balanceClasses: every class lands exactly at the minority count, deterministically") {
+    val d = ((1 to 40).map(i => (i.toLong, "big")) ++
+      (41 to 50).map(i => (i.toLong, "small")) ++
+      (51 to 70).map(i => (i.toLong, "mid"))).toDF("id", "cls")
+    val out = Curation.balanceClasses(d, "cls", "id")
+    val counts = out.groupBy("cls").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("big" -> 10L, "small" -> 10L, "mid" -> 10L), s"got $counts")
+    // deterministic selection + subset of input
+    val again = Curation.balanceClasses(d, "cls", "id")
+    assert(out.select("id").except(again.select("id")).isEmpty)
+    assert(out.select("id").except(d.select("id")).isEmpty)
+    // two classes at 40 and 10 → 10 kept from each
+    val bal = d.filter(col("id") <= 50)
+    assert(Curation.balanceClasses(bal, "cls", "id").count() == 20L)
+  }
 }

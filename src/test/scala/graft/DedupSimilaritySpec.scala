@@ -664,4 +664,40 @@ class DedupSimilaritySpec extends SparkSpec {
       Tables.nation(spark, sf), 128L * 1024 * 1024)
     assert(one.rdd.getNumPartitions == 1)
   }
+
+  test("hardNegatives: never same-label, sims descend, and each is the true cross-label top") {
+    val q = emb.filter(col("vec_id") < 10)
+    val rows = Similarity.hardNegatives(q, emb, "vec_id", "embedding", "label", k = 3)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("q_label") != r.getAs[Int]("n_label"),
+        s"hard negative must differ in label: $r")
+    }
+    // per query: ranks 1..3, sims non-increasing
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (qid, rs) =>
+      val byRank = rs.sortBy(_.getAs[Int]("rnk"))
+      assert(byRank.map(_.getAs[Int]("rnk")).toSeq == Seq(1, 2, 3), s"q=$qid")
+      val sims = byRank.map(_.getAs[Double]("sim")).toSeq
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }, s"q=$qid $sims")
+    }
+    // the rank-1 negative matches a brute-force cross-label argmax
+    val brute = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 50)
+      .join(emb.select(col("vec_id").as("n_id"), col("label").as("n_label")), "n_id")
+      .join(emb.select(col("vec_id").as("q_id"), col("label").as("q_label")), "q_id")
+      .filter(col("q_label") =!= col("n_label"))
+      .withColumn("rr", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("sim").desc, col("n_id"))))
+      .filter(col("rr") === 1)
+      .select("q_id", "n_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.filter(_.getAs[Int]("rnk") == 1).foreach { r =>
+      val qid = r.getAs[Long]("q_id")
+      brute.get(qid).foreach { expect =>
+        assert(r.getAs[Long]("n_id") == expect,
+          s"rank-1 negative for $qid should be $expect")
+      }
+    }
+  }
 }
