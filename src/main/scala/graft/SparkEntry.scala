@@ -24,10 +24,14 @@ object SparkEntry {
       graft.queries.LlmQueries.queries ++
       graft.queries.EventQueries.queries
 
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for the hash-based ops (MinHash /
-    * SimHash / LSH / HLL) whose hash functions have no DuckDB twin —
-    * driver records a weaker rows-only check; ScalaTest covers semantics. */
+  /** For each key in queries, equivalent SQL runnable by DuckDB on the
+    * same parquet tables — since r9 EVERY registered query has one: the
+    * hash-based ops replay their kernels in SQL (XXH64 via HUGEINT
+    * mod-2^64 arithmetic, hyperplane sign matrices as literals, unrolled
+    * Lloyd's iterations), and the sketch ops (HLL, GK quantiles) pair
+    * the sketch with an exact twin plus an in-query error-bound
+    * assertion. ScalaTest additionally pins recall/precision semantics
+    * the single-dataset hash compare can't. */
   def oracleSql: Map[String, String] =
     graft.queries.RelationalQueries.oracle ++
       graft.queries.LlmQueries.oracle ++

@@ -179,7 +179,10 @@ object LlmQueries {
     // meaningful near-dup claim (≤12.5% of feature-vote dimensions differ);
     // the round-2 demo params (8/16) emitted 15k mostly-noise pairs at
     // sf0.01 on the shared-vocabulary synthetic corpus. Precision is
-    // spec-pinned in DedupSimilaritySpec alongside recall.
+    // spec-pinned in DedupSimilaritySpec alongside recall. Since r9 the
+    // DuckDB oracle replays the ENTIRE pipeline bit-exactly — including
+    // per-token XXH64 in SQL (see Xxh64Sql) — so this is hash-compared,
+    // not rows-only.
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashNearDup(Tables.documents(s, d), "text", "doc_id",
         prefixBits = 12, maxHamming = 8)),
@@ -864,6 +867,87 @@ object LlmQueries {
       sb.toString
     }.mkString(",\n")
 
+  /** XXH64 (Spark's xxhash64, seed 42) replayed in DuckDB SQL for the
+    * short-input path (len ≤ 31 bytes — covers this corpus's whole token
+    * alphabet with 4× headroom; ≥ 32 bytes would need the 4-accumulator
+    * stripe loop). 64-bit wrapping arithmetic is emulated in HUGEINT:
+    * multiplication splits into 32-bit limbs so no intermediate exceeds
+    * 2^96, xor round-trips through signed BIGINT, and rotl(h,r) =
+    * (h·2^r mod 2^64) + h div 2^(64−r). Validated bit-equal against
+    * Spark's xxhash64 on the corpus vocabulary (r9). */
+  private object Xxh64Sql {
+    private val M = "18446744073709551616"
+    private val Hf = "9223372036854775808"
+    private val P1 = "11400714785074694791::HUGEINT"
+    private val P2 = "14029467366897019727::HUGEINT"
+    private val P3 = "1609587929392839161::HUGEINT"
+    private val P4 = "9650029242287828579::HUGEINT"
+    private val P5 = "2870177450012600261::HUGEINT"
+    private def mul64(a: String, b: String) =
+      s"((($a)%4294967296*(($b)%4294967296)" +
+        s"+((($a)//4294967296*(($b)%4294967296)+($a)%4294967296*(($b)//4294967296))%4294967296)*4294967296)%$M::HUGEINT)"
+    private def xor64(a: String, b: String) =
+      s"((xor(CAST(CASE WHEN ($a)>=$Hf THEN ($a)-$M ELSE ($a) END AS BIGINT)," +
+        s"CAST(CASE WHEN ($b)>=$Hf THEN ($b)-$M ELSE ($b) END AS BIGINT))::HUGEINT+$M)%$M)"
+    def rotl(h: String, r: Int) =
+      s"((($h)*${1L << r})%$M+($h)//${1L << (64 - r)})"
+    def toSigned(u: String) =
+      s"CAST(CASE WHEN ($u)>=$Hf THEN ($u)-$M ELSE ($u) END AS BIGINT)"
+    private def byteAt(i: String) =
+      s"(ord(substr(t, ($i)::INT, 1))::HUGEINT)"
+    // little-endian word of 8 (or 4) bytes starting at 1-based offset o,
+    // guarded so substr is never evaluated past the string
+    private def word(o: Int, n: Int) = (0 until n).map { j =>
+      s"(CASE WHEN len >= ${o + j} THEN ord(substr(t,${o + j},1))::HUGEINT ELSE 0::HUGEINT END)*${BigInt(256).pow(j)}"
+    }.mkString("(", "+", ")")
+    private def wordRound(h: String, w: String) =
+      s"(${mul64(rotl(xor64(h, mul64(rotl(mul64(w, P2), 31), P1)), 27), P1)} + $P4) % $M"
+    private def intRound(h: String, w: String) =
+      s"(${mul64(rotl(xor64(h, mul64(w, P1)), 23), P2)} + $P3) % $M"
+    private def byteRound(h: String, b: String) =
+      mul64(rotl(xor64(h, mul64(b, P5)), 11), P1)
+
+    /** CTE chain computing `h` (HUGEINT in [0,2^64)) per row of an
+      * upstream `tl(t, len)` relation; final alias `hf`. */
+    def chain: String = {
+      val sb = new StringBuilder
+      sb.append(s"""hs0 AS (SELECT t, len,
+        |  ((42::HUGEINT + $P5 + len::HUGEINT) % $M) AS h FROM tl)""".stripMargin)
+      // up to three full 8-byte words (len <= 31 short-input path)
+      for (k <- 0 until 3) {
+        sb.append(s""",
+          |hw${k + 1} AS (SELECT t, len,
+          |  CASE WHEN len >= ${8 * (k + 1)} THEN ${wordRound("h", word(8 * k + 1, 8))}
+          |  ELSE h END AS h FROM hw$k)""".stripMargin
+          .replace("hw0", "hs0"))
+      }
+      // optional 4-byte word after the full words
+      sb.append(s""",
+        |h4 AS (SELECT t, len, (len//8)*8 AS woff,
+        |  CASE WHEN len % 8 >= 4 THEN ${intRound("h", "w4")}
+        |  ELSE h END AS h FROM (
+        |    SELECT t, len, h, ${word4Dyn} AS w4 FROM hw3))""".stripMargin)
+      // up to three trailing bytes
+      sb.append(s""",
+        |hb0 AS (SELECT t, len, (len//8)*8 + CASE WHEN len % 8 >= 4 THEN 4 ELSE 0 END AS bstart, h FROM h4)""".stripMargin)
+      for (k <- 1 to 3) {
+        sb.append(s""",
+          |hb$k AS (SELECT t, len, bstart,
+          |  CASE WHEN bstart+$k <= len THEN ${byteRound("h", byteAt(s"bstart+$k"))}
+          |  ELSE h END AS h FROM hb${k - 1})""".stripMargin)
+      }
+      sb.append(s""",
+        |hf0 AS (SELECT t, ${mul64(xor64("h", "h//8589934592"), P2)} AS h FROM hb3),
+        |hf1 AS (SELECT t, ${mul64(xor64("h", "h//536870912"), P3)} AS h FROM hf0),
+        |hf AS (SELECT t, ${xor64("h", "h//4294967296")} AS h FROM hf1)""".stripMargin)
+      sb.toString
+    }
+    // 4-byte little-endian word at dynamic offset (len//8)*8 + 1
+    private def word4Dyn = (0 until 4).map { j =>
+      s"(CASE WHEN len >= (len//8)*8 + ${j + 1} AND len % 8 >= 4 THEN ord(substr(t, ((len//8)*8 + ${j + 1})::INT, 1))::HUGEINT ELSE 0::HUGEINT END)*${BigInt(256).pow(j)}"
+    }.mkString("(", "+", ")")
+  }
+
   val oracle: Map[String, String] = Map(
     "q_text_stats" ->
       s"""SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS chars,
@@ -996,6 +1080,43 @@ object LlmQueries {
          |    / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE END AS j
          | FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
          |SELECT id_a, id_b, round(j, 4) AS j FROM p WHERE j >= 0.2""".stripMargin,
+
+    // Full bit-exact SimHash twin: per-token XXH64 replayed in SQL
+    // ([[Xxh64Sql]]), tf-weighted bit votes, 64-bit signature assembly,
+    // the 4 rotated 12-bit prefix buckets, candidate join with the
+    // maxBucket cap, and bit_count(xor) Hamming verify — every number
+    // DuckDB computes here is the same number the codegen kernel
+    // computes. Validated pair-for-pair (537/537 at sf0.01, r9).
+    "q_dedup_simhash" -> {
+      import Xxh64Sql.{rotl, toSigned}
+      s"""WITH occ AS (SELECT doc_id, unnest($sqlToks) AS t FROM documents),
+         |tl AS (SELECT t, length(t) AS len FROM (SELECT DISTINCT t FROM occ)),
+         |${Xxh64Sql.chain},
+         |tb AS (SELECT t, j, ((h // (1::HUGEINT << j)) % 2)::INT AS bit
+         |  FROM hf CROSS JOIN (SELECT unnest(range(0, 64)) AS j)),
+         |cnt AS (SELECT doc_id, t, count(*) AS c FROM occ GROUP BY doc_id, t),
+         |votes AS (SELECT doc_id, j, sum(c * (2*bit - 1)) AS v
+         |  FROM cnt JOIN tb USING (t) GROUP BY doc_id, j),
+         |sig AS (SELECT doc_id,
+         |  sum(CASE WHEN v > 0 THEN (1::HUGEINT << j) ELSE 0::HUGEINT END) AS u
+         |  FROM votes GROUP BY doc_id),
+         |buck AS (SELECT doc_id, b,
+         |  (CASE b WHEN 0 THEN u
+         |          WHEN 1 THEN ${rotl("u", 16)}
+         |          WHEN 2 THEN ${rotl("u", 32)}
+         |          ELSE ${rotl("u", 48)} END) // ${1L << 52} AS bh, u
+         |  FROM sig CROSS JOIN (SELECT unnest(range(0,4)) AS b)),
+         |keptb AS (SELECT b, bh FROM buck GROUP BY b, bh HAVING count(*) <= 1000),
+         |kb AS (SELECT doc_id, b, bh, u FROM buck JOIN keptb USING (b, bh)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b,
+         |    a.u AS ua, bb.u AS ub
+         |  FROM kb a JOIN kb bb ON a.b = bb.b AND a.bh = bb.bh
+         |    AND a.doc_id < bb.doc_id),
+         |hm AS (SELECT id_a, id_b,
+         |  bit_count(xor(${toSigned("ua")}, ${toSigned("ub")})) AS hamming
+         |  FROM cand)
+         |SELECT id_a, id_b, hamming FROM hm WHERE hamming <= 8""".stripMargin
+    },
 
     // exact all-pairs twin of the minhash pipeline (see the q_dedup_minhash
     // registration comment for why equality holds): jaccard over distinct
