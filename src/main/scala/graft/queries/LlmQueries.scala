@@ -911,35 +911,35 @@ object LlmQueries {
       * upstream `tl(t, len)` relation; final alias `hf`. */
     def chain: String = {
       val sb = new StringBuilder
-      sb.append(s"""hs0 AS (SELECT t, len,
+      sb.append(s"""hs0 AS MATERIALIZED (SELECT t, len,
         |  ((42::HUGEINT + $P5 + len::HUGEINT) % $M) AS h FROM tl)""".stripMargin)
       // up to three full 8-byte words (len <= 31 short-input path)
       for (k <- 0 until 3) {
         sb.append(s""",
-          |hw${k + 1} AS (SELECT t, len,
+          |hw${k + 1} AS MATERIALIZED (SELECT t, len,
           |  CASE WHEN len >= ${8 * (k + 1)} THEN ${wordRound("h", word(8 * k + 1, 8))}
           |  ELSE h END AS h FROM hw$k)""".stripMargin
           .replace("hw0", "hs0"))
       }
       // optional 4-byte word after the full words
       sb.append(s""",
-        |h4 AS (SELECT t, len, (len//8)*8 AS woff,
+        |h4 AS MATERIALIZED (SELECT t, len, (len//8)*8 AS woff,
         |  CASE WHEN len % 8 >= 4 THEN ${intRound("h", "w4")}
         |  ELSE h END AS h FROM (
         |    SELECT t, len, h, ${word4Dyn} AS w4 FROM hw3))""".stripMargin)
       // up to three trailing bytes
       sb.append(s""",
-        |hb0 AS (SELECT t, len, (len//8)*8 + CASE WHEN len % 8 >= 4 THEN 4 ELSE 0 END AS bstart, h FROM h4)""".stripMargin)
+        |hb0 AS MATERIALIZED (SELECT t, len, (len//8)*8 + CASE WHEN len % 8 >= 4 THEN 4 ELSE 0 END AS bstart, h FROM h4)""".stripMargin)
       for (k <- 1 to 3) {
         sb.append(s""",
-          |hb$k AS (SELECT t, len, bstart,
+          |hb$k AS MATERIALIZED (SELECT t, len, bstart,
           |  CASE WHEN bstart+$k <= len THEN ${byteRound("h", byteAt(s"bstart+$k"))}
           |  ELSE h END AS h FROM hb${k - 1})""".stripMargin)
       }
       sb.append(s""",
-        |hf0 AS (SELECT t, ${mul64(xor64("h", "h//8589934592"), P2)} AS h FROM hb3),
-        |hf1 AS (SELECT t, ${mul64(xor64("h", "h//536870912"), P3)} AS h FROM hf0),
-        |hf AS (SELECT t, ${xor64("h", "h//4294967296")} AS h FROM hf1)""".stripMargin)
+        |hf0 AS MATERIALIZED (SELECT t, ${mul64(xor64("h", "h//8589934592"), P2)} AS h FROM hb3),
+        |hf1 AS MATERIALIZED (SELECT t, ${mul64(xor64("h", "h//536870912"), P3)} AS h FROM hf0),
+        |hf AS MATERIALIZED (SELECT t, ${xor64("h", "h//4294967296")} AS h FROM hf1)""".stripMargin)
       sb.toString
     }
     // 4-byte little-endian word at dynamic offset (len//8)*8 + 1
@@ -1089,30 +1089,30 @@ object LlmQueries {
     // computes. Validated pair-for-pair (537/537 at sf0.01, r9).
     "q_dedup_simhash" -> {
       import Xxh64Sql.{rotl, toSigned}
-      s"""WITH occ AS (SELECT doc_id, unnest($sqlToks) AS t FROM documents),
-         |tl AS (SELECT t, length(t) AS len FROM (SELECT DISTINCT t FROM occ)),
+      s"""WITH occ AS MATERIALIZED (SELECT doc_id, unnest($sqlToks) AS t FROM documents),
+         |tl AS MATERIALIZED (SELECT t, length(t) AS len FROM (SELECT DISTINCT t FROM occ)),
          |${Xxh64Sql.chain},
-         |tb AS (SELECT t, j, ((h // (1::HUGEINT << j)) % 2)::INT AS bit
+         |tb AS MATERIALIZED (SELECT t, j, ((h // (1::HUGEINT << j)) % 2)::INT AS bit
          |  FROM hf CROSS JOIN (SELECT unnest(range(0, 64)) AS j)),
-         |cnt AS (SELECT doc_id, t, count(*) AS c FROM occ GROUP BY doc_id, t),
-         |votes AS (SELECT doc_id, j, sum(c * (2*bit - 1)) AS v
+         |cnt AS MATERIALIZED (SELECT doc_id, t, count(*) AS c FROM occ GROUP BY doc_id, t),
+         |votes AS MATERIALIZED (SELECT doc_id, j, sum(c * (2*bit - 1)) AS v
          |  FROM cnt JOIN tb USING (t) GROUP BY doc_id, j),
-         |sig AS (SELECT doc_id,
+         |sig AS MATERIALIZED (SELECT doc_id,
          |  sum(CASE WHEN v > 0 THEN (1::HUGEINT << j) ELSE 0::HUGEINT END) AS u
          |  FROM votes GROUP BY doc_id),
-         |buck AS (SELECT doc_id, b,
+         |buck AS MATERIALIZED (SELECT doc_id, b,
          |  (CASE b WHEN 0 THEN u
          |          WHEN 1 THEN ${rotl("u", 16)}
          |          WHEN 2 THEN ${rotl("u", 32)}
          |          ELSE ${rotl("u", 48)} END) // ${1L << 52} AS bh, u
          |  FROM sig CROSS JOIN (SELECT unnest(range(0,4)) AS b)),
-         |keptb AS (SELECT b, bh FROM buck GROUP BY b, bh HAVING count(*) <= 1000),
-         |kb AS (SELECT doc_id, b, bh, u FROM buck JOIN keptb USING (b, bh)),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b,
+         |keptb AS MATERIALIZED (SELECT b, bh FROM buck GROUP BY b, bh HAVING count(*) <= 1000),
+         |kb AS MATERIALIZED (SELECT doc_id, b, bh, u FROM buck JOIN keptb USING (b, bh)),
+         |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b,
          |    a.u AS ua, bb.u AS ub
          |  FROM kb a JOIN kb bb ON a.b = bb.b AND a.bh = bb.bh
          |    AND a.doc_id < bb.doc_id),
-         |hm AS (SELECT id_a, id_b,
+         |hm AS MATERIALIZED (SELECT id_a, id_b,
          |  bit_count(xor(${toSigned("ua")}, ${toSigned("ub")})) AS hamming
          |  FROM cand)
          |SELECT id_a, id_b, hamming FROM hm WHERE hamming <= 8""".stripMargin
