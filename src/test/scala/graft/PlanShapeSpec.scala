@@ -212,4 +212,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges <= 2,
       s"centroids must shuffle at most twice ((label,pos) then label), saw $exchanges:\n" + p.take(800))
   }
+
+  test("q_hard_negatives: query side broadcasts, corpus never shuffles for the join; heap top-k") {
+    val p = plan("q_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "query set must broadcast:\n" + p.take(500))
+    assert(p.contains("WindowGroupLimit"),
+      "per-query top-k must be a heap, not a full sort:\n" + p.take(500))
+    assert(p.contains("graft_cosine"), "scoring must use the codegen kernel")
+  }
+
+  test("balanceClasses: quota filter is a map-side-pruned WindowGroupLimit, one label shuffle") {
+    val df = graft.ops.Curation.balanceClasses(
+      Tables.embeddings(spark, sf), "label", "vec_id")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p.take(600))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1,
+      s"one label-keyed shuffle expected, saw $exchanges:\n" + p.take(600))
+  }
+
+  test("curriculumStages: the assignment pass is narrow (no shuffle after the cuts agg)") {
+    val scored = Tables.embeddings(spark, sf)
+      .withColumn("score", org.apache.spark.sql.functions.col("vec_id").cast("double"))
+    val df = graft.ops.Curation.curriculumStages(scored, "score", nStages = 4)
+    val p = df.queryExecution.executedPlan.toString
+    // stage assignment = scan + project(threshold comparisons); any
+    // Exchange here means the quantile cut leaked into the per-row pass
+    assert(!p.contains("Exchange"),
+      "assignment must be a narrow projection:\n" + p.take(600))
+  }
 }
