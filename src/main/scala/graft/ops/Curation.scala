@@ -344,9 +344,12 @@ object Curation {
       nStages: Int = 4): DataFrame = {
     require(nStages >= 2, "nStages must be >= 2")
     val qs = (1 until nStages).map(i => s"${i.toDouble / nStages}D")
-    val cuts = df
+    val row = df
       .agg(expr(s"percentile($scoreCol, array(${qs.mkString(", ")}))"))
-      .first().getSeq[Double](0)
+      .first()
+    // empty input (or all-null scores): no cut points exist — emit the
+    // schema with every (zero) row in stage 1 instead of an NPE
+    val cuts = if (row.isNullAt(0)) Seq.empty[Double] else row.getSeq[Double](0)
     df.withColumn("stage", cuts.foldLeft(lit(1)) { (acc, c) =>
       acc + when(col(scoreCol) > c, 1).otherwise(0) })
   }
@@ -360,8 +363,12 @@ object Curation {
     * ever fully sorted. */
   def balanceClasses(df: DataFrame, labelCol: String,
       idCol: String): DataFrame = {
-    val minN = df.groupBy(labelCol).agg(count(lit(1)).as("_n"))
-      .agg(min("_n")).first().getLong(0)
+    val row = df.groupBy(labelCol).agg(count(lit(1)).as("_n"))
+      .agg(min("_n")).first()
+    // empty input: min over zero groups is NULL — short-circuit to the
+    // (empty) input instead of an NPE
+    if (row.isNullAt(0)) return df
+    val minN = row.getLong(0)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(labelCol)
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
     df.withColumn("_rk", row_number().over(w))

@@ -299,5 +299,10 @@ class CurationSpec extends SparkSpec {
     // two classes at 40 and 10 → 10 kept from each
     val bal = d.filter(col("id") <= 50)
     assert(Curation.balanceClasses(bal, "cls", "id").count() == 20L)
+    // empty input: both ops must return empty, not NPE
+    val empty = d.filter(col("id") < 0)
+    assert(Curation.balanceClasses(empty, "cls", "id").count() == 0L)
+    assert(Curation.curriculumStages(
+      empty.withColumn("score", col("id").cast("double")), "score").count() == 0L)
   }
 }
