@@ -263,6 +263,31 @@ object EventQueries {
         .orderBy(col("n").desc, col("path")).limit(10)
     }),
 
+    // ---- trending via truncated EWMA ---------------------------------
+    // exponentially-weighted hourly counts per event type, decay 0.8
+    // over a trailing 24-bucket window, evaluated at the corpus's final
+    // hour (the "what's trending now" primitive). EWMA is a recursive
+    // fold, which neither engine can express identically — so it is
+    // re-expressed as a SCATTER: each (type, bucket, n) contributes
+    // n·0.8^k to buckets t..t+23 via a broadcast 24-row offsets join,
+    // then one (type, target)-keyed partial-sum shuffle. Missing hours
+    // contribute nothing — exactly zero-filled truncated EWMA — and the
+    // work is |hourly buckets|·24 rows regardless of corpus size.
+    "q_trending_ewma" -> ((s, d) => {
+      val counts = Tables.events(s, d)
+        .withColumn("bucket", date_trunc("hour", col("ts")))
+        .groupBy("event_type", "bucket").agg(count(lit(1)).as("n"))
+      val offsets = s.range(0, 24).select(col("id").cast("int").as("k"))
+      val maxB = counts.agg(max("bucket").as("maxb"))
+      counts.crossJoin(broadcast(offsets))
+        .withColumn("tgt", col("bucket") + expr("make_interval(0, 0, 0, 0, k, 0, 0)"))
+        .groupBy("event_type", "tgt")
+        .agg(sum(col("n") * pow(lit(0.8), col("k"))).as("ewma"))
+        .join(broadcast(maxB), col("tgt") === col("maxb"))
+        .select(col("event_type"), round(col("ewma"), 4).as("ewma"))
+        .orderBy(col("ewma").desc, col("event_type"))
+    }),
+
     // ---- time-hierarchy rollup ---------------------------------------
     // day ⊃ (day, type) subtotals + grand total in ONE pass via rollup
     // (Expand feeds a single partial+final aggregate — one shuffle for
@@ -323,6 +348,18 @@ object EventQueries {
         |SELECT prev_type, curr_type, count(*) AS n
         |FROM lagged WHERE prev_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_trending_ewma" ->
+      """WITH c AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |  count(*) AS n FROM events GROUP BY 1, 2),
+        |o AS (SELECT unnest(range(0, 24)) AS k),
+        |ct AS (SELECT event_type, bucket + to_hours(k) AS tgt,
+        |  n * pow(0.8, k) AS contrib FROM c CROSS JOIN o),
+        |e AS (SELECT event_type, tgt, sum(contrib) AS ewma FROM ct GROUP BY 1, 2),
+        |m AS (SELECT max(bucket) AS maxb FROM c)
+        |SELECT event_type, round(ewma, 4) AS ewma
+        |FROM e CROSS JOIN m WHERE tgt = maxb
+        |ORDER BY ewma DESC, event_type""".stripMargin,
 
     "q_event_paths" ->
       """WITH g AS (SELECT event_type,
