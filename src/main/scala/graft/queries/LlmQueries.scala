@@ -222,6 +222,43 @@ object LlmQueries {
           col("n_label"), round(col("sim"), 4).as("sim"))
     }),
 
+    // hybrid retrieval: dense (cosine top-20) and sparse (trigram-shingle
+    // jaccard top-20) candidate lists fused by reciprocal rank
+    // (k=60, the standard RRF constant) — the RAG two-tower + lexical
+    // fusion primitive. Both lists are broadcast-query streamed-corpus
+    // passes; the fusion is a tiny (queries×40)-row full outer join.
+    // vec_id and doc_id are the same id space in this corpus.
+    "q_hybrid_rrf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dense = Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 20)
+        .select(col("q_id"), col("n_id"), col("rnk").as("rnk_d"))
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), shingleHashes(col("text"), 3).as("sh"))
+      val qs = sh.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("q_id"), col("sh").as("q_sh"))
+      val w = Window.partitionBy("q_id").orderBy(col("j").desc, col("n_id"))
+      val sparse = broadcast(qs)
+        .crossJoin(sh.select(col("doc_id").as("n_id"), col("sh").as("n_sh")))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("j",
+          when(size(array_union(col("q_sh"), col("n_sh"))) === 0, lit(0.0))
+            .otherwise(size(array_intersect(col("q_sh"), col("n_sh"))).cast("double") /
+              size(array_union(col("q_sh"), col("n_sh"))).cast("double")))
+        .withColumn("rnk_s", row_number().over(w))
+        .filter(col("rnk_s") <= 20)
+        .select("q_id", "n_id", "rnk_s")
+      val wf = Window.partitionBy("q_id").orderBy(col("fused").desc, col("n_id"))
+      dense.join(sparse, Seq("q_id", "n_id"), "full_outer")
+        .withColumn("fused",
+          coalesce(lit(1.0) / (lit(60.0) + col("rnk_d")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) + col("rnk_s")), lit(0.0)))
+        .withColumn("rnk", row_number().over(wf))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("rnk"), col("n_id"),
+          round(col("fused"), 6).as("fused"))
+    }),
+
     // ---- embedding similarity ---------------------------------------
     "q_sim_cosine_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -1195,6 +1232,43 @@ object LlmQueries {
         |r AS (SELECT q_id, n_id, sim,
         |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rnk FROM s)
         |SELECT q_id, rnk, n_id, round(sim, 4) AS sim FROM r WHERE rnk <= 5""".stripMargin,
+
+    // dense list = the validated cosine idiom; sparse list = jaccard over
+    // distinct shingle STRINGS (== over their 64-bit hashes, collisions
+    // ~n²/2⁶⁵); RRF scores are sums of exact rationals 1/(60+rank)
+    "q_hybrid_rrf" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
+         |dq AS (SELECT vec_id AS q_id, vd FROM v WHERE vec_id < 10),
+         |ds AS (SELECT q.q_id, c.vec_id AS n_id,
+         |  list_dot_product(q.vd, c.vd)
+         |   / (sqrt(list_dot_product(q.vd, q.vd))
+         |      * sqrt(list_dot_product(c.vd, c.vd))) AS sim
+         | FROM dq q CROSS JOIN v c WHERE q.q_id <> c.vec_id),
+         |dense AS (SELECT q_id, n_id, rnk_d FROM (
+         |  SELECT q_id, n_id, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY sim DESC, n_id) AS rnk_d FROM ds)
+         | WHERE rnk_d <= 20),
+         |t AS (SELECT doc_id, ${sqlShingles(sqlToks)} AS sh FROM documents),
+         |sj AS (SELECT q.doc_id AS q_id, c.doc_id AS n_id,
+         |  CASE WHEN len(list_distinct(list_concat(q.sh, c.sh))) = 0 THEN 0.0
+         |   ELSE len(list_intersect(q.sh, c.sh))::DOUBLE
+         |    / len(list_distinct(list_concat(q.sh, c.sh)))::DOUBLE END AS j
+         | FROM (SELECT * FROM t WHERE doc_id < 10) q CROSS JOIN t c
+         | WHERE q.doc_id <> c.doc_id),
+         |sparse AS (SELECT q_id, n_id, rnk_s FROM (
+         |  SELECT q_id, n_id, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY j DESC, n_id) AS rnk_s FROM sj)
+         | WHERE rnk_s <= 20),
+         |fused AS (SELECT coalesce(dense.q_id, sparse.q_id) AS q_id,
+         |  coalesce(dense.n_id, sparse.n_id) AS n_id,
+         |  coalesce(1.0 / (60.0 + rnk_d), 0.0)
+         |    + coalesce(1.0 / (60.0 + rnk_s), 0.0) AS f
+         | FROM dense FULL OUTER JOIN sparse
+         |   ON dense.q_id = sparse.q_id AND dense.n_id = sparse.n_id)
+         |SELECT q_id, rnk, n_id, round(f, 6) AS fused FROM (
+         |  SELECT q_id, n_id, f, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY f DESC, n_id) AS rnk FROM fused)
+         |WHERE rnk <= 5""".stripMargin,
 
     // exact-percentile cuts (DuckDB percentile_cont matches Spark's
     // exact percentile — the validated q_approx_quantile pairing);
