@@ -187,6 +187,42 @@ object LlmQueries {
       Dedup.simhashNearDup(Tables.documents(s, d), "text", "doc_id",
         prefixBits = 12, maxHamming = 8)),
 
+    // per-doc novelty: the fraction of a doc's distinct shingles that
+    // occur in NO other document (df=1 after subtracting self) — the
+    // inverse signal of boilerplate pruning: high novelty = unique
+    // content worth keeping. One shingle-keyed shuffle with map-side
+    // combine; per-doc ratio is a second bounded agg.
+    "q_novelty" -> ((s, d) => {
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(array_distinct(shinglesN(col("text"), 3))).as("s"))
+      val df_ = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      sh.join(df_, "s")
+        .groupBy("doc_id", "lang")
+        .agg((sum(when(col("df") === 1, 1).otherwise(0)).cast("double") /
+          count(lit(1))).as("novelty"))
+        .groupBy("lang")
+        .agg(round(avg("novelty"), 4).as("avg_novelty"),
+          round(max("novelty"), 4).as("max_novelty"),
+          count(lit(1)).as("n_docs"))
+    }),
+
+    // Zipf fit: slope of ln(freq) vs ln(rank) over the token frequency
+    // head — the corpus-statistics sanity check (natural text ≈ −1).
+    // Two word-keyed shuffles + a 1000-row regression.
+    "q_zipf" -> ((s, d) => {
+      val freq = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("f"))
+      val ranked = freq.withColumn("r",
+          row_number().over(Window.orderBy(col("f").desc, col("w"))))
+        .filter(col("r") <= 1000)
+      ranked.agg(
+        round(expr("regr_slope(ln(f), ln(r))"), 4).as("zipf_slope"),
+        round(expr("regr_r2(ln(f), ln(r))"), 4).as("r2"),
+        count(lit(1)).as("n_terms"))
+    }),
+
     // curriculum staging: quantile-cut the corpus by a difficulty proxy
     // (mean chars per token — longer tokens ≈ harder text) into 4
     // stages; output per-stage composition. Exact-percentile cuts are
@@ -1269,6 +1305,25 @@ object LlmQueries {
          |  SELECT q_id, n_id, f, row_number() OVER (
          |    PARTITION BY q_id ORDER BY f DESC, n_id) AS rnk FROM fused)
          |WHERE rnk <= 5""".stripMargin,
+
+    "q_novelty" ->
+      s"""WITH sh AS (SELECT doc_id, lang, unnest(${sqlShingles(sqlToks)}) AS s
+         |  FROM documents),
+         |df AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+         |nov AS (SELECT doc_id, lang,
+         |  sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*) AS novelty
+         | FROM sh JOIN df USING (s) GROUP BY doc_id, lang)
+         |SELECT lang, round(avg(novelty), 4) AS avg_novelty,
+         | round(max(novelty), 4) AS max_novelty, count(*) AS n_docs
+         |FROM nov GROUP BY lang""".stripMargin,
+
+    "q_zipf" ->
+      s"""WITH f AS (SELECT w, count(*) AS f FROM (
+         |  SELECT unnest($sqlToks) AS w FROM documents) GROUP BY w),
+         |r AS (SELECT f, row_number() OVER (ORDER BY f DESC, w) AS r FROM f)
+         |SELECT round(regr_slope(ln(f), ln(r)), 4) AS zipf_slope,
+         | round(regr_r2(ln(f), ln(r)), 4) AS r2, count(*) AS n_terms
+         |FROM r WHERE r <= 1000""".stripMargin,
 
     // exact-percentile cuts (DuckDB percentile_cont matches Spark's
     // exact percentile — the validated q_approx_quantile pairing);
