@@ -363,6 +363,29 @@ object Similarity {
       .drop("_rk")
   }
 
+  /** Per-dimension standardization (z-scoring) of an embedding column —
+    * the feature-scaling pass before distance-based ops when dimensions
+    * have heterogeneous scales. One (pos)-keyed aggregation computes
+    * dim-bounded (μ, σ) — collected to the driver (|dim| doubles, like
+    * the k-means centroid literals) and re-broadcast as literals — then
+    * the transform is a narrow zip_with. Zero-variance dims pass
+    * through unscaled (σ treated as 1). Adds `z_vec: array<double>`. */
+  def standardizeDims(df: DataFrame, vecCol: String): DataFrame = {
+    val stats = df
+      .select(posexplode(transform(col(vecCol), _.cast("double")))
+        .as(Seq("_p", "_v")))
+      .groupBy("_p")
+      .agg(avg("_v").as("_mu"), stddev_pop("_v").as("_sd"))
+      .orderBy("_p").collect()
+    val mus = typedLit(stats.map(_.getDouble(1)).toIndexedSeq)
+    val sds = typedLit(stats.map(r =>
+      if (r.getDouble(2) == 0.0) 1.0 else r.getDouble(2)).toIndexedSeq)
+    df.withColumn("z_vec",
+      zip_with(transform(col(vecCol), _.cast("double")),
+        sequence(lit(0), lit(stats.length - 1)),
+        (x, i) => (x - element_at(mus, i + 1)) / element_at(sds, i + 1)))
+  }
+
   /** Hard-negative mining for contrastive training: for each query row,
     * the top-k most-cosine-similar corpus rows with a DIFFERENT label —
     * the "close but wrong" examples a retrieval/embedding trainer pairs

@@ -263,6 +263,33 @@ object EventQueries {
         .orderBy(col("n").desc, col("path")).limit(10)
     }),
 
+    // ---- first-touch attribution -------------------------------------
+    // each purchase attributed to the user's EARLIEST click in a 7-day
+    // lookback window (marketing first-touch; the as-of join's mirror).
+    // Per-user interval join — pair count bounded by per-user event
+    // counts, shuffled on user_id — then a min() per purchase and a
+    // day-grained rollup. Gap stays in integer microseconds until the
+    // final avg so both engines divide exactly once.
+    "q_attr_first" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          unix_micros(col("ts")).as("p_us"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("c_us"))
+      val attributed = p.join(c, Seq("user_id"))
+        .filter(col("c_us") <= col("p_us") &&
+          col("c_us") > col("p_us") - lit(7L * 24 * 3600 * 1000000L))
+        .groupBy("p_id").agg(min("c_us").as("first_us"))
+      p.join(attributed, Seq("p_id"), "left_outer")
+        .withColumn("day", to_date(timestamp_micros(col("p_us"))))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_purchases"),
+          count(col("first_us")).as("n_attributed"),
+          round(avg(col("p_us") - col("first_us")), 2).as("avg_gap_us"))
+        .orderBy("day")
+    }),
+
     // ---- trending via truncated EWMA ---------------------------------
     // exponentially-weighted hourly counts per event type, decay 0.8
     // over a trailing 24-bucket window, evaluated at the corpus's final
@@ -348,6 +375,21 @@ object EventQueries {
         |SELECT prev_type, curr_type, count(*) AS n
         |FROM lagged WHERE prev_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_attr_first" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_us(ts) AS c_us
+        |  FROM events WHERE event_type = 'click'),
+        |a AS (SELECT p_id, p_us, min(c_us) AS first_us
+        |  FROM p JOIN c USING (user_id)
+        |  WHERE c_us <= p_us AND c_us > p_us - 604800000000::BIGINT
+        |  GROUP BY p_id, p_us)
+        |SELECT make_timestamp(p.p_us)::DATE AS day,
+        | count(*) AS n_purchases, count(a.first_us) AS n_attributed,
+        | round(avg(p.p_us - a.first_us), 2) AS avg_gap_us
+        |FROM p LEFT JOIN a ON p.p_id = a.p_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_trending_ewma" ->
       """WITH c AS (SELECT event_type, date_trunc('hour', ts) AS bucket,

@@ -187,6 +187,17 @@ object LlmQueries {
       Dedup.simhashNearDup(Tables.documents(s, d), "text", "doc_id",
         prefixBits = 12, maxHamming = 8)),
 
+    // per-dim z-scoring then per-label mean standardized norm — the
+    // feature-scaling primitive; oracle recomputes (μ, σ) itself, so the
+    // check validates the whole standardization algebra
+    "q_embed_standardize" -> ((s, d) => {
+      val z = Similarity.standardizeDims(Tables.embeddings(s, d), "embedding")
+      z.select(col("label"),
+          sqrt(aggregate(col("z_vec"), lit(0.0), (a, x) => a + x * x)).as("zn"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), round(avg("zn"), 3).as("avg_znorm"))
+    }),
+
     // per-doc novelty: the fraction of a doc's distinct shingles that
     // occur in NO other document (df=1 after subtracting self) — the
     // inverse signal of boilerplate pruning: high novelty = unique
@@ -1305,6 +1316,17 @@ object LlmQueries {
          |  SELECT q_id, n_id, f, row_number() OVER (
          |    PARTITION BY q_id ORDER BY f DESC, n_id) AS rnk FROM fused)
          |WHERE rnk <= 5""".stripMargin,
+
+    "q_embed_standardize" ->
+      """WITH e AS (SELECT vec_id, label, unnest(embedding::DOUBLE[]) AS v,
+        |  generate_subscripts(embedding, 1) AS p FROM embeddings),
+        |st AS (SELECT p, avg(v) AS mu,
+        |  CASE WHEN stddev_pop(v) = 0 THEN 1.0 ELSE stddev_pop(v) END AS sd
+        | FROM e GROUP BY p),
+        |z AS (SELECT vec_id, label, sqrt(sum(((v - mu) / sd) * ((v - mu) / sd))) AS zn
+        | FROM e JOIN st USING (p) GROUP BY vec_id, label)
+        |SELECT label, count(*) AS n, round(avg(zn), 3) AS avg_znorm
+        |FROM z GROUP BY label""".stripMargin,
 
     "q_novelty" ->
       s"""WITH sh AS (SELECT doc_id, lang, unnest(${sqlShingles(sqlToks)}) AS s
