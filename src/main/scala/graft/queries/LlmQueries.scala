@@ -251,6 +251,20 @@ object LlmQueries {
           sum("n_chars").as("chars"))
     }),
 
+    // k-fold cross-validation assignment: fold = first md5 nibbles mod k
+    // — the same engine-portable deterministic coin as hashSplit, so the
+    // folds are reproducible anywhere and ~balanced by hash uniformity.
+    // Purely narrow (a projection); the rollup validates balance.
+    "q_kfold" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("fold",
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+            .cast("long") % 5).cast("int"))
+        .groupBy("fold")
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("lang")).as("n_langs"),
+          min("doc_id").as("first_id"))),
+
     // class rebalancing: undersample every label to the minority count
     // with the deterministic md5 coin — balanced-training-set
     // construction, reproducible on any topology
@@ -1365,6 +1379,14 @@ object LlmQueries {
          | round(min(score), 4) AS min_s, round(max(score), 4) AS max_s,
          | sum(n_chars)::BIGINT AS chars
          |FROM st GROUP BY stage""".stripMargin,
+
+    "q_kfold" ->
+      """WITH f AS (SELECT doc_id, lang,
+        |  CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 5 AS INT) AS fold
+        | FROM documents)
+        |SELECT fold, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+        | min(doc_id) AS first_id
+        |FROM f GROUP BY fold""".stripMargin,
 
     "q_class_balance" ->
       """WITH c AS (SELECT min(cnt) AS m FROM (
