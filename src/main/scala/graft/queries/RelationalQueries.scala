@@ -1096,6 +1096,202 @@ object RelationalQueries {
               |GROUP BY c_nationkey ORDER BY cntrycode""".stripMargin)
     }),
 
+    // TPC-H Q2 shape (minimum-cost supplier): partsupp doesn't exist in
+    // this schema, so the part↔supplier relation is DERIVED as
+    // `SELECT DISTINCT l_partkey, l_suppkey FROM lineitem` (the exact
+    // trick the original uses partsupp for), and ps_supplycost's role is
+    // played by s_acctbal. The load-bearing shape survives: a correlated
+    // scalar MIN subquery over the same 4-way join, which Catalyst
+    // decorrelates into a per-part min aggregate joined back — one
+    // shuffle on partkey, not a per-row re-execution
+    "q_sql_tpch_q2" -> ((s, d) => {
+      Seq("part", "supplier", "lineitem", "nation", "region").foreach(t =>
+        Tables.table(s, d, t).createOrReplaceTempView(s"g_$t"))
+      s.sql("""SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+              | p_partkey, p_type
+              |FROM g_part, g_supplier,
+              |  (SELECT DISTINCT l_partkey, l_suppkey FROM g_lineitem) ps,
+              |  g_nation, g_region
+              |WHERE p_partkey = ps.l_partkey AND s_suppkey = ps.l_suppkey
+              |  AND p_size <= 15 AND p_type = 'LARGE'
+              |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              |  AND r_name = 'EUROPE'
+              |  AND s_acctbal = (SELECT min(s2.s_acctbal)
+              |     FROM g_supplier s2,
+              |       (SELECT DISTINCT l_partkey, l_suppkey FROM g_lineitem) ps2,
+              |       g_nation n2, g_region r2
+              |     WHERE ps2.l_partkey = p_partkey
+              |       AND s2.s_suppkey = ps2.l_suppkey
+              |       AND s2.s_nationkey = n2.n_nationkey
+              |       AND n2.n_regionkey = r2.r_regionkey
+              |       AND r2.r_name = 'EUROPE')
+              |ORDER BY s_acctbal, n_name, s_name, p_partkey
+              |LIMIT 100""".stripMargin)
+    }),
+
+    // TPC-H Q4 shape (order-priority checking): the original's late-line
+    // EXISTS needs l_commitdate/l_receiptdate which this schema lacks;
+    // l_returnflag='R' stands in as the per-order lineitem predicate.
+    // The EXISTS decorrelates to a left-semi join on orderkey — the
+    // quarter filter prunes orders BEFORE the semi-join probe
+    "q_sql_tpch_q4" -> ((s, d) => {
+      Seq("orders", "lineitem").foreach(t =>
+        Tables.table(s, d, t).createOrReplaceTempView(s"g_$t"))
+      s.sql("""SELECT o_orderpriority, count(*) AS order_count
+              |FROM g_orders
+              |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              |  AND o_orderdate < TIMESTAMP '1996-04-01'
+              |  AND EXISTS (SELECT 1 FROM g_lineitem
+              |     WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+              |GROUP BY o_orderpriority
+              |ORDER BY o_orderpriority""".stripMargin)
+    }),
+
+    // TPC-H Q9 (product-type profit by nation/year): ps_supplycost is
+    // approximated as 0.5*p_retailprice (no partsupp). The 5-way join's
+    // scale property: part/supplier/nation broadcast, lineitem⋈orders is
+    // the one big shuffle, and the %red% LIKE prunes parts at the scan
+    "q_sql_tpch_q9" -> ((s, d) => {
+      Seq("part", "supplier", "lineitem", "orders", "nation").foreach(t =>
+        Tables.table(s, d, t).createOrReplaceTempView(s"g_$t"))
+      s.sql("""SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+              |FROM (SELECT n_name AS nation, year(o_orderdate) AS o_year,
+              |        l_extendedprice * (1 - l_discount)
+              |          - 0.5 * p_retailprice * l_quantity AS amount
+              |      FROM g_part, g_supplier, g_lineitem, g_orders, g_nation
+              |      WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+              |        AND o_orderkey = l_orderkey
+              |        AND s_nationkey = n_nationkey
+              |        AND p_name LIKE '%red%') profit
+              |GROUP BY nation, o_year
+              |ORDER BY nation, o_year DESC""".stripMargin)
+    }),
+
+    // TPC-H Q11 shape (important stock): partsupp's value =
+    // ps_supplycost*ps_availqty becomes lineitem's extendedprice*quantity
+    // aggregated per part. The global-fraction HAVING is a scalar
+    // subquery — Catalyst computes the total once (same nation-filtered
+    // join, reused plan subtree) and broadcasts the threshold
+    "q_sql_tpch_q11" -> ((s, d) => {
+      Seq("lineitem", "supplier", "nation").foreach(t =>
+        Tables.table(s, d, t).createOrReplaceTempView(s"g_$t"))
+      s.sql("""SELECT l_partkey AS ps_partkey,
+              | round(sum(l_extendedprice * l_quantity), 2) AS value
+              |FROM g_lineitem, g_supplier, g_nation
+              |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+              |  AND n_name = 'NATION_7'
+              |GROUP BY l_partkey
+              |HAVING sum(l_extendedprice * l_quantity) >
+              |  (SELECT sum(l_extendedprice * l_quantity) * 0.001
+              |   FROM g_lineitem, g_supplier, g_nation
+              |   WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+              |     AND n_name = 'NATION_7')
+              |ORDER BY value DESC, ps_partkey LIMIT 100""".stripMargin)
+    }),
+
+    // TPC-H Q12 shape (shipping-mode priority split): no l_shipmode /
+    // l_receiptdate, so the "late" predicate is shipdate > orderdate+60d
+    // and the split key is l_linestatus. The CASE-sum pivot and the
+    // orders⋈lineitem shuffle — Q12's actual measured shape — survive
+    "q_sql_tpch_q12" -> ((s, d) => {
+      Seq("orders", "lineitem").foreach(t =>
+        Tables.table(s, d, t).createOrReplaceTempView(s"g_$t"))
+      s.sql("""SELECT l_linestatus,
+              | sum(CASE WHEN o_orderpriority = '1-URGENT'
+              |       OR o_orderpriority = '2-HIGH'
+              |      THEN 1 ELSE 0 END) AS high_line_count,
+              | sum(CASE WHEN o_orderpriority <> '1-URGENT'
+              |       AND o_orderpriority <> '2-HIGH'
+              |      THEN 1 ELSE 0 END) AS low_line_count
+              |FROM g_orders, g_lineitem
+              |WHERE o_orderkey = l_orderkey
+              |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+              |  AND l_shipdate >= TIMESTAMP '1997-01-01'
+              |  AND l_shipdate < TIMESTAMP '1998-01-01'
+              |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)
+    }),
+
+    // TPC-H Q16 (part/supplier relationship count): partsupp derived
+    // from lineitem as in Q2; NOT IN over a complaint-supplier set
+    // (negative acctbal stands in for the comment LIKE). The NOT IN is
+    // null-free so Catalyst plans a plain (not null-aware) anti join
+    "q_sql_tpch_q16" -> ((s, d) => {
+      Seq("part", "supplier", "lineitem").foreach(t =>
+        Tables.table(s, d, t).createOrReplaceTempView(s"g_$t"))
+      s.sql("""SELECT p_brand, p_type, p_size,
+              | count(DISTINCT ps.l_suppkey) AS supplier_cnt
+              |FROM (SELECT DISTINCT l_partkey, l_suppkey
+              |      FROM g_lineitem) ps, g_part
+              |WHERE p_partkey = ps.l_partkey
+              |  AND p_brand <> 'Brand#45' AND p_type <> 'MEDIUM'
+              |  AND p_size IN (1, 4, 7, 10, 14, 19, 25, 36, 45, 49)
+              |  AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM g_supplier
+              |      WHERE s_acctbal < 0)
+              |GROUP BY p_brand, p_type, p_size
+              |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+              |LIMIT 100""".stripMargin)
+    }),
+
+    // TPC-H Q17 (small-quantity-order revenue): correlated scalar AVG
+    // subquery per part — the decorrelation poster child: Catalyst
+    // rewrites to an aggregate of lineitem grouped by partkey joined
+    // back, so the per-part average is computed once in one shuffle
+    "q_sql_tpch_q17" -> ((s, d) => {
+      Seq("lineitem", "part").foreach(t =>
+        Tables.table(s, d, t).createOrReplaceTempView(s"g_$t"))
+      s.sql("""SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+              |FROM g_lineitem, g_part
+              |WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
+              |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+              |     FROM g_lineitem l2 WHERE l2.l_partkey = p_partkey)
+              |""".stripMargin)
+    }),
+
+    // TPC-H Q20 shape (excess-stock suppliers): the partsupp availqty
+    // check becomes a grouped-HAVING over shipped quantity; the nested
+    // IN chain (supplier ← qualifying lineitem ← red parts) is the
+    // original's structure and plans as two stacked semi-joins
+    "q_sql_tpch_q20" -> ((s, d) => {
+      Seq("supplier", "lineitem", "part", "nation").foreach(t =>
+        Tables.table(s, d, t).createOrReplaceTempView(s"g_$t"))
+      s.sql("""SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+              |FROM g_supplier, g_nation
+              |WHERE s_suppkey IN (
+              |    SELECT l_suppkey FROM g_lineitem
+              |    WHERE l_partkey IN (SELECT p_partkey FROM g_part
+              |        WHERE p_name LIKE 'red%')
+              |      AND l_shipdate >= TIMESTAMP '1997-01-01'
+              |      AND l_shipdate < TIMESTAMP '1998-01-01'
+              |    GROUP BY l_suppkey HAVING sum(l_quantity) > 50)
+              |  AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+              |ORDER BY s_name""".stripMargin)
+    }),
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting): the original's
+    // "only this supplier was late" becomes "only this supplier's line
+    // was returned" (no receipt/commit dates). The signature EXISTS +
+    // NOT-EXISTS pair on the SAME order with a different-supplier
+    // predicate survives verbatim — Catalyst plans semi + anti joins on
+    // orderkey with the suppkey disequality as a join-side filter
+    "q_sql_tpch_q21" -> ((s, d) => {
+      Seq("supplier", "lineitem", "orders", "nation").foreach(t =>
+        Tables.table(s, d, t).createOrReplaceTempView(s"g_$t"))
+      s.sql("""SELECT s_name, count(*) AS numwait
+              |FROM g_supplier, g_lineitem l1, g_orders, g_nation
+              |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+              |  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+              |  AND EXISTS (SELECT 1 FROM g_lineitem l2
+              |     WHERE l2.l_orderkey = l1.l_orderkey
+              |       AND l2.l_suppkey <> l1.l_suppkey)
+              |  AND NOT EXISTS (SELECT 1 FROM g_lineitem l3
+              |     WHERE l3.l_orderkey = l1.l_orderkey
+              |       AND l3.l_suppkey <> l1.l_suppkey
+              |       AND l3.l_returnflag = 'R')
+              |  AND s_nationkey = n_nationkey AND n_nationkey < 13
+              |GROUP BY s_name
+              |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)
+    }),
+
     // edit-distance near-match pairs (levenshtein): the fuzzy-string
     // primitive behind entity resolution / short-field dedup — blocked
     // by brand so the pair space is |brand-group|², never corpus²
@@ -1990,6 +2186,131 @@ object RelationalQueries {
         |  AND NOT EXISTS (SELECT 1 FROM orders o
         |    WHERE o.o_custkey = c.c_custkey
         |      AND o.o_totalprice > 300000)
-        |GROUP BY c_nationkey ORDER BY cntrycode""".stripMargin
+        |GROUP BY c_nationkey ORDER BY cntrycode""".stripMargin,
+
+    "q_sql_tpch_q2" ->
+      """SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+        | p_partkey, p_type
+        |FROM part, supplier,
+        |  (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps,
+        |  nation, region
+        |WHERE p_partkey = ps.l_partkey AND s_suppkey = ps.l_suppkey
+        |  AND p_size <= 15 AND p_type = 'LARGE'
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE'
+        |  AND s_acctbal = (SELECT min(s2.s_acctbal)
+        |     FROM supplier s2,
+        |       (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps2,
+        |       nation n2, region r2
+        |     WHERE ps2.l_partkey = p_partkey
+        |       AND s2.s_suppkey = ps2.l_suppkey
+        |       AND s2.s_nationkey = n2.n_nationkey
+        |       AND n2.n_regionkey = r2.r_regionkey
+        |       AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    "q_sql_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |     WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_sql_tpch_q9" ->
+      """SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+        |FROM (SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |        l_extendedprice * (1 - l_discount)
+        |          - 0.5 * p_retailprice * l_quantity AS amount
+        |      FROM part, supplier, lineitem, orders, nation
+        |      WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+        |        AND o_orderkey = l_orderkey
+        |        AND s_nationkey = n_nationkey
+        |        AND p_name LIKE '%red%') profit
+        |GROUP BY nation, o_year
+        |ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q_sql_tpch_q11" ->
+      """SELECT l_partkey AS ps_partkey,
+        | round(sum(l_extendedprice * l_quantity), 2) AS value
+        |FROM lineitem, supplier, nation
+        |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |  AND n_name = 'NATION_7'
+        |GROUP BY l_partkey
+        |HAVING sum(l_extendedprice * l_quantity) >
+        |  (SELECT sum(l_extendedprice * l_quantity) * 0.001
+        |   FROM lineitem, supplier, nation
+        |   WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |     AND n_name = 'NATION_7')
+        |ORDER BY value DESC, ps_partkey LIMIT 100""".stripMargin,
+
+    "q_sql_tpch_q12" ->
+      """SELECT l_linestatus,
+        | sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |       OR o_orderpriority = '2-HIGH'
+        |      THEN 1 ELSE 0 END) AS high_line_count,
+        | sum(CASE WHEN o_orderpriority <> '1-URGENT'
+        |       AND o_orderpriority <> '2-HIGH'
+        |      THEN 1 ELSE 0 END) AS low_line_count
+        |FROM orders, lineitem
+        |WHERE o_orderkey = l_orderkey
+        |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q_sql_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        | count(DISTINCT ps.l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey
+        |      FROM lineitem) ps, part
+        |WHERE p_partkey = ps.l_partkey
+        |  AND p_brand <> 'Brand#45' AND p_type <> 'MEDIUM'
+        |  AND p_size IN (1, 4, 7, 10, 14, 19, 25, 36, 45, 49)
+        |  AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |      WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        |LIMIT 100""".stripMargin,
+
+    "q_sql_tpch_q17" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
+        |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+        |     FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        |""".stripMargin,
+
+    "q_sql_tpch_q20" ->
+      """SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+        |FROM supplier, nation
+        |WHERE s_suppkey IN (
+        |    SELECT l_suppkey FROM lineitem
+        |    WHERE l_partkey IN (SELECT p_partkey FROM part
+        |        WHERE p_name LIKE 'red%')
+        |      AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |      AND l_shipdate < TIMESTAMP '1998-01-01'
+        |    GROUP BY l_suppkey HAVING sum(l_quantity) > 50)
+        |  AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+        |ORDER BY s_name""".stripMargin,
+
+    "q_sql_tpch_q21" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier, lineitem l1, orders, nation
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |     WHERE l2.l_orderkey = l1.l_orderkey
+        |       AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |     WHERE l3.l_orderkey = l1.l_orderkey
+        |       AND l3.l_suppkey <> l1.l_suppkey
+        |       AND l3.l_returnflag = 'R')
+        |  AND s_nationkey = n_nationkey AND n_nationkey < 13
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
   )
 }
