@@ -337,7 +337,65 @@ object EventQueries {
           Tables.part(s, d)
             .select(col("p_partkey"), col("p_retailprice"), col("p_size")),
           "p_retailprice", "p_size")
-        .orderBy("p_retailprice", "p_partkey"))
+        .orderBy("p_retailprice", "p_partkey")),
+
+    // ---- PageRank over the event-transition graph --------------------
+    // which state is "central" in user journeys: nodes = event types,
+    // edges = consecutive-event transitions (lead over the per-user
+    // timeline), 6 synchronous iterations at damping 0.85 via
+    // [[graft.ops.Graph.pageRank]] — one shuffle per iteration, rank
+    // vector always |nodes| rows. The oracle unrolls the identical six
+    // iterations as a CTE chain, so the hash compare pins the whole
+    // fixpoint computation, not just the final shape.
+    "q_pagerank" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val edges = ev
+        .select(col("event_type").as("src"),
+          lead("event_type", 1).over(w).as("dst"))
+        .filter(col("dst").isNotNull)
+        .groupBy("src", "dst").agg(count(lit(1)).cast("double").as("w"))
+      val nodes = ev.select(col("event_type").as("node")).distinct()
+      graft.ops.Graph.pageRank(nodes, edges, "src", "dst", "w",
+          iters = 6, damping = 0.85)
+        .select(col("node"), round(col("rank"), 4).as("pr"))
+        .orderBy(desc("pr"), col("node"))
+    }),
+
+    // ---- frequent co-occurring event-type pairs ----------------------
+    // market-basket support mining (basket = user): which behaviors
+    // co-occur. distinct() bounds each basket at the type-domain size,
+    // so the pair space is |types|²/2 per user — linear in users
+    "q_freq_pairs" -> ((s, d) =>
+      graft.ops.Graph.frequentPairs(
+          Tables.events(s, d), "user_id", "event_type", minSupport = 10L)
+        .orderBy(desc("support"), col("item_a"), col("item_b"))),
+
+    // ---- count-min sketch heavy hitters ------------------------------
+    // the frequency-sketch twin of q_approx_hll: a CMS over event_type
+    // built distributed (map-side partial sketches merged associatively
+    // by Spark's stat machinery), probed for each type in the bounded
+    // domain. CMS guarantees est ≥ exact and, w.p. ≥ confidence,
+    // est ≤ exact + eps·N — both bounds are asserted IN the query
+    // (cms_ok), the oracle pins exact counts + literal TRUE. The
+    // domain collect is 5 rows (the sketch is the point: at 100 TB the
+    // sketch is KBs while exact per-key counts are a full shuffle).
+    "q_count_min" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val eps = 0.001
+      val cms = ev.stat.countMinSketch("event_type", eps, 0.99, 42)
+      val exact = ev.groupBy("event_type").agg(count(lit(1)).as("exact_n"))
+      val total = ev.count()
+      val types = exact.select("event_type").as[String].collect().toSeq
+      val est = types.map(t => (t, cms.estimateCount(t))).toDF("event_type", "_est")
+      exact.join(broadcast(est), Seq("event_type"))
+        .select(col("event_type"), col("exact_n"),
+          (col("_est") >= col("exact_n") &&
+            col("_est") <= col("exact_n") + lit(math.ceil(eps * total).toLong))
+            .as("cms_ok"))
+        .orderBy("event_type")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -518,6 +576,49 @@ object EventQueries {
         |    AND b.p_size >= a.p_size
         |    AND (b.p_retailprice < a.p_retailprice
         |      OR b.p_size > a.p_size))
-        |ORDER BY p_retailprice, p_partkey""".stripMargin
+        |ORDER BY p_retailprice, p_partkey""".stripMargin,
+
+    // six unrolled PageRank iterations — the oracle replays the exact
+    // fixpoint loop, so any drift in edge weights, normalization, or the
+    // teleport term hash-mismatches
+    "q_pagerank" -> {
+      val iters = (1 to 6).map { k =>
+        s""", r$k AS (SELECT n.node,
+           |   0.15 / nn.n + 0.85 * coalesce(s.m, 0) AS rank
+           | FROM nodes n CROSS JOIN nn
+           | LEFT JOIN (SELECT e.dst, sum(e.p * r.rank) AS m
+           |            FROM e JOIN r${k - 1} r ON e.src = r.node
+           |            GROUP BY e.dst) s
+           |   ON s.dst = n.node)""".stripMargin
+      }.mkString("\n")
+      s"""WITH ord AS (SELECT event_type AS src,
+         |   lead(event_type) OVER (PARTITION BY user_id
+         |     ORDER BY ts, event_id) AS dst
+         | FROM events),
+         |edges AS (SELECT src, dst, count(*)::DOUBLE AS w FROM ord
+         | WHERE dst IS NOT NULL GROUP BY src, dst),
+         |outw AS (SELECT src, sum(w) AS tot FROM edges GROUP BY src),
+         |e AS (SELECT edges.src, edges.dst, w / tot AS p
+         | FROM edges JOIN outw ON edges.src = outw.src),
+         |nodes AS (SELECT DISTINCT event_type AS node FROM events),
+         |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+         |r0 AS (SELECT node, 1.0 / n AS rank FROM nodes CROSS JOIN nn)
+         |$iters
+         |SELECT node, round(rank, 4) AS pr FROM r6
+         |ORDER BY pr DESC, node""".stripMargin
+    },
+
+    "q_freq_pairs" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+        |SELECT a.event_type AS item_a, b.event_type AS item_b,
+        | count(*) AS support
+        |FROM ut a JOIN ut b
+        |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |GROUP BY 1, 2 HAVING count(*) >= 10
+        |ORDER BY support DESC, item_a, item_b""".stripMargin,
+
+    "q_count_min" ->
+      """SELECT event_type, count(*) AS exact_n, TRUE AS cms_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

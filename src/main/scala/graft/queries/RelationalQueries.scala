@@ -131,6 +131,31 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"),
           round(sum("o_totalprice"), 2).as("rev"))),
 
+    // Bloom-filter join pruning — the runtime-filter pattern Spark's own
+    // InjectRuntimeFilter applies, done explicitly: build a Bloom filter
+    // over the SMALL side's join keys (distributed partial sketches,
+    // merged driver-side into KBs), broadcast it, and pre-filter the BIG
+    // side's scan before the exact semi-join. False positives pass the
+    // Bloom probe but die in the exact join, so the result is
+    // bit-identical to the plain semi-join — which is the oracle. At
+    // 100 TB the payoff is the shuffle that never happens: non-matching
+    // lineitem rows are dropped at the scan, not after the exchange.
+    "q_bloom_prune" -> ((s, d) => {
+      val ok = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 300000).select("o_orderkey")
+      val nKeys = math.max(1000L, ok.count())
+      val bf = ok.stat.bloomFilter("o_orderkey", nKeys, 0.01)
+      val bfB = s.sparkContext.broadcast(bf)
+      val mightContain = udf((k: Long) => bfB.value.mightContain(k))
+      Tables.lineitem(s, d)
+        .filter(mightContain(col("l_orderkey")))
+        .join(ok, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_extendedprice"), 2).as("rev"))
+        .orderBy("l_returnflag")
+    }),
+
     "q_join_multiway" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       val o = Tables.orders(s, d)
@@ -1931,6 +1956,16 @@ object RelationalQueries {
         | round(sum(o_totalprice), 2) AS rev
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+
+    // Bloom pre-filter is an optimization, not a semantics change: the
+    // oracle is the plain semi-join the pruned plan must reproduce
+    "q_bloom_prune" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | round(sum(l_extendedprice), 2) AS rev
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |    WHERE o_totalprice > 300000)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_edit_distance" ->
       """WITH p AS (SELECT p_partkey, p_brand, p_name FROM part

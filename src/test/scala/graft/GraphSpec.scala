@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Graph
+
+/** Semantics pins for [[graft.ops.Graph]] that the single-dataset oracle
+  * hash can't express: conservation of rank mass, convergence toward the
+  * known stationary distribution, and basket-support ground truth.
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank: mass conserved and uniform on a symmetric cycle") {
+    // a → b → c → a: stationary distribution is exactly uniform
+    val edges = Seq(("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0))
+      .toDF("src", "dst", "w")
+    val nodes = Seq("a", "b", "c").toDF("node")
+    val r = Graph.pageRank(nodes, edges, "src", "dst", "w", 10, 0.85)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    r.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-9))
+  }
+
+  test("pageRank: sink-heavy star ranks the hub highest") {
+    // spokes all point at hub; hub returns to one spoke. Hub must
+    // dominate; total mass stays 1 (no dangling nodes here).
+    val edges = Seq(("s1", "hub", 1.0), ("s2", "hub", 1.0),
+      ("s3", "hub", 1.0), ("hub", "s1", 1.0)).toDF("src", "dst", "w")
+    val nodes = Seq("hub", "s1", "s2", "s3").toDF("node")
+    val r = Graph.pageRank(nodes, edges, "src", "dst", "w", 20, 0.85)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    assert(r("hub") > r("s1") && r("s1") > r("s2"))
+    assert(math.abs(r("s2") - r("s3")) < 1e-12) // symmetric spokes tie
+  }
+
+  test("pageRank: weighted edges shift mass proportionally") {
+    // a splits 3:1 between b and c; b,c return to a. b gets more.
+    val edges = Seq(("a", "b", 3.0), ("a", "c", 1.0),
+      ("b", "a", 1.0), ("c", "a", 1.0)).toDF("src", "dst", "w")
+    val nodes = Seq("a", "b", "c").toDF("node")
+    val r = Graph.pageRank(nodes, edges, "src", "dst", "w", 30, 0.85)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r("b") > r("c"))
+    // at the fixpoint b ≈ teleport + 0.85·(3/4)·a, c ≈ teleport + 0.85·(1/4)·a
+    val ratio = (r("b") - 0.05) / (r("c") - 0.05)
+    assert(math.abs(ratio - 3.0) < 1e-6)
+  }
+
+  test("frequentPairs: exact supports on a known basket set") {
+    val df = Seq(
+      (1, "x"), (1, "y"), (1, "z"), (1, "x"), // dup x collapses
+      (2, "x"), (2, "y"),
+      (3, "x"), (3, "z")).toDF("basket", "item")
+    val got = Graph.frequentPairs(df, "basket", "item", 1L)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .toMap
+    assert(got == Map(("x", "y") -> 2L, ("x", "z") -> 2L, ("y", "z") -> 1L))
+    // minSupport filters
+    val hi = Graph.frequentPairs(df, "basket", "item", 2L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(hi == Set(("x", "y"), ("x", "z")))
+  }
+
+  test("bloom pre-filter never loses a true match (q_bloom_prune invariant)") {
+    val ok = Tables.orders(spark, sf)
+      .filter(col("o_totalprice") > 300000).select("o_orderkey")
+    val bf = ok.stat.bloomFilter("o_orderkey", math.max(1000L, ok.count()), 0.01)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mc = udf((k: Long) => bfB.value.mightContain(k))
+    val li = Tables.lineitem(spark, sf)
+    val pruned = li.filter(mc(col("l_orderkey")))
+    val exact = li.join(ok, col("l_orderkey") === col("o_orderkey"),
+      "left_semi")
+    // no false negatives: every exact-match row survives the Bloom probe
+    assert(exact.count() ==
+      exact.filter(mc(col("l_orderkey"))).count())
+    // and the probe actually prunes (selective predicate, fpp 1%)
+    assert(pruned.count() < li.count())
+  }
+}
