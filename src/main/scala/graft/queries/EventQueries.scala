@@ -371,6 +371,32 @@ object EventQueries {
           Tables.events(s, d), "user_id", "event_type", minSupport = 10L)
         .orderBy(desc("support"), col("item_a"), col("item_b"))),
 
+    // ---- event-sequence pattern matching (MATCH_RECOGNIZE shape) -----
+    // per-user journeys as ordered event-type-initial strings, then a
+    // regex over the journey counts conversion patterns (view → clicks*
+    // → purchase). This is the flatten-to-string trick for sequence
+    // regex: one groupBy shuffle keyed by user, journey length bounded
+    // by per-user event counts, the regex engine runs codegen'd per row
+    // — no self-join blow-up, no per-pattern state machine. The oracle
+    // rebuilds journeys with ORDER BY inside string_agg; both regex
+    // engines count non-overlapping leftmost matches of 'vc*p'.
+    "q_sequence_match" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val j = ev
+        .select(col("user_id"),
+          struct(col("ts"), col("event_id"),
+            substring(col("event_type"), 1, 1).as("i")).as("st"))
+        .groupBy("user_id")
+        .agg(array_join(
+          transform(array_sort(collect_list(col("st"))),
+            x => x.getField("i")), "").as("journey"))
+      j.select(col("user_id"),
+          length(col("journey")).cast("long").as("n_events"),
+          regexp_count(col("journey"), lit("vc*p")).cast("long")
+            .as("n_conversions"))
+        .orderBy("user_id")
+    }),
+
     // ---- count-min sketch heavy hitters ------------------------------
     // the frequency-sketch twin of q_approx_hll: a CMS over event_type
     // built distributed (map-side partial sketches merged associatively
@@ -619,6 +645,15 @@ object EventQueries {
 
     "q_count_min" ->
       """SELECT event_type, count(*) AS exact_n, TRUE AS cms_ok
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_sequence_match" ->
+      """WITH j AS (SELECT user_id,
+        |  string_agg(substr(event_type, 1, 1), ''
+        |    ORDER BY ts, event_id) AS journey
+        | FROM events GROUP BY user_id)
+        |SELECT user_id, length(journey) AS n_events,
+        | len(regexp_extract_all(journey, 'vc*p')) AS n_conversions
+        |FROM j ORDER BY user_id""".stripMargin
   )
 }

@@ -41,6 +41,27 @@ object LlmQueries {
           sum("n_chars").as("chars"),
           sum(tokenCount(col("text"))).as("n_tokens"))),
 
+    // readability scoring (Flesch-shaped proxy): syllables approximated
+    // as vowel-group runs — the standard trick when no dictionary is
+    // shippable. documents.text has no sentence punctuation (TESTDATA
+    // drift note), so the "sentence" term degenerates to per-doc and the
+    // score reduces to word-count and vowel-density terms. Pure regex
+    // counting, codegen'd, one groupBy(lang) shuffle of |langs| rows.
+    "q_readability" -> ((s, d) => {
+      val w = Tables.documents(s, d)
+        .select(col("lang"),
+          regexp_count(col("text"), lit("[A-Za-z]+")).cast("double")
+            .as("words"),
+          regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("double")
+            .as("vg"))
+        .filter(col("words") > 0)
+      w.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(lit(206.835) - lit(1.015) * col("words")
+            - lit(84.6) * (col("vg") / col("words"))), 2).as("avg_score"))
+        .orderBy("lang")
+    }),
+
     "q_text_tokens" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("lang"), explode(tokens(col("text"))).as("tok"))
@@ -1057,6 +1078,16 @@ object LlmQueries {
          | min(tok) AS first_tok
          |FROM (SELECT lang, unnest($sqlToks) AS tok FROM documents)
          |GROUP BY lang""".stripMargin,
+
+    "q_readability" ->
+      """WITH w AS (SELECT lang,
+        |  len(regexp_extract_all(text, '[A-Za-z]+'))::DOUBLE AS words,
+        |  len(regexp_extract_all(lower(text), '[aeiouy]+'))::DOUBLE AS vg
+        | FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        | round(avg(206.835 - 1.015 * words - 84.6 * (vg / words)), 2)
+        |   AS avg_score
+        |FROM w WHERE words > 0 GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_text_quality" ->
       s"""WITH t AS (SELECT lang, $sqlToks AS toks FROM documents)

@@ -1200,17 +1200,21 @@ object RelationalQueries {
     "q_sql_tpch_q11" -> ((s, d) => {
       Seq("lineitem", "supplier", "nation").foreach(t =>
         Tables.table(s, d, t).createOrReplaceTempView(s"g_$t"))
+      // threshold = 1.5× the mean per-part share (TPC-H scales its
+      // fraction by 1/SF for exactly this reason — a fixed fraction
+      // empties out as the part count grows; this form is SF-invariant)
       s.sql("""SELECT l_partkey AS ps_partkey,
               | round(sum(l_extendedprice * l_quantity), 2) AS value
               |FROM g_lineitem, g_supplier, g_nation
               |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
-              |  AND n_name = 'NATION_7'
+              |  AND n_nationkey < 8
               |GROUP BY l_partkey
               |HAVING sum(l_extendedprice * l_quantity) >
-              |  (SELECT sum(l_extendedprice * l_quantity) * 0.001
+              |  (SELECT 1.5 * sum(l_extendedprice * l_quantity)
+              |     / count(DISTINCT l_partkey)
               |   FROM g_lineitem, g_supplier, g_nation
               |   WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
-              |     AND n_name = 'NATION_7')
+              |     AND n_nationkey < 8)
               |ORDER BY value DESC, ps_partkey LIMIT 100""".stripMargin)
     }),
 
@@ -2273,13 +2277,14 @@ object RelationalQueries {
         | round(sum(l_extendedprice * l_quantity), 2) AS value
         |FROM lineitem, supplier, nation
         |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
-        |  AND n_name = 'NATION_7'
+        |  AND n_nationkey < 8
         |GROUP BY l_partkey
         |HAVING sum(l_extendedprice * l_quantity) >
-        |  (SELECT sum(l_extendedprice * l_quantity) * 0.001
+        |  (SELECT 1.5 * sum(l_extendedprice * l_quantity)
+        |     / count(DISTINCT l_partkey)
         |   FROM lineitem, supplier, nation
         |   WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
-        |     AND n_name = 'NATION_7')
+        |     AND n_nationkey < 8)
         |ORDER BY value DESC, ps_partkey LIMIT 100""".stripMargin,
 
     "q_sql_tpch_q12" ->
