@@ -16,10 +16,12 @@ import org.apache.spark.sql.functions._
   * Edges and nodes are cached once and reused across iterations; the
   * rank vector is |nodes| rows, always the small side, so the
   * per-iteration join broadcasts it against the edge partition layout
-  * rather than re-shuffling edges. Lineage grows linearly in the
-  * iteration count — for the fixed small counts used here that's fine;
-  * at hundreds of iterations you'd `localCheckpoint` every ~10 to cut
-  * the plan, which changes nothing semantically.
+  * rather than re-shuffling edges. The rank vector is
+  * `localCheckpoint`ed each iteration: without it, iteration k's plan
+  * contains every previous iteration's joins and the optimizer replans
+  * (and a non-cached input would re-execute) the whole chain — the
+  * classic iterative-DataFrame lineage blowup. Checkpointing makes each
+  * iteration exactly one materialized job with a constant-size plan.
   */
 object Graph {
 
@@ -50,6 +52,7 @@ object Graph {
         .select(col("node"),
           (lit((1.0 - damping) / n) +
             lit(damping) * coalesce(col("_m"), lit(0.0))).as("rank"))
+        .localCheckpoint()
     }
     ranks
   }

@@ -371,6 +371,57 @@ object EventQueries {
           Tables.events(s, d), "user_id", "event_type", minSupport = 10L)
         .orderBy(desc("support"), col("item_a"), col("item_b"))),
 
+    // ---- SCD2 history build (type-2 dimension from an event log) -----
+    // collapse each user's consecutive same-type runs into validity
+    // intervals — the gaps-and-islands double window (change flag, then
+    // running sum as island id) that every warehouse's dimension-history
+    // builder uses. Both windows share the (user_id | ts, event_id)
+    // sort, so Catalyst plans ONE shuffle + ONE sort for the whole
+    // chain; the interval table is then a plain groupBy. Per-user state
+    // is bounded by that user's run count — nothing global.
+    "q_scd2" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val iv = Tables.events(s, d)
+        .withColumn("chg",
+          when(lag("event_type", 1).over(w).isNull ||
+            lag("event_type", 1).over(w) =!= col("event_type"), 1)
+            .otherwise(0))
+        .withColumn("grp", sum("chg").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "event_type", "grp")
+        .agg(min("ts").as("valid_from"), max("ts").as("last_seen"),
+          count(lit(1)).as("n_rows"))
+      iv.groupBy("user_id")
+        .agg(count(lit(1)).as("n_versions"),
+          max("n_rows").as("longest_run"),
+          round(sum(col("last_seen").cast("double")
+            - col("valid_from").cast("double")), 1).as("total_span_s"))
+        .orderBy("user_id")
+    }),
+
+    // ---- time-weighted average ---------------------------------------
+    // telemetry TWA: each reading weighted by its holding time (gap to
+    // the next event); the final reading has no duration and drops out.
+    // One window pass + one groupBy on the same user key — a single
+    // shuffle. Timestamps go through cast(double) (µs-precision epoch)
+    // on both engines; unix_timestamp would truncate to seconds and
+    // hash-mismatch.
+    "q_time_weighted_avg" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .withColumn("dt", lead("ts", 1).over(w).cast("double")
+          - col("ts").cast("double"))
+        .filter(col("dt").isNotNull)
+        .groupBy("user_id")
+        .agg(round(sum(col("value") * col("dt")) / sum(col("dt")), 4)
+            .as("twa"),
+          count(lit(1)).as("n"),
+          sum(col("dt")).as("_sum_dt"))
+        .filter(col("_sum_dt") > 0) // HAVING: all-simultaneous users drop
+        .drop("_sum_dt")
+        .orderBy("user_id")
+    }),
+
     // ---- event-sequence pattern matching (MATCH_RECOGNIZE shape) -----
     // per-user journeys as ordered event-type-initial strings, then a
     // regex over the journey counts conversion patterns (view → clicks*
@@ -646,6 +697,33 @@ object EventQueries {
     "q_count_min" ->
       """SELECT event_type, count(*) AS exact_n, TRUE AS cms_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_scd2" ->
+      """WITH o AS (SELECT user_id, ts, event_id, event_type,
+        |   CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+        |       ORDER BY ts, event_id)
+        |      IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+        | FROM events),
+        |g AS (SELECT user_id, event_type, ts,
+        |   sum(chg) OVER (PARTITION BY user_id
+        |     ORDER BY ts, event_id) AS grp FROM o),
+        |iv AS (SELECT user_id, event_type, grp, min(ts) AS valid_from,
+        |   max(ts) AS last_seen, count(*) AS n_rows
+        | FROM g GROUP BY user_id, event_type, grp)
+        |SELECT user_id, count(*) AS n_versions, max(n_rows) AS longest_run,
+        | round(sum(epoch(last_seen) - epoch(valid_from)), 1)
+        |   AS total_span_s
+        |FROM iv GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_time_weighted_avg" ->
+      """WITH o AS (SELECT user_id, value,
+        |   epoch(lead(ts) OVER (PARTITION BY user_id
+        |     ORDER BY ts, event_id)) - epoch(ts) AS dt
+        | FROM events)
+        |SELECT user_id, round(sum(value * dt) / sum(dt), 4) AS twa,
+        | count(*) AS n
+        |FROM o WHERE dt IS NOT NULL GROUP BY user_id HAVING sum(dt) > 0
+        |ORDER BY user_id""".stripMargin,
 
     "q_sequence_match" ->
       """WITH j AS (SELECT user_id,

@@ -242,4 +242,45 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange"),
       "assignment must be a narrow projection:\n" + p.take(600))
   }
+
+  test("window→groupBy chains on the same key plan exactly one shuffle") {
+    // q_scd2 (double window + 2 groupBys), q_time_weighted_avg
+    // (window + groupBy), q_sequence_match (collect_list groupBy): all
+    // keyed on user_id throughout — a second hashpartitioning Exchange
+    // means Catalyst stopped reusing the partitioning across stages
+    for (q <- Seq("q_scd2", "q_time_weighted_avg", "q_sequence_match")) {
+      val p = plan(q)
+      val n = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(n == 1, s"$q: expected 1 user_id shuffle, saw $n:\n" + p.take(600))
+    }
+  }
+
+  test("q_sql_tpch_q17: correlated AVG decorrelates to broadcast joins") {
+    val p = plan("q_sql_tpch_q17")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(p.contains("BroadcastHashJoin"),
+      "per-part avg must join back, not re-execute per row:\n" + p.take(600))
+  }
+
+  test("q_bloom_prune: Bloom probe filters the scan side before the semi-join") {
+    val p = plan("q_bloom_prune")
+    assert(p.contains("LeftSemi"), p.take(600))
+    // the UDF probe must sit under the join (scan-side Filter), so the
+    // pruned rows never reach the join operator
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    val udfIdx = p.indexOf("UDF(knownnotnull(l_orderkey")
+    assert(joinIdx >= 0 && udfIdx > joinIdx,
+      "Bloom probe expected below the semi-join:\n" + p.take(800))
+  }
+
+  test("pageRank: per-iteration checkpoint keeps the final plan constant-size") {
+    val p = plan("q_pagerank")
+    // without localCheckpoint the 6th iteration's plan contains all
+    // previous iterations (≈50 exchanges); with it, only the last
+    // iteration's join + final ordering remain
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n <= 6, s"lineage blowup: $n exchanges:\n" + p.take(600))
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      "checkpointed rank vector expected as the iteration input")
+  }
 }
