@@ -371,6 +371,27 @@ object EventQueries {
           Tables.events(s, d), "user_id", "event_type", minSupport = 10L)
         .orderBy(desc("support"), col("item_a"), col("item_b"))),
 
+    // ---- CDC apply (change-log → materialized snapshot) --------------
+    // the merge pattern under every CDC-fed table: a keyed change log
+    // (upserts carry the new value, deletes tombstone the key) collapses
+    // to last-writer-wins state. One descending row_number window keyed
+    // on user_id — tombstones filter AFTER picking the winner, so a
+    // delete that is the last op removes the key entirely (120 of 150
+    // users survive at sf0.01). Same single-shuffle shape at any log
+    // size; in streaming this is exactly transformWithState's per-key
+    // latest-value state (StreamingOps), batched.
+    "q_cdc_apply" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("op",
+          when(col("event_type") === "error", lit("D")).otherwise(lit("U")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("op") === "U")
+        .select(col("user_id"), round(col("value"), 2).as("final_value"))
+        .orderBy("user_id")
+    }),
+
     // ---- SCD2 history build (type-2 dimension from an event log) -----
     // collapse each user's consecutive same-type runs into validity
     // intervals — the gaps-and-islands double window (change flag, then
@@ -697,6 +718,16 @@ object EventQueries {
     "q_count_min" ->
       """SELECT event_type, count(*) AS exact_n, TRUE AS cms_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_cdc_apply" ->
+      """WITH log AS (SELECT user_id, ts, event_id,
+        |   CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |   value,
+        |   row_number() OVER (PARTITION BY user_id
+        |     ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events)
+        |SELECT user_id, round(value, 2) AS final_value
+        |FROM log WHERE rn = 1 AND op = 'U' ORDER BY user_id""".stripMargin,
 
     "q_scd2" ->
       """WITH o AS (SELECT user_id, ts, event_id, event_type,
