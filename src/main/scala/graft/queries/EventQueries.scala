@@ -371,6 +371,30 @@ object EventQueries {
           Tables.events(s, d), "user_id", "event_type", minSupport = 10L)
         .orderBy(desc("support"), col("item_a"), col("item_b"))),
 
+    // ---- incremental aggregate maintenance ---------------------------
+    // history state (ts < Jan 20) merged with the delta batch's state
+    // (ts ≥ Jan 20) via [[graft.ops.Incremental]] — the report never
+    // re-scans history, it folds O(|delta|) partial state into |keys|
+    // state rows. The oracle is the full recompute over everything:
+    // merge(state(old), state(delta)) must equal agg(old ∪ delta)
+    // exactly, which is precisely the algebraic-aggregate contract.
+    "q_incremental_agg" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("day", to_date(col("ts")))
+      val cutoff = lit("2024-01-20").cast("timestamp")
+      val keys = Seq("day", "event_type")
+      val hist = graft.ops.Incremental.aggState(
+        ev.filter(col("ts") < cutoff), keys, "value")
+      val delta = graft.ops.Incremental.aggState(
+        ev.filter(col("ts") >= cutoff), keys, "value")
+      graft.ops.Incremental.merge(hist, delta, keys)
+        .select(col("day"), col("event_type"), col("n"),
+          round(col("sum_v"), 2).as("sum_v"),
+          round(col("min_v"), 2).as("min_v"),
+          round(col("max_v"), 2).as("max_v"),
+          round(col("sum_v") / col("n"), 4).as("avg_v"))
+        .orderBy("day", "event_type")
+    }),
+
     // ---- CDC apply (change-log → materialized snapshot) --------------
     // the merge pattern under every CDC-fed table: a keyed change log
     // (upserts carry the new value, deletes tombstone the key) collapses
@@ -718,6 +742,17 @@ object EventQueries {
     "q_count_min" ->
       """SELECT event_type, count(*) AS exact_n, TRUE AS cms_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the oracle recomputes from scratch over the whole table — the
+    // incremental merge must be indistinguishable from a full rescan
+    "q_incremental_agg" ->
+      """SELECT ts::DATE AS day, event_type, count(*) AS n,
+        | round(sum(value), 2) AS sum_v,
+        | round(min(value), 2) AS min_v,
+        | round(max(value), 2) AS max_v,
+        | round(sum(value) / count(*), 4) AS avg_v
+        |FROM events GROUP BY day, event_type
+        |ORDER BY day, event_type""".stripMargin,
 
     "q_cdc_apply" ->
       """WITH log AS (SELECT user_id, ts, event_id,

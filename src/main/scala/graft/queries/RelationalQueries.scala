@@ -602,6 +602,34 @@ object RelationalQueries {
           round(sum("p_retailprice"), 2).as("price"),
           sum(length(col("p_name"))).as("chars"))),
 
+    // bitwise function family: AND/OR/XOR masks, shifts, popcount —
+    // the flag-column algebra of every bitmap/permission/feature-flag
+    // schema. All pure codegen'd integer ops; one groupBy shuffle.
+    "q_bitwise_fns" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          sum(bit_count(col("o_orderkey").bitwiseXOR(col("o_custkey"))))
+            .as("xor_bits"),
+          sum((col("o_orderkey").bitwiseAND(lit(255))) +
+            (col("o_custkey").bitwiseOR(lit(16)))).as("mask_sum"),
+          sum(shiftright(shiftleft(col("o_orderkey"), 2), 1))
+            .as("shift_sum"))
+        .orderBy("o_orderpriority")),
+
+    // binary/encoding function family: sha256 digests, hex, base64 —
+    // content-addressing primitives (dedup keys, cache keys, payload
+    // transport). hex case differs across engines → lower() on both.
+    "q_binary_fns" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(
+          count_distinct(sha2(col("text"), 256)).as("n_sha"),
+          min(lower(hex(substring(col("text"), 1, 4)))).as("first_hex"),
+          min(base64(substring(col("text"), 1, 6).cast("binary")))
+            .as("first_b64"))
+        .orderBy("lang")),
+
     // regex function family: extract-all, first-group extract, global
     // replace, and match-test in one pass (patterns restricted to the
     // RE2/Java-common subset so the DuckDB twin is exact; replaced text
@@ -1732,6 +1760,20 @@ object RelationalQueries {
         | sum(length(p_name))::BIGINT AS chars
         |FROM part WHERE p_type LIKE '%O%'
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_bitwise_fns" ->
+      """SELECT o_orderpriority,
+        | sum(bit_count(xor(o_orderkey, o_custkey)))::BIGINT AS xor_bits,
+        | sum((o_orderkey & 255) + (o_custkey | 16))::BIGINT AS mask_sum,
+        | sum((o_orderkey << 2) >> 1)::BIGINT AS shift_sum
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_binary_fns" ->
+      """SELECT lang, count(DISTINCT sha256(text)) AS n_sha,
+        | min(lower(hex(substr(text, 1, 4)))) AS first_hex,
+        | min(to_base64(substr(text, 1, 6)::BLOB)) AS first_b64
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_regexp_fns" ->
       """SELECT doc_id,
