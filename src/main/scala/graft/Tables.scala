@@ -48,13 +48,17 @@ object Tables {
 }
 
 /** One place to build correctly-configured sessions (UTC, AQE, ns-long),
-  * with the engine's native expressions injected via
-  * SparkSessionExtensions (graft_dot / graft_cosine). */
+  * with the engine's native expressions (graft_dot / graft_cosine / …)
+  * and the range-join optimizer rule injected via
+  * SparkSessionExtensions. */
 object Sessions {
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
-      .withExtensions(graft.functions.VectorExpressions.inject)
+      .withExtensions { e =>
+        graft.functions.VectorExpressions.inject(e)
+        graft.plans.RangeJoinRule.inject(e)
+      }
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

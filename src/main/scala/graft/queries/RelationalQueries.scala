@@ -241,6 +241,34 @@ object RelationalQueries {
           count_distinct(col("purchase_id")).as("n_windows"))
     }),
 
+    // same semantics as q_join_range, but written as the NAIVE
+    // inequality join — [[graft.plans.RangeJoinRule]] (injected via
+    // SparkSessionExtensions) rewrites it to the bucketed equi-join
+    // inside the optimizer, so the user-facing syntax is the simple
+    // BETWEEN while the plan is the scale-correct one (asserted in
+    // RangeJoinRuleSpec; result oracled against DuckDB's own
+    // inequality join). The conf is the bin width in the probe
+    // column's unit; the rewrite is semantics-preserving, so leaving
+    // it set for concurrently-planned queries is safe.
+    "q_join_range_auto" -> ((s, d) => {
+      s.conf.set(graft.plans.RangeJoinRule.BIN_CONF,
+        (1800L * 1000000L).toString)
+      val ev = Tables.events(s, d)
+      val probe = ev.select(col("event_id"), col("event_type"),
+        col("user_id"), unix_micros(col("ts")).as("us"))
+      val iv = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("iv_uid"),
+          unix_micros(col("ts")).as("w_start"),
+          (unix_micros(col("ts")) + lit(1800L * 1000000L)).as("w_end"),
+          col("event_id").as("purchase_id"))
+      probe.join(iv, probe("user_id") === iv("iv_uid") &&
+          probe("us") >= iv("w_start") && probe("us") <= iv("w_end"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_pairs"),
+          count_distinct(col("event_id")).as("n_events"),
+          count_distinct(col("purchase_id")).as("n_windows"))
+    }),
+
     // ---- aggregation -------------------------------------------------
     "q_agg_tpch_q1" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -1491,6 +1519,20 @@ object RelationalQueries {
         |  ON l.user_id = r.user_id AND l.us >= r.rus""".stripMargin,
 
     "q_join_range" ->
+      """WITH p AS (SELECT event_id, event_type, user_id,
+        |  epoch_us(ts::TIMESTAMP) AS us FROM events),
+        |i AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS w_start,
+        |  epoch_us(ts::TIMESTAMP) + 1800000000 AS w_end,
+        |  event_id AS purchase_id
+        | FROM events WHERE event_type = 'purchase')
+        |SELECT event_type, count(*) AS n_pairs,
+        | count(DISTINCT event_id) AS n_events,
+        | count(DISTINCT purchase_id) AS n_windows
+        |FROM p JOIN i
+        |  ON p.user_id = i.user_id AND p.us BETWEEN i.w_start AND i.w_end
+        |GROUP BY event_type""".stripMargin,
+
+    "q_join_range_auto" ->
       """WITH p AS (SELECT event_id, event_type, user_id,
         |  epoch_us(ts::TIMESTAMP) AS us FROM events),
         |i AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS w_start,
