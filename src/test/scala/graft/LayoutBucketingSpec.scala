@@ -106,4 +106,37 @@ class LayoutBucketingSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("hive-partitioned write: day filter prunes at the PartitionFilters level") {
+    // the time-partitioned table layout every event archive uses: a
+    // day-equality predicate must never touch the other days' files
+    val dir = tmpDir("graft-partprune")
+    val ev = Tables.events(spark, sf).withColumn("day", to_date(col("ts")))
+    ev.write.mode("overwrite").partitionBy("day").parquet(dir)
+    val day = ev.select(max("day")).collect()(0).getDate(0)
+    val q = spark.read.parquet(dir).filter(col("day") === lit(day))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(day"),
+      "day predicate must be a partition filter, not a data filter:\n" +
+        plan.take(500))
+    assert(q.count() == ev.filter(col("day") === lit(day)).count())
+  }
+
+  test("dynamic partition pruning: dim filter reaches the fact scan at runtime") {
+    // DPP: joining a day-partitioned fact to a filtered dim must prune
+    // fact partitions from the DIM's filter result, not scan-all-days
+    val dir = tmpDir("graft-dpp")
+    val ev = Tables.events(spark, sf).withColumn("day", to_date(col("ts")))
+    ev.write.mode("overwrite").partitionBy("day").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // DPP fires only when the build side has a SELECTIVE predicate
+    // (a bare limit/distinct doesn't qualify as one)
+    val dim = ev.select(col("day")).distinct()
+      .filter(dayofmonth(col("day")) <= 3)
+    val joined = fact.join(dim, Seq("day"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      "expected a dynamicpruning subquery on the fact scan:\n" +
+        plan.take(800))
+  }
 }
