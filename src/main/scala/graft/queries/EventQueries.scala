@@ -371,6 +371,32 @@ object EventQueries {
           Tables.events(s, d), "user_id", "event_type", minSupport = 10L)
         .orderBy(desc("support"), col("item_a"), col("item_b"))),
 
+    // ---- seasonal-baseline anomaly detection -------------------------
+    // robust outliers against the SAME-HOUR-OF-DAY baseline: per
+    // (type, hour) exact median, then the median absolute deviation
+    // around it, then flag |v − med| > 3·MAD. Robust to the heavy tails
+    // that break q_anomaly_burst's z-scores and to diurnal cycles that
+    // break a global threshold. The baseline table is |types|·24 rows —
+    // always the broadcast side — so the event log streams through two
+    // broadcast probes, and the only full-data shuffles are the two
+    // grouped medians.
+    "q_seasonal_anomaly" -> ((s, d) => {
+      val h = Tables.events(s, d)
+        .select(col("event_type"), hour(col("ts")).as("hod"), col("value"))
+      val med = h.groupBy("event_type", "hod")
+        .agg(median(col("value")).as("med"))
+      val joined = h.join(broadcast(med), Seq("event_type", "hod"))
+      val mad = joined.groupBy("event_type", "hod")
+        .agg(median(abs(col("value") - col("med"))).as("mad"))
+      joined.join(broadcast(mad), Seq("event_type", "hod"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(abs(col("value") - col("med")) > lit(3) * col("mad"), 1)
+            .otherwise(0)).cast("long").as("n_anom"),
+          round(avg(col("mad")), 4).as("avg_mad"))
+        .orderBy("event_type")
+    }),
+
     // ---- incremental aggregate maintenance ---------------------------
     // history state (ts < Jan 20) merged with the delta batch's state
     // (ts ≥ Jan 20) via [[graft.ops.Incremental]] — the report never
@@ -742,6 +768,22 @@ object EventQueries {
     "q_count_min" ->
       """SELECT event_type, count(*) AS exact_n, TRUE AS cms_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_seasonal_anomaly" ->
+      """WITH h AS (SELECT event_type, hour(ts) AS hod, value FROM events),
+        |med AS (SELECT event_type, hod, median(value) AS med
+        |  FROM h GROUP BY event_type, hod),
+        |j AS (SELECT h.event_type, h.hod, h.value, med.med FROM h
+        |  JOIN med ON h.event_type = med.event_type AND h.hod = med.hod),
+        |mad AS (SELECT event_type, hod, median(abs(value - med)) AS mad
+        |  FROM j GROUP BY event_type, hod)
+        |SELECT j.event_type, count(*) AS n,
+        | sum(CASE WHEN abs(j.value - j.med) > 3 * mad.mad
+        |     THEN 1 ELSE 0 END)::BIGINT AS n_anom,
+        | round(avg(mad.mad), 4) AS avg_mad
+        |FROM j JOIN mad
+        |  ON j.event_type = mad.event_type AND j.hod = mad.hod
+        |GROUP BY j.event_type ORDER BY j.event_type""".stripMargin,
 
     // the oracle recomputes from scratch over the whole table — the
     // incremental merge must be indistinguishable from a full rescan
