@@ -37,7 +37,7 @@ object RangeBench {
         .agg(count(lit(1)).as("n_pairs"))
     }
 
-    def time(label: String): Double = {
+    def time(): Double = {
       query(spark).write.format("noop").mode("overwrite").save() // warm plan
       val t0 = System.nanoTime
       query(spark).write.format("noop").mode("overwrite").save()
@@ -45,10 +45,10 @@ object RangeBench {
     }
 
     spark.conf.unset(graft.plans.RangeJoinRule.BIN_CONF)
-    val naive = time("naive")
+    val naive = time()
     spark.conf.set(graft.plans.RangeJoinRule.BIN_CONF,
       (1800L * 1000000L).toString)
-    val bucketed = time("bucketed")
+    val bucketed = time()
     // sanity: identical result
     spark.conf.unset(graft.plans.RangeJoinRule.BIN_CONF)
     val nNaive = query(spark).collect()(0).getLong(0)

@@ -54,6 +54,11 @@ object Graph {
             lit(damping) * coalesce(col("_m"), lit(0.0))).as("rank"))
         .localCheckpoint()
     }
+    // the final ranks are materialized by the eager localCheckpoint, so
+    // the iteration inputs can be released — without this, every call
+    // in a long-lived session leaks two cached tables
+    e.unpersist(blocking = false)
+    nodeList.unpersist(blocking = false)
     ranks
   }
 

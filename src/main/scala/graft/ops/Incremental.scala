@@ -27,7 +27,10 @@ object Incremental {
 
   /** Merge two state tables: full-outer on keys, combine each aggregate
     * with its algebra (+, +, least, greatest). least/greatest skip the
-    * nulls a one-sided key produces. */
+    * nulls a one-sided key produces. sum is combined null-aware: SQL
+    * sum over only-NULL inputs is NULL (not 0), so two NULL partials
+    * must merge to NULL or the merge diverges from the full recompute
+    * the moment the value column contains an all-NULL key. */
   def merge(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame = {
     val bb = b.select(keys.map(col) ++ Seq(col("n").as("_nb"),
       col("sum_v").as("_sb"), col("min_v").as("_minb"),
@@ -35,8 +38,9 @@ object Incremental {
     a.join(bb, keys, "full_outer")
       .select(keys.map(col) ++ Seq(
         (coalesce(col("n"), lit(0L)) + coalesce(col("_nb"), lit(0L))).as("n"),
-        (coalesce(col("sum_v"), lit(0.0)) + coalesce(col("_sb"), lit(0.0)))
-          .as("sum_v"),
+        when(col("sum_v").isNull && col("_sb").isNull, lit(null))
+          .otherwise(coalesce(col("sum_v"), lit(0.0)) +
+            coalesce(col("_sb"), lit(0.0))).as("sum_v"),
         least(col("min_v"), col("_minb")).as("min_v"),
         greatest(col("max_v"), col("_maxb")).as("max_v")): _*)
   }

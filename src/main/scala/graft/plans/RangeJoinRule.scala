@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, Explode, Expression, GreaterThan, GreaterThanOrEqual, IntegralDivide, LessThan, LessThanOrEqual, Literal, Sequence}
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.LongType
 
@@ -86,39 +86,32 @@ object RangeJoinRule extends Rule[LogicalPlan] {
       def isBuild(e: Expression) =
         e.references.nonEmpty && e.references.subsetOf(buildSet) &&
           e.dataType == LongType
-      var lower: Option[(Expression, Expression)] = None // (probe, lo)
-      var upper: Option[(Expression, Expression)] = None // (probe, hi)
-      cs.foreach {
-        case GreaterThanOrEqual(p, lo) if isProbe(p) && isBuild(lo) =>
-          if (lower.isEmpty) lower = Some((p, lo))
-        case GreaterThan(p, lo) if isProbe(p) && isBuild(lo) =>
-          if (lower.isEmpty) lower = Some((p, lo))
-        case LessThanOrEqual(lo, p) if isProbe(p) && isBuild(lo) =>
-          if (lower.isEmpty) lower = Some((p, lo))
-        case LessThan(lo, p) if isProbe(p) && isBuild(lo) =>
-          if (lower.isEmpty) lower = Some((p, lo))
-        case _ => ()
+      // collect ALL candidate bounds — pairing only the first of each
+      // would miss a valid (lower, upper) pair on one probe column
+      // whenever a bound on a DIFFERENT probe column appears earlier
+      // in the conjunction
+      val lowers = cs.collect { // (probe, lo)
+        case GreaterThanOrEqual(p, lo) if isProbe(p) && isBuild(lo) => (p, lo)
+        case GreaterThan(p, lo) if isProbe(p) && isBuild(lo) => (p, lo)
+        case LessThanOrEqual(lo, p) if isProbe(p) && isBuild(lo) => (p, lo)
+        case LessThan(lo, p) if isProbe(p) && isBuild(lo) => (p, lo)
       }
-      cs.foreach {
-        case LessThanOrEqual(p, hi) if isProbe(p) && isBuild(hi) =>
-          if (upper.isEmpty) upper = Some((p, hi))
-        case LessThan(p, hi) if isProbe(p) && isBuild(hi) =>
-          if (upper.isEmpty) upper = Some((p, hi))
-        case GreaterThanOrEqual(hi, p) if isProbe(p) && isBuild(hi) =>
-          if (upper.isEmpty) upper = Some((p, hi))
-        case GreaterThan(hi, p) if isProbe(p) && isBuild(hi) =>
-          if (upper.isEmpty) upper = Some((p, hi))
-        case _ => ()
+      val uppers = cs.collect { // (probe, hi)
+        case LessThanOrEqual(p, hi) if isProbe(p) && isBuild(hi) => (p, hi)
+        case LessThan(p, hi) if isProbe(p) && isBuild(hi) => (p, hi)
+        case GreaterThanOrEqual(hi, p) if isProbe(p) && isBuild(hi) => (p, hi)
+        case GreaterThan(hi, p) if isProbe(p) && isBuild(hi) => (p, hi)
       }
-      for {
-        (pl, lo) <- lower
-        (pu, hi) <- upper
+      (for {
+        (pl, lo) <- lowers
+        (pu, hi) <- uppers
         if pl.semanticEquals(pu)
-      } yield (pl, lo, hi)
+      } yield (pl, lo, hi)).headOption
     }
 
-    val probeFromLeft = boundsFor(true).isDefined
-    val found = if (probeFromLeft) boundsFor(true) else boundsFor(false)
+    val leftBounds = boundsFor(true)
+    val probeFromLeft = leftBounds.isDefined
+    val found = leftBounds.orElse(boundsFor(false))
     found.map { case (probeTs, lo, hi) =>
       val (probePlan, buildPlan) =
         if (probeFromLeft) (j.left, j.right) else (j.right, j.left)
@@ -130,6 +123,13 @@ object RangeJoinRule extends Rule[LogicalPlan] {
 
       val buildBucketAttr =
         AttributeReference("_graft_rb2", LongType, nullable = false)()
+      // inverted intervals (lo > hi) match nothing under the original
+      // condition, but an ascending Sequence THROWS on them — filter
+      // them out before the explode (the explicit TemporalJoins twin
+      // has the same guard). Truly enormous bounded intervals fail fast
+      // in Sequence's array-length check rather than OOM; the bin conf
+      // doc tells callers to size the bin near the interval width.
+      val guarded = Filter(LessThanOrEqual(lo, hi), buildPlan)
       // Sequence is TimeZoneAwareExpression: the analyzer's
       // ResolveTimeZone has already run, so supply the zone explicitly
       // or the node stays unresolved and plan validation rejects it
@@ -138,7 +138,7 @@ object RangeJoinRule extends Rule[LogicalPlan] {
         Some(Literal(1L, LongType)), Some(conf.sessionLocalTimeZone))
       val newBuild = Generate(Explode(seq), unrequiredChildIndex = Nil,
         outer = false, qualifier = None,
-        generatorOutput = Seq(buildBucketAttr), child = buildPlan)
+        generatorOutput = Seq(buildBucketAttr), child = guarded)
 
       val bucketEq = EqualTo(probeBucket.toAttribute, buildBucketAttr)
       val newCond = And(bucketEq, j.condition.get)

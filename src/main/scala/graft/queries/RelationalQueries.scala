@@ -248,8 +248,11 @@ object RelationalQueries {
     // BETWEEN while the plan is the scale-correct one (asserted in
     // RangeJoinRuleSpec; result oracled against DuckDB's own
     // inequality join). The conf is the bin width in the probe
-    // column's unit; the rewrite is semantics-preserving, so leaving
-    // it set for concurrently-planned queries is safe.
+    // column's unit and stays set session-wide; that is safe here
+    // because the rewrite is semantics-preserving AND no other registry
+    // query carries two LongType bounds in a JOIN condition (the
+    // explicit q_join_range keeps its BETWEEN in a post-join Filter),
+    // so no other plan even matches the rule's pattern.
     "q_join_range_auto" -> ((s, d) => {
       s.conf.set(graft.plans.RangeJoinRule.BIN_CONF,
         (1800L * 1000000L).toString)

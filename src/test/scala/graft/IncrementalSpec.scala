@@ -53,6 +53,24 @@ class IncrementalSpec extends SparkSpec {
     assert(canon(leftFold) == canon(rightFold))
   }
 
+  test("all-NULL keys merge to NULL sums, matching the full recompute") {
+    import spark.implicits._
+    // SQL sum over only-NULL inputs is NULL, not 0 — the merge must
+    // preserve that or it diverges from a rescan on NULL-bearing data
+    val rows = Seq(("k", Option.empty[Double]), ("k", None),
+      ("m", Some(2.0)), ("m", None))
+    val (p1, p2) = rows.splitAt(2)
+    val merged = Incremental.merge(
+      Incremental.aggState(p1.toDF("k", "v"), Seq("k"), "v"),
+      Incremental.aggState(p2.toDF("k", "v"), Seq("k"), "v"), Seq("k"))
+    val full = Incremental.aggState(rows.toDF("k", "v"), Seq("k"), "v")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(snap(merged) == snap(full))
+    assert(snap(merged)("k")._2.isEmpty, "all-NULL key must keep NULL sum")
+  }
+
   test("keys present in only one side survive a merge intact") {
     val a = Incremental.aggState(mk(Seq("only_a" -> 2.0)), Seq("k"), "v")
     val b = Incremental.aggState(mk(Seq("only_b" -> -3.0)), Seq("k"), "v")

@@ -83,6 +83,39 @@ class RangeJoinRuleSpec extends SparkSpec {
     } finally { spark.conf.unset(BIN_CONF); p.unpersist(); iv.unpersist() }
   }
 
+  test("inverted intervals (lo > hi) match nothing instead of crashing") {
+    import spark.implicits._
+    spark.conf.set(BIN_CONF, "10")
+    try {
+      val p = Seq((1L, 5L), (2L, 50L)).toDF("pid", "ts_us")
+      // second interval is inverted and spans a bucket boundary — an
+      // unguarded ascending Sequence(5, 0) would throw at runtime
+      val iv = Seq((10L, 0L, 9L), (11L, 55L, 3L)).toDF("iv_id", "lo", "hi")
+      val joined = p.join(iv, p("ts_us") >= iv("lo") && p("ts_us") <= iv("hi"))
+        .select(p("pid"), iv("iv_id"))
+      assert(joined.queryExecution.executedPlan.toString.contains("_graft_rb"))
+      val got = joined.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 10L)), s"got $got")
+    } finally spark.conf.unset(BIN_CONF)
+  }
+
+  test("a bound on a different probe column earlier in the condition does not mask the pair") {
+    import spark.implicits._
+    spark.conf.set(BIN_CONF, "10")
+    try {
+      val p = Seq((1L, 5L, 100L)).toDF("pid", "other", "ts_us")
+      val iv = Seq((10L, 1L, 95L, 105L)).toDF("iv_id", "x", "lo", "hi")
+      // first conjunct bounds `other` (no matching upper) — the rule
+      // must still find the (ts_us, lo, hi) pair after it
+      val joined = p.join(iv, p("other") >= iv("x") &&
+          p("ts_us") >= iv("lo") && p("ts_us") <= iv("hi"))
+        .select(p("pid"), iv("iv_id"))
+      assert(joined.queryExecution.executedPlan.toString.contains("_graft_rb"),
+        "pair on ts_us must be found despite the leading unrelated bound")
+      assert(joined.count() == 1)
+    } finally spark.conf.unset(BIN_CONF)
+  }
+
   test("open-ended (single-bound) joins are not rewritten") {
     spark.conf.set(BIN_CONF, (6L * 3600 * 1000000).toString)
     try {
