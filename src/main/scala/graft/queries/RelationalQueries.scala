@@ -1452,6 +1452,52 @@ object RelationalQueries {
       rowChecks.crossJoin(broadcast(pk)).crossJoin(broadcast(orphans))
     }),
 
+    // column profiling (the first query run against ANY new dataset):
+    // per-column null rate, distinct count, min/max/mean over the fact
+    // table's numeric measures. One unpivot (narrow, 4× row blow-up
+    // bounded by the column count) + one map-side-combined aggregate —
+    // a single pass no matter how many columns are profiled, vs the
+    // naive one-scan-per-column loop that reads the table |cols| times.
+    "q_profile_table" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_quantity").cast("double"),
+          col("l_extendedprice").cast("double"),
+          col("l_discount").cast("double"), col("l_tax").cast("double"))
+        .unpivot(Array.empty[org.apache.spark.sql.Column],
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "col_name", "v")
+        .groupBy("col_name")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+          count_distinct(col("v")).as("n_distinct"),
+          round(min("v"), 2).as("min_v"),
+          round(max("v"), 2).as("max_v"),
+          round(avg("v"), 4).as("mean_v"))
+        .orderBy("col_name")),
+
+    // schema-evolution union: two snapshots of the same feed whose
+    // schemas drifted (a column added, another dropped) merged with
+    // unionByName(allowMissingColumns) — missing columns null-fill, and
+    // the match is BY NAME, not position. Purely narrow: no shuffle
+    // until the final audit aggregate.
+    "q_union_by_name" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val v1 = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+      val v2 = o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderdate"))
+      v1.unionByName(v2, allowMissingColumns = true)
+        .groupBy(col("o_orderstatus").isNull.as("from_v2"))
+        .agg(count(lit(1)).as("n"),
+          round(sum("o_totalprice"), 2).as("total"),
+          count(col("o_orderstatus")).as("n_status"),
+          count(col("o_orderdate")).as("n_date"))
+        .orderBy("from_v2")
+    }),
+
     // ---- UDF / UDAF surface ------------------------------------------
     "q_udf_clamp" -> ((s, d) => {
       val clamp = udf((v: Double) => math.min(math.max(v, 0.0), 10.0))
@@ -2438,6 +2484,37 @@ object RelationalQueries {
         |       AND l3.l_returnflag = 'R')
         |  AND s_nationkey = n_nationkey AND n_nationkey < 13
         |GROUP BY s_name
-        |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
+        |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+
+    "q_profile_table" ->
+      """WITH u AS (
+        |  SELECT 'l_quantity' AS col_name, l_quantity::DOUBLE AS v FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', l_extendedprice::DOUBLE FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', l_discount::DOUBLE FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_tax', l_tax::DOUBLE FROM lineitem)
+        |SELECT col_name, count(*) AS n,
+        | sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+        | count(DISTINCT v) AS n_distinct,
+        | round(min(v), 2) AS min_v, round(max(v), 2) AS max_v,
+        | round(avg(v), 4) AS mean_v
+        |FROM u GROUP BY col_name ORDER BY col_name""".stripMargin,
+
+    "q_union_by_name" ->
+      """WITH v1 AS (SELECT o_orderkey, o_totalprice, o_orderstatus
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |v2 AS (SELECT o_orderkey, o_totalprice, o_orderdate
+        |  FROM orders WHERE o_orderkey % 2 = 1),
+        |u AS (SELECT *, NULL AS o_orderdate FROM v1
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, NULL AS o_orderstatus,
+        |    o_orderdate
+        |  FROM v2)
+        |SELECT o_orderstatus IS NULL AS from_v2, count(*) AS n,
+        | round(sum(o_totalprice), 2) AS total,
+        | count(o_orderstatus) AS n_status, count(o_orderdate) AS n_date
+        |FROM u GROUP BY from_v2 ORDER BY from_v2""".stripMargin
   )
 }
