@@ -374,4 +374,47 @@ object Curation {
     df.withColumn("_rk", row_number().over(w))
       .filter(col("_rk") <= minN).drop("_rk")
   }
+
+  /** Gopher-style document quality rules (Rae et al. 2021 §A1.1, the
+    * filter set RefinedWeb/Dolma inherit): per-document word count
+    * bounds, mean word length bounds, minimum alphabetic-word fraction,
+    * and a minimum stop-word hit count (the "is this prose at all"
+    * test). Emits the raw measurements plus a per-rule flag and the
+    * conjunctive `pass` — downstream either filters on `pass` or audits
+    * per-rule rejection rates.
+    *
+    * Scale shape: every rule is a per-row higher-order-function fold
+    * over the token array — no UDF, no shuffle, fully codegen'd; the
+    * corpus streams through in one narrow pass. Thresholds are
+    * parameters because every corpus tunes them; defaults are Gopher's
+    * (word count 50..100k, mean word length 3..10, ≥80% alphabetic
+    * words, ≥2 distinct stop words).
+    */
+  def gopherFlags(df: DataFrame, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8, minStopHits: Int = 2,
+      stopwords: Seq[String] =
+        Seq("the", "be", "to", "of", "and", "that", "have", "with"))
+      : DataFrame = {
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    val n = size(toks)
+    val safeN = greatest(n, lit(1)).cast("double")
+    val meanLen = aggregate(toks, lit(0L),
+      (acc, x) => acc + length(x)).cast("double") / safeN
+    val alphaFrac =
+      size(filter(toks, x => x.rlike("[a-z]"))).cast("double") / safeN
+    val stopHits = size(array_intersect(
+      array_distinct(toks), array(stopwords.map(lit): _*)))
+    df.withColumn("n_words", n)
+      .withColumn("mean_word_len", meanLen)
+      .withColumn("alpha_frac", alphaFrac)
+      .withColumn("stop_hits", stopHits)
+      .withColumn("ok_words", n.between(minWords, maxWords))
+      .withColumn("ok_mean_len", meanLen.between(minMeanLen, maxMeanLen))
+      .withColumn("ok_alpha", alphaFrac >= minAlphaFrac)
+      .withColumn("ok_stop", stopHits >= minStopHits)
+      .withColumn("pass", col("ok_words") && col("ok_mean_len") &&
+        col("ok_alpha") && col("ok_stop"))
+  }
 }

@@ -554,6 +554,24 @@ object LlmQueries {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("chars"))),
 
+    // Gopher-rule quality audit (Rae et al. 2021): per-rule rejection
+    // counts and pass rate per language — word-count bounds, mean word
+    // length, alphabetic-word fraction, stop-word hits. All per-row HOF
+    // folds, zero shuffle before the |langs|-row aggregate.
+    "q_gopher_rules" -> ((s, d) =>
+      Curation.gopherFlags(Tables.documents(s, d), "text")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+          sum(when(col("ok_words"), 0L).otherwise(1L)).as("rej_words"),
+          sum(when(col("ok_mean_len"), 0L).otherwise(1L)).as("rej_mean_len"),
+          sum(when(col("ok_alpha"), 0L).otherwise(1L)).as("rej_alpha"),
+          sum(when(col("ok_stop"), 0L).otherwise(1L)).as("rej_stop"),
+          round(avg("mean_word_len"), 4).as("avg_wlen"),
+          round(avg("alpha_frac"), 4).as("avg_alpha"),
+          sum("stop_hits").cast("long").as("stop_hits"))
+        .orderBy("lang")),
+
     // ---- corpus curation --------------------------------------------
     // benchmark decontamination: every doc's n-gram overlap against a
     // deterministic "eval suite" (docs with doc_id % 97 == 0), benchmark
@@ -1960,6 +1978,37 @@ object LlmQueries {
          |SELECT lang, round(sum(rep), 2) AS sum_rep, round(max(rep), 2) AS max_rep,
          | count(*) AS n
          |FROM r GROUP BY lang""".stripMargin,
+
+    "q_gopher_rules" ->
+      s"""WITH t AS (SELECT lang, $sqlToks AS toks FROM documents),
+         |m AS (SELECT lang, len(toks) AS n,
+         |  CASE WHEN len(toks)=0 THEN 0 ELSE
+         |   list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+         |    / len(toks) END AS mean_len,
+         |  CASE WHEN len(toks)=0 THEN 0 ELSE
+         |   len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+         |    / len(toks) END AS alpha_frac,
+         |  len(list_intersect(list_distinct(toks),
+         |    ['the','be','to','of','and','that','have','with'])) AS stop_hits
+         | FROM t),
+         |f AS (SELECT lang, mean_len, alpha_frac, stop_hits,
+         |  n BETWEEN 50 AND 100000 AS ok_words,
+         |  mean_len BETWEEN 3.0 AND 10.0 AS ok_mean_len,
+         |  alpha_frac >= 0.8 AS ok_alpha,
+         |  stop_hits >= 2 AS ok_stop
+         | FROM m)
+         |SELECT lang, count(*) AS n_docs,
+         | sum(CASE WHEN ok_words AND ok_mean_len AND ok_alpha AND ok_stop
+         |     THEN 1 ELSE 0 END)::BIGINT AS n_pass,
+         | sum(CASE WHEN ok_words THEN 0 ELSE 1 END)::BIGINT AS rej_words,
+         | sum(CASE WHEN ok_mean_len THEN 0 ELSE 1 END)::BIGINT
+         |   AS rej_mean_len,
+         | sum(CASE WHEN ok_alpha THEN 0 ELSE 1 END)::BIGINT AS rej_alpha,
+         | sum(CASE WHEN ok_stop THEN 0 ELSE 1 END)::BIGINT AS rej_stop,
+         | round(avg(mean_len), 4) AS avg_wlen,
+         | round(avg(alpha_frac), 4) AS avg_alpha,
+         | sum(stop_hits)::BIGINT AS stop_hits
+         |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_quality_filter" ->
       s"""WITH t AS (SELECT lang, n_chars, $sqlToks AS toks FROM documents),

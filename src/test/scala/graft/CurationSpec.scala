@@ -305,4 +305,30 @@ class CurationSpec extends SparkSpec {
     assert(Curation.curriculumStages(
       empty.withColumn("score", col("id").cast("double")), "score").count() == 0L)
   }
+
+  test("gopherFlags: each rule rejects its own pathology, prose passes") {
+    val prose = ("the cat and the dog have been friends with every " +
+      "neighbour of that old house and they often sleep beside the " +
+      "warm stove when winter comes to town and nights turn long " +
+      "so the pair just rest there and wait for spring to come back " +
+      "again with all the light")
+    val d = Seq(
+      (1L, prose),                                   // passes all rules
+      (2L, "too short to pass the word count rule"), // < 50 words
+      (3L, Seq.fill(60)("zq").mkString(" ")),        // mean len 2 < 3, no stopwords
+      (4L, Seq.fill(60)("12345").mkString(" ")),     // no alphabetic words
+      (5L, ""))                                      // empty: fails everything
+      .toDF("doc_id", "text")
+    val out = Curation.gopherFlags(d, "text")
+      .select("doc_id", "pass", "ok_words", "ok_mean_len", "ok_alpha",
+        "ok_stop")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
+          r.getBoolean(4), r.getBoolean(5))).toMap
+    assert(out(1L)._1, s"prose must pass: ${out(1L)}")
+    assert(!out(2L)._2 && !out(2L)._1, "short doc fails word count")
+    assert(!out(3L)._3 && !out(3L)._5, "short-token doc fails mean len + stop")
+    assert(!out(4L)._4, "digit-only doc fails alpha fraction")
+    assert(!out(5L)._1 && !out(5L)._2, "empty doc fails")
+  }
 }
