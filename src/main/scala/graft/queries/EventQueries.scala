@@ -543,6 +543,35 @@ object EventQueries {
             col("_est") <= col("exact_n") + lit(math.ceil(eps * total).toLong))
             .as("cms_ok"))
         .orderBy("event_type")
+    }),
+
+    // ---- DDSketch quantiles ------------------------------------------
+    // mergeable relative-error quantile sketch ([[graft.ops.Sketches]]):
+    // one map-side-combined bucket-count pass is the only full-data
+    // scan; p50/p95/p99 come off the |types|·|buckets| sketch. The
+    // DDSketch α-guarantee (|est−exact|/exact ≤ α) is asserted IN the
+    // query against Spark's exact percentile (3·α tolerance covers the
+    // discrete-vs-interpolated rank gap); the oracle replays the exact
+    // bucket/rank arithmetic and pins the ok flags at literal TRUE.
+    "q_ddsketch" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val sk = graft.ops.Sketches.ddsketchBuild(ev, "value",
+        Seq("event_type"))
+      val est = graft.ops.Sketches.ddsketchQuantiles(sk, Seq("event_type"),
+        Seq(0.5, 0.95, 0.99))
+      val exact = ev.filter(col("value") > 0)
+        .groupBy("event_type")
+        .agg(expr("percentile(value, array(0.5D, 0.95D, 0.99D))").as("ex"))
+      est.join(broadcast(exact), Seq("event_type"))
+        .select(col("event_type"), col("n"),
+          col("p50"), col("p95"), col("p99"),
+          (abs(col("p50") - col("ex")(0)) / col("ex")(0) <= 0.03)
+            .as("ok_p50"),
+          (abs(col("p95") - col("ex")(1)) / col("ex")(1) <= 0.03)
+            .as("ok_p95"),
+          (abs(col("p99") - col("ex")(2)) / col("ex")(2) <= 0.03)
+            .as("ok_p99"))
+        .orderBy("event_type")
     })
   )
 
@@ -768,6 +797,35 @@ object EventQueries {
     "q_count_min" ->
       """SELECT event_type, count(*) AS exact_n, TRUE AS cms_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the oracle replays the full DDSketch pipeline — γ is the
+    // shortest-round-trip repr of the Scala double, so ln/pow see
+    // bit-identical inputs on both engines — and pins the in-query
+    // α-guarantee flags at literal TRUE
+    "q_ddsketch" -> {
+      val g = graft.ops.Sketches.ddGamma(0.01).toString
+      s"""WITH b AS (SELECT event_type,
+         |   ceil(ln(value)/ln($g))::BIGINT AS bucket, count(*) AS cnt
+         |  FROM events WHERE value > 0 GROUP BY 1, 2),
+         |c AS (SELECT *,
+         |   sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket)
+         |     AS cum,
+         |   sum(cnt) OVER (PARTITION BY event_type) AS n FROM b),
+         |s AS (SELECT event_type, max(n) AS n,
+         |   min(CASE WHEN cum >= floor(0.50*(n-1))+1 THEN bucket END)
+         |     AS b50,
+         |   min(CASE WHEN cum >= floor(0.95*(n-1))+1 THEN bucket END)
+         |     AS b95,
+         |   min(CASE WHEN cum >= floor(0.99*(n-1))+1 THEN bucket END)
+         |     AS b99
+         |  FROM c GROUP BY event_type)
+         |SELECT event_type, n::BIGINT AS n,
+         | round(2*pow($g, b50)/($g+1), 4) AS p50,
+         | round(2*pow($g, b95)/($g+1), 4) AS p95,
+         | round(2*pow($g, b99)/($g+1), 4) AS p99,
+         | TRUE AS ok_p50, TRUE AS ok_p95, TRUE AS ok_p99
+         |FROM s ORDER BY event_type""".stripMargin
+    },
 
     "q_seasonal_anomaly" ->
       """WITH h AS (SELECT event_type, hour(ts) AS hod, value FROM events),
