@@ -62,6 +62,98 @@ object Graph {
     ranks
   }
 
+  /** Exact triangle counting via degree-ordered edge orientation (the
+    * "forward" algorithm, Schank & Wagner 2005): canonicalize to
+    * undirected distinct edges, orient every edge from its
+    * lower-(degree, id) endpoint to the higher, generate wedges only
+    * from each vertex's ORIENTED out-list, and close them against the
+    * oriented edge set. Orientation bounds every out-list at O(√m)
+    * regardless of how skewed the degree distribution is — the hub that
+    * makes naive neighbor-pairing quadratic has tiny oriented
+    * out-degree, so the wedge blow-up is Σ outdeg² = O(m^1.5), the best
+    * exact bound known. Both joins are equi-joins on vertex keys —
+    * plain co-partitioned shuffles, no cross product anywhere.
+    *
+    * Output: one row — n_edges, n_wedges (open+closed, from the degree
+    * table), n_triangles, and the global clustering coefficient
+    * 3·T/wedges.
+    */
+  def triangleCount(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct().cache()
+    val deg = und.select(col("a").as("v"))
+      .unionAll(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val oriented = und
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+      .select(when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("u"), col("b").as("w"), col("db").as("dw")))
+        .otherwise(
+          struct(col("b").as("u"), col("a").as("w"), col("da").as("dw")))
+        .as("e"))
+      .select(col("e.u").as("u"), col("e.w").as("w"), col("e.dw").as("dw"))
+      .cache()
+    val w1 = oriented.select(col("u"), col("w").as("x"), col("dw").as("dx"))
+    val w2 = oriented.select(col("u"), col("w").as("y"), col("dw").as("dy"))
+    // rank(x) < rank(y) matches the closing edge's orientation x→y
+    val wedges = w1.join(w2, Seq("u"))
+      .filter(struct(col("dx"), col("x")) < struct(col("dy"), col("y")))
+    val tri = wedges
+      .join(oriented.select(col("u").as("x"), col("w").as("y")),
+        Seq("x", "y"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nEdges = und.agg(count(lit(1)).as("n_edges"))
+    val nWedges = deg.agg(
+      sum(col("deg") * (col("deg") - 1) / 2).cast("long").as("n_wedges"))
+    val out = nEdges.crossJoin(broadcast(nWedges)).crossJoin(broadcast(tri))
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 4).as("gcc"))
+      .localCheckpoint()
+    und.unpersist(blocking = false)
+    oriented.unpersist(blocking = false)
+    out
+  }
+
+  /** Synchronous label propagation (Raghavan et al. 2007, made
+    * deterministic): every vertex starts as its own label; each
+    * iteration it adopts its neighbors' most frequent label, ties
+    * broken by smallest label. A fixed iteration count (not
+    * convergence) keeps the result reproducible — the classic
+    * async/random-order LPA is not.
+    *
+    * Scale shape: one neighbor-label equi-join + one (vertex, label)
+    * count + one per-vertex top-1 window per iteration, all keyed by
+    * vertex — Spark executes the top-1 as a map-side-pruned
+    * WindowGroupLimit, so nothing materializes the full frequency
+    * table. `localCheckpoint` caps the iterative lineage exactly like
+    * [[pageRank]].
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int): DataFrame = {
+    val und = edges.select(col(srcCol).as("v"), col(dstCol).as("n"))
+      .unionAll(edges.select(col(dstCol).as("v"), col(srcCol).as("n")))
+      .distinct().cache()
+    var labels = und.select(col("v").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    for (_ <- 1 to iters) {
+      val freq = und
+        .join(labels.withColumnRenamed("node", "n"), Seq("n"))
+        .groupBy("v", "lbl").agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("v").orderBy(desc("c"), asc("lbl"))
+      labels = freq.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("v").as("node"), col("lbl"))
+        .localCheckpoint()
+    }
+    und.unpersist(blocking = false)
+    labels
+  }
+
   /** Frequent co-occurring item pairs (market-basket support counts):
     * for each basket (`keyCol`), the DISTINCT items it contains; pairs
     * (a < b) are counted across baskets and filtered to `minSupport`.

@@ -21,6 +21,27 @@ import org.apache.spark.sql.functions._
 object EventQueries {
   private type Q = (SparkSession, String) => DataFrame
 
+  /** User co-occurrence graph shared by the triangle/community queries:
+    * an edge joins two users seen in the same (hour, event_type) basket
+    * at least `minSupport` times. Built on [[graft.ops.Graph.frequentPairs]],
+    * so the pair blow-up is bounded per basket, never corpus². */
+  private def userCooccurEdges(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"),
+        struct(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+          .as("basket"))
+    graft.ops.Graph.frequentPairs(ev, "basket", "user_id", minSupport = 3L)
+  }
+
+  // DuckDB twin of [[userCooccurEdges]] — keep in sync.
+  private val sqlCooccurEdges =
+    """ut AS (SELECT DISTINCT date_trunc('hour', ts) AS h, event_type,
+      |   user_id FROM events),
+      |e AS (SELECT a.user_id AS a, b.user_id AS b
+      |  FROM ut a JOIN ut b ON a.h = b.h AND a.event_type = b.event_type
+      |   AND a.user_id < b.user_id
+      |  GROUP BY 1, 2 HAVING count(*) >= 3)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     // ---- funnel conversion (view → click → purchase) -----------------
     // ordered-step funnel: t1 = first view, t2 = first click at/after
@@ -572,7 +593,29 @@ object EventQueries {
           (abs(col("p99") - col("ex")(2)) / col("ex")(2) <= 0.03)
             .as("ok_p99"))
         .orderBy("event_type")
-    })
+    }),
+
+    // ---- triangle counting / clustering coefficient ------------------
+    // cohesion of the user co-occurrence graph via the degree-ordered
+    // forward algorithm ([[graft.ops.Graph.triangleCount]]) — oriented
+    // out-lists bound the wedge blow-up at O(m^1.5) however skewed the
+    // degrees; the oracle closes triangles with a plain 3-way self-join
+    "q_triangle_count" -> ((s, d) =>
+      graft.ops.Graph.triangleCount(
+        userCooccurEdges(s, d), "item_a", "item_b")),
+
+    // ---- label-propagation communities -------------------------------
+    // who hangs out with whom: 3 synchronous LPA rounds (deterministic
+    // min-label tie-break) over the same co-occurrence graph; output is
+    // the community histogram pinned by min/sum of members. The oracle
+    // unrolls all 3 rounds as CTEs — the whole fixpoint is hash-checked
+    "q_label_prop" -> ((s, d) =>
+      graft.ops.Graph.labelPropagation(
+          userCooccurEdges(s, d), "item_a", "item_b", iters = 3)
+        .groupBy("lbl")
+        .agg(count(lit(1)).as("n_members"), min("node").as("min_node"),
+          sum("node").cast("long").as("sum_node"))
+        .orderBy("lbl"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -797,6 +840,42 @@ object EventQueries {
     "q_count_min" ->
       """SELECT event_type, count(*) AS exact_n, TRUE AS cms_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_triangle_count" ->
+      s"""WITH $sqlCooccurEdges,
+         |deg AS (SELECT v, count(*) AS d FROM
+         |  (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+         | GROUP BY v),
+         |tri AS (SELECT count(*) AS n_triangles FROM e e1
+         |  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+         |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+         |SELECT (SELECT count(*) FROM e) AS n_edges,
+         | (SELECT sum(d*(d-1)/2)::BIGINT FROM deg) AS n_wedges,
+         | n_triangles,
+         | round(3.0 * n_triangles /
+         |   (SELECT sum(d*(d-1)/2) FROM deg), 4) AS gcc
+         |FROM tri""".stripMargin,
+
+    // three unrolled LPA rounds — most-frequent neighbor label,
+    // min-label tie-break, exactly the Spark side's window election
+    "q_label_prop" -> {
+      val rounds = (1 to 3).map { k =>
+        s""",l$k AS (SELECT v AS node, lbl FROM (
+           |   SELECT u.v, l.lbl,
+           |    row_number() OVER (PARTITION BY u.v
+           |      ORDER BY count(*) DESC, l.lbl) AS rn
+           |   FROM und u JOIN l${k - 1} l ON u.n = l.node
+           |   GROUP BY u.v, l.lbl) WHERE rn = 1)""".stripMargin
+      }.mkString("\n")
+      s"""WITH $sqlCooccurEdges,
+         |und AS (SELECT a AS v, b AS n FROM e
+         |  UNION ALL SELECT b AS v, a AS n FROM e),
+         |l0 AS (SELECT DISTINCT v AS node, v AS lbl FROM und)
+         |$rounds
+         |SELECT lbl, count(*) AS n_members, min(node) AS min_node,
+         | sum(node)::BIGINT AS sum_node
+         |FROM l3 GROUP BY lbl ORDER BY lbl""".stripMargin
+    },
 
     // the oracle replays the full DDSketch pipeline — γ is the
     // shortest-round-trip repr of the Scala double, so ln/pow see

@@ -78,4 +78,33 @@ class GraphSpec extends SparkSpec {
     // and the probe actually prunes (selective predicate, fpp 1%)
     assert(pruned.count() < li.count())
   }
+
+  test("triangleCount: K4 plus a pendant edge, any input orientation") {
+    // K4 has C(4,3)=4 triangles, 6 edges; pendant adds an edge, no
+    // triangle. Mixed/duplicate/reversed input edges must canonicalize.
+    val edges = Seq((1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (4, 2),
+      (3, 4), (4, 5), (4, 5)).toDF("s", "t")
+    val r = Graph.triangleCount(edges, "s", "t").first()
+    assert(r.getLong(0) == 7L, s"edges: $r")     // 6 + pendant
+    assert(r.getLong(2) == 4L, s"triangles: $r")
+    // wedges: degs are 3,3,3,4,1 → 3+3+3+6+0 = 15
+    assert(r.getLong(1) == 15L, s"wedges: $r")
+    assert(math.abs(r.getDouble(3) - 3.0 * 4 / 15) < 1e-4)
+  }
+
+  test("labelPropagation: two cliques with one bridge separate") {
+    // cliques {1,2,3} and {10,11,12} bridged by 3-10: each clique's
+    // majority vote keeps its own min label; the bridge can't flip it
+    val clique = Seq((1, 2), (1, 3), (2, 3), (10, 11), (10, 12),
+      (11, 12), (3, 10)).toDF("s", "t")
+    val lbls = Graph.labelPropagation(clique, "s", "t", iters = 4)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    // the label VALUES depend on how ties drag ids across the bridge;
+    // the invariant is the partition: each clique uniform, cliques apart
+    assert(Set(1, 2, 3).map(lbls).size == 1,
+      s"left clique must be one community: $lbls")
+    assert(Set(10, 11, 12).map(lbls).size == 1,
+      s"right clique must be one community: $lbls")
+    assert(lbls(1) != lbls(10), s"cliques must separate: $lbls")
+  }
 }
