@@ -96,4 +96,45 @@ object TemporalJoins {
       .filter(col(probeTs).between(col("_start"), col("_end")))
       .select(probe.columns.map(col).toSeq ++ payload.map(col): _*)
   }
+
+  /** Interval×interval overlap join: every (left, right) pair of CLOSED
+    * intervals in the same `key` group with
+    * `lStart <= rEnd && rStart <= lEnd` (touching endpoints overlap).
+    *
+    * Scale shape — the same time-bucket decomposition as [[rangeJoin]],
+    * two-sided: both interval sets explode to the buckets they cover and
+    * meet on an equi-join of (key, bucket). An overlapping pair shares
+    * every bucket the overlap region covers, so to emit each pair
+    * EXACTLY ONCE without a distinct shuffle, a pair only fires in the
+    * bucket holding the overlap's left edge `max(lStart, rStart)` — a
+    * bucket both sides necessarily cover. Replication per row is
+    * `len/bucketWidth + 1`, so pick bucketWidth near the typical
+    * interval length; the inequality join this replaces is O(|L|·|R|)
+    * per key.
+    *
+    * Column names on the two sides must be disjoint; output is all left
+    * columns + right's `rStart`/`rEnd` + `payload`.
+    */
+  def intervalOverlapJoin(left: DataFrame, lStart: String, lEnd: String,
+      right: DataFrame, rStart: String, rEnd: String,
+      key: String, bucketWidth: Long, payload: Seq[String]): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val clash = right.columns.toSet
+      .intersect(left.columns.toSet) - key
+    require(clash.isEmpty, s"overlapping column names: $clash")
+    val l = left.filter(col(lStart) <= col(lEnd))
+      .withColumn("_lb", explode(sequence(
+        expr(s"$lStart div $bucketWidth"), expr(s"$lEnd div $bucketWidth"))))
+    val r = right.filter(col(rStart) <= col(rEnd))
+      .select(Seq(col(key).as("_rk"), col(rStart), col(rEnd)) ++
+        payload.map(col): _*)
+      .withColumn("_rb", explode(sequence(
+        expr(s"$rStart div $bucketWidth"), expr(s"$rEnd div $bucketWidth"))))
+    l.join(r, l(key) === r("_rk") && l("_lb") === r("_rb"))
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(col("_lb") ===
+        expr(s"greatest($lStart, $rStart) div $bucketWidth"))
+      .select(left.columns.map(col).toSeq ++
+        Seq(col(rStart), col(rEnd)) ++ payload.map(col): _*)
+  }
 }

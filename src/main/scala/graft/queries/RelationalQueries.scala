@@ -241,6 +241,45 @@ object RelationalQueries {
           count_distinct(col("purchase_id")).as("n_windows"))
     }),
 
+    // interval×interval overlap join: per-user activity SESSIONS
+    // (6-hour-gap islands over view/click/purchase) against per-user
+    // error impact WINDOWS (each error event padded ±2 h) — "which
+    // sessions ran while things were failing for that user". Executed
+    // by [[graft.ops.TemporalJoins.intervalOverlapJoin]]: both interval
+    // sets explode to 6-hour buckets and meet on a (user, bucket)
+    // equi-join; each pair fires exactly once (overlap-left-edge
+    // bucket rule) — never the per-key O(n·m) inequality join the
+    // DuckDB twin runs.
+    "q_join_interval_overlap" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val shop = ev
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("prev", lag("us", 1).over(w))
+        .withColumn("new_s", when(col("prev").isNull ||
+          col("us") - col("prev") > 21600L * 1000000L, 1L).otherwise(0L))
+        .withColumn("sid", sum("new_s").over(wc))
+        .groupBy("user_id", "sid")
+        .agg(min("us").as("ls"), max("us").as("le"))
+        .drop("sid")
+      val impact = ev.filter(col("event_type") === "error")
+        .select(col("user_id"),
+          (unix_micros(col("ts")) - 7200L * 1000000L).as("rs"),
+          (unix_micros(col("ts")) + 7200L * 1000000L).as("re"))
+      graft.ops.TemporalJoins.intervalOverlapJoin(
+          shop, "ls", "le", impact, "rs", "re",
+          key = "user_id", bucketWidth = 21600L * 1000000L,
+          payload = Seq.empty)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_overlaps"),
+          round(sum(least(col("le"), col("re")) -
+            greatest(col("ls"), col("rs"))) / 1e6, 2).as("overlap_s"))
+        .orderBy("user_id")
+    }),
+
     // same semantics as q_join_range, but written as the NAIVE
     // inequality join — [[graft.plans.RangeJoinRule]] (injected via
     // SparkSessionExtensions) rewrites it to the bucketed equi-join
@@ -1580,6 +1619,32 @@ object RelationalQueries {
         |FROM p JOIN i
         |  ON p.user_id = i.user_id AND p.us BETWEEN i.w_start AND i.w_end
         |GROUP BY event_type""".stripMargin,
+
+    // the twin runs the plain per-user inequality join over the same
+    // gaps-and-islands session/burst construction
+    "q_join_interval_overlap" ->
+      """WITH sg AS (SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us,
+        |   lag(epoch_us(ts::TIMESTAMP)) OVER (PARTITION BY user_id
+        |     ORDER BY epoch_us(ts::TIMESTAMP), event_id) AS prev
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        |ss AS (SELECT user_id, us,
+        |   sum(CASE WHEN prev IS NULL OR us - prev > 21600000000
+        |       THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM sg),
+        |shop AS (SELECT user_id, sid, min(us) AS ls, max(us) AS le
+        |  FROM ss GROUP BY 1, 2),
+        |bursts AS (SELECT user_id,
+        |   epoch_us(ts::TIMESTAMP) - 7200000000 AS rs,
+        |   epoch_us(ts::TIMESTAMP) + 7200000000 AS re
+        |  FROM events WHERE event_type = 'error')
+        |SELECT s.user_id, count(*) AS n_overlaps,
+        | round(sum(least(s.le, b.re) - greatest(s.ls, b.rs)) / 1e6, 2)
+        |   AS overlap_s
+        |FROM shop s JOIN bursts b
+        |  ON s.user_id = b.user_id AND s.ls <= b.re AND b.rs <= s.le
+        |GROUP BY s.user_id ORDER BY s.user_id""".stripMargin,
 
     "q_join_range_auto" ->
       """WITH p AS (SELECT event_id, event_type, user_id,

@@ -72,4 +72,28 @@ class TemporalJoinsSpec extends SparkSpec {
       .collect().map(_.getLong(3)).sorted
     assert(out.toSeq == Seq(1L, 2L), s"probe must pair with both covering intervals: ${out.toSeq}")
   }
+
+  test("intervalOverlapJoin: exactly-once across shared buckets; closed bounds") {
+    // left [0, 95] spans 10 buckets at width 10; right [42, 88] shares
+    // 5 of them — the pair must still surface exactly once
+    val left = Seq((1L, 0L, 95L, "L1"), (1L, 200L, 210L, "L2"),
+      (2L, 0L, 50L, "Lx")).toDF("k", "ls", "le", "lid")
+    val right = Seq((1L, 42L, 88L, "R1"), (1L, 96L, 199L, "Rgap"),
+      (1L, 210L, 300L, "Rtouch"), (3L, 0L, 500L, "Rk")) // wrong key
+      .toDF("k", "rs", "re", "rid")
+    val out = TemporalJoins.intervalOverlapJoin(left, "ls", "le",
+        right, "rs", "re", key = "k", bucketWidth = 10L,
+        payload = Seq("rid"))
+      .select("lid", "rid").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.sorted.toSeq == Seq(("L1", "R1"), ("L2", "Rtouch")),
+      s"exactly-once + touching-endpoint overlap + key isolation: ${out.toSeq}")
+  }
+
+  test("intervalOverlapJoin: inverted intervals drop instead of exploding") {
+    val left = Seq((1L, 10L, 5L, "bad")).toDF("k", "ls", "le", "lid")
+    val right = Seq((1L, 0L, 100L, "R")).toDF("k", "rs", "re", "rid")
+    assert(TemporalJoins.intervalOverlapJoin(left, "ls", "le",
+      right, "rs", "re", key = "k", bucketWidth = 10L,
+      payload = Seq("rid")).isEmpty)
+  }
 }
