@@ -386,6 +386,35 @@ object Similarity {
         (x, i) => (x - element_at(mus, i + 1)) / element_at(sds, i + 1)))
   }
 
+  /** Johnson–Lindenstrauss random projection to `dOut` dimensions with
+    * a deterministic ±1/√dOut sign matrix (Achlioptas 2003: ±1 entries
+    * preserve pairwise distances in expectation exactly like Gaussians,
+    * and cost only sign-flipped adds). The matrix rows reuse
+    * [[graft.functions.HyperplaneSignature.signMatrix]]'s splitmix64
+    * derivation, so any engine (or the DuckDB oracle) can regenerate
+    * them from (seed, dOut) — no matrix is stored or shipped.
+    *
+    * Scale shape: dOut codegen'd [[graft.functions.VectorFunctions.dotN]]
+    * folds per row — purely narrow, no shuffle, no driver state; the
+    * projected corpus is dOut/dim the size of the input, which is the
+    * point (cheaper downstream LSH/kmeans/dedup at equal recall).
+    * Adds `proj: array<double>` of length dOut.
+    */
+  def randomProjection(df: DataFrame, vecCol: String, dim: Int,
+      dOut: Int, seed: Long = 42L): DataFrame = {
+    import graft.functions.HyperplaneSignature.{signMatrix, MaxDim}
+    require(dOut <= 64, s"signMatrix rows are capped at 64 bits, got $dOut")
+    val m = signMatrix(dOut, seed)
+    val scale = 1.0 / math.sqrt(dOut.toDouble)
+    val vd = transform(col(vecCol), _.cast("double"))
+    val comps = (0 until dOut).map { k =>
+      val signs = (0 until dim)
+        .map(j => if (m(k * MaxDim + j)) 1.0 else -1.0)
+      dotN(vd, typedLit(signs)) * scale
+    }
+    df.withColumn("proj", array(comps: _*))
+  }
+
   /** Hard-negative mining for contrastive training: for each query row,
     * the top-k most-cosine-similar corpus rows with a DIFFERENT label —
     * the "close but wrong" examples a retrieval/embedding trainer pairs

@@ -429,6 +429,18 @@ object LlmQueries {
           "vec_id", "embedding", "label", threshold = 0.35)
         .select(col("id_a"), col("id_b"), round(col("cos"), 2).as("c"))),
 
+    // Johnson–Lindenstrauss random projection 64→16 dims (deterministic
+    // ±1/√16 splitmix64 sign rows): the cheap front-end that makes
+    // downstream LSH/kmeans/near-dup 4× narrower at comparable recall.
+    // Purely narrow codegen'd folds; exploded to scalar rows for the
+    // hash compare (array columns break the driver's comparator)
+    "q_random_proj" -> ((s, d) =>
+      Similarity.randomProjection(Tables.embeddings(s, d), "embedding",
+          dim = 64, dOut = 16)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("pos", "_p")))
+        .select(col("vec_id"), col("pos"),
+          (round(col("_p"), 4) + lit(0.0)).as("p_r"))),
+
     // per-label mean embedding (cluster centroid / class prototype);
     // shuffle keyed on (label, pos) with map-side partial averages —
     // reduce side is |labels|·dim keys at any corpus size
@@ -904,6 +916,20 @@ object LlmQueries {
         .mkString("[", ",", "]")
       s"($t, $b, $lst)"
     }).mkString(", ")
+  }
+
+  /** The q_random_proj ±1 sign rows (same splitmix64 derivation as
+    * [[lshSignRows]], one row per OUTPUT dim) as DuckDB VALUES, so the
+    * oracle's list_dot_product replays the kernel's in-order adds. */
+  private def rpSignRows(dOut: Int, dim: Int, seed: Long): String = {
+    import graft.functions.HyperplaneSignature.{signMatrix, MaxDim}
+    val m = signMatrix(dOut, seed)
+    (0 until dOut).map { k =>
+      val lst = (0 until dim)
+        .map(j => if (m(k * MaxDim + j)) "1.0" else "-1.0")
+        .mkString("[", ",", "]")
+      s"($k, $lst)"
+    }.mkString(", ")
   }
 
   /** Unrolled Lloyd's k-means as a DuckDB WITH-chain (no trailing
@@ -1963,6 +1989,13 @@ object LlmQueries {
         |SELECT label, round(sum(err), 4) AS sum_err,
         | round(max(s), 6) AS max_scale, count(*) AS n
         |FROM e GROUP BY label""".stripMargin,
+
+    "q_random_proj" ->
+      s"""WITH sgn(pos, s) AS (VALUES ${rpSignRows(16, 64, 42L)}),
+         |v AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings)
+         |SELECT vec_id, pos,
+         | round(list_dot_product(vd, s::DOUBLE[]) * 0.25, 4) + 0.0 AS p_r
+         |FROM v CROSS JOIN sgn""".stripMargin,
 
     "q_centroids" ->
       """WITH e AS (SELECT label, unnest(embedding::DOUBLE[]) AS v,

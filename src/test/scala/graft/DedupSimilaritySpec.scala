@@ -700,4 +700,24 @@ class DedupSimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("randomProjection: JL norm preservation in expectation, deterministic") {
+    val e = Tables.embeddings(spark, sf)
+    val p = Similarity.randomProjection(e, "embedding", dim = 64, dOut = 16)
+    import graft.functions.VectorFunctions.dotN
+    val vd = transform(col("embedding"), _.cast("double"))
+    val ratios = p.select(
+        (dotN(col("proj"), col("proj")) / dotN(vd, vd)).as("r"))
+      .agg(avg("r"), min("r"), max("r")).first()
+    // E[||y||^2] = ||x||^2 for ±1/√d rows; with d'=16 individual rows
+    // spread but the corpus mean concentrates hard
+    assert(math.abs(ratios.getDouble(0) - 1.0) < 0.15,
+      s"mean norm ratio must be ~1: $ratios")
+    assert(ratios.getDouble(1) > 0.05 && ratios.getDouble(2) < 5.0,
+      s"per-row ratios stay in the JL envelope for d'=16: $ratios")
+    // same (seed, dims) → bit-identical projection
+    val p2 = Similarity.randomProjection(e, "embedding", 64, 16)
+      .select("vec_id", "proj")
+    assert(p.select("vec_id", "proj").except(p2).isEmpty)
+  }
 }
