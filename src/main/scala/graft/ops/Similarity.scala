@@ -386,6 +386,30 @@ object Similarity {
         (x, i) => (x - element_at(mus, i + 1)) / element_at(sds, i + 1)))
   }
 
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
+    * embeddings with [[kmeans]], then inside each cluster drop every
+    * row that has a SMALLER-id neighbor with cosine ≥ `threshold` (the
+    * deterministic keep-lowest-id election — the paper keeps one
+    * arbitrary representative per semantic duplicate group; min-id
+    * makes that reproducible on any topology).
+    *
+    * Scale shape: the cluster id is exactly the blocking key
+    * [[cosineNearDupPairs]] needs, so the pair join is bounded by
+    * cluster size — k is the dial that keeps |cluster| ≈ n/k rows, and
+    * at 100 TB the clusters come from a sampled-fit kmeans and the
+    * pair stage shuffles each cluster once. No all-pairs anywhere.
+    *
+    * Returns the KEPT rows (all input columns + `cluster`).
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int, threshold: Double): DataFrame = {
+    val assigned = kmeans(df, idCol, vecCol, k, iters)
+    val dropIds = cosineNearDupPairs(assigned, idCol, vecCol,
+        "cluster", threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    assigned.join(dropIds, Seq(idCol), "left_anti")
+  }
+
   /** Johnson–Lindenstrauss random projection to `dOut` dimensions with
     * a deterministic ±1/√dOut sign matrix (Achlioptas 2003: ±1 entries
     * preserve pairwise distances in expectation exactly like Gaussians,

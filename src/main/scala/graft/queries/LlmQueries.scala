@@ -429,6 +429,19 @@ object LlmQueries {
           "vec_id", "embedding", "label", threshold = 0.35)
         .select(col("id_a"), col("id_b"), round(col("cos"), 2).as("c"))),
 
+    // SemDeDup semantic near-dup removal: kmeans clusters as blocking
+    // keys, keep-lowest-id inside each cosine-duplicate group — the
+    // embedding-space dedup pass a training corpus runs after exact and
+    // MinHash dedup. Pair work bounded per cluster; oracle replays the
+    // unrolled kmeans chain + the pair predicate + the anti-join
+    "q_semdedup" -> ((s, d) =>
+      Similarity.semDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+          k = 8, iters = 2, threshold = 0.35)
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_kept"), min("vec_id").as("first_id"),
+          sum("vec_id").cast("long").as("sum_ids"))
+        .orderBy("cluster")),
+
     // Johnson–Lindenstrauss random projection 64→16 dims (deterministic
     // ±1/√16 splitmix64 sign rows): the cheap front-end that makes
     // downstream LSH/kmeans/near-dup 4× narrower at comparable recall.
@@ -1989,6 +2002,19 @@ object LlmQueries {
         |SELECT label, round(sum(err), 4) AS sum_err,
         | round(max(s), 6) AS max_scale, count(*) AS n
         |FROM e GROUP BY label""".stripMargin,
+
+    "q_semdedup" ->
+      s"""WITH $kmeansNvPrefix,
+         |${kmeansSqlChain(8, 2)},
+         |drops AS (SELECT DISTINCT b.vec_id AS id_b
+         |  FROM af a JOIN af b
+         |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |   AND list_dot_product(a.nv, b.nv) >= 0.35),
+         |kept AS (SELECT vec_id, cluster FROM af
+         |  WHERE vec_id NOT IN (SELECT id_b FROM drops))
+         |SELECT cluster, count(*) AS n_kept, min(vec_id) AS first_id,
+         | sum(vec_id)::BIGINT AS sum_ids
+         |FROM kept GROUP BY cluster ORDER BY cluster""".stripMargin,
 
     "q_random_proj" ->
       s"""WITH sgn(pos, s) AS (VALUES ${rpSignRows(16, 64, 42L)}),

@@ -701,6 +701,21 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semDedup: duplicate group keeps its lowest id, singletons survive") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.001f, 0.0f)),  // near-dup of 1 → dropped
+      (5L, Array(0.999f, 0.01f, 0.0f)), // near-dup of 1 → dropped
+      (3L, Array(0.0f, 1.0f, 0.0f)),    // orthogonal → kept
+      (4L, Array(0.0f, 0.0f, 1.0f)))    // orthogonal → kept
+      .toDF("vec_id", "embedding")
+    val kept = Similarity.semDedup(vecs, "vec_id", "embedding",
+        k = 1, iters = 1, threshold = 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L), s"kept: $kept")
+  }
+
   test("randomProjection: JL norm preservation in expectation, deterministic") {
     val e = Tables.embeddings(spark, sf)
     val p = Similarity.randomProjection(e, "embedding", dim = 64, dOut = 16)
