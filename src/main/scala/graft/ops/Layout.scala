@@ -62,6 +62,52 @@ object Layout {
     df.repartition(parts)
   }
 
+  /** Global row numbering at scale — `row_number() OVER (ORDER BY …)`
+    * without the single-partition window Spark plans for an empty
+    * PARTITION BY (the classic cluster-killer: one task sorts the whole
+    * table). Two-pass zipWithIndex design instead:
+    *
+    *   1. range-partition + sort-within-partitions on `sortCols`
+    *      (parallel global sort), materialized once (`localCheckpoint`)
+    *      so both passes see the identical layout;
+    *   2. count rows per partition — |partitions| longs to the driver;
+    *   3. one narrow mapPartitions adds `offset(pid) + local index`.
+    *
+    * Total cost: one range shuffle + a metadata-sized count job; every
+    * stage is parallel. `sortCols` must be a unique key for the
+    * numbering to be deterministic (same contract as row_number with a
+    * tie-broken ORDER BY). Adds `rn` (1-based). */
+  def globalRowNumber(df: DataFrame, sortCols: Seq[String],
+      partitions: Int = 0): DataFrame = {
+    val n = if (partitions > 0) partitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val parted = df
+      .repartitionByRange(n, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .localCheckpoint()
+    val counts = parted
+      .groupBy(spark_partition_id().as("_pid"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until n).scanLeft(0L) { (acc, pid) =>
+      acc + counts.getOrElse(pid, 0L)
+    }.toArray
+    val schema = parted.schema
+      .add("rn", org.apache.spark.sql.types.LongType, nullable = false)
+    // mapPartitionsWithIndex, NOT TaskContext.getPartitionId(): a
+    // downstream coalesce() runs many parent partitions inside one task,
+    // where the task-context id is the coalesced id (0) for every chunk
+    // — the structural partition index is the only safe offset key.
+    val rdd = parted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var i = offsets(pid)
+      it.map { row =>
+        i += 1
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
   /** Rewrite `df` clustered by the Z-order of (`xCol`, `yCol`):
     * range-partition on the Z-value (balanced output files via range
     * sampling, no hash skew) and sort within partitions, so parquet

@@ -1491,6 +1491,18 @@ object RelationalQueries {
       rowChecks.crossJoin(broadcast(pk)).crossJoin(broadcast(orphans))
     }),
 
+    // global row numbering WITHOUT the single-partition window: Spark
+    // plans row_number() over an empty PARTITION BY as one task sorting
+    // everything — [[graft.ops.Layout.globalRowNumber]] replaces it
+    // with a parallel range sort + per-partition counts + broadcast
+    // offsets (the zipWithIndex idiom). Same answer as the oracle's
+    // plain OVER (ORDER BY …), scale-correct plan.
+    "q_global_rownum" -> ((s, d) =>
+      graft.ops.Layout.globalRowNumber(
+          Tables.events(s, d).select(col("event_id"), col("value")),
+          Seq("value", "event_id"))
+        .select(col("event_id"), col("rn"))),
+
     // column profiling (the first query run against ANY new dataset):
     // per-column null rate, distinct count, min/max/mean over the fact
     // table's numeric measures. One unpivot (narrow, 4× row blow-up
@@ -2550,6 +2562,11 @@ object RelationalQueries {
         |  AND s_nationkey = n_nationkey AND n_nationkey < 13
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+
+    "q_global_rownum" ->
+      """SELECT event_id,
+        | row_number() OVER (ORDER BY value, event_id) AS rn
+        |FROM events""".stripMargin,
 
     "q_profile_table" ->
       """WITH u AS (

@@ -139,4 +139,21 @@ class LayoutBucketingSpec extends SparkSpec {
       "expected a dynamicpruning subquery on the fact scan:\n" +
         plan.take(800))
   }
+
+  test("globalRowNumber matches the window row_number, even under coalesce") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sf).select("event_id", "value")
+    val expect = ev.withColumn("rn",
+        row_number().over(Window.orderBy("value", "event_id")).cast("long"))
+      .select("event_id", "rn")
+    val got = graft.ops.Layout
+      .globalRowNumber(ev, Seq("value", "event_id"), partitions = 7)
+      .select("event_id", "rn")
+    assert(got.except(expect).isEmpty && expect.except(got).isEmpty)
+    // regression: a downstream coalesce(1) once collapsed every
+    // partition's offset to zero (TaskContext pid vs structural pid)
+    val c1 = got.coalesce(1).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exp = expect.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c1 == exp, "coalesced read must keep global offsets")
+  }
 }
