@@ -882,6 +882,23 @@ object RelationalQueries {
           last(col("n_obs"), ignoreNulls = true).over(w).as("ff_n"))
     }),
 
+    // linear interpolation over the densified per-type hourly grid
+    // ([[graft.ops.TimeSeries.interpolateLinear]]): hour 3 is dropped to
+    // manufacture gaps, then each hole takes the time-weighted value
+    // between its nearest observed neighbors. Windows keyed by
+    // event_type — the fill parallelizes across keys; the raw events
+    // shuffle once into |types|·|hours| buckets
+    "q_interpolate" -> ((s, d) => {
+      val hb = Tables.events(s, d)
+        .filter(hour(col("ts")) =!= 3)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).cast("double").as("v"))
+      graft.ops.TimeSeries.interpolateLinear(hb, "event_type", "hour",
+          "v", "interval 1 hour")
+        .select(col("event_type"), col("hour"),
+          round(col("filled"), 4).as("v_fill"), col("was_gap"))
+    }),
+
     // per-group z-score outlier detection: two-pass (tiny stats agg,
     // broadcast back over the fact table — the fact side is never
     // shuffled); same shape as the LM-quality two-pass scorer
@@ -2562,6 +2579,41 @@ object RelationalQueries {
         |  AND s_nationkey = n_nationkey AND n_nationkey < 13
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+
+    "q_interpolate" ->
+      """WITH hb AS (SELECT event_type,
+        |   date_trunc('hour', ts::TIMESTAMP) AS hour, count(*)::DOUBLE AS v
+        |  FROM events WHERE hour(ts::TIMESTAMP) <> 3 GROUP BY 1, 2),
+        |span AS (SELECT event_type, min(hour) AS lo, max(hour) AS hi
+        |  FROM hb GROUP BY 1),
+        |grid AS (SELECT event_type,
+        |   unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+        |  FROM span),
+        |g AS (SELECT grid.event_type, grid.hour, hb.v
+        |  FROM grid LEFT JOIN hb
+        |    ON grid.event_type = hb.event_type AND grid.hour = hb.hour),
+        |f AS (SELECT event_type, hour, v,
+        |   last_value(v IGNORE NULLS) OVER (PARTITION BY event_type
+        |     ORDER BY hour ROWS UNBOUNDED PRECEDING) AS pv,
+        |   last_value(CASE WHEN v IS NOT NULL THEN epoch_us(hour) END
+        |     IGNORE NULLS) OVER (PARTITION BY event_type
+        |     ORDER BY hour ROWS UNBOUNDED PRECEDING) AS pt,
+        |   first_value(v IGNORE NULLS) OVER (PARTITION BY event_type
+        |     ORDER BY hour ROWS BETWEEN CURRENT ROW AND
+        |     UNBOUNDED FOLLOWING) AS nv,
+        |   first_value(CASE WHEN v IS NOT NULL THEN epoch_us(hour) END
+        |     IGNORE NULLS) OVER (PARTITION BY event_type
+        |     ORDER BY hour ROWS BETWEEN CURRENT ROW AND
+        |     UNBOUNDED FOLLOWING) AS nt
+        |  FROM g)
+        |SELECT event_type, hour,
+        | round(CASE WHEN v IS NOT NULL THEN v
+        |  WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+        |   pv + (nv - pv) * ((epoch_us(hour) - pt)::DOUBLE
+        |     / (nt - pt)::DOUBLE)
+        |  ELSE coalesce(pv, nv) END, 4) AS v_fill,
+        | v IS NULL AS was_gap
+        |FROM f""".stripMargin,
 
     "q_global_rownum" ->
       """SELECT event_id,
