@@ -299,7 +299,7 @@ object Similarity {
       element_at(typedLit(cb.map(_.toIndexedSeq).toIndexedSeq),
         element_at(col(codeCol), j + 1) + 1)
     }
-    df.withColumn("pq_vec", flatten(array(parts: _*)))
+    df.withColumn("pq_vec", flatten(array(parts.toIndexedSeq: _*)))
   }
 
   /** ADC (asymmetric distance computation) top-k search over PQ codes:

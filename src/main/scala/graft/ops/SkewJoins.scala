@@ -37,7 +37,7 @@ object SkewJoins {
     require(Seq("inner", "left", "left_outer").contains(joinType),
       s"salting supports inner/left of the big side, got $joinType")
     val salted = big.withColumn(SaltCol,
-      pmod(xxhash64(big.columns.map(col): _*), lit(salts)))
+      pmod(xxhash64(big.columns.toIndexedSeq.map(col): _*), lit(salts)))
     val replicated = other.withColumn(SaltCol,
       explode(sequence(lit(0L), lit(salts - 1L))))
     salted.join(replicated,

@@ -103,6 +103,44 @@ object LlmQueries {
         .agg(round(sum("lp"), 2).as("sum_lp"), count(lit(1)).as("n"))
     }),
 
+    // bigram-LM perplexity scoring (the CCNet-style quality filter one
+    // step up from q_quality_lm's unigrams): corpus bigram/prefix counts
+    // with add-α smoothing → per-doc cross-entropy H = −mean log2
+    // p(w2|w1) → per-lang aggregate. Scale shape: the exploded bigram
+    // stream shuffles once by bigram key and once by prefix key (both
+    // vocabulary-bounded; AQE broadcasts them when small), the
+    // vocabulary size is a broadcast scalar, and the per-doc reduce is
+    // keyed by doc_id — nothing is quadratic and the corpus is never
+    // collected.
+    "q_perplexity_bigram" -> ((s, d) => {
+      val t = graft.core.Transforms.materialized(
+        Tables.documents(s, d).select("doc_id", "lang", "text"),
+        "toks", tokens(col("text")))
+      val n = size(col("toks"))
+      val pairs = when(n < 2, array().cast("array<struct<w1:string,bg:string>>"))
+        .otherwise(zip_with(
+          slice(col("toks"), lit(1), n - 1), slice(col("toks"), lit(2), n - 1),
+          (a, b) => struct(a.as("w1"), concat_ws(" ", a, b).as("bg"))))
+      val b = t.select(col("doc_id"), col("lang"),
+          explode(pairs).as("p"))
+        .select(col("doc_id"), col("lang"),
+          col("p.w1").as("w1"), col("p.bg").as("bg"))
+      val c2 = b.groupBy("bg").agg(count(lit(1)).as("c2"))
+      val c1 = b.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val vocab = t.select(explode(col("toks")).as("w"))
+        .agg(count_distinct(col("w")).cast("double").as("v"))
+      val perDoc = b.join(c2, "bg").join(c1, "w1").join(broadcast(vocab))
+        .withColumn("lp",
+          log2((col("c2") + 0.1) / (col("c1") + lit(0.1) * col("v"))))
+        .groupBy("doc_id", "lang")
+        .agg((lit(0) - sum("lp") / count(lit(1))).as("h"))
+      perDoc.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum("h"), 2).as("sum_h"),
+          round(max("h"), 2).as("max_h"))
+        .orderBy("lang")
+    }),
+
     // PII scrub mechanism: the corpus is synthetic word-salad with no
     // organic emails, so the query plants one deterministically per doc,
     // then detects + redacts — the regex/redact/verify plumbing is what
@@ -2002,6 +2040,27 @@ object LlmQueries {
         |SELECT label, round(sum(err), 4) AS sum_err,
         | round(max(s), 6) AS max_scale, count(*) AS n
         |FROM e GROUP BY label""".stripMargin,
+
+    "q_perplexity_bigram" ->
+      s"""WITH t AS (SELECT doc_id, lang, $sqlToks AS toks FROM documents),
+         |bgx AS (SELECT doc_id, lang,
+         |   unnest(list_transform(range(1, len(toks)),
+         |     i -> struct_pack(w1 := toks[i],
+         |       bg := toks[i] || ' ' || toks[i+1]))) AS p
+         |  FROM t),
+         |b AS (SELECT doc_id, lang, p.w1 AS w1, p.bg AS bg FROM bgx),
+         |c2 AS (SELECT bg, count(*) AS c2 FROM b GROUP BY bg),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY w1),
+         |vocab AS (SELECT count(DISTINCT w)::DOUBLE AS v FROM
+         |  (SELECT unnest(toks) AS w FROM t)),
+         |s AS (SELECT doc_id, lang,
+         |   log2((c2.c2 + 0.1) / (c1.c1 + 0.1 * v)) AS lp
+         |  FROM b JOIN c2 USING (bg) JOIN c1 USING (w1) CROSS JOIN vocab),
+         |pd AS (SELECT doc_id, lang, -sum(lp)/count(*) AS h
+         |  FROM s GROUP BY 1, 2)
+         |SELECT lang, count(*) AS n_docs, round(sum(h), 2) AS sum_h,
+         | round(max(h), 2) AS max_h
+         |FROM pd GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_semdedup" ->
       s"""WITH $kmeansNvPrefix,

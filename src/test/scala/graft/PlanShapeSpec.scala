@@ -273,6 +273,48 @@ class PlanShapeSpec extends SparkSpec {
       "Bloom probe expected below the semi-join:\n" + p.take(800))
   }
 
+  test("q_join_interval_overlap: bucket decomposition stays an equi-join") {
+    val p = plan("q_join_interval_overlap")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "interval overlap must never fall back to a product join:\n" +
+        p.take(800))
+  }
+
+  test("labelPropagation iteration: per-vertex top-1 is a WindowGroupLimit") {
+    // the registry query's plan is cut by the per-iteration checkpoint,
+    // so pin the iteration's own shape: neighbor-label count + top-1
+    // election must plan as a heap (WindowGroupLimit), not a full sort
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val und = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("v", "n")
+    val labels = und.select(col("v").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    val freq = und.join(labels.withColumnRenamed("node", "n"), Seq("n"))
+      .groupBy("v", "lbl").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("v").orderBy(desc("c"), asc("lbl"))
+    val iter = freq.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    assert(iter.queryExecution.executedPlan.toString
+      .contains("WindowGroupLimit"))
+  }
+
+  test("q_triangle_count: wedge generation and closure are equi-joins") {
+    val p = plan("q_triangle_count")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("q_global_rownum: no single-partition exchange anywhere") {
+    val p = plan("q_global_rownum")
+    assert(!p.contains("Exchange SinglePartition"),
+      "global numbering must not serialize onto one partition:\n" +
+        p.take(800))
+    assert(p.contains("Scan ExistingRDD") || p.contains("ExistingRDD"),
+      "expected the checkpointed range-sorted input")
+  }
+
   test("pageRank: per-iteration checkpoint keeps the final plan constant-size") {
     val p = plan("q_pagerank")
     // without localCheckpoint the 6th iteration's plan contains all

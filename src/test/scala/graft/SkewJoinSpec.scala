@@ -33,7 +33,7 @@ class SkewJoinSpec extends SparkSpec {
 
   test("hot key actually spreads across salt partitions") {
     val salted = skewed.withColumn("_s",
-      pmod(xxhash64(skewed.columns.map(col): _*), lit(4)))
+      pmod(xxhash64(skewed.columns.toIndexedSeq.map(col): _*), lit(4)))
     val spread = salted.filter($"k" === 7L)
       .groupBy("_s").count().count()
     assert(spread >= 3, s"900 distinct hot rows must land on ≥3 of 4 salts, got $spread")
