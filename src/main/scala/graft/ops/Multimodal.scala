@@ -109,6 +109,40 @@ object Multimodal {
     media.withColumn("features", featUdf(col("payload")))
   }
 
+  /** STUB PCM decode: one centered sample per payload byte (stands in
+    * for an audio codec's sample stream; swap the body for a real
+    * decoder). Deterministic, SQL-replayable (byte − 64). */
+  private[ops] def pcmStub(payload: Array[Byte]): Array[Int] =
+    if (payload == null) Array.empty
+    else payload.map(b => (b & 0xFF) - 64)
+
+  /** Fixed-size audio analysis windows over the decoded sample stream:
+    * one output row per window with RMS energy and zero-crossing count
+    * (the two features every VAD/segmentation front-end starts from).
+    * The trailing partial window is kept (flagged by `n_samples`).
+    *
+    * Scale shape: decode + window is one narrow UDF pass per media row
+    * exploding to len/window rows — no shuffle; downstream aggregation
+    * keys on whatever the caller groups by. The UDF is the honest
+    * boundary: audio decode is opaque JVM code under any real codec
+    * too, and everything around it stays Tungsten/codegen. */
+  def audioWindows(media: DataFrame, window: Int = 16): DataFrame = {
+    val wUdf = udf((payload: Array[Byte]) => {
+      val s = pcmStub(payload)
+      s.grouped(window).zipWithIndex.map { case (win, i) =>
+        val n = win.length
+        val rms = math.sqrt(win.map(x => x.toDouble * x).sum / n)
+        val zc = win.sliding(2)
+          .count(p => p.length == 2 && (p(0) < 0) != (p(1) < 0))
+        (i, n, rms, zc)
+      }.toSeq
+    })
+    media.withColumn("w", explode(wUdf(col("payload"))))
+      .select(media.columns.toIndexedSeq.map(col) ++ Seq(
+        col("w._1").as("w_idx"), col("w._2").as("n_samples"),
+        col("w._3").as("rms"), col("w._4").as("zc")): _*)
+  }
+
   /** Sample up to `n` frame indices per media row, evenly spaced over the
     * decoded frame count — one output row per sampled frame. */
   def sampleFrames(withMeta: DataFrame, n: Int): DataFrame =

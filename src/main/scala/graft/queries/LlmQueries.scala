@@ -940,6 +940,24 @@ object LlmQueries {
           sum(octet_length(col("payload"))).as("resized_bytes"))
     }),
 
+    // audio-path twin of the decode pipeline: stub PCM (byte−64 per
+    // sample — SQL-replayable like the decode hash) → 16-sample RMS +
+    // zero-crossing windows, the VAD/segmentation front-end features.
+    // One narrow UDF explode per media row, no shuffle before the
+    // per-mime aggregate
+    "q_multimodal_audio" -> ((s, d) => {
+      val media = Tables.documents(s, d).filter(col("doc_id") < 300)
+        .select(col("doc_id").as("media_id"),
+          col("text").cast("binary").as("payload"), col("source").as("mime"))
+      Multimodal.audioWindows(media, window = 16)
+        .groupBy("mime")
+        .agg(count(lit(1)).as("n_windows"),
+          round(sum("rms"), 2).as("sum_rms"),
+          sum("zc").cast("long").as("sum_zc"),
+          sum(when(col("n_samples") < 16, 1L).otherwise(0L)).as("n_partial"))
+        .orderBy("mime")
+    }),
+
     "q_multimodal_frames" -> ((s, d) => {
       val media = Tables.documents(s, d).filter(col("doc_id") < 200)
         .select(col("doc_id").as("media_id"),
@@ -1750,6 +1768,28 @@ object LlmQueries {
       """SELECT source, count(*) AS n, sum(strlen(text))::BIGINT AS n_bytes,
         | min(strlen(text)) AS min_bytes
         |FROM documents GROUP BY source""".stripMargin,
+
+    // the stub PCM is ord(byte)−64 over all-ASCII text, so the whole
+    // window/RMS/zero-crossing pipeline replays exactly in SQL
+    "q_multimodal_audio" ->
+      """WITH s AS (SELECT doc_id, source AS mime,
+        |   list_transform(range(1, length(text)+1),
+        |     i -> ord(substr(text, i::INT, 1)) - 64) AS pcm
+        |  FROM documents WHERE doc_id < 300),
+        |wi AS (SELECT mime, pcm,
+        |   unnest(range(0, (len(pcm)+15)//16)) AS w_idx FROM s),
+        |w AS (SELECT mime,
+        |   pcm[w_idx*16+1 : least(w_idx*16+16, len(pcm))] AS win FROM wi),
+        |m AS (SELECT mime, len(win) AS n,
+        |  sqrt(list_sum(list_transform(win, x -> x*x))::DOUBLE
+        |    / len(win)) AS rms,
+        |  len(list_filter(range(1, len(win)),
+        |    j -> (win[j] < 0) != (win[j+1] < 0))) AS zc
+        | FROM w)
+        |SELECT mime, count(*) AS n_windows, round(sum(rms), 2) AS sum_rms,
+        | sum(zc)::BIGINT AS sum_zc,
+        | sum(CASE WHEN n < 16 THEN 1 ELSE 0 END)::BIGINT AS n_partial
+        |FROM m GROUP BY mime ORDER BY mime""".stripMargin,
 
     // The stub codec is deterministic JVM arithmetic (Arrays.hashCode =
     // 31-polynomial over the UTF-8 bytes with int32 wraparound), so the

@@ -43,4 +43,24 @@ class MultimodalSpec extends SparkSpec {
       col("frame_idx") >= col("meta.n_frames")).count()
     assert(bad == 0)
   }
+
+  test("audioWindows: window grid, partial tail, RMS and zero crossings") {
+    import spark.implicits._
+    // 5 bytes: '@'=64 → 0, ' '=32 → -32, 'x'=120 → 56 ...
+    val m = Seq((1L, "@ x @ ")).toDF("media_id", "txt")
+      .select(col("media_id"), col("txt").cast("binary").as("payload"))
+    val w = graft.ops.Multimodal.audioWindows(m, window = 4)
+      .orderBy("w_idx").collect()
+    assert(w.length == 2, s"6 samples / window 4 → full + partial")
+    assert(w(0).getAs[Int]("n_samples") == 4 &&
+      w(1).getAs[Int]("n_samples") == 2)
+    // window 0 samples: 0, -32, 56, -32 → crossings at every pair
+    // (0 is non-negative, so (0,-32) crosses too); rms = √(5184/4) = 36
+    assert(w(0).getAs[Int]("zc") == 3, w(0).toString)
+    assert(w(0).getAs[Double]("rms") == 36.0)
+    // empty payload → zero windows
+    val empty = Seq((2L, "")).toDF("media_id", "txt")
+      .select(col("media_id"), col("txt").cast("binary").as("payload"))
+    assert(graft.ops.Multimodal.audioWindows(empty).isEmpty)
+  }
 }
