@@ -311,6 +311,66 @@ object EventQueries {
         .orderBy("day")
     }),
 
+    // linear (equal-credit) multi-touch attribution — q_attr_first's
+    // fractional sibling: every click in the purchase's 7-day lookback
+    // gets 1/n_touch credit, summed by click day. One user_id join +
+    // one per-purchase window count; the fact stream is never collected
+    "q_attr_linear" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          unix_micros(col("ts")).as("p_us"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("c_us"))
+      val touches = p.join(c, Seq("user_id"))
+        .filter(col("c_us") <= col("p_us") &&
+          col("c_us") > col("p_us") - lit(7L * 24 * 3600 * 1000000L))
+        .withColumn("n_touch",
+          count(lit(1)).over(Window.partitionBy("p_id")))
+      touches
+        .withColumn("day", to_date(timestamp_micros(col("c_us"))))
+        .groupBy("day")
+        .agg(round(sum(lit(1.0) / col("n_touch")), 2).as("credit"),
+          count_distinct(col("p_id")).as("n_purchases"),
+          count(lit(1)).as("n_touches"))
+        .orderBy("day")
+    }),
+
+    // moving median (robust rolling baseline): exact percentile as a
+    // WINDOW aggregate over the trailing 10 events per user — the
+    // shuffle is one user_id partition, each frame is 10 rows
+    "q_window_median" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("value"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("med10", round(
+          expr("percentile(value, 0.5D)").over(
+            Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+              .rowsBetween(-9, 0)), 4))
+        .select("user_id", "event_id", "med10")),
+
+    // HLL set algebra: distinct-user intersection of two behaviors via
+    // inclusion–exclusion over three mergeable sketches (|A|+|B|−|A∪B|)
+    // — the sketch-only answer a 100 TB engine ships to dashboards; the
+    // exact semi-join twin + an in-query error-bound flag keep it honest
+    "q_hll_intersect" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val a = ev.filter(col("event_type") === "click")
+        .select(col("user_id"))
+      val b = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"))
+      val est = a.agg(approx_count_distinct("user_id", 0.02).as("ea"))
+        .crossJoin(b.agg(approx_count_distinct("user_id", 0.02).as("eb")))
+        .crossJoin(a.union(b)
+          .agg(approx_count_distinct("user_id", 0.02).as("eu")))
+      val exact = a.join(b.distinct(), Seq("user_id"), "left_semi")
+        .agg(count_distinct(col("user_id")).as("exact_i"))
+      est.crossJoin(broadcast(exact))
+        .select(col("exact_i"),
+          (abs(col("ea") + col("eb") - col("eu") - col("exact_i")) <=
+            lit(0.05) * (col("ea") + col("eb"))).as("hll_ok"))
+    }),
+
     // ---- trending via truncated EWMA ---------------------------------
     // exponentially-weighted hourly counts per event type, decay 0.8
     // over a trailing 24-bucket window, evaluated at the corpus's final
@@ -840,6 +900,37 @@ object EventQueries {
     "q_count_min" ->
       """SELECT event_type, count(*) AS exact_n, TRUE AS cms_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_attr_linear" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_us(ts) AS c_us
+        |  FROM events WHERE event_type = 'click'),
+        |t AS (SELECT p.p_id, c.c_us,
+        |   count(*) OVER (PARTITION BY p.p_id) AS n_touch
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |  WHERE c.c_us <= p.p_us AND c.c_us > p.p_us - 604800000000)
+        |SELECT make_timestamp(c_us)::DATE AS day,
+        | round(sum(1.0 / n_touch), 2) AS credit,
+        | count(DISTINCT p_id) AS n_purchases, count(*) AS n_touches
+        |FROM t GROUP BY day ORDER BY day""".stripMargin,
+
+    "q_window_median" ->
+      """SELECT user_id, event_id,
+        | round(quantile_cont(value, 0.5) OVER (PARTITION BY user_id
+        |   ORDER BY epoch_us(ts), event_id
+        |   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 4) AS med10
+        |FROM events""".stripMargin,
+
+    // the oracle pins the exact intersection and the bound flag at
+    // literal TRUE — the sketch math itself is engine-specific
+    "q_hll_intersect" ->
+      """WITH a AS (SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'click'),
+        |b AS (SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT (SELECT count(*) FROM a WHERE user_id IN
+        |  (SELECT user_id FROM b)) AS exact_i, TRUE AS hll_ok""".stripMargin,
 
     "q_triangle_count" ->
       s"""WITH $sqlCooccurEdges,

@@ -241,6 +241,77 @@ object RelationalQueries {
           count_distinct(col("purchase_id")).as("n_windows"))
     }),
 
+    // forward as-of join: for each purchase, the EARLIEST click at or
+    // after it — [[graft.ops.TemporalJoins.asofJoin]] on NEGATED
+    // timestamps (latest −t_r ≤ −t_l ⟺ earliest t_r ≥ t_l), so the
+    // merge-shaped union+sort+running-last plan is reused unchanged.
+    // Twin: plain correlated min in DuckDB.
+    "q_join_asof_fwd" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          (-unix_micros(col("ts"))).as("nus"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), (-unix_micros(col("ts"))).as("nrus"),
+          col("event_id"))
+        .groupBy("user_id", "nrus").agg(max("event_id").as("click_id"))
+      graft.ops.TemporalJoins.asofJoin(purchases, clicks,
+          key = "user_id", leftTs = "nus", rightTs = "nrus",
+          payload = Seq("click_id", "nrus"))
+        .select(col("event_id"), col("user_id"), col("click_id"),
+          (col("nus") - col("nrus")).as("gap_us"))
+    }),
+
+    // winsorization: clip the fact measure at per-group exact p05/p95
+    // — the robust-stats step before any mean-based model feature. Two
+    // passes: a |groups|-row percentile table broadcast back over the
+    // fact stream (same shape as q_outlier_zscore); the fact side is
+    // never shuffled
+    "q_winsorize" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val cuts = li.groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, array(0.05D, 0.95D))")
+          .as("p"))
+        .select(col("l_returnflag"), col("p")(0).as("lo"),
+          col("p")(1).as("hi"))
+      li.join(broadcast(cuts), Seq("l_returnflag"))
+        .withColumn("clipped",
+          greatest(least(col("l_extendedprice"), col("hi")), col("lo")))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_extendedprice") < col("lo"), 1L)
+            .when(col("l_extendedprice") > col("hi"), 1L)
+            .otherwise(0L)).as("n_clipped"),
+          round(sum("clipped"), 2).as("sum_clip"),
+          round(avg("clipped"), 4).as("avg_clip"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Benford first-digit audit (the classic fabricated-numbers test):
+    // leading digit extracted from the EXACT cent integer's decimal
+    // string — engine-stable, no log10 boundary risk — then observed
+    // vs log10(1+1/d) expected frequencies with per-digit chi-square
+    // contributions. One map-side-combined pass
+    "q_benford" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val cents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+      val digit = substring(cents.cast("string"), 1, 1).cast("int")
+      val byDigit = li.filter(col("l_extendedprice") > 0)
+        .withColumn("digit", digit)
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val total = byDigit.agg(sum("n").cast("double").as("tot"))
+      byDigit.crossJoin(broadcast(total))
+        .select(col("digit"), col("n"),
+          round(col("n") / col("tot"), 4).as("obs_freq"),
+          round(log(10.0, lit(1.0) + lit(1.0) / col("digit")), 4)
+            .as("benford_freq"),
+          round(pow(col("n") / col("tot") -
+              log(10.0, lit(1.0) + lit(1.0) / col("digit")), 2) /
+            log(10.0, lit(1.0) + lit(1.0) / col("digit")) *
+            col("tot"), 2).as("chi2_part"))
+        .orderBy("digit")
+    }),
+
     // interval×interval overlap join: per-user activity SESSIONS
     // (6-hour-gap islands over view/click/purchase) against per-user
     // error impact WINDOWS (each error event padded ±2 h) — "which
@@ -1648,6 +1719,49 @@ object RelationalQueries {
         |FROM p JOIN i
         |  ON p.user_id = i.user_id AND p.us BETWEEN i.w_start AND i.w_end
         |GROUP BY event_type""".stripMargin,
+
+    "q_join_asof_fwd" ->
+      """WITH p AS (SELECT event_id, user_id, -epoch_us(ts) AS nus
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, -epoch_us(ts) AS nrus,
+        |   max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |m AS (SELECT p.event_id, p.user_id, p.nus,
+        |   max(c.nrus) AS nrus
+        |  FROM p LEFT JOIN c
+        |    ON p.user_id = c.user_id AND c.nrus <= p.nus
+        |  GROUP BY 1, 2, 3)
+        |SELECT m.event_id, m.user_id, c.click_id, m.nus - m.nrus AS gap_us
+        |FROM m LEFT JOIN c
+        |  ON m.user_id = c.user_id AND m.nrus = c.nrus""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH cuts AS (SELECT l_returnflag,
+        |   quantile_cont(l_extendedprice, 0.05) AS lo,
+        |   quantile_cont(l_extendedprice, 0.95) AS hi
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag, count(*) AS n,
+        | sum(CASE WHEN l.l_extendedprice < lo OR l.l_extendedprice > hi
+        |     THEN 1 ELSE 0 END)::BIGINT AS n_clipped,
+        | round(sum(greatest(least(l.l_extendedprice, hi), lo)), 2)
+        |   AS sum_clip,
+        | round(avg(greatest(least(l.l_extendedprice, hi), lo)), 4)
+        |   AS avg_clip
+        |FROM lineitem l JOIN cuts ON l.l_returnflag = cuts.l_returnflag
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
+
+    "q_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM lineitem WHERE l_extendedprice > 0),
+        |bd AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+        |t AS (SELECT sum(n)::DOUBLE AS tot FROM bd)
+        |SELECT digit, n, round(n / tot, 4) AS obs_freq,
+        | round(log10(1.0 + 1.0 / digit), 4) AS benford_freq,
+        | round(pow(n / tot - log10(1.0 + 1.0 / digit), 2)
+        |   / log10(1.0 + 1.0 / digit) * tot, 2) AS chi2_part
+        |FROM bd, t ORDER BY digit""".stripMargin,
 
     // the twin runs the plain per-user inequality join over the same
     // gaps-and-islands session/burst construction
