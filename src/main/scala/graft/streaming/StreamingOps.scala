@@ -135,6 +135,19 @@ object StreamingOps {
       keyed.unionByName(fps.filter(col("winnow_key").isNull))
     }
 
+  /** Streaming DDSketch accumulation: because the sketch is bucket
+    * COUNTS ([[graft.ops.Sketches]]), the batch builder runs unchanged
+    * on a streaming DataFrame — Spark's streaming aggregation state IS
+    * the sketch, updated incrementally per micro-batch with no custom
+    * state code. Read quantiles off any snapshot with
+    * [[graft.ops.Sketches.ddsketchQuantiles]]; StreamingSpec pins that
+    * the post-stream state equals the batch-built sketch bucket-for-
+    * bucket (the mergeability law, streaming edition). Use
+    * complete/update output mode (unwindowed running aggregate). */
+  def ddsketchStream(df: DataFrame, valueCol: String, keys: Seq[String],
+      alpha: Double = 0.01): DataFrame =
+    graft.ops.Sketches.ddsketchBuild(df, valueCol, keys, alpha)
+
   /** Arbitrary per-key running state (the generalization of the
     * reference's per-key ack/offset bookkeeping): counts events and emits
     * (key, runningCount) per update. Demonstrates mapGroupsWithState for

@@ -31,6 +31,31 @@ class StreamingSpec extends SparkSpec {
     assert(keys.toSeq == Seq("a", "b", "c"))
   }
 
+  test("streaming DDSketch state equals the batch-built sketch, quantiles too") {
+    val ms = new MemoryStream[(String, Double)](17, spark, None)
+    val df = ms.toDF().toDF("k", "v")
+    val out = StreamingOps.ddsketchStream(df, "v", Seq("k"))
+    val q = out.writeStream.format("memory").queryName("dd_stream")
+      .outputMode("complete").start()
+    val batch1 = (1 to 400).map(i => ("a", i * 0.5)) ++
+      (1 to 100).map(i => ("b", i * 3.0))
+    val batch2 = (1 to 300).map(i => ("a", i * 1.7)) ++
+      Seq(("b", 0.0), ("b", -4.0)) // non-positive: dropped, not bucketed
+    ms.addData(batch1); q.processAllAvailable()
+    ms.addData(batch2); q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    val streamed = spark.table("dd_stream")
+    val batch = graft.ops.Sketches.ddsketchBuild(
+      (batch1 ++ batch2).toDF("k", "v"), "v", Seq("k"))
+    // state == sketch, bucket for bucket → any quantile readout matches
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+    val sq = graft.ops.Sketches
+      .ddsketchQuantiles(streamed, Seq("k"), Seq(0.5, 0.99)).collect()
+    val bq = graft.ops.Sketches
+      .ddsketchQuantiles(batch, Seq("k"), Seq(0.5, 0.99)).collect()
+    assert(sq.toSet == bq.toSet)
+  }
+
   test("session windows close after the gap; sentinel advances the watermark") {
     val ms = new MemoryStream[(String, Timestamp)](11, spark, None)
     val df = ms.toDF().toDF("k", "ts")
