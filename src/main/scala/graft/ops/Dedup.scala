@@ -349,6 +349,41 @@ object Dedup {
     * (full df aggregate) still cost the whole shingle+count pass, so the
     * probe is hybrid — see [[corpusHasHotShingles]].
     */
+  /** Asymmetric shingle-CONTAINMENT pairs: all ordered (a, b), a ≠ b,
+    * in the same block with |S_a ∩ S_b| / |S_a| ≥ threshold — the
+    * sub/superset detector Jaccard misses (a short doc fully embedded
+    * in a long one has low Jaccard but containment 1.0; the classic
+    * quote/excerpt/boilerplate-inclusion case).
+    *
+    * Scale shape: the same inverted-index candidate join as
+    * [[ngramJaccardPairs]] — (block, shingle-hash) equi-join, work
+    * bounded by per-shingle document frequency within the block; on
+    * boilerplate-heavy corpora apply that method's hot/cold shingle
+    * split before this join. Directional scores come from ONE symmetric
+    * intersection count joined against the probe side's set size.
+    */
+  def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
+      blockCol: String, shingleLen: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val base = Transforms.fanOut(docs.withColumnRenamed(blockCol, "blk")
+        .select(col(idCol).as("id"), col(textCol), col("blk")))
+      .select(col("id"),
+        shingleHashes(col(textCol), shingleLen).as("sh"), col("blk"))
+      .filter(size(col("sh")) > 0)
+    val inv = base.select(col("blk"), col("id"),
+      size(col("sh")).as("sz"), explode(col("sh")).as("s"))
+    val a = inv.select(col("blk"), col("s"), col("id").as("id_a"),
+      col("sz").as("sz_a"))
+    val b = inv.select(col("blk"), col("s"), col("id").as("id_b"))
+    a.join(b, Seq("blk", "s"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b", "sz_a").agg(count(lit(1)).as("inter"))
+      .withColumn("containment",
+        col("inter").cast("double") / col("sz_a"))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+  }
+
   def ngramJaccardPairs(
       docs: DataFrame, textCol: String, idCol: String, blockCol: String,
       shingleLen: Int = 3, threshold: Double = 0.2,

@@ -184,6 +184,15 @@ object LlmQueries {
           "text", "doc_id", "lang", shingleLen = 3, threshold = 0.2)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("j"))),
 
+    // asymmetric containment near-dup (|Sa∩Sb|/|Sa|): catches the
+    // quote/excerpt/subset cases Jaccard misses — same inverted-index
+    // candidate join, directional score per ordered pair
+    "q_ngram_containment" -> ((s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d),
+          "text", "doc_id", "lang", shingleLen = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"),
+          round(col("containment"), 4).as("containment"))),
+
     // corpus-level n-gram frequency (the canonical map-reduce: one
     // explode + one counting shuffle; top-k with a unique tie-break)
     "q_ngram_counts" -> ((s, d) =>
@@ -1322,6 +1331,16 @@ object LlmQueries {
          |    / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE END AS j
          | FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
          |SELECT id_a, id_b, round(j, 4) AS j FROM p WHERE j >= 0.2""".stripMargin,
+
+    "q_ngram_containment" ->
+      s"""WITH t AS (SELECT doc_id, lang, ${sqlShingles(sqlToks)} AS sh
+         |  FROM documents),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh) AS c
+         | FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+         | WHERE len(a.sh) > 0)
+         |SELECT id_a, id_b, round(c, 4) AS containment
+         |FROM p WHERE c >= 0.5""".stripMargin,
 
     // Full bit-exact SimHash twin: per-token XXH64 replayed in SQL
     // ([[Xxh64Sql]]), tf-weighted bit votes, 64-bit signature assembly,

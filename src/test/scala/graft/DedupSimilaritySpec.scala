@@ -701,6 +701,24 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("containmentPairs: embedded excerpt scores 1.0 forward, low backward") {
+    import spark.implicits._
+    val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val short = "delta epsilon zeta eta theta" // verbatim excerpt
+    val docs = Seq((1L, long, "en"), (2L, short, "en"),
+      (3L, "totally different words about other things entirely here", "en"))
+      .toDF("doc_id", "text", "lang")
+    val pairs = Dedup.containmentPairs(docs, "text", "doc_id", "lang",
+        shingleLen = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every trigram of the excerpt occurs in the long doc
+    assert(pairs((2L, 1L)) == 1.0, s"forward containment: $pairs")
+    // backward: only 3 of the long doc's 18 trigrams are in the excerpt
+    assert(!pairs.contains((1L, 2L)), s"backward must stay under 0.5: $pairs")
+    assert(!pairs.keys.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("semDedup: duplicate group keeps its lowest id, singletons survive") {
     import spark.implicits._
     val vecs = Seq(
