@@ -375,6 +375,59 @@ object Curation {
       .filter(col("_rk") <= minN).drop("_rk")
   }
 
+  /** BPE merge-rule training (Sennrich et al. 2016), distributed: each
+    * round counts adjacent symbol pairs across the whole corpus (one
+    * vocabulary-bounded shuffle), takes the most frequent pair
+    * (deterministic (count desc, pair asc) tie-break — ONE row to the
+    * driver, like kmeans' centroids), and rewrites every document with
+    * that pair merged. Returns the learned merge table
+    * (step, sym_a, sym_b, pair_n).
+    *
+    * Corpus representation is a DOUBLE-space-joined symbol string with
+    * double-space sentinels: the merge rewrite is then a plain literal
+    * `replace(s, ' a  b ', ' a~b ')` — each adjacent-pair occurrence
+    * owns one private space on each side, so left-to-right
+    * non-overlapping string replace applies exactly the greedy
+    * token-space merge, identically on any engine (this is what makes
+    * the unrolled SQL oracle bit-exact).
+    *
+    * Scale: each round is one narrow rewrite + one pair-count shuffle;
+    * per-round `localCheckpoint` caps the iterative lineage. Real
+    * tokenizers train tens of thousands of merges — production runs
+    * this on a sampled subcorpus (merge ranks stabilize quickly), then
+    * APPLIES the rules corpus-wide; the per-round cost model is the
+    * same either way.
+    */
+  def bpeTrainMerges(docs: DataFrame, textCol: String,
+      steps: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var cur = docs.select(
+      concat(lit("  "), array_join(tokens(col(textCol)), "  "), lit("  "))
+        .as("s"))
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (step <- 1 to steps) {
+      val t = filter(split(col("s"), "  "), x => x =!= "")
+      val prs = cur.select(t.as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+        .groupBy("p.a", "p.b").agg(count(lit(1)).as("n"))
+      val top = prs.orderBy(desc("n"), asc("a"), asc("b")).limit(1)
+        .collect()(0)
+      val (a, b, n) = (top.getString(0), top.getString(1), top.getLong(2))
+      require((a + b).matches("[A-Za-z0-9~]+"),
+        s"symbol escaping not needed for this corpus, got '$a','$b'")
+      merges += ((step, a, b, n))
+      cur = cur.withColumn("s",
+          expr(s"replace(s, ' $a  $b ', ' $a~$b ')"))
+        .localCheckpoint()
+    }
+    merges.result().toDF("step", "sym_a", "sym_b", "pair_n")
+  }
+
   /** Gopher-style document quality rules (Rae et al. 2021 §A1.1, the
     * filter set RefinedWeb/Dolma inherit): per-document word count
     * bounds, mean word length bounds, minimum alphabetic-word fraction,

@@ -184,6 +184,13 @@ object LlmQueries {
           "text", "doc_id", "lang", shingleLen = 3, threshold = 0.2)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("j"))),
 
+    // distributed BPE merge training (3 rounds): corpus-wide adjacent-
+    // pair counts → argmax merge → literal-replace rewrite, the
+    // double-space representation making the greedy merge engine-exact
+    // (see Curation.bpeTrainMerges). The oracle unrolls all 3 rounds
+    "q_bpe_train" -> ((s, d) =>
+      Curation.bpeTrainMerges(Tables.documents(s, d), "text", steps = 3)),
+
     // asymmetric containment near-dup (|Sa∩Sb|/|Sa|): catches the
     // quote/excerpt/subset cases Jaccard misses — same inverted-index
     // candidate join, directional score per ordered pair
@@ -1010,6 +1017,31 @@ object LlmQueries {
     }.mkString(", ")
   }
 
+  /** Unrolled BPE merge training ([[graft.ops.Curation.bpeTrainMerges]])
+    * as a DuckDB WITH-chain: per round, split the double-space corpus
+    * string, count adjacent pairs, argmax with (n desc, a, b) tie-break,
+    * literal-replace rewrite. Produces `top1..topN`. */
+  private def bpeSqlChain(steps: Int): String = {
+    val sb = new StringBuilder(
+      s"""t0 AS (SELECT '  ' || array_to_string($sqlToks, '  ') || '  '
+         |   AS s FROM documents)""".stripMargin)
+    for (k <- 1 to steps) {
+      sb.append(s""",
+        |tk$k AS (SELECT list_filter(string_split(s, '  '), x -> x <> '')
+        |   AS t FROM t${k - 1}),
+        |p$k AS (SELECT p.a AS a, p.b AS b, count(*) AS n FROM (
+        |   SELECT unnest(list_transform(range(1, len(t)),
+        |     i -> struct_pack(a := t[i], b := t[i+1]))) AS p
+        |   FROM tk$k WHERE len(t) >= 2)
+        |  GROUP BY 1, 2),
+        |top$k AS (SELECT a, b, n FROM p$k ORDER BY n DESC, a, b LIMIT 1),
+        |t$k AS (SELECT replace(s, ' ' || a || '  ' || b || ' ',
+        |    ' ' || a || '~' || b || ' ') AS s
+        |  FROM t${k - 1} CROSS JOIN top$k)""".stripMargin)
+    }
+    sb.toString
+  }
+
   /** Unrolled Lloyd's k-means as a DuckDB WITH-chain (no trailing
     * SELECT): replays [[graft.ops.Similarity.kmeans]] step for step —
     * md5-rank init, per-iteration argmax-dot assignment (ties to the
@@ -1331,6 +1363,14 @@ object LlmQueries {
          |    / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE END AS j
          | FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
          |SELECT id_a, id_b, round(j, 4) AS j FROM p WHERE j >= 0.2""".stripMargin,
+
+    "q_bpe_train" ->
+      s"""WITH ${bpeSqlChain(3)}
+         |SELECT 1 AS step, a AS sym_a, b AS sym_b, n AS pair_n FROM top1
+         |UNION ALL
+         |SELECT 2, a, b, n FROM top2
+         |UNION ALL
+         |SELECT 3, a, b, n FROM top3""".stripMargin,
 
     "q_ngram_containment" ->
       s"""WITH t AS (SELECT doc_id, lang, ${sqlShingles(sqlToks)} AS sh

@@ -306,6 +306,23 @@ class CurationSpec extends SparkSpec {
       empty.withColumn("score", col("id").cast("double")), "score").count() == 0L)
   }
 
+  test("bpeTrainMerges: greedy pair election, hierarchical second merge") {
+    import spark.implicits._
+    // "x y" dominates round 1 (4 occurrences); round 2's best pair is
+    // the MERGED symbol x~y followed by z (3 occurrences) — pinning
+    // that later rounds merge on top of earlier rounds' output
+    val docs = Seq(
+      (1L, "x y z x y z w"),
+      (2L, "x y z x y q"),
+      (3L, "a a a")) // overlapping pair: greedy counts 2, merges once
+      .toDF("doc_id", "text")
+    val m = Curation.bpeTrainMerges(docs, "text", steps = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(m(0) == ((1, "x", "y", 4L)), s"round 1: ${m.toSeq}")
+    assert(m(1) == ((2, "x~y", "z", 3L)), s"round 2: ${m.toSeq}")
+  }
+
   test("gopherFlags: each rule rejects its own pathology, prose passes") {
     val prose = ("the cat and the dog have been friends with every " +
       "neighbour of that old house and they often sleep beside the " +
