@@ -428,6 +428,25 @@ object Curation {
     merges.result().toDF("step", "sym_a", "sym_b", "pair_n")
   }
 
+  /** Apply learned BPE merge rules in training order: the tokenize-side
+    * complement of [[bpeTrainMerges]] — a purely narrow chain of
+    * `steps` literal replaces over the double-space representation (no
+    * shuffle, no state; the rules ride the closure as literals exactly
+    * like a production tokenizer ships its merges file). Returns the
+    * input plus `bpe_n` (post-merge symbol count). */
+  def bpeApply(docs: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val start = concat(lit("  "), array_join(tokens(col(textCol)), "  "),
+      lit("  "))
+    val rewritten = merges.foldLeft(start) { case (c, (a, b)) =>
+      require((a + b).matches("[A-Za-z0-9~]+"), s"unescapable symbol: $a $b")
+      // expr() needs a named column; build with the SQL function directly
+      call_function("replace", c, lit(s" $a  $b "), lit(s" $a~$b "))
+    }
+    docs.withColumn("bpe_n",
+      size(filter(split(rewritten, "  "), x => x =!= "")))
+  }
+
   /** Gopher-style document quality rules (Rae et al. 2021 §A1.1, the
     * filter set RefinedWeb/Dolma inherit): per-document word count
     * bounds, mean word length bounds, minimum alphabetic-word fraction,

@@ -655,6 +655,45 @@ object EventQueries {
         .orderBy("event_type")
     }),
 
+    // mutual information between behavior and time-of-day (the
+    // association diagnostic feature stores run on every categorical
+    // pair): joint and marginal counts — |types|·24 cells — with the
+    // marginals broadcast back; MI in bits
+    "q_mutual_info" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type").as("x"), hour(col("ts")).as("y"))
+      val joint = ev.groupBy("x", "y").agg(count(lit(1)).as("nxy"))
+      val px = ev.groupBy("x").agg(count(lit(1)).as("nx"))
+      val py = ev.groupBy("y").agg(count(lit(1)).as("ny"))
+      val tot = ev.agg(count(lit(1)).cast("double").as("n"))
+      joint.join(broadcast(px), Seq("x")).join(broadcast(py), Seq("y"))
+        .crossJoin(broadcast(tot))
+        .agg(round(sum(col("nxy") / col("n") *
+            log2(col("nxy") * col("n") / (col("nx") * col("ny")))), 4)
+          .as("mi_bits"),
+          count(lit(1)).as("n_cells"),
+          max("n").cast("long").as("n_events"))
+    }),
+
+    // rolling 24-bucket correlation between event volume and value sum
+    // per type (the drift diagnostic between two aligned series) —
+    // windows keyed by type; degenerate frames (zero variance or < 2
+    // rows) emit NULL on both engines by explicit guard
+    "q_rolling_corr" -> ((s, d) => {
+      val hb = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum("value").as("v"))
+      val w = Window.partitionBy("event_type").orderBy("hour")
+        .rowsBetween(-23, 0)
+      hb.withColumn("sn", stddev_pop("n").over(w))
+        .withColumn("sv", stddev_pop("v").over(w))
+        .withColumn("corr24",
+          when(col("sn") > 0 && col("sv") > 0,
+            round(corr("n", "v").over(w), 4)))
+        .select("event_type", "hour", "corr24")
+    }),
+
     // ---- triangle counting / clustering coefficient ------------------
     // cohesion of the user co-occurrence graph via the degree-ordered
     // forward algorithm ([[graft.ops.Graph.triangleCount]]) — oriented
@@ -931,6 +970,30 @@ object EventQueries {
         |  WHERE event_type = 'purchase')
         |SELECT (SELECT count(*) FROM a WHERE user_id IN
         |  (SELECT user_id FROM b)) AS exact_i, TRUE AS hll_ok""".stripMargin,
+
+    "q_mutual_info" ->
+      """WITH e AS (SELECT event_type AS x, hour(ts) AS y FROM events),
+        |j AS (SELECT x, y, count(*) AS nxy FROM e GROUP BY 1, 2),
+        |px AS (SELECT x, count(*) AS nx FROM e GROUP BY 1),
+        |py AS (SELECT y, count(*) AS ny FROM e GROUP BY 1),
+        |t AS (SELECT count(*)::DOUBLE AS n FROM e)
+        |SELECT round(sum(nxy / n * log2(nxy * n / (nx * ny))), 4)
+        |   AS mi_bits,
+        | count(*) AS n_cells, max(n)::BIGINT AS n_events
+        |FROM j JOIN px USING (x) JOIN py USING (y) CROSS JOIN t""".stripMargin,
+
+    "q_rolling_corr" ->
+      """WITH hb AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+        |   count(*)::DOUBLE AS n, sum(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |f AS (SELECT event_type, hour,
+        |   stddev_pop(n) OVER w AS sn, stddev_pop(v) OVER w AS sv,
+        |   corr(n, v) OVER w AS c
+        |  FROM hb WINDOW w AS (PARTITION BY event_type ORDER BY hour
+        |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, hour,
+        | CASE WHEN sn > 0 AND sv > 0 THEN round(c, 4) END AS corr24
+        |FROM f""".stripMargin,
 
     "q_triangle_count" ->
       s"""WITH $sqlCooccurEdges,

@@ -191,6 +191,27 @@ object LlmQueries {
     "q_bpe_train" -> ((s, d) =>
       Curation.bpeTrainMerges(Tables.documents(s, d), "text", steps = 3)),
 
+    // tokenize-side complement: train 3 merges, then APPLY them as a
+    // purely narrow replace chain and report per-lang compression —
+    // the shape a production tokenizer runs corpus-wide after training
+    // on a sample
+    "q_bpe_apply" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val m = Curation.bpeTrainMerges(docs, "text", steps = 3)
+        .orderBy("step").collect()
+        .map(r => r.getString(1) -> r.getString(2)).toSeq
+      val before = Curation.bpeApply(docs, "text", Seq.empty)
+        .withColumnRenamed("bpe_n", "n0")
+      Curation.bpeApply(before, "text", m)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n0").as("toks_before"),
+          sum("bpe_n").as("toks_after"),
+          round(sum("n0").cast("double") / sum("bpe_n"), 4)
+            .as("compression"))
+        .orderBy("lang")
+    }),
+
     // asymmetric containment near-dup (|Sa∩Sb|/|Sa|): catches the
     // quote/excerpt/subset cases Jaccard misses — same inverted-index
     // candidate join, directional score per ordered pair
@@ -482,6 +503,18 @@ object LlmQueries {
       Similarity.cosineNearDupPairs(Tables.embeddings(s, d),
           "vec_id", "embedding", "label", threshold = 0.35)
         .select(col("id_a"), col("id_b"), round(col("cos"), 2).as("c"))),
+
+    // embedding-dimension correlation matrix (the feature-store health
+    // check for redundant/collapsed dims): all C(4,2) pairwise corrs of
+    // the leading dims in ONE aggregate pass over the corpus
+    "q_dim_corr" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(
+        (0 until 4).map(i =>
+          element_at(col("embedding"), i + 1).cast("double").as(s"d$i")): _*)
+      val aggs = for (i <- 0 until 4; j <- i + 1 until 4)
+        yield round(corr(col(s"d$i"), col(s"d$j")), 4).as(s"c_${i}_$j")
+      e.agg(aggs.head, aggs.tail: _*)
+    }),
 
     // SemDeDup semantic near-dup removal: kmeans clusters as blocking
     // keys, keep-lowest-id inside each cosine-duplicate group — the
@@ -1023,8 +1056,9 @@ object LlmQueries {
     * literal-replace rewrite. Produces `top1..topN`. */
   private def bpeSqlChain(steps: Int): String = {
     val sb = new StringBuilder(
-      s"""t0 AS (SELECT '  ' || array_to_string($sqlToks, '  ') || '  '
-         |   AS s FROM documents)""".stripMargin)
+      s"""t0 AS (SELECT lang,
+         |   '  ' || array_to_string($sqlToks, '  ') || '  ' AS s
+         |  FROM documents)""".stripMargin)
     for (k <- 1 to steps) {
       sb.append(s""",
         |tk$k AS (SELECT list_filter(string_split(s, '  '), x -> x <> '')
@@ -1035,7 +1069,7 @@ object LlmQueries {
         |   FROM tk$k WHERE len(t) >= 2)
         |  GROUP BY 1, 2),
         |top$k AS (SELECT a, b, n FROM p$k ORDER BY n DESC, a, b LIMIT 1),
-        |t$k AS (SELECT replace(s, ' ' || a || '  ' || b || ' ',
+        |t$k AS (SELECT lang, replace(s, ' ' || a || '  ' || b || ' ',
         |    ' ' || a || '~' || b || ' ') AS s
         |  FROM t${k - 1} CROSS JOIN top$k)""".stripMargin)
     }
@@ -1371,6 +1405,20 @@ object LlmQueries {
          |SELECT 2, a, b, n FROM top2
          |UNION ALL
          |SELECT 3, a, b, n FROM top3""".stripMargin,
+
+    "q_bpe_apply" ->
+      s"""WITH ${bpeSqlChain(3)},
+         |b0 AS (SELECT lang, count(*) AS n_docs,
+         |   sum(len(list_filter(string_split(s, '  '), x -> x <> '')))
+         |     ::BIGINT AS toks_before
+         |  FROM t0 GROUP BY lang),
+         |b3 AS (SELECT lang,
+         |   sum(len(list_filter(string_split(s, '  '), x -> x <> '')))
+         |     ::BIGINT AS toks_after
+         |  FROM t3 GROUP BY lang)
+         |SELECT b0.lang, n_docs, toks_before, toks_after,
+         | round(toks_before::DOUBLE / toks_after, 4) AS compression
+         |FROM b0 JOIN b3 ON b0.lang = b3.lang ORDER BY b0.lang""".stripMargin,
 
     "q_ngram_containment" ->
       s"""WITH t AS (SELECT doc_id, lang, ${sqlShingles(sqlToks)} AS sh
@@ -2160,6 +2208,16 @@ object LlmQueries {
          |SELECT lang, count(*) AS n_docs, round(sum(h), 2) AS sum_h,
          | round(max(h), 2) AS max_h
          |FROM pd GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_dim_corr" ->
+      """SELECT
+        | round(corr(embedding[1], embedding[2]), 4) AS c_0_1,
+        | round(corr(embedding[1], embedding[3]), 4) AS c_0_2,
+        | round(corr(embedding[1], embedding[4]), 4) AS c_0_3,
+        | round(corr(embedding[2], embedding[3]), 4) AS c_1_2,
+        | round(corr(embedding[2], embedding[4]), 4) AS c_1_3,
+        | round(corr(embedding[3], embedding[4]), 4) AS c_2_3
+        |FROM embeddings""".stripMargin,
 
     "q_semdedup" ->
       s"""WITH $kmeansNvPrefix,
