@@ -655,6 +655,27 @@ object EventQueries {
         .orderBy("event_type")
     }),
 
+    // recursive CTE (Spark 4's WITH RECURSIVE): k-step path counting
+    // from 'view' over the distinct event-transition graph — the
+    // iterative-until-depth surface SQL users expect from a warehouse,
+    // executed as Spark's native recursion (one join per unroll level,
+    // all distributed). DuckDB twin runs the identical recursion
+    "q_sql_recursive" -> ((s, d) => s.sql(
+      s"""WITH RECURSIVE ord AS (
+         |  SELECT event_type AS src,
+         |    lead(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS dst
+         |  FROM parquet.`$d/events.parquet`),
+         |e AS (SELECT DISTINCT src, dst FROM ord WHERE dst IS NOT NULL),
+         |paths(node, depth) AS (
+         |  SELECT 'view' AS node, 0 AS depth
+         |  UNION ALL
+         |  SELECT e.dst, p.depth + 1
+         |  FROM paths p JOIN e ON e.src = p.node WHERE p.depth < 4)
+         |SELECT node, depth, count(*) AS n_paths
+         |FROM paths GROUP BY node, depth
+         |ORDER BY node, depth""".stripMargin)),
+
     // mutual information between behavior and time-of-day (the
     // association diagnostic feature stores run on every categorical
     // pair): joint and marginal counts — |types|·24 cells — with the
@@ -970,6 +991,22 @@ object EventQueries {
         |  WHERE event_type = 'purchase')
         |SELECT (SELECT count(*) FROM a WHERE user_id IN
         |  (SELECT user_id FROM b)) AS exact_i, TRUE AS hll_ok""".stripMargin,
+
+    "q_sql_recursive" ->
+      """WITH RECURSIVE ord AS (
+        |  SELECT event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS dst
+        |  FROM events),
+        |e AS (SELECT DISTINCT src, dst FROM ord WHERE dst IS NOT NULL),
+        |paths(node, depth) AS (
+        |  SELECT 'view' AS node, 0 AS depth
+        |  UNION ALL
+        |  SELECT e.dst, p.depth + 1
+        |  FROM paths p JOIN e ON e.src = p.node WHERE p.depth < 4)
+        |SELECT node, depth, count(*) AS n_paths
+        |FROM paths GROUP BY node, depth
+        |ORDER BY node, depth""".stripMargin,
 
     "q_mutual_info" ->
       """WITH e AS (SELECT event_type AS x, hour(ts) AS y FROM events),
