@@ -676,6 +676,36 @@ object EventQueries {
          |FROM paths GROUP BY node, depth
          |ORDER BY node, depth""".stripMargin)),
 
+    // offline CUSUM changepoint detection (Page 1954's statistic,
+    // batch form): per-type hourly series, S_i = cumsum(x − x̄),
+    // changepoint = argmax |S_i| (earliest-hour tie-break), with the
+    // level shift (mean before vs after) reported. Windows keyed by
+    // type; the cumulative sum is evaluated in hour order so both
+    // engines produce bit-identical S_i
+    "q_changepoint" -> ((s, d) => {
+      val hb = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).cast("double").as("n"))
+      val wAll = Window.partitionBy("event_type")
+      val wCum = Window.partitionBy("event_type").orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hb.withColumn("mu", avg("n").over(wAll))
+        .withColumn("s", sum(col("n") - col("mu")).over(wCum))
+      val best = cum.withColumn("rk", row_number().over(
+          Window.partitionBy("event_type")
+            .orderBy(abs(col("s")).desc, col("hour"))))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("hour").as("cp_hour"),
+          round(abs(col("s")), 2).as("max_s"))
+      hb.join(broadcast(best), Seq("event_type"))
+        .groupBy("event_type", "cp_hour", "max_s")
+        .agg(round(avg(when(col("hour") <= col("cp_hour"), col("n"))), 4)
+          .as("mean_before"),
+          round(avg(when(col("hour") > col("cp_hour"), col("n"))), 4)
+            .as("mean_after"))
+        .orderBy("event_type")
+    }),
+
     // mutual information between behavior and time-of-day (the
     // association diagnostic feature stores run on every categorical
     // pair): joint and marginal counts — |types|·24 cells — with the
@@ -991,6 +1021,26 @@ object EventQueries {
         |  WHERE event_type = 'purchase')
         |SELECT (SELECT count(*) FROM a WHERE user_id IN
         |  (SELECT user_id FROM b)) AS exact_i, TRUE AS hll_ok""".stripMargin,
+
+    "q_changepoint" ->
+      """WITH hb AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+        |   count(*)::DOUBLE AS n FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, hour, n,
+        |   avg(n) OVER (PARTITION BY event_type) AS mu FROM hb),
+        |c AS (SELECT event_type, hour, n,
+        |   sum(n - mu) OVER (PARTITION BY event_type ORDER BY hour
+        |     ROWS UNBOUNDED PRECEDING) AS s
+        |  FROM m),
+        |best AS (SELECT event_type, hour AS cp_hour,
+        |   round(abs(s), 2) AS max_s
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+        |     ORDER BY abs(s) DESC, hour) AS rk FROM c) WHERE rk = 1)
+        |SELECT hb.event_type, cp_hour, max_s,
+        | round(avg(CASE WHEN hour <= cp_hour THEN n END), 4)
+        |   AS mean_before,
+        | round(avg(CASE WHEN hour > cp_hour THEN n END), 4) AS mean_after
+        |FROM hb JOIN best ON hb.event_type = best.event_type
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
 
     "q_sql_recursive" ->
       """WITH RECURSIVE ord AS (
