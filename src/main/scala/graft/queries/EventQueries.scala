@@ -676,6 +676,27 @@ object EventQueries {
          |FROM paths GROUP BY node, depth
          |ORDER BY node, depth""".stripMargin)),
 
+    // seasonal-naive forecast backtest: ŷ = value 24 OBSERVED buckets
+    // back (== y(h−24h) on a dense series; densify with q_interpolate's
+    // grid first if the series has holes), scored as MAE/bias per type
+    // over the last week. One lag window keyed by type — the standard
+    // rolling-origin backtest shape
+    "q_forecast_snaive" -> ((s, d) => {
+      val hb = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).cast("double").as("n"))
+      val w = Window.partitionBy("event_type").orderBy("hour")
+      val horizon = lit("2024-01-25").cast("timestamp")
+      hb.withColumn("yhat", lag("n", 24).over(w))
+        .filter(col("hour") >= horizon && col("yhat").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_points"),
+          round(avg(abs(col("n") - col("yhat"))), 4).as("mae"),
+          round(avg(col("n") - col("yhat")), 4).as("bias"),
+          round(max(abs(col("n") - col("yhat"))), 2).as("worst"))
+        .orderBy("event_type")
+    }),
+
     // offline CUSUM changepoint detection (Page 1954's statistic,
     // batch form): per-type hourly series, S_i = cumsum(x − x̄),
     // changepoint = argmax |S_i| (earliest-hour tie-break), with the
@@ -1021,6 +1042,21 @@ object EventQueries {
         |  WHERE event_type = 'purchase')
         |SELECT (SELECT count(*) FROM a WHERE user_id IN
         |  (SELECT user_id FROM b)) AS exact_i, TRUE AS hll_ok""".stripMargin,
+
+    "q_forecast_snaive" ->
+      """WITH hb AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+        |   count(*)::DOUBLE AS n FROM events GROUP BY 1, 2),
+        |f AS (SELECT event_type, hour, n,
+        |   lag(n, 24) OVER (PARTITION BY event_type ORDER BY hour)
+        |     AS yhat
+        |  FROM hb)
+        |SELECT event_type, count(*) AS n_points,
+        | round(avg(abs(n - yhat)), 4) AS mae,
+        | round(avg(n - yhat), 4) AS bias,
+        | round(max(abs(n - yhat)), 2) AS worst
+        |FROM f
+        |WHERE hour >= TIMESTAMP '2024-01-25' AND yhat IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_changepoint" ->
       """WITH hb AS (SELECT event_type, date_trunc('hour', ts) AS hour,
