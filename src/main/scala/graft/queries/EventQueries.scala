@@ -676,6 +676,49 @@ object EventQueries {
          |FROM paths GROUP BY node, depth
          |ORDER BY node, depth""".stripMargin)),
 
+    // sample-ratio-mismatch guard (the A/B infra check run BEFORE
+    // reading any metric): users assigned 50/50 by deterministic md5
+    // parity; chi-square of observed vs expected arm sizes, flagged at
+    // the 3.841 critical value (df=1, α=.05). One distinct + one
+    // |arms|-row aggregate
+    "q_ab_srm" -> ((s, d) => {
+      val arms = Tables.events(s, d)
+        .select(col("user_id")).distinct()
+        .withColumn("arm",
+          when(substring(md5(col("user_id").cast("string")), 1, 1)
+            .isin("0", "1", "2", "3", "4", "5", "6", "7"), 0L)
+            .otherwise(1L))
+        .groupBy("arm").agg(count(lit(1)).as("n"))
+      val tot = arms.agg(sum("n").cast("double").as("t"))
+      arms.crossJoin(broadcast(tot))
+        .agg(max("t").cast("long").as("n_users"),
+          round(sum(pow(col("n") - col("t") / 2, 2) / (col("t") / 2)), 4)
+            .as("chi2"),
+          (sum(pow(col("n") - col("t") / 2, 2) / (col("t") / 2)) > 3.841)
+            .as("srm_flag"))
+    }),
+
+    // cross-source duplicate overlap (provenance audit: which sources
+    // re-publish the same content): 8-token-PREFIX fingerprint groups
+    // spanning >1 source, counted per source pair — the prefix
+    // fingerprint catches re-publications with divergent tails that an
+    // exact-text hash misses. One fingerprint shuffle, pair space
+    // bounded by sources-per-group
+    "q_source_overlap" -> ((s, d) => {
+      val fp = Tables.documents(s, d)
+        .select(col("source"),
+          md5(concat_ws(" ",
+            slice(split(col("text"), " "), 1, 8))).as("fp"))
+        .distinct()
+      val a = fp.select(col("fp"), col("source").as("src_a"))
+      val b = fp.select(col("fp"), col("source").as("src_b"))
+      a.join(b, Seq("fp"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // seasonal-naive forecast backtest: ŷ = value 24 OBSERVED buckets
     // back (== y(h−24h) on a dense series; densify with q_interpolate's
     // grid first if the series has holes), scored as MAE/bias per type
@@ -1042,6 +1085,29 @@ object EventQueries {
         |  WHERE event_type = 'purchase')
         |SELECT (SELECT count(*) FROM a WHERE user_id IN
         |  (SELECT user_id FROM b)) AS exact_i, TRUE AS hll_ok""".stripMargin,
+
+    "q_ab_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |arms AS (SELECT CASE WHEN substr(
+        |    md5(CAST(user_id AS VARCHAR)), 1, 1)
+        |    IN ('0','1','2','3','4','5','6','7') THEN 0 ELSE 1 END AS arm,
+        |   count(*) AS n
+        |  FROM u GROUP BY 1),
+        |t AS (SELECT sum(n)::DOUBLE AS t FROM arms)
+        |SELECT max(t)::BIGINT AS n_users,
+        | round(sum(pow(n - t/2, 2) / (t/2)), 4) AS chi2,
+        | sum(pow(n - t/2, 2) / (t/2)) > 3.841 AS srm_flag
+        |FROM arms, t""".stripMargin,
+
+    "q_source_overlap" ->
+      """WITH fp AS (SELECT DISTINCT source,
+        |   md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp
+        |  FROM documents)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        | count(*) AS n_shared
+        |FROM fp a JOIN fp b
+        |  ON a.fp = b.fp AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_forecast_snaive" ->
       """WITH hb AS (SELECT event_type, date_trunc('hour', ts) AS hour,
