@@ -504,6 +504,27 @@ object LlmQueries {
           "vec_id", "embedding", "label", threshold = 0.35)
         .select(col("id_a"), col("id_b"), round(col("cos"), 2).as("c"))),
 
+    // pairwise-cosine distribution over a deterministic sample (the
+    // embedding-collapse diagnostic: a healthy space is spread, a
+    // collapsed one piles near 1.0): all pairs of the first 100 ids —
+    // sample-bounded by contract, like the brute-force baselines —
+    // bucketed into 0.1 bins. dotD/normD folds replay identically in
+    // DuckDB's list_dot_product, so bin edges are boundary-exact
+    "q_sim_histogram" -> ((s, d) => {
+      import graft.functions.VectorFunctions.{dotD, normD}
+      val e = Tables.embeddings(s, d).filter(col("vec_id") < 100)
+        .select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("v"))
+      val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select((dotD(col("va"), col("vb")) /
+          (normD(col("va")) * normD(col("vb")))).as("cos"))
+        .select(least(floor(col("cos") * 10).cast("int"), lit(9)).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n"))
+        .orderBy("bin")
+    }),
+
     // embedding-dimension correlation matrix (the feature-store health
     // check for redundant/collapsed dims): all C(4,2) pairwise corrs of
     // the leading dims in ONE aggregate pass over the corpus
@@ -2208,6 +2229,16 @@ object LlmQueries {
          |SELECT lang, count(*) AS n_docs, round(sum(h), 2) AS sum_h,
          | round(max(h), 2) AS max_h
          |FROM pd GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_sim_histogram" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE vec_id < 100),
+        |p AS (SELECT list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v))
+        |       * sqrt(list_dot_product(b.v, b.v))) AS c
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT least(floor(c * 10)::INT, 9) AS bin, count(*) AS n
+        |FROM p GROUP BY bin ORDER BY bin""".stripMargin,
 
     "q_dim_corr" ->
       """SELECT

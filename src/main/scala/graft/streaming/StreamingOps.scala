@@ -193,6 +193,39 @@ object StreamingOps {
       }
   }
 
+  /** Per-key token-bucket rate limiting — the admission-control twin of
+    * the reference's batcher backpressure (kawa bounds flush
+    * concurrency; this bounds per-key event rate). State per key is two
+    * numbers (fractional tokens, last event-time ms); events are
+    * applied in event-time order within each micro-batch, refilling
+    * `refillPerSec` up to `capacity` and admitting while a whole token
+    * remains. Emits (key, admitted, dropped) per updated key per batch
+    * — O(|active keys|) state at any stream size. */
+  def rateLimitPerKey(ds: Dataset[(Long, java.sql.Timestamp)],
+      capacity: Int, refillPerSec: Double): Dataset[(Long, Long, Long)] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+            state: GroupState[(Double, Long)]) =>
+          var (tokens, lastMs) =
+            state.getOption.getOrElse((capacity.toDouble, Long.MinValue))
+          var admitted = 0L
+          var dropped = 0L
+          rows.toSeq.sortBy(_._2.getTime).foreach { case (_, ts) =>
+            val t = ts.getTime
+            if (lastMs == Long.MinValue) lastMs = t
+            val refill = math.max(0L, t - lastMs) / 1000.0 * refillPerSec
+            tokens = math.min(capacity.toDouble, tokens + refill)
+            lastMs = math.max(lastMs, t)
+            if (tokens >= 1.0) { tokens -= 1.0; admitted += 1 }
+            else dropped += 1
+          }
+          state.update((tokens, lastMs))
+          (key, admitted, dropped)
+      }
+  }
+
   /** Per-key running (count, sum, max) via transformWithState — Spark 4's
     * arbitrary-state API (successor to mapGroupsWithState; typed state
     * handles, timers, TTL, RocksDB-backed). Requires

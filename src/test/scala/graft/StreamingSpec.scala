@@ -31,6 +31,29 @@ class StreamingSpec extends SparkSpec {
     assert(keys.toSeq == Seq("a", "b", "c"))
   }
 
+  test("rateLimitPerKey: burst capped at capacity, refill admits again") {
+    val ms = new MemoryStream[(Long, Timestamp)](18, spark, None)
+    val out = StreamingOps.rateLimitPerKey(
+      ms.toDS(), capacity = 3, refillPerSec = 1.0)
+    val q = out.toDF("k", "admitted", "dropped")
+      .writeStream.format("memory").queryName("rate_out")
+      .outputMode("update").start()
+    // batch 1: 5 simultaneous events for key 1 → 3 admitted, 2 dropped;
+    // key 2's single event sails through
+    ms.addData((1 to 5).map(_ => 1L -> ts(0)) :+ (2L -> ts(0)))
+    q.processAllAvailable()
+    // batch 2: 2 minutes later → bucket refilled (capped at 3): another
+    // burst of 4 → 3 admitted, 1 dropped — state carried across batches
+    ms.addData((1 to 4).map(_ => 1L -> ts(2)))
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    val rows = spark.table("rate_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.contains((1L, 3L, 2L)) && rows.contains((2L, 1L, 0L)),
+      s"batch-1 admissions: ${rows.toSeq}")
+    assert(rows.contains((1L, 3L, 1L)), s"post-refill burst: ${rows.toSeq}")
+  }
+
   test("streaming DDSketch state equals the batch-built sketch, quantiles too") {
     val ms = new MemoryStream[(String, Double)](17, spark, None)
     val df = ms.toDF().toDF("k", "v")
