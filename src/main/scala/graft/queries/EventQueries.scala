@@ -676,6 +676,27 @@ object EventQueries {
          |FROM paths GROUP BY node, depth
          |ORDER BY node, depth""".stripMargin)),
 
+    // temporal-precedence matrix (sequence mining's support table): for
+    // every ordered type pair (a, b), how many users ever did a BEFORE
+    // b — "exists a-event before some b-event" ⟺ min ts(a) < max ts(b),
+    // so the whole matrix costs ONE per-(user, type) min/max aggregate
+    // plus a |types|²-bounded self-join per user. No event-level pair
+    // blow-up anywhere
+    "q_precedence" -> ((s, d) => {
+      val ut = Tables.events(s, d)
+        .groupBy("user_id", "event_type")
+        .agg(min(unix_micros(col("ts"))).as("mn"),
+          max(unix_micros(col("ts"))).as("mx"))
+      val a = ut.select(col("user_id"), col("event_type").as("t_a"),
+        col("mn"))
+      val b = ut.select(col("user_id"), col("event_type").as("t_b"),
+        col("mx"))
+      a.join(b, Seq("user_id"))
+        .filter(col("t_a") =!= col("t_b") && col("mn") < col("mx"))
+        .groupBy("t_a", "t_b").agg(count(lit(1)).as("n_users"))
+        .orderBy("t_a", "t_b")
+    }),
+
     // sample-ratio-mismatch guard (the A/B infra check run BEFORE
     // reading any metric): users assigned 50/50 by deterministic md5
     // parity; chi-square of observed vs expected arm sizes, flagged at
@@ -1085,6 +1106,16 @@ object EventQueries {
         |  WHERE event_type = 'purchase')
         |SELECT (SELECT count(*) FROM a WHERE user_id IN
         |  (SELECT user_id FROM b)) AS exact_i, TRUE AS hll_ok""".stripMargin,
+
+    "q_precedence" ->
+      """WITH ut AS (SELECT user_id, event_type,
+        |   min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+        |  FROM events GROUP BY 1, 2)
+        |SELECT a.event_type AS t_a, b.event_type AS t_b,
+        | count(*) AS n_users
+        |FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |  AND a.event_type <> b.event_type AND a.mn < b.mx
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_ab_srm" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),
