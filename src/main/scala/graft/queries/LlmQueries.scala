@@ -504,6 +504,23 @@ object LlmQueries {
           "vec_id", "embedding", "label", threshold = 0.35)
         .select(col("id_a"), col("id_b"), round(col("cos"), 2).as("c"))),
 
+    // per-source duplication-rate report (the curation dashboard's
+    // first column): share of each source's docs whose exact text
+    // fingerprint appears more than once CORPUS-wide. One fingerprint
+    // count + one broadcast-back join; fact side never re-shuffled
+    "q_dedup_rate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("source"), md5(col("text")).as("fp"))
+      val counts = docs.groupBy("fp").agg(count(lit(1)).as("c"))
+      docs.join(counts, Seq("fp"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_duped"),
+          round(avg(when(col("c") > 1, 1.0).otherwise(0.0)), 4)
+            .as("dup_rate"))
+        .orderBy("source")
+    }),
+
     // pairwise-cosine distribution over a deterministic sample (the
     // embedding-collapse diagnostic: a healthy space is spread, a
     // collapsed one piles near 1.0): all pairs of the first 100 ids —
@@ -2229,6 +2246,16 @@ object LlmQueries {
          |SELECT lang, count(*) AS n_docs, round(sum(h), 2) AS sum_h,
          | round(max(h), 2) AS max_h
          |FROM pd GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_dedup_rate" ->
+      """WITH f AS (SELECT source, md5(text) AS fp FROM documents),
+        |c AS (SELECT fp, count(*) AS c FROM f GROUP BY fp)
+        |SELECT source, count(*) AS n_docs,
+        | sum(CASE WHEN c > 1 THEN 1 ELSE 0 END)::BIGINT AS n_duped,
+        | round(avg(CASE WHEN c > 1 THEN 1.0 ELSE 0.0 END), 4)
+        |   AS dup_rate
+        |FROM f JOIN c USING (fp)
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "q_sim_histogram" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v

@@ -241,6 +241,26 @@ object RelationalQueries {
           count_distinct(col("purchase_id")).as("n_windows"))
     }),
 
+    // share-of-total (ratio_to_report): each nation's revenue share
+    // within its region — windowed sum-over-partition division, the
+    // report idiom behind every "% of segment" column. One join + one
+    // region-keyed window over the |nations|-row aggregate
+    "q_share_of_total" -> ((s, d) => {
+      val rev = Tables.customer(s, d)
+        .join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_regionkey", "n_name")
+        .agg(sum("o_totalprice").as("rev"))
+      rev.withColumn("share",
+          round(col("rev") / sum("rev").over(
+            Window.partitionBy("n_regionkey")), 4))
+        .select(col("n_regionkey"), col("n_name"),
+          round(col("rev"), 2).as("rev"), col("share"))
+        .orderBy("n_regionkey", "n_name")
+    }),
+
     // forward as-of join: for each purchase, the EARLIEST click at or
     // after it — [[graft.ops.TemporalJoins.asofJoin]] on NEGATED
     // timestamps (latest −t_r ≤ −t_l ⟺ earliest t_r ≥ t_l), so the
@@ -1719,6 +1739,18 @@ object RelationalQueries {
         |FROM p JOIN i
         |  ON p.user_id = i.user_id AND p.us BETWEEN i.w_start AND i.w_end
         |GROUP BY event_type""".stripMargin,
+
+    "q_share_of_total" ->
+      """WITH rev AS (SELECT n_regionkey, n_name,
+        |   sum(o_totalprice) AS rev
+        |  FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2)
+        |SELECT n_regionkey, n_name, round(rev, 2) AS rev,
+        | round(rev / sum(rev) OVER (PARTITION BY n_regionkey), 4)
+        |   AS share
+        |FROM rev ORDER BY n_regionkey, n_name""".stripMargin,
 
     "q_join_asof_fwd" ->
       """WITH p AS (SELECT event_id, user_id, -epoch_us(ts) AS nus
