@@ -241,6 +241,37 @@ object RelationalQueries {
           count_distinct(col("purchase_id")).as("n_windows"))
     }),
 
+    // SQL PIVOT clause (the parser surface, distinct from the
+    // DataFrame .pivot() API q_pivot covers): event counts per day
+    // rotated into one column per type. DuckDB twin: CASE sums
+    "q_sql_pivot" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("graft_ev_pivot")
+      s.sql("""
+        |SELECT day, coalesce(n_click, 0L) AS n_click,
+        |  coalesce(n_view, 0L) AS n_view, coalesce(n_buy, 0L) AS n_buy
+        |FROM (
+        |  SELECT to_date(ts) AS day, event_type FROM graft_ev_pivot)
+        |PIVOT (count(*) FOR event_type IN
+        |  ('click' AS n_click, 'view' AS n_view, 'purchase' AS n_buy))
+        |ORDER BY day""".stripMargin)
+    }),
+
+    // SQL LATERAL correlated subquery (the top-1-per-group idiom SQL
+    // users write; Spark plans the correlation as a join, not a
+    // per-row re-execution): each region's single highest-balance
+    // customer via a LATERAL ORDER BY ... LIMIT 1
+    "q_sql_lateral" -> ((s, d) => {
+      Tables.nation(s, d).createOrReplaceTempView("graft_nat_lat")
+      Tables.customer(s, d).createOrReplaceTempView("graft_cust_lat")
+      s.sql("""
+        |SELECT n.n_name, t.c_custkey, round(t.c_acctbal, 2) AS bal
+        |FROM graft_nat_lat n,
+        |LATERAL (SELECT c_custkey, c_acctbal FROM graft_cust_lat c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 1) t
+        |ORDER BY n.n_name""".stripMargin)
+    }),
+
     // share-of-total (ratio_to_report): each nation's revenue share
     // within its region — windowed sum-over-partition division, the
     // report idiom behind every "% of segment" column. One join + one
@@ -1739,6 +1770,24 @@ object RelationalQueries {
         |FROM p JOIN i
         |  ON p.user_id = i.user_id AND p.us BETWEEN i.w_start AND i.w_end
         |GROUP BY event_type""".stripMargin,
+
+    "q_sql_pivot" ->
+      """SELECT ts::DATE AS day,
+        | sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+        |   AS n_click,
+        | sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT
+        |   AS n_view,
+        | sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+        |   AS n_buy
+        |FROM events GROUP BY day ORDER BY day""".stripMargin,
+
+    "q_sql_lateral" ->
+      """SELECT n.n_name, t.c_custkey, round(t.c_acctbal, 2) AS bal
+        |FROM nation n,
+        |LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 1) t
+        |ORDER BY n.n_name""".stripMargin,
 
     "q_share_of_total" ->
       """WITH rev AS (SELECT n_regionkey, n_name,
