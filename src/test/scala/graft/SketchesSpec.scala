@@ -43,6 +43,27 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("sketch table persists to parquet and merges with a later day") {
+    // the operational loop: build today's sketch, store THE SKETCH
+    // (|groups|·|buckets| rows, not the data), read it back tomorrow,
+    // merge the new day in, read quantiles — no raw-data re-scan
+    val ev = Tables.events(spark, sf)
+    val cut = lit("2024-01-15").cast("timestamp")
+    val dir = tmpDir("dd-store")
+    Sketches.ddsketchBuild(ev.filter(col("ts") < cut), "value",
+        Seq("event_type"))
+      .write.mode("overwrite").parquet(s"$dir/sketch")
+    val restored = spark.read.parquet(s"$dir/sketch")
+    val merged = Sketches.ddsketchMerge(restored,
+      Sketches.ddsketchBuild(ev.filter(col("ts") >= cut), "value",
+        Seq("event_type")),
+      Seq("event_type"))
+    val whole = Sketches.ddsketchBuild(ev, "value", Seq("event_type"))
+    assert(merged.except(whole).isEmpty && whole.except(merged).isEmpty)
+    val q = Sketches.ddsketchQuantiles(merged, Seq("event_type"), Seq(0.95))
+    assert(q.count() > 0 && q.filter(col("p95").isNull).count() == 0)
+  }
+
   test("non-positive values are dropped, not bucketed") {
     val df = Seq(("g", -1.0), ("g", 0.0), ("g", 2.0)).toDF("g", "v")
     val sk = Sketches.ddsketchBuild(df, "v", Seq("g"))
