@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   * The naive side evaluates |L|·|R| pair predicates per (degenerate)
   * key — ~850 M at sf0.1, quadratic in scale factor — while the
   * bucketed side is |L|+|R| bucket rows plus the true overlap count:
-  * measured 3.8 s vs 0.75 s (5×) at sf0.1, and the curve is
-  * quadratic-vs-linear from there (sf1 ≈ minutes vs seconds).
+  * measured 4.0 s vs 0.66 s (6×) at sf0.1 (the recorded README run),
+  * and the curve is quadratic-vs-linear from there (sf1 ≈ minutes vs
+  * seconds).
   */
 object OverlapBench {
   def main(args: Array[String]): Unit = {

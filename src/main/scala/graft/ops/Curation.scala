@@ -415,8 +415,13 @@ object Curation {
           slice(col("t"), lit(2), size(col("t")) - 1),
           (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
         .groupBy("p.a", "p.b").agg(count(lit(1)).as("n"))
-      val top = prs.orderBy(desc("n"), asc("a"), asc("b")).limit(1)
-        .collect()(0)
+      val tops = prs.orderBy(desc("n"), asc("a"), asc("b")).limit(1)
+        .collect()
+      // corpus exhausted (every doc below 2 symbols): return the
+      // merges learned so far instead of indexing an empty result
+      if (tops.isEmpty)
+        return merges.result().toDF("step", "sym_a", "sym_b", "pair_n")
+      val top = tops(0)
       val (a, b, n) = (top.getString(0), top.getString(1), top.getLong(2))
       require((a + b).matches("[A-Za-z0-9~]+"),
         s"symbol escaping not needed for this corpus, got '$a','$b'")

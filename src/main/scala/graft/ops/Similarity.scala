@@ -427,7 +427,10 @@ object Similarity {
   def randomProjection(df: DataFrame, vecCol: String, dim: Int,
       dOut: Int, seed: Long = 42L): DataFrame = {
     import graft.functions.HyperplaneSignature.{signMatrix, MaxDim}
-    require(dOut <= 64, s"signMatrix rows are capped at 64 bits, got $dOut")
+    // each signMatrix row is MaxDim sign slots wide — dims past that
+    // would silently read the NEXT row's bits (correlated projections)
+    require(dim <= MaxDim,
+      s"input dim $dim exceeds the $MaxDim-wide sign rows")
     val m = signMatrix(dOut, seed)
     val scale = 1.0 / math.sqrt(dOut.toDouble)
     val vd = transform(col(vecCol), _.cast("double"))

@@ -63,6 +63,10 @@ object Sketches {
       .withColumn("cum", sum("cnt").over(wCum))
       .withColumn("n", sum("cnt").over(wAll))
     def pct(q: Double) = s"p${math.round(q * 100)}"
+    // p-labels round to whole percents — 0.99 and 0.994 would both
+    // label "p99" and the agg would emit ambiguous columns
+    require(qs.map(pct).distinct.size == qs.size,
+      s"quantile labels collide after rounding: $qs")
     val picks = qs.map { q =>
       min(when(col("cum") >= floor(lit(q) * (col("n") - 1)) + 1,
         col("bucket"))).as("b_" + pct(q))

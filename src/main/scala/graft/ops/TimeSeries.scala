@@ -22,11 +22,15 @@ object TimeSeries {
     *
     * `series`: (keyCol, tsCol: timestamp, valCol: double) — one row per
     * OBSERVED bucket. The key's grid spans its own min..max observed
-    * bucket at `step` (e.g. "interval 1 hour"). Missing buckets get the
-    * linear interpolation between the nearest observed neighbors
-    * (time-weighted, not index-weighted — irregular holes interpolate
-    * correctly); a missing edge (possible only if a caller passes an
-    * incomplete span) holds the nearest observed value.
+    * bucket at `step` (e.g. "interval 1 hour"), anchored at the min.
+    * Missing grid points get the linear interpolation between the
+    * nearest observed neighbors (time-weighted, not index-weighted —
+    * irregular holes interpolate correctly); a missing edge (possible
+    * only if a caller passes an incomplete span) holds the nearest
+    * observed value. Observations that do NOT land on the min-anchored
+    * grid are KEPT as extra output rows and anchor the interpolation
+    * around them (full-outer union of grid and observed timestamps) —
+    * never silently dropped.
     *
     * Output: (keyCol, tsCol, `filled`, `was_gap`).
     */
@@ -36,7 +40,7 @@ object TimeSeries {
       .agg(min(tsCol).as("_lo"), max(tsCol).as("_hi"))
     val grid = span.select(col(keyCol),
       explode(sequence(col("_lo"), col("_hi"), expr(step))).as(tsCol))
-    val g = grid.join(series, Seq(keyCol, tsCol), "left")
+    val g = grid.join(series, Seq(keyCol, tsCol), "full_outer")
     val wb = Window.partitionBy(keyCol).orderBy(tsCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wf = Window.partitionBy(keyCol).orderBy(tsCol)

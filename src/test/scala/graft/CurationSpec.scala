@@ -321,6 +321,11 @@ class CurationSpec extends SparkSpec {
         r.getLong(3)))
     assert(m(0) == ((1, "x", "y", 4L)), s"round 1: ${m.toSeq}")
     assert(m(1) == ((2, "x~y", "z", 3L)), s"round 2: ${m.toSeq}")
+    // exhausted corpus: single-pair doc merges once, round 2 finds no
+    // pairs — return the learned merge, don't crash on the empty argmax
+    val tiny = Seq((1L, "a b")).toDF("doc_id", "text")
+    val m2 = Curation.bpeTrainMerges(tiny, "text", steps = 3).collect()
+    assert(m2.length == 1 && m2(0).getString(1) == "a")
   }
 
   test("gopherFlags: each rule rejects its own pathology, prose passes") {

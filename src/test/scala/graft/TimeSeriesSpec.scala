@@ -33,6 +33,24 @@ class TimeSeriesSpec extends SparkSpec {
       ("b", "2024-01-01 02", 7.0, false)), s"got $out")
   }
 
+  test("off-grid observations are kept and anchor the fill, not dropped") {
+    // key observed at 00:00 (v=0) and 01:30 (v=90): the grid anchors at
+    // 00:00 (00:00, 01:00), so 01:30 is OFF-grid — it must survive as
+    // its own row and pull 01:00's interpolation to 60 (2/3 of the way)
+    val series = Seq(
+      ("k", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 0.0),
+      ("k", java.sql.Timestamp.valueOf("2024-01-01 01:30:00"), 90.0))
+      .toDF("k", "hour", "v")
+    val out = TimeSeries.interpolateLinear(series, "k", "hour", "v",
+        "interval 1 hour")
+      .collect().map(r => r.getTimestamp(1).toString.take(16) ->
+        (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(out.size == 3, s"grid(2) + off-grid obs: $out")
+    assert(out("2024-01-01 01:30") == ((90.0, false)), s"kept: $out")
+    assert(out("2024-01-01 01:00") == ((60.0, true)),
+      s"off-grid neighbor anchors the line: $out")
+  }
+
   test("irregular hole widths stay time-weighted") {
     // observed at h0=0 and h5=50: hole at h2 must be 20 (2/5 of the
     // way), not the index midpoint
