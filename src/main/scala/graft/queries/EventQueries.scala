@@ -676,6 +676,73 @@ object EventQueries {
          |FROM paths GROUP BY node, depth
          |ORDER BY node, depth""".stripMargin)),
 
+    // Kaplan–Meier survival curve over time-to-conversion: per user the
+    // days from first view to first purchase (right-censored at the
+    // observation end for never-converters). S(t) = Π_{d≤t} (1 − e_d/n_d)
+    // computed as exp of a cumulative log sum — one |days|-row window
+    // after a per-user aggregate; the standard churn/TTE estimator
+    "q_survival_km" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val firstView = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("v_us"))
+      val firstBuy = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("p_us"))
+      val horizon = ev.agg(max(unix_micros(col("ts"))).as("h_us"))
+      val subj = firstView.join(firstBuy, Seq("user_id"), "left")
+        .crossJoin(broadcast(horizon))
+        .filter(col("p_us").isNull || col("p_us") >= col("v_us"))
+        .select(
+          when(col("p_us").isNotNull,
+            floor((col("p_us") - col("v_us")) / (86400L * 1000000L)))
+            .otherwise(floor((col("h_us") - col("v_us"))
+              / (86400L * 1000000L))).as("t_day"),
+          col("p_us").isNotNull.as("converted"))
+      val byDay = subj.groupBy("t_day")
+        .agg(sum(when(col("converted"), 1L).otherwise(0L)).as("d"),
+          count(lit(1)).as("leaving"))
+      val w = Window.orderBy("t_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wPrev = Window.orderBy("t_day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val total = subj.agg(count(lit(1)).as("n0"))
+      byDay.crossJoin(broadcast(total))
+        .withColumn("at_risk",
+          col("n0") - coalesce(sum("leaving").over(wPrev), lit(0L)))
+        .withColumn("f",
+          lit(1.0) - col("d").cast("double") / col("at_risk"))
+        // a day where everyone at risk converts drives S(t) to an
+        // absorbing 0 — ln(0) must not enter the cumulative sum
+        .withColumn("z",
+          sum(when(col("f") <= 0, 1L).otherwise(0L)).over(w))
+        .withColumn("surv",
+          when(col("z") > 0, lit(0.0)).otherwise(round(exp(
+            sum(when(col("f") > 0, log(col("f")))).over(w)), 4)))
+        .select(col("t_day"), col("d"), col("at_risk"), col("surv"))
+        .orderBy("t_day")
+    }),
+
+    // Gini coefficient of revenue concentration per region (the
+    // inequality metric behind every whale-dependency dashboard):
+    // G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over rank-ordered customer
+    // revenue. One rank window + one aggregate per region
+    "q_gini" -> ((s, d) => {
+      val rev = Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_regionkey", "c_custkey")
+        .agg(sum("o_totalprice").as("x"))
+      val w = Window.partitionBy("n_regionkey")
+        .orderBy(col("x"), col("c_custkey"))
+      rev.withColumn("i", row_number().over(w))
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n_cust"),
+          round((lit(2.0) * sum(col("i") * col("x")) /
+            (count(lit(1)) * sum("x"))) -
+            (count(lit(1)) + lit(1.0)) / count(lit(1)), 4).as("gini"))
+        .orderBy("n_regionkey")
+    }),
+
     // temporal-precedence matrix (sequence mining's support table): for
     // every ordered type pair (a, b), how many users ever did a BEFORE
     // b — "exists a-event before some b-event" ⟺ min ts(a) < max ts(b),
@@ -1106,6 +1173,57 @@ object EventQueries {
         |  WHERE event_type = 'purchase')
         |SELECT (SELECT count(*) FROM a WHERE user_id IN
         |  (SELECT user_id FROM b)) AS exact_i, TRUE AS hll_ok""".stripMargin,
+
+    "q_survival_km" ->
+      """WITH fv AS (SELECT user_id, min(epoch_us(ts)) AS v_us
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |fb AS (SELECT user_id, min(epoch_us(ts)) AS p_us
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |h AS (SELECT max(epoch_us(ts)) AS h_us FROM events),
+        |subj AS (SELECT
+        |   (CASE WHEN p_us IS NOT NULL
+        |    THEN floor((p_us - v_us) / 86400000000)
+        |    ELSE floor((h_us - v_us) / 86400000000) END)::BIGINT AS t_day,
+        |   p_us IS NOT NULL AS converted
+        |  FROM fv LEFT JOIN fb USING (user_id) CROSS JOIN h
+        |  WHERE p_us IS NULL OR p_us >= v_us),
+        |bd AS (SELECT t_day,
+        |   sum(CASE WHEN converted THEN 1 ELSE 0 END)::BIGINT AS d,
+        |   count(*) AS leaving
+        |  FROM subj GROUP BY 1),
+        |tot AS (SELECT count(*) AS n0 FROM subj),
+        |r AS (SELECT t_day, d, leaving,
+        |   n0 - coalesce(sum(leaving) OVER (ORDER BY t_day
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |     AS at_risk
+        |  FROM bd CROSS JOIN tot),
+        |f AS (SELECT t_day, d, at_risk,
+        |   1.0 - d::DOUBLE / at_risk AS f FROM r),
+        |z AS (SELECT t_day, d, at_risk, f,
+        |   sum(CASE WHEN f <= 0 THEN 1 ELSE 0 END)
+        |     OVER (ORDER BY t_day ROWS UNBOUNDED PRECEDING) AS z,
+        |   sum(CASE WHEN f > 0 THEN ln(f) END)
+        |     OVER (ORDER BY t_day ROWS UNBOUNDED PRECEDING) AS ls
+        |  FROM f)
+        |SELECT t_day, d, at_risk,
+        | CASE WHEN z > 0 THEN 0.0 ELSE round(exp(ls), 4) END AS surv
+        |FROM z ORDER BY t_day""".stripMargin,
+
+    "q_gini" ->
+      """WITH rev AS (SELECT n_regionkey, c_custkey,
+        |   sum(o_totalprice) AS x
+        |  FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT n_regionkey, x,
+        |   row_number() OVER (PARTITION BY n_regionkey
+        |     ORDER BY x, c_custkey) AS i
+        |  FROM rev)
+        |SELECT n_regionkey, count(*) AS n_cust,
+        | round(2.0 * sum(i * x) / (count(*) * sum(x))
+        |   - (count(*) + 1.0) / count(*), 4) AS gini
+        |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_precedence" ->
       """WITH ut AS (SELECT user_id, event_type,
