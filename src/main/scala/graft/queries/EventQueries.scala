@@ -743,6 +743,48 @@ object EventQueries {
         .orderBy("n_regionkey")
     }),
 
+    // Lorenz curve points behind q_gini: per region, each revenue
+    // decile's cumulative share — the "bottom 50% of customers hold x%
+    // of revenue" readout. ntile + two window sums over the per-
+    // customer aggregate
+    "q_lorenz" -> ((s, d) => {
+      val rev = Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_regionkey", "c_custkey")
+        .agg(sum("o_totalprice").as("x"))
+      val wRank = Window.partitionBy("n_regionkey")
+        .orderBy(col("x"), col("c_custkey"))
+      val byDecile = rev.withColumn("decile", ntile(10).over(wRank))
+        .groupBy("n_regionkey", "decile")
+        .agg(sum("x").as("dx"), count(lit(1)).as("n_cust"))
+      val wCum = Window.partitionBy("n_regionkey").orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("n_regionkey")
+      byDecile
+        .withColumn("cum_share",
+          round(sum("dx").over(wCum) / sum("dx").over(wAll), 4))
+        .select("n_regionkey", "decile", "n_cust", "cum_share")
+        .orderBy("n_regionkey", "decile")
+    }),
+
+    // lag-24 autocorrelation of the hourly series per type — the
+    // seasonality check that justifies (or indicts) q_forecast_snaive's
+    // 24-bucket lag. One keyed lag window + one corr aggregate
+    "q_autocorr" -> ((s, d) => {
+      val hb = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).cast("double").as("n"))
+      val w = Window.partitionBy("event_type").orderBy("hour")
+      hb.withColumn("n24", lag("n", 24).over(w))
+        .filter(col("n24").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_points"),
+          round(corr("n", "n24"), 4).as("acf24"))
+        .orderBy("event_type")
+    }),
+
     // temporal-precedence matrix (sequence mining's support table): for
     // every ordered type pair (a, b), how many users ever did a BEFORE
     // b — "exists a-event before some b-event" ⟺ min ts(a) < max ts(b),
@@ -1173,6 +1215,38 @@ object EventQueries {
         |  WHERE event_type = 'purchase')
         |SELECT (SELECT count(*) FROM a WHERE user_id IN
         |  (SELECT user_id FROM b)) AS exact_i, TRUE AS hll_ok""".stripMargin,
+
+    "q_lorenz" ->
+      """WITH rev AS (SELECT n_regionkey, c_custkey,
+        |   sum(o_totalprice) AS x
+        |  FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |dec AS (SELECT n_regionkey, x,
+        |   ntile(10) OVER (PARTITION BY n_regionkey
+        |     ORDER BY x, c_custkey) AS decile
+        |  FROM rev),
+        |bd AS (SELECT n_regionkey, decile, sum(x) AS dx,
+        |   count(*) AS n_cust
+        |  FROM dec GROUP BY 1, 2)
+        |SELECT n_regionkey, decile, n_cust,
+        | round(sum(dx) OVER (PARTITION BY n_regionkey ORDER BY decile
+        |     ROWS UNBOUNDED PRECEDING)
+        |   / sum(dx) OVER (PARTITION BY n_regionkey), 4) AS cum_share
+        |FROM bd ORDER BY n_regionkey, decile""".stripMargin,
+
+    "q_autocorr" ->
+      """WITH hb AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+        |   count(*)::DOUBLE AS n FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, n,
+        |   lag(n, 24) OVER (PARTITION BY event_type ORDER BY hour)
+        |     AS n24
+        |  FROM hb)
+        |SELECT event_type, count(*) AS n_points,
+        | round(corr(n, n24), 4) AS acf24
+        |FROM l WHERE n24 IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_survival_km" ->
       """WITH fv AS (SELECT user_id, min(epoch_us(ts)) AS v_us
