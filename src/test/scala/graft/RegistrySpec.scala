@@ -10,6 +10,11 @@ class RegistrySpec extends SparkSpec {
     assert(extra.isEmpty, s"oracle entries without a query: $extra")
   }
 
+  test("every query has an oracle (the r9 full-coverage invariant)") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without an oracle twin: $missing")
+  }
+
   test("entry (flagship) returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
