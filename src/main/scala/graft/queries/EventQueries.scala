@@ -743,6 +743,44 @@ object EventQueries {
         .orderBy("n_regionkey")
     }),
 
+    // engagement snapshot (DAU/WAU/MAU + stickiness): distinct actives
+    // in the trailing 1/7/30 days of the observation window, and the
+    // DAU/MAU ratio every growth dashboard tracks. Three semi-bounded
+    // distinct aggregates off one scan
+    "q_active_users" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"))
+      val hi = ev.agg(max("ts").as("h"))
+      val j = ev.crossJoin(broadcast(hi))
+      def actives(days: Int) = count_distinct(when(
+        col("ts") > col("h") - expr(s"interval $days days"),
+        col("user_id")))
+      j.agg(actives(1).as("dau"), actives(7).as("wau"),
+          actives(30).as("mau"))
+        .select(col("dau"), col("wau"), col("mau"),
+          round(col("dau").cast("double") / col("mau"), 4)
+            .as("stickiness"))
+    }),
+
+    // Pareto concentration (the 80/20 readout): the smallest share of
+    // users that generates >= 80% of events — one rank window over the
+    // per-user aggregate plus a global cumulative share
+    "q_power_users" -> ((s, d) => {
+      val per = Tables.events(s, d)
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("n").desc, col("user_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = per.agg(sum("n").cast("double").as("t"),
+        count(lit(1)).as("u"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("n").desc, col("user_id"))))
+        .withColumn("cum", sum("n").over(w))
+        .filter(col("cum") >= lit(0.8) * col("t"))
+        .agg(min("rk").as("users_for_80pct"),
+          max("u").as("n_users"),
+          round(min("rk").cast("double") / max("u"), 4).as("share"))
+    }),
+
     // Lorenz curve points behind q_gini: per region, each revenue
     // decile's cumulative share — the "bottom 50% of customers hold x%
     // of revenue" readout. ntile + two window sums over the per-
@@ -1215,6 +1253,34 @@ object EventQueries {
         |  WHERE event_type = 'purchase')
         |SELECT (SELECT count(*) FROM a WHERE user_id IN
         |  (SELECT user_id FROM b)) AS exact_i, TRUE AS hll_ok""".stripMargin,
+
+    "q_active_users" ->
+      """WITH h AS (SELECT max(ts) AS h FROM events)
+        |SELECT
+        | count(DISTINCT CASE WHEN ts > h - INTERVAL 1 DAY
+        |   THEN user_id END) AS dau,
+        | count(DISTINCT CASE WHEN ts > h - INTERVAL 7 DAY
+        |   THEN user_id END) AS wau,
+        | count(DISTINCT CASE WHEN ts > h - INTERVAL 30 DAY
+        |   THEN user_id END) AS mau,
+        | round(count(DISTINCT CASE WHEN ts > h - INTERVAL 1 DAY
+        |     THEN user_id END)::DOUBLE
+        |   / count(DISTINCT CASE WHEN ts > h - INTERVAL 30 DAY
+        |     THEN user_id END), 4) AS stickiness
+        |FROM events CROSS JOIN h""".stripMargin,
+
+    "q_power_users" ->
+      """WITH per AS (SELECT user_id, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT sum(n)::DOUBLE AS t, count(*) AS u FROM per),
+        |r AS (SELECT n,
+        |   row_number() OVER (ORDER BY n DESC, user_id) AS rk,
+        |   sum(n) OVER (ORDER BY n DESC, user_id
+        |     ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM per)
+        |SELECT min(rk) AS users_for_80pct, max(u) AS n_users,
+        | round(min(rk)::DOUBLE / max(u), 4) AS share
+        |FROM r CROSS JOIN tot WHERE cum >= 0.8 * t""".stripMargin,
 
     "q_lorenz" ->
       """WITH rev AS (SELECT n_regionkey, c_custkey,
