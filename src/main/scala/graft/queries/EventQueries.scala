@@ -743,6 +743,91 @@ object EventQueries {
         .orderBy("n_regionkey")
     }),
 
+    // two-sample Kolmogorov–Smirnov statistic (the drift detector for
+    // continuous features): D = max |ECDF_click − ECDF_purchase| over
+    // the value axis — one sort window over the tagged union, two
+    // cumulative counts. Exact and deterministic
+    "q_ks_test" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type").as("g"), col("value"),
+          col("event_id"))
+      val na = ev.filter(col("g") === "click").count().toDouble
+      val nb = ev.filter(col("g") === "purchase").count().toDouble
+      val w = Window.orderBy(col("value"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("ca",
+          sum(when(col("g") === "click", 1L).otherwise(0L)).over(w))
+        .withColumn("cb",
+          sum(when(col("g") === "purchase", 1L).otherwise(0L)).over(w))
+        .agg(round(max(abs(col("ca") / na - col("cb") / nb)), 4)
+          .as("ks_d"),
+          count(lit(1)).as("n_total"))
+    }),
+
+    // Mann–Whitney U (the nonparametric two-sample location test):
+    // U_a = R_a − n_a(n_a+1)/2 from the rank sum over the pooled
+    // values — average ranks for ties via a value-keyed window
+    "q_mannwhitney" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type").as("g"), col("value"))
+      val w = Window.orderBy("value")
+      val ranked = ev
+        .withColumn("rmin", rank().over(w))
+        .withColumn("cnt", count(lit(1)).over(
+          Window.partitionBy("value")))
+        // average rank of a tie group = rmin + (cnt-1)/2
+        .withColumn("r", col("rmin") + (col("cnt") - 1) / 2.0)
+      val na = ev.filter(col("g") === "click").count().toDouble
+      ranked.filter(col("g") === "click")
+        .agg(round(sum("r"), 2).as("rank_sum_a"),
+          round(sum("r") - lit(na * (na + 1) / 2), 2).as("u_a"),
+          count(lit(1)).as("n_a"))
+    }),
+
+    // population stability index (THE score-drift metric in model
+    // monitoring): decile bins fitted on the REFERENCE week, applied
+    // to the current week, PSI = Σ (p−q)·ln(p/q). Bin edges are a
+    // 9-value broadcast; both distributions come off one scan each
+    "q_psi" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("ts"), col("value"))
+      val cut = lit("2024-01-15").cast("timestamp")
+      val ref = ev.filter(col("ts") < cut)
+      val cur = ev.filter(col("ts") >= cut)
+      val edges = ref.agg(expr(
+        "percentile(value, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))")
+        .as("e")).first().getSeq[Double](0)
+      val bin = edges.foldLeft(lit(0)) { (acc, e) =>
+        acc + when(col("value") > e, 1).otherwise(0) }
+      def dist(df: DataFrame, n: String) = df.withColumn("bin", bin)
+        .groupBy("bin").agg((count(lit(1)) /
+          lit(df.count().toDouble)).as(n))
+      dist(ref, "p").join(dist(cur, "q"), Seq("bin"))
+        .agg(round(sum((col("p") - col("q")) *
+          log(col("p") / col("q"))), 4).as("psi"),
+          count(lit(1)).as("n_bins"))
+    }),
+
+    // weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006,
+    // the distributed one-pass algorithm): key = u^(1/w) with a
+    // deterministic md5-derived u ∈ (0,1); global top-k by key IS the
+    // weighted sample. One TakeOrdered, no per-row state
+    "q_sample_weighted" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .filter(col("value") > 0)
+      // u from the md5 4-hex prefix: (hex+1)/65537 ∈ (0,1) exactly
+      val u = (conv(substring(md5(col("event_id").cast("string")), 1, 4),
+        16, 10).cast("double") + 1) / 65537.0
+      ev.withColumn("skey", pow(u, lit(1.0) / col("value")))
+        .orderBy(desc("skey"), col("event_id")).limit(200)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_sampled"),
+          round(sum("value"), 2).as("w_sampled"))
+        .orderBy("event_type")
+    }),
+
     // engagement snapshot (DAU/WAU/MAU + stickiness): distinct actives
     // in the trailing 1/7/30 days of the observation window, and the
     // DAU/MAU ratio every growth dashboard tracks. Three semi-bounded
@@ -1253,6 +1338,80 @@ object EventQueries {
         |  WHERE event_type = 'purchase')
         |SELECT (SELECT count(*) FROM a WHERE user_id IN
         |  (SELECT user_id FROM b)) AS exact_i, TRUE AS hll_ok""".stripMargin,
+
+    "q_ks_test" ->
+      """WITH e AS (SELECT event_type AS g, value, event_id FROM events
+        |  WHERE event_type IN ('click', 'purchase')),
+        |n AS (SELECT
+        |   sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END)::DOUBLE AS na,
+        |   sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END)::DOUBLE AS nb
+        |  FROM e),
+        |c AS (SELECT g,
+        |   sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END)
+        |     OVER (ORDER BY value, event_id ROWS UNBOUNDED PRECEDING)
+        |     AS ca,
+        |   sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END)
+        |     OVER (ORDER BY value, event_id ROWS UNBOUNDED PRECEDING)
+        |     AS cb
+        |  FROM e)
+        |SELECT round(max(abs(ca / na - cb / nb)), 4) AS ks_d,
+        | count(*) AS n_total
+        |FROM c CROSS JOIN n""".stripMargin,
+
+    "q_mannwhitney" ->
+      """WITH e AS (SELECT event_type AS g, value FROM events
+        |  WHERE event_type IN ('click', 'purchase')),
+        |r AS (SELECT g, value,
+        |   rank() OVER (ORDER BY value) AS rmin,
+        |   count(*) OVER (PARTITION BY value) AS cnt
+        |  FROM e),
+        |n AS (SELECT sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END)::DOUBLE
+        |   AS na FROM e)
+        |SELECT round(sum(rmin + (cnt - 1) / 2.0), 2) AS rank_sum_a,
+        | round(sum(rmin + (cnt - 1) / 2.0) - max(na * (na + 1) / 2), 2)
+        |   AS u_a,
+        | count(*) AS n_a
+        |FROM r CROSS JOIN n WHERE g = 'click'""".stripMargin,
+
+    "q_psi" ->
+      """WITH ref AS (SELECT value FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-15'),
+        |cur AS (SELECT value FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-15'),
+        |ed AS (SELECT quantile_cont(value,
+        |   [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS e
+        |  FROM ref),
+        |pr AS (SELECT len(list_filter(e, x -> value > x)) AS bin,
+        |   count(*) OVER () AS t FROM ref CROSS JOIN ed),
+        |qr AS (SELECT len(list_filter(e, x -> value > x)) AS bin,
+        |   count(*) OVER () AS t FROM cur CROSS JOIN ed),
+        |p AS (SELECT bin, count(*) / max(t)::DOUBLE AS p FROM pr
+        |  GROUP BY bin),
+        |q AS (SELECT bin, count(*) / max(t)::DOUBLE AS q FROM qr
+        |  GROUP BY bin)
+        |SELECT round(sum((p.p - q.q) * ln(p.p / q.q)), 4) AS psi,
+        | count(*) AS n_bins
+        |FROM p JOIN q USING (bin)""".stripMargin,
+
+    // hex→int without conv(): positional strpos arithmetic over the
+    // 4-char md5 prefix, then the identical Efraimidis–Spirakis key
+    "q_sample_weighted" ->
+      """WITH e AS (SELECT event_id, event_type, value,
+        |   substr(md5(CAST(event_id AS VARCHAR)), 1, 4) AS hx
+        |  FROM events WHERE value > 0),
+        |k AS (SELECT event_id, event_type, value,
+        |   pow((
+        |     (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096 +
+        |     (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256 +
+        |     (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16 +
+        |     (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)
+        |     + 1)::DOUBLE / 65537.0, 1.0 / value) AS skey
+        |  FROM e),
+        |top AS (SELECT event_type, value FROM k
+        |  ORDER BY skey DESC, event_id LIMIT 200)
+        |SELECT event_type, count(*) AS n_sampled,
+        | round(sum(value), 2) AS w_sampled
+        |FROM top GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_active_users" ->
       """WITH h AS (SELECT max(ts) AS h FROM events)
