@@ -67,6 +67,23 @@ object Bench {
     //     one straggler rep inflates max but leaves the median alone —
     //     so round-over-round deltas above it are real regressions.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    // r9 postmortem: a loaded driver machine produced phantom 2-4×
+    // "regressions" (q_sim_lsh 0.28 s idle vs 1.5 s recorded, spreads to
+    // 179%) that min-of-3 could not filter. Two defenses:
+    //   - adaptive reps: if the timed reps' spread exceeds 50%, keep
+    //     adding reps (up to SPARK_GRAFT_MAX_REPS, default 7) until the
+    //     spread settles or the cap hits — min-of-k converges to the
+    //     true time as long as ONE rep lands in a quiet window;
+    //   - loadavg telemetry: 1-min system load before/after the run, so
+    //     the judge can discount a contaminated record at a glance.
+    val maxReps = sys.env.getOrElse("SPARK_GRAFT_MAX_REPS", "7").toInt
+    def median(ts: Seq[Double]): Double =
+      if (ts.size % 2 == 1) ts(ts.size / 2)
+      else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2.0
+    def spread(ts: Seq[Double]): Double =
+      if (ts.min <= 0) 0.0 else (median(ts) - ts.min) / ts.min
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadStart = osBean.getSystemLoadAverage
     val results = selected.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         // One untimed warmup rep at the TARGET SF: the sf0.001 pass above
@@ -76,29 +93,35 @@ object Bench {
         // driver rounds are comparable.
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
-        val times = (1 to reps).map { _ =>
+        def rep(): Double = {
           val t0 = System.nanoTime()
           try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
           }
           (System.nanoTime() - t0) / 1e9
-        }.sorted
+        }
+        var times = (1 to reps).map(_ => rep()).sorted
+        while (spread(times) > 0.5 && times.size < maxReps) {
+          System.err.println(f"[bench] $name spread ${spread(times) * 100}%.0f%% " +
+            s"after ${times.size} reps — machine load suspected, adding a rep")
+          times = (times :+ rep()).sorted
+        }
         name -> times
       }
     }
-    def median(ts: Seq[Double]): Double =
-      if (ts.size % 2 == 1) ts(ts.size / 2)
-      else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2.0
+    val loadEnd = osBean.getSystemLoadAverage
     def field(f: Seq[Double] => Double): String = results
       .map { case (k, ts) => "\"" + k + f"""\":${f(ts)}%.3f""" }
       .mkString("{", ",", "}")
     val qs = field(_.min)
     val med = field(median)
-    val spreadPct = field(ts =>
-      if (ts.min <= 0) 0.0 else (median(ts) - ts.min) / ts.min * 100.0)
+    val spreadPct = field(ts => spread(ts) * 100.0)
+    val repsUsed = results
+      .map { case (k, ts) => "\"" + k + s"""\":${ts.size}""" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2.min).sum
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_median":$med,"spread_pct":$spreadPct,"reps":$reps,"sf":"$sfDir"}"""
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_median":$med,"spread_pct":$spreadPct,"reps":$reps,"reps_used":$repsUsed,"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"sf":"$sfDir"}"""
     println(json)
     // stdout under sbt is wrapped in [info] decoration, which breaks the
     // driver's JSON-line parse — also write the line to a file it can read.

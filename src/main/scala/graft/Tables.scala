@@ -36,12 +36,26 @@ object Tables {
     * regardless of which generation of the file is on disk. */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = table(s, d, "events")
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType,
+      TimestampNTZType, TimestampType}
     raw.schema("ts").dataType match {
       case LongType => // nanosAsLong path: ns long → µs timestamp (floor)
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => // naive µs → same wall clock, UTC-labeled
-        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case TimestampNTZType =>
+        // Naive µs → the same UTC instant (session tz is pinned UTC).
+        // Do it by overriding the read schema rather than wrapping the
+        // column in cast(ntz AS timestamp): the cast is an opaque
+        // expression to the parquet source, so `ts >= …` range filters
+        // would never reach PushedFilters and a 100-TB events scan
+        // would read every row group. With the forced TimestampType
+        // schema the column IS a timestamp at the scan, and range
+        // predicates prune row groups natively (PlanShapeSpec pins it).
+        val forced = StructType(raw.schema.map {
+          case StructField("ts", _, n, m) =>
+            StructField("ts", TimestampType, n, m)
+          case f => f
+        })
+        s.read.schema(forced).parquet(s"$d/events.parquet")
       case _ => raw
     }
   }

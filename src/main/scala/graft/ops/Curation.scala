@@ -110,6 +110,49 @@ object Curation {
     docs.filter(overlap(shingleHashes(col(textCol), shingleLen)) < minOverlap)
   }
 
+  /** [[decontaminateStream]] with the exact driver Set swapped for
+    * `org.apache.spark.util.sketch.BloomFilter` — the scale path the
+    * exact variant's doc promises. The filter is built DISTRIBUTIVELY by
+    * `DataFrame.stat.bloomFilter` (executor-side partial filters, bitwise
+    * OR-merged on the driver), so driver memory is the fpp-sized bit
+    * array, never the benchmark's raw shingle set: a 10⁹-shingle
+    * benchmark suite at fpp=0.1% is ~1.7 GB of bits instead of 8+ GB of
+    * boxed Longs in a Set. Probe side is the identical per-row narrow
+    * filter (no explode, no shuffle) — streaming-safe.
+    *
+    * Error direction is the safe one: Bloom false positives only inflate
+    * a document's apparent overlap, so the variant can only OVER-drop
+    * relative to [[decontaminateStream]] (never leak a contaminated doc).
+    *
+    * fpp compounds PER PROBE: a doc with s shingles survives all probes
+    * with probability (1−fpp)^s, so the per-DOC false-drop rate at
+    * minOverlap=1 is ≈ s·fpp. Defaults target real document sizes
+    * (s ~ 10²–10³): fpp=1e-6 keeps false drops under 0.1% at s=1000
+    * for ~28.8 bits/item — still ~20× smaller than boxed Longs in a Set.
+    * CurationSpec pins the subset property and the <1% false-drop bound.
+    *
+    * @param expectedItems sizing hint for the filter; ≤0 ⇒ one bounded
+    *   count of the benchmark's distinct shingles (eval suites are small
+    *   by nature; at most one extra job over the tiny side). */
+  def decontaminateStreamBloom(docs: DataFrame, textCol: String,
+      bench: DataFrame, benchTextCol: String, shingleLen: Int = 3,
+      minOverlap: Int = 1, expectedItems: Long = 0L,
+      fpp: Double = 1e-6): DataFrame = {
+    val spark = docs.sparkSession
+    val sh = bench
+      .select(explode(shingleHashes(col(benchTextCol), shingleLen)).as("s"))
+      .distinct()
+    val items = if (expectedItems > 0) expectedItems
+      else math.max(1L, sh.count())
+    val bf = sh.stat.bloomFilter("s", items, fpp)
+    val bc = spark.sparkContext.broadcast(bf)
+    val overlap = udf { xs: Seq[Long] =>
+      if (xs == null) 0
+      else { var n = 0; xs.foreach(h => if (bc.value.mightContainLong(h)) n += 1); n }
+    }
+    docs.filter(overlap(shingleHashes(col(textCol), shingleLen)) < minOverlap)
+  }
+
   /** Deterministic hash split: assign each row to "train" or "test" from
     * the md5 of its id — stable across runs, engines, and cluster
     * topology (no RNG, no row order dependence), so the same document
@@ -260,10 +303,10 @@ object Curation {
       array_sort(tokens(col(textCol))))
     // Σ c·log₂c accumulated over runs: state = (previous token, current
     // run length, sum over closed runs). The sentinel can't collide —
-    // tokenization never yields a   token.
+    // tokenization never yields a NUL token.
     def cLog2(c: Column): Column =
       when(c > 1L, c.cast("double") * log2(c.cast("double"))).otherwise(lit(0.0))
-    val stateZero = struct(lit(" ").as("prev"), lit(0L).as("run"),
+    val stateZero = struct(lit("\u0000").as("prev"), lit(0L).as("run"),
       lit(0.0).as("acc"))
     val folded = aggregate(
       col("_srt"), stateZero,

@@ -122,6 +122,12 @@ object TemporalJoins {
     val clash = right.columns.toSet
       .intersect(left.columns.toSet) - key
     require(clash.isEmpty, s"overlapping column names: $clash")
+    // the working columns below would silently clobber same-named
+    // caller columns (withColumn replaces), producing wrong joins
+    val reserved = Set("_lb", "_rb", "_rk")
+      .intersect(left.columns.toSet ++ right.columns.toSet)
+    require(reserved.isEmpty,
+      s"input columns collide with internal working columns: $reserved")
     val l = left.filter(col(lStart) <= col(lEnd))
       .withColumn("_lb", explode(sequence(
         expr(s"$lStart div $bucketWidth"), expr(s"$lEnd div $bucketWidth"))))

@@ -745,24 +745,29 @@ object EventQueries {
 
     // two-sample Kolmogorov–Smirnov statistic (the drift detector for
     // continuous features): D = max |ECDF_click − ECDF_purchase| over
-    // the value axis — one sort window over the tagged union, two
-    // cumulative counts. Exact and deterministic
+    // the value axis. The ECDF difference is evaluated once per
+    // DISTINCT value (per-value counts aggregated first — map-side
+    // combined — then one cumulative window over the distinct values):
+    // evaluating at every pooled row would overstate D when the same
+    // value occurs in both groups (mid-tie-group rows are not ECDF
+    // evaluation points). Exact and deterministic
     "q_ks_test" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .filter(col("event_type").isin("click", "purchase"))
-        .select(col("event_type").as("g"), col("value"),
-          col("event_id"))
+        .select(col("event_type").as("g"), col("value"))
       val na = ev.filter(col("g") === "click").count().toDouble
       val nb = ev.filter(col("g") === "purchase").count().toDouble
-      val w = Window.orderBy(col("value"), col("event_id"))
+      val byVal = ev.groupBy("value").agg(
+        sum(when(col("g") === "click", 1L).otherwise(0L)).as("a"),
+        sum(when(col("g") === "purchase", 1L).otherwise(0L)).as("b"))
+      val w = Window.orderBy(col("value"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      ev.withColumn("ca",
-          sum(when(col("g") === "click", 1L).otherwise(0L)).over(w))
-        .withColumn("cb",
-          sum(when(col("g") === "purchase", 1L).otherwise(0L)).over(w))
+      byVal
+        .withColumn("ca", sum(col("a")).over(w))
+        .withColumn("cb", sum(col("b")).over(w))
         .agg(round(max(abs(col("ca") / na - col("cb") / nb)), 4)
           .as("ks_d"),
-          count(lit(1)).as("n_total"))
+          sum(col("a") + col("b")).as("n_total"))
     }),
 
     // Mann–Whitney U (the nonparametric two-sample location test):
@@ -1340,22 +1345,22 @@ object EventQueries {
         |  (SELECT user_id FROM b)) AS exact_i, TRUE AS hll_ok""".stripMargin,
 
     "q_ks_test" ->
-      """WITH e AS (SELECT event_type AS g, value, event_id FROM events
+      """WITH e AS (SELECT event_type AS g, value FROM events
         |  WHERE event_type IN ('click', 'purchase')),
         |n AS (SELECT
         |   sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END)::DOUBLE AS na,
         |   sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END)::DOUBLE AS nb
         |  FROM e),
-        |c AS (SELECT g,
-        |   sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END)
-        |     OVER (ORDER BY value, event_id ROWS UNBOUNDED PRECEDING)
-        |     AS ca,
-        |   sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END)
-        |     OVER (ORDER BY value, event_id ROWS UNBOUNDED PRECEDING)
-        |     AS cb
-        |  FROM e)
+        |v AS (SELECT value,
+        |   sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END)::BIGINT AS a,
+        |   sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS b
+        |  FROM e GROUP BY value),
+        |c AS (SELECT a, b,
+        |   sum(a) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS ca,
+        |   sum(b) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cb
+        |  FROM v)
         |SELECT round(max(abs(ca / na - cb / nb)), 4) AS ks_d,
-        | count(*) AS n_total
+        | sum(a + b)::BIGINT AS n_total
         |FROM c CROSS JOIN n""".stripMargin,
 
     "q_mannwhitney" ->
@@ -1492,8 +1497,8 @@ object EventQueries {
         |  FROM subj GROUP BY 1),
         |tot AS (SELECT count(*) AS n0 FROM subj),
         |r AS (SELECT t_day, d, leaving,
-        |   n0 - coalesce(sum(leaving) OVER (ORDER BY t_day
-        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |   (n0 - coalesce(sum(leaving) OVER (ORDER BY t_day
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT
         |     AS at_risk
         |  FROM bd CROSS JOIN tot),
         |f AS (SELECT t_day, d, at_risk,

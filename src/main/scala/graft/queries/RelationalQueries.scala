@@ -2713,10 +2713,10 @@ object RelationalQueries {
       """SELECT l_linestatus,
         | sum(CASE WHEN o_orderpriority = '1-URGENT'
         |       OR o_orderpriority = '2-HIGH'
-        |      THEN 1 ELSE 0 END) AS high_line_count,
+        |      THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
         | sum(CASE WHEN o_orderpriority <> '1-URGENT'
         |       AND o_orderpriority <> '2-HIGH'
-        |      THEN 1 ELSE 0 END) AS low_line_count
+        |      THEN 1 ELSE 0 END)::BIGINT AS low_line_count
         |FROM orders, lineitem
         |WHERE o_orderkey = l_orderkey
         |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY

@@ -216,6 +216,22 @@ class CurationSpec extends SparkSpec {
     assert(kept - 4L == batchKept, "stream and batch variants must agree")
   }
 
+  test("decontaminateStreamBloom: only over-drops vs exact, false-drop rate < 1%") {
+    val docs = Tables.documents(spark, sf)
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val exact = Curation.decontaminateStream(docs, "text", bench, "text")
+      .select("doc_id").as[Long].collect().toSet
+    val bloom = Curation.decontaminateStreamBloom(docs, "text", bench, "text")
+      .select("doc_id").as[Long].collect().toSet
+    // Bloom false positives inflate overlap counts, so the sketch variant
+    // may drop extra docs but must NEVER keep a doc the exact filter drops
+    assert(bloom.subsetOf(exact),
+      s"bloom kept docs the exact filter drops: ${(bloom -- exact).take(5)}")
+    val falseDrops = exact.size - bloom.size
+    assert(exact.isEmpty || falseDrops.toDouble / exact.size < 0.01,
+      s"false-drop rate too high: $falseDrops of ${exact.size}")
+  }
+
   test("tokenEntropy matches H = log2 n − (Σ c·log2 c)/n on known distributions") {
     val d = Seq(
       (1L, "a a a a"),          // one symbol → H = 0

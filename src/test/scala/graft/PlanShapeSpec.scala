@@ -315,6 +315,23 @@ class PlanShapeSpec extends SparkSpec {
       "expected the checkpointed range-sorted input")
   }
 
+  test("events: ts range filter reaches PushedFilters through the NTZ normalization") {
+    import org.apache.spark.sql.functions._
+    val df = Tables.events(spark, sf)
+      .filter(col("ts") >= lit("1997-06-01 00:00:00").cast("timestamp"))
+      .select("event_id", "ts")
+    val p = df.queryExecution.executedPlan.toString
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters:")).mkString
+    assert(pushed.contains("GreaterThanOrEqual(ts"),
+      "ts range predicate must prune parquet row groups at the scan:\n" +
+        p.take(800))
+    // and the normalized values must equal the cast-based reading
+    val viaCast = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_id", "cast(ts as timestamp) AS ts")
+    assert(Tables.events(spark, sf).select("event_id", "ts")
+      .exceptAll(viaCast).isEmpty)
+  }
+
   test("pageRank: per-iteration checkpoint keeps the final plan constant-size") {
     val p = plan("q_pagerank")
     // without localCheckpoint the 6th iteration's plan contains all

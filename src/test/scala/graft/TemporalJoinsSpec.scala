@@ -89,6 +89,27 @@ class TemporalJoinsSpec extends SparkSpec {
       s"exactly-once + touching-endpoint overlap + key isolation: ${out.toSeq}")
   }
 
+  test("intervalOverlapJoin: rejects input columns named like working columns") {
+    // a caller column named _lb/_rb/_rk would be silently clobbered by
+    // the internal withColumn/select — must be an error, not wrong rows
+    val left = Seq((1L, 0L, 9L, 7L)).toDF("k", "ls", "le", "_lb")
+    val right = Seq((1L, 0L, 9L, "R")).toDF("k", "rs", "re", "rid")
+    val e = intercept[IllegalArgumentException] {
+      TemporalJoins.intervalOverlapJoin(left, "ls", "le",
+        right, "rs", "re", key = "k", bucketWidth = 10L,
+        payload = Seq("rid"))
+    }
+    assert(e.getMessage.contains("_lb"))
+    val right2 = Seq((1L, 0L, 9L, "R")).toDF("k", "rs", "re", "_rk")
+    val e2 = intercept[IllegalArgumentException] {
+      TemporalJoins.intervalOverlapJoin(
+        left.withColumnRenamed("_lb", "pay"), "ls", "le",
+        right2, "rs", "re", key = "k", bucketWidth = 10L,
+        payload = Seq("_rk"))
+    }
+    assert(e2.getMessage.contains("_rk"))
+  }
+
   test("intervalOverlapJoin: inverted intervals drop instead of exploding") {
     val left = Seq((1L, 10L, 5L, "bad")).toDF("k", "ls", "le", "lid")
     val right = Seq((1L, 0L, 100L, "R")).toDF("k", "rs", "re", "rid")
