@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -48,29 +48,74 @@ object Similarity {
       idCol: String, vecCol: String, dim: Int, k: Int,
       bits: Int = 8, tables: Int = 4, probes: Int = 0,
       seed: Long = 42L): DataFrame = {
-    // bucket = (table index) * 2^bits + signature-in-table
-    def buckets(v: org.apache.spark.sql.Column, withProbes: Boolean) = {
-      val all = (0 until tables).flatMap { t =>
-        val sig = hyperplaneSig(v, bits, dim, seed + t)
-        val base = lit(t.toLong * (1L << bits)) + sig
-        if (withProbes) base +: (0 until probes).map(i =>
-          lit(t.toLong * (1L << bits)) + sig.bitwiseXOR(lit(1L << i)))
-        else Seq(base)
-      }
-      array(all: _*)
-    }
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("nv"),
-      explode(buckets(col(vecCol), withProbes = false)).as("bucket"))
+      explode(lshBuckets(col(vecCol), bits, dim, tables, 0, seed)).as("bucket"))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"),
-      explode(buckets(col(vecCol), withProbes = true)).as("bucket"))
+      explode(lshBuckets(col(vecCol), bits, dim, tables, probes, seed)).as("bucket"))
+    lshRerank(broadcast(q).join(c, "bucket"), k)
+  }
+
+  /** bucket = (table index) * 2^bits + signature-in-table; `probes` extra
+    * single-bit-flip neighbor buckets per table (multi-probe, query side
+    * only). Namespacing by table keeps the OR-construction one equi-join. */
+  private def lshBuckets(v: org.apache.spark.sql.Column, bits: Int,
+      dim: Int, tables: Int, probes: Int, seed: Long) = {
+    val all = (0 until tables).flatMap { t =>
+      val sig = hyperplaneSig(v, bits, dim, seed + t)
+      val base = lit(t.toLong * (1L << bits)) + sig
+      base +: (0 until probes).map(i =>
+        lit(t.toLong * (1L << bits)) + sig.bitwiseXOR(lit(1L << i)))
+    }
+    array(all: _*)
+  }
+
+  /** Candidate → result: exact cosine re-rank, dedup across tables/probes,
+    * per-query top-k as a heap (WindowGroupLimit). */
+  private def lshRerank(cand: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
-    broadcast(q).join(c, "bucket")
+    cand
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("sim", cosineN(col("qv"), col("nv")))
       .select("q_id", "n_id", "sim").distinct()
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("q_id", "rnk", "n_id", "sim")
+  }
+
+  /** Persist the corpus side of [[lshTopK]] as a bucketed table — the
+    * "corpus signatures as a bucketed table" scale path the lshTopK doc
+    * promises. The one-time write materializes every vector's
+    * (bucket, id, vector) rows bucketed BY the LSH bucket id, so each
+    * subsequent probe batch joins against it with ZERO Exchange on the
+    * corpus side (pinned in LayoutBucketingSpec): at 100 TB the corpus
+    * signature shuffle — the dominant per-query cost once query batches
+    * are too big to broadcast — is paid once per index build, not once
+    * per probe. `sortBy(bucket)` additionally makes each bucket file
+    * merge-ready, so the probe join's corpus side needs no sort pass
+    * of its own beyond the per-file merge. */
+  def lshIndexBuild(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, tableName: String, tableBuckets: Int = 32,
+      bits: Int = 8, tables: Int = 4, seed: Long = 42L): Unit = {
+    val sig = corpus.select(col(idCol).as("n_id"), col(vecCol).as("nv"),
+      explode(lshBuckets(col(vecCol), bits, dim, tables, 0, seed)).as("bucket"))
+    Bucketing.writeBucketed(sig, tableName, "bucket", tableBuckets)
+  }
+
+  /** Probe a [[lshIndexBuild]] table: bucket the query batch with the
+    * SAME (bits, tables, seed) plus multi-probes, equi-join on bucket,
+    * exact-cosine re-rank. Result multiset is identical to [[lshTopK]]
+    * with the same parameters (the oracle surface). The shuffle_merge
+    * hint steers the join to sort-merge so the bucketed corpus scan's
+    * output partitioning is consumed directly — only the (small) query
+    * side exchanges, regardless of corpus size. */
+  def lshIndexProbe(spark: SparkSession, tableName: String,
+      queries: DataFrame, idCol: String, vecCol: String, dim: Int, k: Int,
+      bits: Int = 8, tables: Int = 4, probes: Int = 0,
+      seed: Long = 42L): DataFrame = {
+    val c = spark.table(tableName)
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"),
+      explode(lshBuckets(col(vecCol), bits, dim, tables, probes, seed)).as("bucket"))
+    lshRerank(c.join(q.hint("shuffle_merge"), "bucket"), k)
   }
 
   /** Embedding-cosine near-duplicate pairs within a blocking key: all

@@ -41,6 +41,38 @@ class LayoutBucketingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("lshIndexProbe: matches lshTopK exactly; corpus side never exchanges") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 10)
+    graft.ops.Similarity.lshIndexBuild(e, "vec_id", "embedding", dim = 64,
+      tableName = "graft_spec_lsh_idx", tableBuckets = 4, bits = 6, tables = 4)
+    val probed = graft.ops.Similarity.lshIndexProbe(spark,
+      "graft_spec_lsh_idx", q, "vec_id", "embedding",
+      dim = 64, k = 5, bits = 6, tables = 4, probes = 2)
+    val direct = graft.ops.Similarity.lshTopK(q, e, "vec_id", "embedding",
+      dim = 64, k = 5, bits = 6, tables = 4, probes = 2)
+    assert(probed.exceptAll(direct).isEmpty && direct.exceptAll(probed).isEmpty,
+      "persisted-index probe must return the identical result multiset")
+    // the scale property: the index scan feeds the join with its bucketed
+    // partitioning — only the query batch side exchanges
+    probed.collect() // AQE: finalize
+    // AQE renders "== Final Plan ==" and "== Initial Plan ==" in one
+    // string — count shapes in the final section only
+    val p = probed.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("SortMergeJoin"), p.take(800))
+    // the join key is `bucket`: the query batch side exchanges on it
+    // once; a second bucket-keyed Exchange would mean the corpus
+    // signatures are being re-shuffled on every probe (the exact cost
+    // the index write amortizes away). Downstream q_id-keyed shuffles
+    // (dedup + top-k window) are candidate-bounded and expected.
+    val bucketExchanges = "Exchange hashpartitioning\\(bucket".r.findAllIn(p).length
+    assert(bucketExchanges == 1,
+      s"only the query side may shuffle on bucket (saw $bucketExchanges):\n" + p.take(900))
+    assert(p.contains("Bucketed: true"),
+      "corpus scan must read the bucketed layout:\n" + p.take(900))
+  }
+
   test("zvalue: exact Morton codes for hand-interleaved inputs") {
     val df = spark.range(1).select(
       graft.ops.Layout.zvalue(lit(3), lit(5)).as("a"),      // 0b101 | 0b100010
