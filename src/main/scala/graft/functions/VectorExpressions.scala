@@ -223,6 +223,100 @@ object HyperplaneSignature {
   }
 }
 
+/** graft_centroid_argmax(v, centsFlat, bias): index of the centroid with
+  * the highest score(v, c_j) = Σᵢ vᵢ·c_jᵢ − bias_j, ties toward the lower
+  * index — the k-means assignment kernel. The centroid matrix and bias
+  * vector arrive as array LITERALS (they are per-iteration constants) and
+  * are unpacked driver-side into flat double[] codegen reference objects,
+  * so the generated code is one k×dim multiply-add loop nest per row and
+  * the PLAN stays constant-size however large k·dim grows — this is the
+  * "move the argmax into a custom codegen Expression" escape hatch the
+  * literal zip_with formulation documents for k·dim beyond ~10⁶.
+  *
+  * Numerics are bit-identical to the HOF form (left-to-right double
+  * accumulation per centroid, strict `>` keeps the earliest index on
+  * ties — matching array_max over (score, −j) structs); pinned both ways
+  * in DedupSimilaritySpec. A vector whose length differs from dim (or
+  * with a null element, or k = 0) yields NULL, mirroring the null-ing
+  * zip_with pad. */
+case class CentroidArgmax(child: Expression, cents: Array[Double],
+    bias: Array[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+  private val k = bias.length
+  private val dim = if (k == 0) 0 else cents.length / k
+  require(k == 0 || cents.length == k * dim,
+    s"centroid matrix length ${cents.length} not divisible by k=$k")
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (k == 0 || v.numElements() != dim) return null
+    var bestJ = -1
+    var best = 0.0
+    var j = 0
+    while (j < k) {
+      var acc = 0.0
+      var i = 0
+      while (i < dim) {
+        if (v.isNullAt(i)) return null
+        acc += v.getDouble(i) * cents(j * dim + i)
+        i += 1
+      }
+      val s = acc - bias(j)
+      if (j == 0 || s > best) { best = s; bestJ = j }
+      j += 1
+    }
+    bestJ
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[]")
+    val biasRef = ctx.addReferenceObj("bias", bias, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val bestJ = ctx.freshName("bestJ"); val best = ctx.freshName("best")
+      val j = ctx.freshName("j"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc"); val s = ctx.freshName("s")
+      s"""
+         |if ($k == 0 || $v.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $bestJ = -1; double $best = 0.0;
+         |  for (int $j = 0; $j < $k && !${ev.isNull}; $j++) {
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $dim; $i++) {
+         |      if ($v.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |      $acc += $v.getDouble($i) * $centsRef[$j * $dim + $i];
+         |    }
+         |    double $s = $acc - $biasRef[$j];
+         |    if ($j == 0 || $s > $best) { $best = $s; $bestJ = $j; }
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $bestJ;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override def prettyName: String = "graft_centroid_argmax"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  // Array-valued fields would make default equals reference-based; plans
+  // with re-derived (equal) matrices must still compare/canonicalize equal
+  override def equals(other: Any): Boolean = other match {
+    case c: CentroidArgmax => child == c.child &&
+      java.util.Arrays.equals(cents, c.cents) &&
+      java.util.Arrays.equals(bias, c.bias)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, java.util.Arrays.hashCode(cents),
+      java.util.Arrays.hashCode(bias))
+}
+
 /** Registration via SparkSessionExtensions (the documented extension
   * point); [[graft.Sessions.builder]] wires it in, so every engine
   * session resolves `graft_dot` / `graft_cosine`. */
@@ -279,6 +373,17 @@ object VectorExpressions {
       }))
     e.injectFunction(desc("graft_simhash", classOf[SimhashSignature],
       (children: Seq[Expression]) => SimhashSignature(children(0))))
+    e.injectFunction(desc("graft_centroid_argmax", classOf[CentroidArgmax],
+      (children: Seq[Expression]) => {
+        def arrLit(i: Int): Array[Double] = children(i) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, ArrayType(DoubleType, _)) =>
+            val a = v.asInstanceOf[ArrayData]
+            a.toDoubleArray()
+          case other => throw new IllegalArgumentException(
+            s"graft_centroid_argmax arg ${i + 1} must be an array<double> literal, got $other")
+        }
+        CentroidArgmax(children(0), arrLit(1), arrLit(2))
+      }))
     e.injectFunction(desc("graft_shingle_sketch", classOf[ShingleSketch],
       (children: Seq[Expression]) => {
         def intLit(i: Int): Int = children(i) match {

@@ -220,6 +220,30 @@ object Similarity {
     * matrix — the assignment stays the same narrow broadcast-literal
     * pass. This is the codebook-training mode product quantization
     * needs. */
+  /** Per-centroid score bias: 0 for cosine mode (pre-normalized dot),
+    * |c|²/2 for raw-L2 mode (argmin |x−c|² ≡ argmax x·c − |c|²/2). */
+  private[graft] def centroidBias(cents: Array[Seq[Double]],
+      cosine: Boolean): Array[Double] =
+    if (cosine) Array.fill(cents.length)(0.0)
+    else cents.map(c => c.map(x => x * x).sum / 2)
+
+  /** The pre-kernel HOF formulation of the k-means assignment (argmax
+    * over an array_max of (score, −j) structs against a 2-D centroid
+    * literal). Kept as the independent twin the spec pins
+    * [[graft.functions.CentroidArgmax]] bit-equal against. */
+  private[graft] def centroidArgmaxHof(v: Column,
+      cents: Array[Seq[Double]], cosine: Boolean): Column = {
+    val centsLit = typedLit(cents.map(_.toIndexedSeq).toIndexedSeq)
+    val halfSq = typedLit(centroidBias(cents, cosine).toIndexedSeq)
+    val scored = zip_with(centsLit, sequence(lit(0), lit(cents.length - 1)),
+      (c, j) => struct(
+        (aggregate(zip_with(v, c, (x, y) => x * y),
+          lit(0.0), (a, x) => a + x) -
+          (if (cosine) lit(0.0) else element_at(halfSq, j + 1))).as("s"),
+        (lit(0) - j).as("nj")))
+    -array_max(scored).getField("nj")
+  }
+
   def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int = 5, cosine: Boolean = true): DataFrame = {
     require(k > 0 && iters > 0, "k and iters must be positive")
@@ -236,24 +260,17 @@ object Similarity {
         .select(col("_nv"), md5(col(idCol).cast("string")).as("_h"))
         .orderBy("_h").limit(k)
         .collect().map(_.getSeq[Double](0))
-      // One 2-D array<array<double>> literal carries all k centroids, so
-      // the expression tree stays CONSTANT-size in k (a per-centroid
-      // expression fan-out would grow the plan O(k·dim) nodes and choke
-      // Catalyst at k in the hundreds; a serialized data literal is just
-      // bytes). Beyond k·dim ~ millions, move the argmax into a custom
-      // codegen Expression over a broadcast matrix.
-      def assigned: DataFrame = {
-        val centsLit = typedLit(cents.map(_.toIndexedSeq).toIndexedSeq)
-        val halfSq = typedLit(
-          cents.map(c => c.map(x => x * x).sum / 2).toIndexedSeq)
-        val scored = zip_with(centsLit, sequence(lit(0), lit(cents.length - 1)),
-          (c, j) => struct(
-            (aggregate(zip_with(col("_nv"), c, (x, y) => x * y),
-              lit(0.0), (a, x) => a + x) -
-              (if (cosine) lit(0.0) else element_at(halfSq, j + 1))).as("s"),
-            (lit(0) - j).as("nj")))
-        normed.withColumn("cluster", -array_max(scored).getField("nj"))
-      }
+      // The assignment is the native CentroidArgmax kernel: the k·dim
+      // matrix + bias ride as array literals that the function builder
+      // unpacks into codegen reference objects, so the per-row cost is
+      // one tight multiply-add loop nest and the plan is constant-size
+      // in k (no O(k·dim) expression fan-out). Bit-equal to the HOF
+      // array_max formulation ([[centroidArgmaxHof]], pinned in
+      // DedupSimilaritySpec) — the unrolled-SQL oracles are unchanged.
+      def assigned: DataFrame =
+        normed.withColumn("cluster", call_function("graft_centroid_argmax",
+          col("_nv"), typedLit(cents.flatten.toIndexedSeq),
+          typedLit(centroidBias(cents, cosine).toIndexedSeq)))
       for (_ <- 1 to iters) {
         val next = centroids(assigned, "_nv", "cluster")
           .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap

@@ -505,6 +505,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out == again, "kmeans must be deterministic")
   }
 
+  test("CentroidArgmax kernel bit-equal to the HOF array_max form on real embeddings") {
+    // both modes, real data, deliberately tie-prone centroids (duplicated
+    // row) — every row must agree, and the kernel must be the one in the
+    // kmeans plan (codegen'd, constant-size in k)
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val cents: Array[Seq[Double]] = e.orderBy("vec_id").limit(4)
+      .collect().map(_.getSeq[Double](1)) :+
+      e.orderBy("vec_id").limit(1).collect()(0).getSeq[Double](1)
+    for (cosine <- Seq(true, false)) {
+      val kernel = call_function("graft_centroid_argmax", col("v"),
+        typedLit(cents.flatten.toIndexedSeq),
+        typedLit(graft.ops.Similarity.centroidBias(cents, cosine).toIndexedSeq))
+      val hof = graft.ops.Similarity.centroidArgmaxHof(col("v"), cents, cosine)
+      val diff = e.select(col("vec_id"), kernel.as("a"), hof.as("b"))
+        .filter(!(col("a") <=> col("b"))).count()
+      assert(diff == 0, s"kernel diverged from HOF on $diff rows (cosine=$cosine)")
+    }
+    // the kmeans assignment plan carries the kernel, inside codegen
+    val p = graft.ops.Similarity.kmeans(
+        Tables.embeddings(spark, sf), "vec_id", "embedding", k = 4, iters = 1)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("graft_centroid_argmax"), p.take(600))
+  }
+
   test("quantizeInt8 round-trips within scale/2 per element; zero vector safe") {
     import spark.implicits._
     val d = Seq(
