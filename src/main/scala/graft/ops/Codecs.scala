@@ -1,0 +1,244 @@
+package graft.ops
+
+/** Real, dependency-free binary codecs for the two formats whose
+  * uncompressed layouts are fully parseable with plain byte arithmetic:
+  * RIFF/WAVE (PCM) and BMP (BITMAPINFOHEADER, 24bpp). These replace the
+  * [[Multimodal]] hash-stub for the wav/bmp paths — the parsers handle
+  * arbitrary little-endian chunk layouts (unknown-chunk skipping, row
+  * padding, bottom-up rows), not just the bytes our encoders emit, and
+  * MultimodalSpec pins them on hand-built and corrupted byte vectors.
+  *
+  * The matching ENCODERS exist because the synthetic corpus has no real
+  * media: they derive every parameter and sample deterministically from a
+  * seed, so a DuckDB oracle can replay decode(encode(seed)) end to end in
+  * SQL — the decode path is graded on real byte-format logic AND stays
+  * hash-comparable.
+  *
+  * All functions are driver/executor-pure JVM code (no I/O, no native
+  * libs); the Spark surface wrapping them in [[Multimodal]] stays the
+  * same narrow per-row UDF pass.
+  */
+object Codecs {
+
+  // ---- little-endian readers (bounds-checked: None on truncation) ----
+  private def u16(b: Array[Byte], off: Int): Option[Int] =
+    if (off + 2 > b.length) None
+    else Some((b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8))
+  private def u32(b: Array[Byte], off: Int): Option[Long] =
+    if (off + 4 > b.length) None
+    else Some(((b(off) & 0xFFL)) | ((b(off + 1) & 0xFFL) << 8) |
+      ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24))
+  private def i32(b: Array[Byte], off: Int): Option[Int] =
+    u32(b, off).map(_.toInt)
+  private def tag(b: Array[Byte], off: Int): Option[String] =
+    if (off + 4 > b.length) None
+    else Some(new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII))
+
+  // ---- little-endian writers ----
+  private def putU16(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+  }
+  private def putU32(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    out.write((v & 0xFF).toInt); out.write(((v >> 8) & 0xFF).toInt)
+    out.write(((v >> 16) & 0xFF).toInt); out.write(((v >> 24) & 0xFF).toInt)
+  }
+  private def putTag(out: java.io.ByteArrayOutputStream, s: String): Unit =
+    out.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+
+  // ================================ WAV ================================
+
+  /** Parsed "fmt " + "data" facts of a PCM RIFF/WAVE file.
+    * nFrames = dataSize / blockAlign (samples per channel). */
+  final case class WavMeta(channels: Int, sampleRate: Int,
+      bitsPerSample: Int, nFrames: Int)
+
+  /** Parse a RIFF/WAVE header: verify magic, then walk the chunk list
+    * (each chunk is tag + u32 size + payload, word-aligned) skipping
+    * unknown chunks until both "fmt " and "data" are seen — the layout
+    * rule real files exercise with LIST/INFO/fact chunks between fmt
+    * and data. Returns None on any structural violation (bad magic,
+    * truncated chunk, non-PCM format code, zero blockAlign). */
+  def parseWav(bytes: Array[Byte]): Option[WavMeta] = {
+    if (bytes == null || bytes.length < 12) return None
+    if (!tag(bytes, 0).contains("RIFF") || !tag(bytes, 8).contains("WAVE")) return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // (ch, sr, bits, blockAlign)
+    var dataSize = -1L
+    while (off + 8 <= bytes.length && (fmt.isEmpty || dataSize < 0)) {
+      val t = tag(bytes, off).get
+      val sz = u32(bytes, off + 4).get
+      val body = off + 8
+      if (body + sz > bytes.length) return None // truncated chunk
+      t match {
+        case "fmt " =>
+          if (sz < 16) return None
+          val audioFormat = u16(bytes, body).get
+          if (audioFormat != 1) return None // PCM only
+          val ch = u16(bytes, body + 2).get
+          val sr = u32(bytes, body + 4).get.toInt
+          val blockAlign = u16(bytes, body + 12).get
+          val bits = u16(bytes, body + 14).get
+          if (ch <= 0 || blockAlign <= 0) return None
+          fmt = Some((ch, sr, bits, blockAlign))
+        case "data" => dataSize = sz
+        case _ => () // LIST/fact/bext/…: skip
+      }
+      off = body + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+    }
+    fmt.flatMap { case (ch, sr, bits, blockAlign) =>
+      if (dataSize < 0) None
+      else Some(WavMeta(ch, sr, bits, (dataSize / blockAlign).toInt))
+    }
+  }
+
+  /** Decode the 16-bit LE PCM samples of the "data" chunk, interleaved
+    * (frame-major, channel-minor). Empty for non-16-bit or invalid. */
+  def decodeWavPcm16(bytes: Array[Byte]): Array[Int] = {
+    val meta = parseWav(bytes).orNull
+    if (meta == null || meta.bitsPerSample != 16) return Array.empty
+    // second walk to locate the data chunk body
+    var off = 12
+    while (off + 8 <= bytes.length) {
+      val t = tag(bytes, off).get
+      val sz = u32(bytes, off + 4).get.toInt
+      if (t == "data") {
+        val n = sz / 2
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          val lo = bytes(off + 8 + 2 * i) & 0xFF
+          val hi = bytes(off + 8 + 2 * i + 1)
+          out(i) = (hi << 8) | lo // sign-extends via hi
+          i += 1
+        }
+        return out
+      }
+      off += 8 + sz + (sz & 1)
+    }
+    Array.empty
+  }
+
+  /** Deterministic 16-bit PCM WAV from a seed — parameters and samples
+    * are pure integer formulas of (seed, frame, channel) so a SQL oracle
+    * can replay the decoded output exactly:
+    *   channels   = 1 + seed % 2
+    *   sampleRate = 8000 + (seed % 3) * 4000
+    *   nFrames    = 16 + seed % 50
+    *   s(i, c)    = (((seed·31 + i·7 + c·13) mod 256) − 128) · 64
+    * Every 5th seed inserts a LIST chunk between fmt and data, so the
+    * corpus itself exercises the parser's unknown-chunk skipping. */
+  def synthWav(seed: Long): Array[Byte] = {
+    val s = math.floorMod(seed, 1000000L)
+    val ch = (1 + s % 2).toInt
+    val sr = (8000 + (s % 3) * 4000).toInt
+    val nf = (16 + s % 50).toInt
+    val dataSize = nf * ch * 2
+    val listBody = if (s % 5 == 0) "INFO".getBytes("US-ASCII") else Array.empty[Byte]
+    val listSize = if (listBody.nonEmpty) 8 + listBody.length else 0
+    val out = new java.io.ByteArrayOutputStream(44 + listSize + dataSize)
+    putTag(out, "RIFF"); putU32(out, 4 + 24 + listSize + 8 + dataSize)
+    putTag(out, "WAVE")
+    putTag(out, "fmt "); putU32(out, 16)
+    putU16(out, 1); putU16(out, ch); putU32(out, sr)
+    putU32(out, sr.toLong * ch * 2); putU16(out, ch * 2); putU16(out, 16)
+    if (listBody.nonEmpty) {
+      putTag(out, "LIST"); putU32(out, listBody.length); out.write(listBody)
+    }
+    putTag(out, "data"); putU32(out, dataSize)
+    var i = 0
+    while (i < nf) {
+      var c = 0
+      while (c < ch) {
+        val v = (((s * 31 + i * 7 + c * 13) % 256) - 128).toInt * 64
+        putU16(out, v & 0xFFFF)
+        c += 1
+      }
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  // ================================ BMP ================================
+
+  /** Parsed facts of a BMP file (BITMAPINFOHEADER, uncompressed).
+    * `topDown` reflects a negative biHeight. */
+  final case class BmpMeta(width: Int, height: Int, bitsPerPixel: Int,
+      topDown: Boolean)
+
+  /** Parse a BMP header: "BM" magic, pixel-array offset, DIB header
+    * (≥40-byte BITMAPINFOHEADER), uncompressed (biCompression = 0).
+    * None on bad magic / truncation / compressed data. */
+  def parseBmp(bytes: Array[Byte]): Option[BmpMeta] = {
+    if (bytes == null || bytes.length < 54) return None
+    if (bytes(0) != 'B' || bytes(1) != 'M') return None
+    for {
+      dibSize <- u32(bytes, 14) if dibSize >= 40
+      w <- i32(bytes, 18) if w > 0
+      hRaw <- i32(bytes, 22) if hRaw != 0
+      bpp <- u16(bytes, 28)
+      comp <- u32(bytes, 30) if comp == 0
+    } yield BmpMeta(w, math.abs(hRaw), bpp, topDown = hRaw < 0)
+  }
+
+  /** Sum of all pixel bytes (B+G+R over every pixel) of a 24bpp BMP —
+    * exercises the genuine layout rules: pixel-array offset from the
+    * file header, 4-byte row padding excluded, bottom-up (or top-down)
+    * row order walked explicitly. Returns -1 on parse failure or
+    * non-24bpp. (A sum is row-order-independent, but the walk indexes
+    * rows in display order through the offset/stride math, so a stride
+    * or offset bug shows up immediately.) */
+  def bmpPixelSum(bytes: Array[Byte]): Long = {
+    val meta = parseBmp(bytes).orNull
+    if (meta == null || meta.bitsPerPixel != 24) return -1L
+    val offset = u32(bytes, 10).get.toInt
+    val rowSize = ((3 * meta.width + 3) / 4) * 4
+    if (offset + rowSize.toLong * meta.height > bytes.length) return -1L
+    var sum = 0L
+    var y = 0
+    while (y < meta.height) {
+      // display row y sits at file row (height-1-y) when bottom-up
+      val fileRow = if (meta.topDown) y else meta.height - 1 - y
+      val rowOff = offset + fileRow * rowSize
+      var x = 0
+      while (x < 3 * meta.width) {
+        sum += bytes(rowOff + x) & 0xFF
+        x += 1
+      }
+      y += 1
+    }
+    sum
+  }
+
+  /** Deterministic 24bpp bottom-up BMP from a seed:
+    *   width  = 1 + seed % 16, height = 1 + seed % 8
+    *   byte k of pixel (x, y) = (seed + x·3 + y·7 + k) mod 256
+    * (x right, y DOWN in display order — the encoder writes rows
+    * bottom-up as the format requires, so decoding must un-reverse). */
+  def synthBmp(seed: Long): Array[Byte] = {
+    val s = math.floorMod(seed, 1000000L)
+    val w = (1 + s % 16).toInt
+    val h = (1 + s % 8).toInt
+    val rowSize = ((3 * w + 3) / 4) * 4
+    val pixelArray = rowSize * h
+    val out = new java.io.ByteArrayOutputStream(54 + pixelArray)
+    putTag(out, "BM")
+    putU32(out, 54L + pixelArray); putU32(out, 0L); putU32(out, 54L)
+    putU32(out, 40L); putU32(out, w.toLong); putU32(out, h.toLong)
+    putU16(out, 1); putU16(out, 24); putU32(out, 0L); putU32(out, pixelArray.toLong)
+    putU32(out, 2835L); putU32(out, 2835L); putU32(out, 0L); putU32(out, 0L)
+    var fileRow = 0
+    while (fileRow < h) {
+      val y = h - 1 - fileRow // bottom-up: first file row is the last display row
+      var x = 0
+      while (x < w) {
+        var k = 0
+        while (k < 3) { out.write(((s + x * 3 + y * 7 + k) % 256).toInt); k += 1 }
+        x += 1
+      }
+      var pad = 3 * w
+      while (pad < rowSize) { out.write(0); pad += 1 }
+      fileRow += 1
+    }
+    out.toByteArray
+  }
+}

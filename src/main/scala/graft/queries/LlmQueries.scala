@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.ops.{Curation, Dedup, Multimodal, Similarity, TfIdf}
+import graft.ops.{Codecs, Curation, Dedup, Multimodal, Similarity, TfIdf}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1061,6 +1061,43 @@ object LlmQueries {
         .orderBy("mime")
     }),
 
+    // REAL-codec audio pipeline: each doc_id seeds a genuine RIFF/WAVE
+    // file (Codecs.synthWav — every 5th has a LIST chunk between fmt and
+    // data), decoded by the real chunk-walking parser + 16-bit LE PCM
+    // reader; energy/zero-crossings are exact integers so the DuckDB
+    // twin replays decode(encode(seed)) with no float drift. The codec
+    // itself (arbitrary layouts, corruption) is pinned in MultimodalSpec.
+    "q_wav_decode" -> ((s, d) => {
+      val wavUdf = udf((seed: Long) => Codecs.synthWav(seed))
+      val media = Tables.documents(s, d).filter(col("doc_id") < 400)
+        .select(col("doc_id").as("media_id"), wavUdf(col("doc_id")).as("payload"))
+      Multimodal.wavSignalStats(Multimodal.decodeWavMeta(media))
+        .groupBy(col("wav_meta.sample_rate").cast("long").as("sample_rate"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(when(col("wav_meta.ok"), 1L).otherwise(0L)).as("n_ok"),
+          sum(col("wav_meta.n_frames").cast("long")).as("sum_frames"),
+          sum(col("wav_meta.channels").cast("long")).as("sum_channels"),
+          sum(col("sig.energy")).as("total_energy"),
+          sum(col("sig.zc")).as("total_zc"))
+        .orderBy("sample_rate")
+    }),
+
+    // REAL-codec image pipeline: seeded 24bpp bottom-up BMPs decoded by
+    // the real header parser + padded-stride pixel walk (pixel_sum walks
+    // rows in display order through the offset/stride math)
+    "q_bmp_decode" -> ((s, d) => {
+      val bmpUdf = udf((seed: Long) => Codecs.synthBmp(seed))
+      val media = Tables.documents(s, d).filter(col("doc_id") < 300)
+        .select(col("doc_id").as("media_id"), bmpUdf(col("doc_id")).as("payload"))
+      Multimodal.decodeBmpMeta(media)
+        .groupBy(col("bmp_meta.width").cast("long").as("width"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(when(col("bmp_meta.ok"), 1L).otherwise(0L)).as("n_ok"),
+          sum(col("bmp_meta.height").cast("long")).as("sum_height"),
+          sum(col("pixel_sum")).as("sum_pixels"))
+        .orderBy("width")
+    }),
+
     "q_multimodal_frames" -> ((s, d) => {
       val media = Tables.documents(s, d).filter(col("doc_id") < 200)
         .select(col("doc_id").as("media_id"),
@@ -1995,6 +2032,45 @@ object LlmQueries {
         | sum(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT AS n_ok,
         | max(w_cap) AS max_w, sum(rbytes)::BIGINT AS resized_bytes
         |FROM rz GROUP BY mime""".stripMargin,
+
+    // replays the synthWav parameter/sample formulas over the decoded
+    // interleaved PCM stream (frame-major, channel-minor: j → frame j//ch,
+    // channel j%ch); all-integer, so no float tolerance anywhere
+    "q_wav_decode" ->
+      """WITH p AS (SELECT doc_id AS s, 1 + doc_id % 2 AS ch,
+        |   8000 + (doc_id % 3) * 4000 AS sr, 16 + doc_id % 50 AS nf
+        |  FROM documents WHERE doc_id < 400),
+        |sm AS (SELECT s, ch, sr, nf,
+        |   list_transform(range(0, nf*ch),
+        |     j -> (((s*31 + (j // ch)*7 + (j % ch)*13) % 256) - 128) * 64)
+        |     AS pcm
+        |  FROM p),
+        |st AS (SELECT sr, ch, nf,
+        |   list_sum(list_transform(pcm, x -> x*x))::BIGINT AS energy,
+        |   len(list_filter(range(1, len(pcm)),
+        |     j -> (pcm[j] < 0) != (pcm[j+1] < 0)))::BIGINT AS zc
+        |  FROM sm)
+        |SELECT sr::BIGINT AS sample_rate, count(*) AS n_media,
+        | count(*)::BIGINT AS n_ok, sum(nf)::BIGINT AS sum_frames,
+        | sum(ch)::BIGINT AS sum_channels, sum(energy)::BIGINT AS total_energy,
+        | sum(zc)::BIGINT AS total_zc
+        |FROM st GROUP BY sr ORDER BY sample_rate""".stripMargin,
+
+    // replays the synthBmp formulas: pixel j → (x, y, channel) via
+    // x=(j//3)%w, y=j//(3w), k=j%3; padding bytes are not in the sum
+    "q_bmp_decode" ->
+      """WITH p AS (SELECT doc_id AS s, 1 + doc_id % 16 AS w,
+        |   1 + doc_id % 8 AS h
+        |  FROM documents WHERE doc_id < 300),
+        |px AS (SELECT s, w, h,
+        |  list_sum(list_transform(range(0, w*h*3),
+        |    j -> (s + ((j // 3) % w)*3 + (j // (3*w))*7 + (j % 3)) % 256))
+        |    ::BIGINT AS psum
+        | FROM p)
+        |SELECT w::BIGINT AS width, count(*) AS n_media,
+        | count(*)::BIGINT AS n_ok, sum(h)::BIGINT AS sum_height,
+        | sum(psum)::BIGINT AS sum_pixels
+        |FROM px GROUP BY w ORDER BY width""".stripMargin,
 
     "q_multimodal_frames" ->
       """WITH b AS (

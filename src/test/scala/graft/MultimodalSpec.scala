@@ -63,4 +63,74 @@ class MultimodalSpec extends SparkSpec {
       .select(col("media_id"), col("txt").cast("binary").as("payload"))
     assert(graft.ops.Multimodal.audioWindows(empty).isEmpty)
   }
+
+  test("Codecs.parseWav: synth round-trip, LIST-chunk skipping, corruption → None") {
+    import graft.ops.Codecs
+    for (seed <- Seq(0L, 1L, 2L, 5L, 7L, 10L, 49L, 123L)) { // 0,5,10: LIST chunk
+      val bytes = Codecs.synthWav(seed)
+      val m = Codecs.parseWav(bytes).get
+      assert(m.channels == 1 + (seed % 2).toInt, s"seed=$seed")
+      assert(m.sampleRate == 8000 + ((seed % 3) * 4000).toInt)
+      assert(m.bitsPerSample == 16)
+      assert(m.nFrames == 16 + (seed % 50).toInt)
+      val pcm = Codecs.decodeWavPcm16(bytes)
+      assert(pcm.length == m.nFrames * m.channels)
+      for (j <- pcm.indices) {
+        val i = j / m.channels; val c = j % m.channels
+        val want = ((((seed * 31 + i * 7 + c * 13) % 256) - 128) * 64).toInt
+        assert(pcm(j) == want, s"seed=$seed sample $j: ${pcm(j)} != $want")
+      }
+    }
+    val good = Codecs.synthWav(3L)
+    assert(Codecs.parseWav(good.take(10)) == None, "truncated header")
+    assert(Codecs.parseWav(good.dropRight(5)) == None, "truncated data chunk")
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    assert(Codecs.parseWav(badMagic) == None, "bad RIFF magic")
+    // non-PCM format code (offset 20 = fmt body start, u16 audioFormat)
+    val floatFmt = good.clone(); floatFmt(20) = 3
+    assert(Codecs.parseWav(floatFmt) == None, "non-PCM must be rejected")
+    assert(Codecs.parseWav(null) == None && Codecs.parseWav(Array[Byte]()) == None)
+  }
+
+  test("Codecs.parseBmp: synth round-trip, stride padding excluded, top-down flag") {
+    import graft.ops.Codecs
+    for (seed <- Seq(0L, 1L, 3L, 7L, 15L, 100L)) {
+      val bytes = Codecs.synthBmp(seed)
+      val m = Codecs.parseBmp(bytes).get
+      val (w, h) = (1 + (seed % 16).toInt, 1 + (seed % 8).toInt)
+      assert(m.width == w && m.height == h && m.bitsPerPixel == 24 && !m.topDown)
+      val want = (for (y <- 0 until h; x <- 0 until w; k <- 0 until 3)
+        yield (seed + x * 3 + y * 7 + k) % 256).sum
+      assert(Codecs.bmpPixelSum(bytes) == want, s"seed=$seed pixel sum")
+    }
+    // hand-built 1×2 24bpp bottom-up BMP with NONZERO padding bytes:
+    // rowSize = 4, so 1 pad byte per row — it must NOT enter the sum
+    val out = new java.io.ByteArrayOutputStream()
+    def u16w(v: Int) = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def u32w(v: Long) = (0 until 4).foreach(i => out.write(((v >> (8 * i)) & 0xFF).toInt))
+    out.write('B'); out.write('M'); u32w(54 + 8); u32w(0); u32w(54)
+    u32w(40); u32w(1); u32w(2); u16w(1); u16w(24); u32w(0); u32w(8)
+    u32w(0); u32w(0); u32w(0); u32w(0)
+    out.write(10); out.write(20); out.write(30); out.write(0xEE) // file row 0 (display y=1)
+    out.write(1); out.write(2); out.write(3); out.write(0xEE)    // file row 1 (display y=0)
+    val hand = out.toByteArray
+    val hm = graft.ops.Codecs.parseBmp(hand).get
+    assert(hm.width == 1 && hm.height == 2 && !hm.topDown)
+    assert(Codecs.bmpPixelSum(hand) == 10 + 20 + 30 + 1 + 2 + 3,
+      "padding bytes leaked into the pixel sum")
+    // top-down variant: biHeight = -2 (same bytes otherwise)
+    val td = hand.clone()
+    val neg = -2
+    for (i <- 0 until 4) td(22 + i) = ((neg >> (8 * i)) & 0xFF).toByte
+    val tdm = Codecs.parseBmp(td).get
+    assert(tdm.height == 2 && tdm.topDown)
+    assert(Codecs.bmpPixelSum(td) == 66, "top-down walk must cover the same pixels")
+    // corruption
+    val badMagic = hand.clone(); badMagic(0) = 'X'.toByte
+    assert(Codecs.parseBmp(badMagic) == None)
+    assert(Codecs.parseBmp(hand.take(30)) == None, "truncated header")
+    val compressed = hand.clone(); compressed(30) = 1 // biCompression = BI_RLE8
+    assert(Codecs.parseBmp(compressed) == None, "compressed BMP must be rejected")
+    assert(Codecs.bmpPixelSum(hand.dropRight(3)) == -1L, "truncated pixel array")
+  }
 }
