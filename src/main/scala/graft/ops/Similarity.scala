@@ -155,30 +155,47 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nlist: Int = 32, nprobe: Int = 4): DataFrame = {
-    // cell of rank r: the dimension index (within the first nlist dims)
-    // with the r-th largest |value|, sign-encoded → 2*nlist cells
-    def cells(v: org.apache.spark.sql.Column, n: Int) = {
-      val head = slice(v, 1, nlist)
-      val ranked = array_sort(
-        zip_with(head, sequence(lit(0), lit(nlist - 1)), (x, i) =>
-          struct(abs(x).as("a"), x.as("x"), i.as("i"))),
-        (a, b) => when(a("a") > b("a"), -1).when(a("a") < b("a"), 1)
-          .otherwise(when(a("i") < b("i"), -1).otherwise(1)))
-      transform(slice(ranked, 1, n), s =>
-        s("i") * 2 + when(s("x") >= 0, 0).otherwise(1))
-    }
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("nv"),
-      explode(cells(col(vecCol), 1)).as("cell"))
+      explode(ivfCells(col(vecCol), nlist, 1)).as("cell"))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"),
-      explode(cells(col(vecCol), nprobe)).as("cell"))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
-    broadcast(q).join(c, "cell")
-      .filter(col("q_id") =!= col("n_id"))
-      .withColumn("sim", cosineN(col("qv"), col("nv")))
-      .select("q_id", "n_id", "sim").distinct()
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select("q_id", "rnk", "n_id", "sim")
+      explode(ivfCells(col(vecCol), nlist, nprobe)).as("cell"))
+    lshRerank(broadcast(q).join(c, "cell"), k)
+  }
+
+  /** cell of rank r: the dimension index (within the first nlist dims)
+    * with the r-th largest |value|, sign-encoded → 2·nlist cells. */
+  private def ivfCells(v: org.apache.spark.sql.Column, nlist: Int, n: Int) = {
+    val head = slice(v, 1, nlist)
+    val ranked = array_sort(
+      zip_with(head, sequence(lit(0), lit(nlist - 1)), (x, i) =>
+        struct(abs(x).as("a"), x.as("x"), i.as("i"))),
+      (a, b) => when(a("a") > b("a"), -1).when(a("a") < b("a"), 1)
+        .otherwise(when(a("i") < b("i"), -1).otherwise(1)))
+    transform(slice(ranked, 1, n), s =>
+      s("i") * 2 + when(s("x") >= 0, 0).otherwise(1))
+  }
+
+  /** Persist the IVF inverted file (cell → vectors) as a table bucketed
+    * by cell — the "at 100 TB it is a bucketed/partitioned table" path
+    * of [[ivfTopK]]'s doc, same amortization as [[lshIndexBuild]]:
+    * repeated probe batches touch nprobe cells of a co-located layout
+    * and never re-shuffle the corpus. */
+  def ivfIndexBuild(corpus: DataFrame, idCol: String, vecCol: String,
+      tableName: String, tableBuckets: Int = 32, nlist: Int = 32): Unit = {
+    val inv = corpus.select(col(idCol).as("n_id"), col(vecCol).as("nv"),
+      explode(ivfCells(col(vecCol), nlist, 1)).as("cell"))
+    Bucketing.writeBucketed(inv, tableName, "cell", tableBuckets)
+  }
+
+  /** Probe an [[ivfIndexBuild]] table (same nlist!): identical result
+    * multiset to [[ivfTopK]]; only the query batch exchanges on cell. */
+  def ivfIndexProbe(spark: SparkSession, tableName: String,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nlist: Int = 32, nprobe: Int = 4): DataFrame = {
+    val c = spark.table(tableName)
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"),
+      explode(ivfCells(col(vecCol), nlist, nprobe)).as("cell"))
+    lshRerank(c.join(q.hint("shuffle_merge"), "cell"), k)
   }
 
   /** Per-label element-wise mean embedding (the cluster-centroid /

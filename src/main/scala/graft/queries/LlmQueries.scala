@@ -690,6 +690,19 @@ object LlmQueries {
         .select(col("q_id"), col("rnk"), col("n_id"), round(col("sim"), 4).as("sim"))
     }),
 
+    // persist-and-probe IVF twin: the inverted file is a cell-bucketed
+    // table, so probe batches never re-shuffle the corpus
+    "q_sim_ivf_persisted" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val tbl = "graft_ivf_idx_" + s.sparkContext.applicationId
+        .replaceAll("[^A-Za-z0-9_]", "_")
+      Similarity.ivfIndexBuild(e, "vec_id", "embedding",
+        tableName = tbl, tableBuckets = 8, nlist = 16)
+      Similarity.ivfIndexProbe(s, tbl, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nlist = 16, nprobe = 6)
+        .select(col("q_id"), col("rnk"), col("n_id"), round(col("sim"), 4).as("sim"))
+    }),
+
     "q_token_bpe" -> ((s, d) =>
       Tables.documents(s, d)
         .groupBy("lang")
@@ -1116,6 +1129,31 @@ object LlmQueries {
     * DuckDB VALUES rows `(table, bit, ±1.0-list)`, so the oracle replays
     * the exact sign-flip folds: list_dot_product(v, ±1-list) performs the
     * identical in-order sequence of adds as the kernel's `acc += ±x`. */
+  private lazy val ivfTopKOracleSql: String =
+    """WITH e AS (
+      | SELECT vec_id, unnest(embedding) AS x,
+      |        generate_subscripts(embedding, 1) - 1 AS i
+      | FROM embeddings),
+      |rk AS (
+      | SELECT vec_id, i*2 + CASE WHEN x >= 0 THEN 0 ELSE 1 END AS cell,
+      |        row_number() OVER (PARTITION BY vec_id ORDER BY abs(x) DESC, i) AS rn
+      | FROM e WHERE i < 16),
+      |cc AS (SELECT vec_id AS n_id, cell FROM rk WHERE rn = 1),
+      |qc AS (SELECT DISTINCT vec_id AS q_id, cell FROM rk
+      |       WHERE rn <= 6 AND vec_id < 10),
+      |v AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
+      |cand AS (SELECT DISTINCT q_id, n_id
+      |         FROM qc JOIN cc USING (cell) WHERE q_id <> n_id),
+      |s AS (SELECT q_id, n_id,
+      |  list_dot_product(qv.vd, nv.vd)
+      |   / (sqrt(list_dot_product(qv.vd, qv.vd))
+      |      * sqrt(list_dot_product(nv.vd, nv.vd))) AS sim
+      | FROM cand JOIN v qv ON cand.q_id = qv.vec_id
+      |           JOIN v nv ON cand.n_id = nv.vec_id),
+      |r AS (SELECT q_id, n_id, sim,
+      |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rnk FROM s)
+      |SELECT q_id, rnk, n_id, round(sim, 4) AS sim FROM r WHERE rnk <= 5""".stripMargin
+
   private lazy val lshTopKOracleSql: String =
     s"""WITH sgn(t, b, s) AS (VALUES ${lshSignRows(6, 4, 64, 42L)}),
        |v AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
@@ -1851,30 +1889,10 @@ object LlmQueries {
     // first nlist=16 coords by |x| desc, idx asc; cell = idx*2 +
     // sign bit), so the whole probe→candidate→re-rank path has an exact
     // DuckDB twin — corpus takes its top cell, queries probe top-6.
-    "q_sim_ivf" ->
-      """WITH e AS (
-        | SELECT vec_id, unnest(embedding) AS x,
-        |        generate_subscripts(embedding, 1) - 1 AS i
-        | FROM embeddings),
-        |rk AS (
-        | SELECT vec_id, i*2 + CASE WHEN x >= 0 THEN 0 ELSE 1 END AS cell,
-        |        row_number() OVER (PARTITION BY vec_id ORDER BY abs(x) DESC, i) AS rn
-        | FROM e WHERE i < 16),
-        |cc AS (SELECT vec_id AS n_id, cell FROM rk WHERE rn = 1),
-        |qc AS (SELECT DISTINCT vec_id AS q_id, cell FROM rk
-        |       WHERE rn <= 6 AND vec_id < 10),
-        |v AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
-        |cand AS (SELECT DISTINCT q_id, n_id
-        |         FROM qc JOIN cc USING (cell) WHERE q_id <> n_id),
-        |s AS (SELECT q_id, n_id,
-        |  list_dot_product(qv.vd, nv.vd)
-        |   / (sqrt(list_dot_product(qv.vd, qv.vd))
-        |      * sqrt(list_dot_product(nv.vd, nv.vd))) AS sim
-        | FROM cand JOIN v qv ON cand.q_id = qv.vec_id
-        |           JOIN v nv ON cand.n_id = nv.vec_id),
-        |r AS (SELECT q_id, n_id, sim,
-        |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rnk FROM s)
-        |SELECT q_id, rnk, n_id, round(sim, 4) AS sim FROM r WHERE rnk <= 5""".stripMargin,
+    "q_sim_ivf" -> ivfTopKOracleSql,
+
+    // identical result multiset by construction (layout change only)
+    "q_sim_ivf_persisted" -> ivfTopKOracleSql,
 
     "q_knn_label" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv

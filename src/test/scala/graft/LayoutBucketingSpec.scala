@@ -73,6 +73,28 @@ class LayoutBucketingSpec extends SparkSpec {
       "corpus scan must read the bucketed layout:\n" + p.take(900))
   }
 
+  test("ivfIndexProbe: matches ivfTopK exactly; inverted file read bucketed") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 10)
+    graft.ops.Similarity.ivfIndexBuild(e, "vec_id", "embedding",
+      tableName = "graft_spec_ivf_idx", tableBuckets = 4, nlist = 16)
+    val probed = graft.ops.Similarity.ivfIndexProbe(spark,
+      "graft_spec_ivf_idx", q, "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 6)
+    val direct = graft.ops.Similarity.ivfTopK(q, e, "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 6)
+    assert(probed.exceptAll(direct).isEmpty && direct.exceptAll(probed).isEmpty,
+      "persisted inverted file must return the identical result multiset")
+    probed.collect()
+    val p = probed.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val cellExchanges = "Exchange hashpartitioning\\(cell".r.findAllIn(p).length
+    assert(cellExchanges == 1,
+      s"only the query side may shuffle on cell (saw $cellExchanges):\n" + p.take(900))
+    assert(p.contains("Bucketed: true"),
+      "inverted file must read the bucketed layout:\n" + p.take(900))
+  }
+
   test("zvalue: exact Morton codes for hand-interleaved inputs") {
     val df = spark.range(1).select(
       graft.ops.Layout.zvalue(lit(3), lit(5)).as("a"),      // 0b101 | 0b100010
