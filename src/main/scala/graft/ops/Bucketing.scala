@@ -44,6 +44,23 @@ object Bucketing {
       .format("parquet").saveAsTable(name)
   }
 
+  /** Append rows to an existing bucketed table written by
+    * [[writeBucketed]] (same key + bucket count — Spark validates the
+    * spec matches). Each append adds one file per non-empty bucket;
+    * reads stay `Bucketed: true` with the partitioning intact, so
+    * downstream co-located joins keep their zero-Exchange shape. This is
+    * the incremental-maintenance path for persisted ANN indexes
+    * ([[Similarity.lshIndexBuild]]/ivfIndexBuild): new corpus batches
+    * append their signatures instead of rebuilding the index — at 100 TB
+    * a rebuild rewrites everything, an append writes only the delta.
+    * (Periodic compaction = one [[writeBucketed]] over the table when
+    * per-bucket file counts grow.) */
+  def appendBucketed(df: DataFrame, name: String, key: String,
+      buckets: Int): Unit =
+    df.write.mode(SaveMode.Append)
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(name)
+
   /** Bucket both inputs by the join key, then inner-join the bucketed
     * tables. The join itself is shuffle-free (zero Exchange — pinned in
     * PlanShapeSpec); with `sortBy` it is merge-ready too. Result multiset

@@ -101,6 +101,20 @@ object Similarity {
     Bucketing.writeBucketed(sig, tableName, "bucket", tableBuckets)
   }
 
+  /** Incrementally extend a [[lshIndexBuild]] table with a new corpus
+    * batch (same bits/tables/seed as the build!): signatures of the new
+    * vectors append as one file per touched bucket — the index write is
+    * proportional to the DELTA, not the corpus, and probes keep their
+    * zero-corpus-Exchange shape (LayoutBucketingSpec pins build+append ≡
+    * one full build). */
+  def lshIndexAppend(newCorpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, tableName: String, tableBuckets: Int = 32,
+      bits: Int = 8, tables: Int = 4, seed: Long = 42L): Unit = {
+    val sig = newCorpus.select(col(idCol).as("n_id"), col(vecCol).as("nv"),
+      explode(lshBuckets(col(vecCol), bits, dim, tables, 0, seed)).as("bucket"))
+    Bucketing.appendBucketed(sig, tableName, "bucket", tableBuckets)
+  }
+
   /** Probe a [[lshIndexBuild]] table: bucket the query batch with the
     * SAME (bits, tables, seed) plus multi-probes, equi-join on bucket,
     * exact-cosine re-rank. Result multiset is identical to [[lshTopK]]

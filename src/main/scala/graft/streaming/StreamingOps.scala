@@ -92,6 +92,46 @@ object StreamingOps {
       dimKey: String, joinType: String = "left"): DataFrame =
     stream.join(broadcast(dim), col(streamKey) === col(dimKey), joinType)
 
+  /** Streaming ANN matcher against a PERSISTED LSH index
+    * ([[graft.ops.Similarity.lshIndexBuild]]): each incoming vector is
+    * bucketed with the index's (bits, tables, seed) + multi-probes,
+    * stream-static equi-joined against the bucketed signature table,
+    * exact-cosine scored, and emitted when sim ≥ threshold. The join is
+    * STATELESS (static side re-resolved per micro-batch — an
+    * [[graft.ops.Similarity.lshIndexAppend]] between batches is picked
+    * up without restart); the only state is the watermark-bounded
+    * (q_id, n_id) dedup that collapses multi-table/multi-probe bucket
+    * collisions of the same pair. Threshold-match rather than top-k:
+    * per-group ranking windows aren't available in append-mode
+    * streaming, and the match-stream contract (near-dup alarms,
+    * dedup-at-ingest) is the streaming-native one anyway.
+    * Output: q_id, ts, n_id, sim (append mode). */
+  def annMatchStream(stream: DataFrame, idCol: String, vecCol: String,
+      tsCol: String, watermark: String, spark: SparkSession,
+      tableName: String, dim: Int, threshold: Double,
+      bits: Int = 8, tables: Int = 4, probes: Int = 0,
+      seed: Long = 42L): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val buckets = {
+      val all = (0 until tables).flatMap { t =>
+        val sig = hyperplaneSig(col(vecCol), bits, dim, seed + t)
+        val base = lit(t.toLong * (1L << bits)) + sig
+        base +: (0 until probes).map(i =>
+          lit(t.toLong * (1L << bits)) + sig.bitwiseXOR(lit(1L << i)))
+      }
+      array(all: _*)
+    }
+    val q = stream.select(col(idCol).as("q_id"), col(tsCol).as("ts"),
+      col(vecCol).as("qv"), explode(buckets).as("bucket"))
+    q.join(spark.table(tableName), "bucket")
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", cosineN(col("qv"), col("nv")))
+      .filter(col("sim") >= threshold)
+      .select("q_id", "ts", "n_id", "sim")
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("q_id", "n_id")
+  }
+
   /** Exact streaming dedup within the watermark horizon — at-least-once
     * input → effectively-once output (≈ the conformance suite's no-dup
     * assertion, /root/reference/test/suite_test.go:95-104, as an operator).

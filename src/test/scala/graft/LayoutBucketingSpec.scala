@@ -73,6 +73,31 @@ class LayoutBucketingSpec extends SparkSpec {
       "corpus scan must read the bucketed layout:\n" + p.take(900))
   }
 
+  test("lshIndexAppend: build half + append half ≡ one full build; still bucketed") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 10)
+    graft.ops.Similarity.lshIndexBuild(e.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", dim = 64,
+      tableName = "graft_spec_lsh_inc", tableBuckets = 4, bits = 6, tables = 4)
+    graft.ops.Similarity.lshIndexAppend(e.filter(col("vec_id") % 2 =!= 0),
+      "vec_id", "embedding", dim = 64,
+      tableName = "graft_spec_lsh_inc", tableBuckets = 4, bits = 6, tables = 4)
+    val probed = graft.ops.Similarity.lshIndexProbe(spark,
+      "graft_spec_lsh_inc", q, "vec_id", "embedding",
+      dim = 64, k = 5, bits = 6, tables = 4, probes = 2)
+    val direct = graft.ops.Similarity.lshTopK(q, e, "vec_id", "embedding",
+      dim = 64, k = 5, bits = 6, tables = 4, probes = 2)
+    assert(probed.exceptAll(direct).isEmpty && direct.exceptAll(probed).isEmpty,
+      "incrementally-built index must equal the full-corpus result")
+    probed.collect()
+    val p = probed.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("Bucketed: true"),
+      "append must preserve the bucketed layout:\n" + p.take(900))
+    assert("Exchange hashpartitioning\\(bucket".r.findAllIn(p).length == 1,
+      "probe after append must still not shuffle the corpus:\n" + p.take(900))
+  }
+
   test("ivfIndexProbe: matches ivfTopK exactly; inverted file read bucketed") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 10)

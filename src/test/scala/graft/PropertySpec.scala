@@ -95,4 +95,82 @@ class PropertySpec extends SparkSpec {
     assert(whole.except(m1).isEmpty && m1.except(whole).isEmpty)
     assert(m1.except(m2).isEmpty && m2.except(m1).isEmpty)
   }
+
+  test("WAV parser round-trips arbitrary hand-encoded PCM files (random layouts)") {
+    import graft.ops.Codecs
+    // Encode fully random WAVs with our OWN bytes here (not synthWav):
+    // random channel/rate/bit configs, random junk chunks BEFORE and
+    // AFTER fmt, odd-sized chunks (word-alignment padding) — the parser
+    // must recover exactly the written facts from layouts the library
+    // encoder never produces.
+    for (seed <- 1 to 12) {
+      val rnd = new scala.util.Random(seed)
+      val ch = 1 + rnd.nextInt(4)
+      val sr = 4000 + rnd.nextInt(92000)
+      val bits = Seq(8, 16, 24)(rnd.nextInt(3))
+      val blockAlign = ch * (bits / 8)
+      val nFrames = rnd.nextInt(50)
+      val dataSize = nFrames * blockAlign
+      val out = new java.io.ByteArrayOutputStream()
+      def u16w(v: Int) = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+      def u32w(v: Long) = (0 until 4).foreach(i => out.write(((v >> (8 * i)) & 0xFF).toInt))
+      def tag(s: String) = out.write(s.getBytes("US-ASCII"))
+      // random junk chunk helper, odd sizes allowed (writer pads)
+      def junk(): Int = {
+        val sz = rnd.nextInt(7)
+        tag(Seq("LIST", "fact", "bext")(rnd.nextInt(3))); u32w(sz)
+        (0 until sz).foreach(_ => out.write(rnd.nextInt(256)))
+        if (sz % 2 == 1) out.write(0) // word alignment
+        8 + sz + (sz % 2)
+      }
+      tag("RIFF"); u32w(0) // patch later
+      tag("WAVE")
+      var extra = 0
+      if (rnd.nextBoolean()) extra += junk()
+      tag("fmt "); u32w(16); u16w(1); u16w(ch); u32w(sr)
+      u32w(sr.toLong * blockAlign); u16w(blockAlign); u16w(bits)
+      if (rnd.nextBoolean()) extra += junk()
+      tag("data"); u32w(dataSize)
+      (0 until dataSize).foreach(_ => out.write(rnd.nextInt(256)))
+      val bytes = out.toByteArray
+      // patch RIFF size
+      val riffSz = bytes.length - 8
+      for (i <- 0 until 4) bytes(4 + i) = ((riffSz >> (8 * i)) & 0xFF).toByte
+      val m = Codecs.parseWav(bytes).get
+      assert(m.channels == ch && m.sampleRate == sr &&
+        m.bitsPerSample == bits && m.nFrames == nFrames,
+        s"seed=$seed: $m vs ch=$ch sr=$sr bits=$bits nf=$nFrames")
+    }
+  }
+
+  test("BMP pixel sum equals the naive matrix walk on random images (both row orders)") {
+    import graft.ops.Codecs
+    for (seed <- 1 to 10) {
+      val rnd = new scala.util.Random(seed)
+      val w = 1 + rnd.nextInt(9)
+      val h = 1 + rnd.nextInt(6)
+      val topDown = rnd.nextBoolean()
+      val px = Array.tabulate(h, w, 3)((_, _, _) => rnd.nextInt(256))
+      val rowSize = ((3 * w + 3) / 4) * 4
+      val out = new java.io.ByteArrayOutputStream()
+      def u16w(v: Int) = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+      def u32w(v: Long) = (0 until 4).foreach(i => out.write(((v >> (8 * i)) & 0xFF).toInt))
+      out.write('B'); out.write('M'); u32w(54L + rowSize * h); u32w(0); u32w(54)
+      u32w(40); u32w(w.toLong)
+      u32w((if (topDown) -h else h).toLong & 0xFFFFFFFFL)
+      u16w(1); u16w(24); u32w(0); u32w(rowSize.toLong * h)
+      u32w(0); u32w(0); u32w(0); u32w(0)
+      val fileRows = if (topDown) 0 until h else (h - 1) to 0 by -1
+      for (y <- fileRows) {
+        for (x <- 0 until w; k <- 0 until 3) out.write(px(y)(x)(k))
+        (3 * w until rowSize).foreach(_ => out.write(0xAB)) // nonzero pad
+      }
+      val bytes = out.toByteArray
+      val m = Codecs.parseBmp(bytes).get
+      assert(m.width == w && m.height == h && m.topDown == topDown, s"seed=$seed: $m")
+      val want = px.flatten.flatten.map(_.toLong).sum
+      assert(Codecs.bmpPixelSum(bytes) == want,
+        s"seed=$seed w=$w h=$h topDown=$topDown")
+    }
+  }
 }

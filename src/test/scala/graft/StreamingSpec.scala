@@ -350,6 +350,42 @@ class StreamingSpec extends SparkSpec {
     assert(last == Map("x" -> 3L, "y" -> 1L))
   }
 
+  test("annMatchStream: stream probes the persisted LSH index; matches the batch twin") {
+    // index over the full embeddings table; stream two batches of query
+    // vectors through; result pairs must equal the batch formulation
+    // (bucket-join + threshold) with multi-table collisions collapsed
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).cache()
+    graft.ops.Similarity.lshIndexBuild(e, "vec_id", "embedding", dim = 64,
+      tableName = "graft_spec_ann_stream", tableBuckets = 4, bits = 6, tables = 4)
+    val queries = e.filter(col("vec_id") < 8)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val ms = new MemoryStream[(Long, Array[Float], Timestamp)](19, spark, None)
+    val df = ms.toDF().toDF("vec_id", "embedding", "ts")
+    val out = StreamingOps.annMatchStream(df, "vec_id", "embedding", "ts",
+      watermark = "10 minutes", spark, "graft_spec_ann_stream",
+      dim = 64, threshold = 0.3, bits = 6, tables = 4, probes = 2)
+    val q = out.writeStream.format("memory").queryName("ann_out")
+      .outputMode("append").start()
+    val (batch1, batch2) = queries.splitAt(4)
+    ms.addData(batch1.map { case (id, v) => (id, v, ts(0)) }.toSeq)
+    q.processAllAvailable()
+    ms.addData(batch2.map { case (id, v) => (id, v, ts(5)) }.toSeq)
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    val got = spark.table("ann_out").select("q_id", "n_id")
+      .as[(Long, Long)].collect().toSet
+    // batch twin: same buckets, same threshold, distinct pairs
+    val want = graft.ops.Similarity.lshTopK(
+        e.filter(col("vec_id") < 8), e, "vec_id", "embedding",
+        dim = 64, k = Int.MaxValue, bits = 6, tables = 4, probes = 2)
+      .filter(col("sim") >= 0.3)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    assert(got == want,
+      s"stream/batch mismatch: extra=${(got -- want).take(5)} missing=${(want -- got).take(5)}")
+    assert(got.nonEmpty, "threshold 0.3 should produce at least one match")
+  }
+
   test("tumbling window streaming agg matches the batch q_time_bucket shape") {
     val ms = new MemoryStream[(Long, Timestamp)](13, spark, None)
     val df = ms.toDF().toDF("v", "ts")
