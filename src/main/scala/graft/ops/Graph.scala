@@ -174,4 +174,63 @@ object Graph {
       .groupBy("item_a", "item_b").agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
   }
+
+  /** k-core peeling: `iters` synchronous rounds of "drop every vertex
+    * whose (undirected, deduped) degree is < k", returning the surviving
+    * vertices with their within-core degree. A fixed round count (not
+    * convergence) keeps the operator deterministic and lets the DuckDB
+    * oracle unroll the exact rounds as CTEs — enough rounds IS the
+    * fixpoint (each round only removes; the vertex set is finite).
+    *
+    * Scale shape per round: one degree count + two vertex-keyed
+    * semi-joins, all shuffled on the vertex key; `localCheckpoint` caps
+    * the lineage like [[pageRank]]. Output: (node, degree). */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, iters: Int): DataFrame = {
+    val base = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a") =!= col("b"))
+    var und = base.unionAll(base.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    for (_ <- 1 to iters) {
+      val keep = und.groupBy("a").agg(count(lit(1)).as("_d"))
+        .filter(col("_d") >= k).select("a")
+      und = und
+        .join(keep, Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("a", "b"), Seq("b"), "left_semi")
+        .localCheckpoint()
+    }
+    und.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("degree"))
+  }
+
+  /** Single-source BFS hop distances, frontier-synchronous: round h
+    * joins the previous frontier against the edge list and anti-joins
+    * the already-visited set, so each vertex is emitted once with its
+    * FIRST (minimal) hop. Fixed `maxHops` rounds — deterministic,
+    * oracle-unrollable, and the per-round work is one vertex-keyed
+    * equi-join + one anti-join on the visited set (never the
+    * exponential path expansion a naive recursive formulation does).
+    * Output: (node, hop), hop 0 = the source itself. */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+      source: Long, maxHops: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val base = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a") =!= col("b"))
+    val und = base.unionAll(base.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    var dist = Seq((source, 0)).toDF("node", "hop").localCheckpoint()
+    var frontier = dist.select("node")
+    for (h <- 1 to maxHops) {
+      val next = frontier
+        .join(und, frontier("node") === und("a"))
+        .select(col("b").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("hop", lit(h))
+        .localCheckpoint()
+      dist = dist.unionAll(next).localCheckpoint()
+      frontier = next.select("node")
+    }
+    dist
+  }
 }

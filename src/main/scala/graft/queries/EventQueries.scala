@@ -1087,7 +1087,28 @@ object EventQueries {
         .groupBy("lbl")
         .agg(count(lit(1)).as("n_members"), min("node").as("min_node"),
           sum("node").cast("long").as("sum_node"))
-        .orderBy("lbl"))
+        .orderBy("lbl")),
+
+    // ---- k-core decomposition ----------------------------------------
+    // the dense social core: 3 peeling rounds of "drop degree < 4" over
+    // the co-occurrence graph. The oracle unrolls the identical rounds
+    "q_kcore" -> ((s, d) =>
+      graft.ops.Graph.kCore(
+          userCooccurEdges(s, d), "item_a", "item_b", k = 4, iters = 3)
+        .orderBy("node")),
+
+    // ---- single-source BFS hop distances -----------------------------
+    // frontier BFS from the smallest vertex, 3 hops; per-hop histogram
+    "q_bfs_hops" -> ((s, d) => {
+      val e = userCooccurEdges(s, d)
+      val srcRow = e.agg(min(col("item_a"))).first()
+      val src = if (srcRow.isNullAt(0)) 0L else srcRow.getLong(0)
+      graft.ops.Graph.bfsDistances(e, "item_a", "item_b", src, maxHops = 3)
+        .groupBy("hop")
+        .agg(count(lit(1)).as("n_nodes"), min("node").as("min_node"),
+          sum("node").cast("long").as("sum_node"))
+        .orderBy("hop")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -1671,6 +1692,39 @@ object EventQueries {
          |SELECT lbl, count(*) AS n_members, min(node) AS min_node,
          | sum(node)::BIGINT AS sum_node
          |FROM l3 GROUP BY lbl ORDER BY lbl""".stripMargin
+    },
+
+    "q_kcore" -> {
+      val rounds = (1 to 3).map { r =>
+        s""",k$r AS (SELECT a FROM u${r - 1} GROUP BY a HAVING count(*) >= 4),
+           |u$r AS (SELECT u.a, u.b FROM u${r - 1} u
+           |  JOIN k$r x ON u.a = x.a JOIN k$r y ON u.b = y.a)""".stripMargin
+      }.mkString("\n")
+      s"""WITH $sqlCooccurEdges,
+         |u0 AS (SELECT a, b FROM e WHERE a <> b
+         |  UNION SELECT b, a FROM e WHERE a <> b)
+         |$rounds
+         |SELECT a AS node, count(*) AS degree
+         |FROM u3 GROUP BY a ORDER BY node""".stripMargin
+    },
+
+    "q_bfs_hops" -> {
+      val hops = (1 to 3).map { h =>
+        s""",f$h AS (SELECT DISTINCT u.b AS node
+           |  FROM u0 u JOIN f${h - 1} p ON u.a = p.node
+           |  WHERE u.b NOT IN (SELECT node FROM d${h - 1})),
+           |d$h AS (SELECT node, hop FROM d${h - 1}
+           |  UNION ALL SELECT node, $h AS hop FROM f$h)""".stripMargin
+      }.mkString("\n")
+      s"""WITH $sqlCooccurEdges,
+         |u0 AS (SELECT a, b FROM e WHERE a <> b
+         |  UNION SELECT b, a FROM e WHERE a <> b),
+         |d0 AS (SELECT min(a) AS node, 0 AS hop FROM e),
+         |f0 AS (SELECT node FROM d0)
+         |$hops
+         |SELECT hop, count(*) AS n_nodes, min(node) AS min_node,
+         | sum(node)::BIGINT AS sum_node
+         |FROM d3 GROUP BY hop ORDER BY hop""".stripMargin
     },
 
     // the oracle replays the full DDSketch pipeline — γ is the

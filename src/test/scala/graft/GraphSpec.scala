@@ -107,4 +107,39 @@ class GraphSpec extends SparkSpec {
       s"right clique must be one community: $lbls")
     assert(lbls(1) != lbls(10), s"cliques must separate: $lbls")
   }
+
+  test("kCore: K4 with pendant chain — 3-core is exactly the K4, cascading removal") {
+    import spark.implicits._
+    // K4 on {1,2,3,4}; chain 4-5-6: removing 6 (deg 1) drops 5 to deg 1,
+    // so round 2 must remove 5 too — the cascade a single pass misses
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("s", "t")
+    val core = Graph.kCore(edges, "s", "t", k = 3, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core.keySet == Set(1L, 2L, 3L, 4L), s"3-core must be the K4: $core")
+    assert(core.values.forall(_ == 3L), s"within-core degrees: $core")
+    // k larger than any degree → empty core
+    assert(Graph.kCore(edges, "s", "t", k = 5, iters = 3).isEmpty)
+    // one round is NOT enough for the cascade (5 survives round 1)
+    val oneRound = Graph.kCore(edges, "s", "t", k = 2, iters = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(oneRound.contains(5L) && !oneRound.contains(6L),
+      s"round 1 removes only degree<2 leaves: $oneRound")
+  }
+
+  test("bfsDistances: minimal hops on a graph with a shortcut; unreachable absent") {
+    import spark.implicits._
+    // 1-2-3-4 path plus shortcut 1-4: node 4 must be hop 1, not 3;
+    // island {9,10} unreachable from 1
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (9L, 10L))
+      .toDF("s", "t")
+    val d = Graph.bfsDistances(edges, "s", "t", source = 1L, maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(d == Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 2),
+      s"shortest hops with shortcut: $d")
+    // hop cap truncates: from 1 with maxHops=1 only direct neighbors
+    val d1 = Graph.bfsDistances(edges, "s", "t", source = 1L, maxHops = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(d1 == Map(1L -> 0, 2L -> 1, 4L -> 1), s"capped: $d1")
+  }
 }
