@@ -998,6 +998,92 @@ object EventQueries {
         .orderBy("event_type")
     }),
 
+    // robust outlier detection via MAD (the median-based z-score that a
+    // single wild day cannot poison, unlike q_outlier_zscore's mean/σ):
+    // per-type daily counts, med = median(n), mad = median(|n − med|),
+    // robust z = 0.6745·(n − med)/mad. Two tiny per-type aggregates
+    // broadcast back over the daily table — the 100 TB shape is one
+    // day-keyed shuffle plus |types|-row joins
+    "q_outlier_mad" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).cast("double").as("n"))
+      val med = daily.groupBy("event_type")
+        .agg(expr("percentile(n, 0.5D)").as("med"))
+      val dev = daily.join(med, "event_type")
+        .withColumn("adev", abs(col("n") - col("med")))
+      val mad = dev.groupBy("event_type")
+        .agg(max("med").as("med"), expr("percentile(adev, 0.5D)").as("mad"))
+      dev.drop("med").join(mad, "event_type")
+        .withColumn("rz",
+          when(col("mad") > 0, lit(0.6745) * (col("n") - col("med")) / col("mad")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          round(max("med"), 4).as("med"),
+          round(max("mad"), 4).as("mad"),
+          sum(when(abs(col("rz")) > 3.5, 1L).otherwise(0L)).as("n_outliers"),
+          round(max(abs(col("rz"))), 4).as("max_abs_rz"))
+        .orderBy("event_type")
+    }),
+
+    // Theil–Sen robust trend: slope = median over all day-pairs of
+    // (n_j − n_i)/(idx_j − idx_i), intercept = median(n − slope·idx).
+    // The pair join is bounded per type by days² — calendar-bounded,
+    // never corpus-bounded — and keyed on event_type so it co-partitions
+    "q_theilsen" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).cast("double").as("n"))
+        .withColumn("idx", datediff(col("day"),
+          min(col("day")).over(Window.partitionBy("event_type")))
+          .cast("double"))
+      val a = daily.select(col("event_type"), col("idx").as("i1"), col("n").as("n1"))
+      val b = daily.select(col("event_type"), col("idx").as("i2"), col("n").as("n2"))
+      val slopes = a.join(b, "event_type").filter(col("i1") < col("i2"))
+        .withColumn("s", (col("n2") - col("n1")) / (col("i2") - col("i1")))
+      val slope = slopes.groupBy("event_type")
+        .agg(count(lit(1)).as("n_pairs"), expr("percentile(s, 0.5D)").as("slope"))
+      daily.join(slope, "event_type")
+        .withColumn("ic", col("n") - col("slope") * col("idx"))
+        .groupBy("event_type")
+        .agg(max("n_pairs").as("n_pairs"),
+          round(max("slope"), 4).as("slope"),
+          round(expr("percentile(ic, 0.5D)"), 4).as("intercept"))
+        .orderBy("event_type")
+    }),
+
+    // Holt's double exponential smoothing (level+trend, α=0.5 β=0.3)
+    // folded left-to-right over the per-type daily series with the
+    // aggregate HOF — identical operation order to the DuckDB
+    // list_reduce twin, so the doubles match bit-for-bit before the
+    // final round. Init: l₁=y₁, b₁=y₁−y₀ (the standard two-point start)
+    "q_holt_winters" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).cast("double").as("n"))
+      val series = daily.groupBy("event_type")
+        .agg(transform(array_sort(collect_list(struct(col("day"), col("n")))),
+          p => p("n")).as("ys"))
+      val state0 = struct(lit(0.0).as("l"), lit(0.0).as("b"), lit(0.0).as("i"))
+      val folded = aggregate(col("ys"), state0, (st, y) =>
+        when(st.getField("i") === 0.0,
+          struct(y.as("l"), lit(0.0).as("b"), lit(1.0).as("i")))
+        .when(st.getField("i") === 1.0,
+          struct(y.as("l"), (y - st.getField("l")).as("b"), lit(2.0).as("i")))
+        .otherwise(struct(
+          (lit(0.5) * y + lit(0.5) * (st.getField("l") + st.getField("b"))).as("l"),
+          (lit(0.3) * ((lit(0.5) * y + lit(0.5) * (st.getField("l") + st.getField("b")))
+            - st.getField("l")) + lit(0.7) * st.getField("b")).as("b"),
+          (st.getField("i") + 1.0).as("i"))))
+      series.select(col("event_type"), size(col("ys")).as("n_days"),
+          folded.getField("l").as("_l"), folded.getField("b").as("_b"))
+        .select(col("event_type"), col("n_days"),
+          round(col("_l"), 4).as("level"),
+          round(col("_b"), 4).as("trend"),
+          round(col("_l") + lit(3.0) * col("_b"), 4).as("forecast3"))
+        .orderBy("event_type")
+    }),
+
     // offline CUSUM changepoint detection (Page 1954's statistic,
     // batch form): per-type hourly series, S_i = cumsum(x − x̄),
     // changepoint = argmax |S_i| (earliest-hour tie-break), with the
@@ -1726,6 +1812,70 @@ object EventQueries {
          | sum(node)::BIGINT AS sum_node
          |FROM d3 GROUP BY hop ORDER BY hop""".stripMargin
     },
+
+    "q_outlier_mad" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |   count(*)::DOUBLE AS n FROM events GROUP BY 1, 2),
+        |med AS (SELECT event_type, quantile_cont(n, 0.5) AS med
+        |  FROM daily GROUP BY 1),
+        |dev AS (SELECT d.event_type, d.n, abs(d.n - m.med) AS adev
+        |  FROM daily d JOIN med m USING (event_type)),
+        |mad AS (SELECT dv.event_type, max(m.med) AS med,
+        |   quantile_cont(dv.adev, 0.5) AS mad
+        |  FROM dev dv JOIN med m USING (event_type) GROUP BY 1),
+        |z AS (SELECT d.event_type, m.med, m.mad,
+        |   CASE WHEN m.mad > 0 THEN 0.6745 * (d.n - m.med) / m.mad END AS rz
+        |  FROM dev d JOIN mad m USING (event_type))
+        |SELECT event_type, count(*) AS n_days,
+        | round(max(med), 4) AS med, round(max(mad), 4) AS mad,
+        | sum(CASE WHEN abs(rz) > 3.5 THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+        | round(max(abs(rz)), 4) AS max_abs_rz
+        |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_theilsen" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |   count(*)::DOUBLE AS n FROM events GROUP BY 1, 2),
+        |di AS (SELECT event_type, n,
+        |   date_diff('day', min(day) OVER (PARTITION BY event_type),
+        |     day)::DOUBLE AS idx
+        |  FROM daily),
+        |p AS (SELECT a.event_type, (b.n - a.n) / (b.idx - a.idx) AS s
+        |  FROM di a JOIN di b
+        |   ON a.event_type = b.event_type AND a.idx < b.idx),
+        |sl AS (SELECT event_type, count(*) AS n_pairs,
+        |   quantile_cont(s, 0.5) AS slope FROM p GROUP BY 1),
+        |ic AS (SELECT d.event_type, sl.n_pairs, sl.slope,
+        |   d.n - sl.slope * d.idx AS ic
+        |  FROM di d JOIN sl USING (event_type))
+        |SELECT event_type, max(n_pairs)::BIGINT AS n_pairs,
+        | round(max(slope), 4) AS slope,
+        | round(quantile_cont(ic, 0.5), 4) AS intercept
+        |FROM ic GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the fold replays Spark's aggregate HOF exactly: same init, same
+    // left-to-right operation order, lNew recomputed textually in the
+    // trend update on BOTH engines — bit-identical doubles before round
+    "q_holt_winters" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |   count(*)::DOUBLE AS n FROM events GROUP BY 1, 2),
+        |ser AS (SELECT event_type, list(n ORDER BY day) AS ys
+        |  FROM daily GROUP BY 1),
+        |st AS (SELECT event_type, len(ys)::INT AS n_days,
+        |  list_reduce(
+        |    list_prepend([0.0, 0.0, 0.0]::DOUBLE[],
+        |      list_transform(ys, y -> [y]::DOUBLE[])),
+        |    (acc, x) -> CASE
+        |      WHEN acc[3] = 0.0 THEN [x[1], 0.0, 1.0]
+        |      WHEN acc[3] = 1.0 THEN [x[1], x[1] - acc[1], 2.0]
+        |      ELSE [0.5*x[1] + 0.5*(acc[1] + acc[2]),
+        |            0.3*((0.5*x[1] + 0.5*(acc[1] + acc[2])) - acc[1])
+        |              + 0.7*acc[2],
+        |            acc[3] + 1.0] END) AS f
+        |  FROM ser)
+        |SELECT event_type, n_days, round(f[1], 4) AS level,
+        | round(f[2], 4) AS trend,
+        | round(f[1] + 3.0 * f[2], 4) AS forecast3
+        |FROM st ORDER BY event_type""".stripMargin,
 
     // the oracle replays the full DDSketch pipeline — γ is the
     // shortest-round-trip repr of the Scala double, so ln/pow see
