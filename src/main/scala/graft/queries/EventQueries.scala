@@ -246,6 +246,66 @@ object EventQueries {
           + 0.5) / 1000).as("t_welch"))
     }),
 
+    // CUPED variance reduction (the industry-standard A/B sensitivity
+    // boost): per-user post-period metric Y adjusted by the pre-period
+    // covariate X via θ = cov(X,Y)/var(X), Y' = Y − θ(X − E[X]).
+    // Reported: θ and the population variance before/after adjustment —
+    // the % reduction is the whole point of the method. One user-keyed
+    // shuffle + a 1-row broadcast of (θ, E[X])
+    "q_cuped" -> ((s, d) => {
+      val cut = lit("2024-01-15").cast("timestamp")
+      val ev = Tables.events(s, d)
+      val per = ev.groupBy("user_id")
+        .agg(sum(when(col("ts") < cut, col("value")).otherwise(0.0)).as("x"),
+          sum(when(col("ts") >= cut, col("value")).otherwise(0.0)).as("y"))
+      val stats = per.agg(
+        (covar_pop(col("x"), col("y")) / var_pop(col("x"))).as("theta"),
+        avg("x").as("mx"))
+      per.crossJoin(broadcast(stats))
+        .withColumn("y_adj",
+          col("y") - col("theta") * (col("x") - col("mx")))
+        .agg(count(lit(1)).as("n_users"),
+          round(max("theta"), 4).as("theta"),
+          round(var_pop(col("y")), 2).as("var_y"),
+          round(var_pop(col("y_adj")), 2).as("var_y_adj"),
+          round((lit(1.0) - var_pop(col("y_adj")) / var_pop(col("y"))) * 100, 2)
+            .as("var_reduction_pct"))
+    }),
+
+    // SPRT (Wald's sequential probability ratio test) — the early-stop
+    // A/B monitor: Bernoulli observations x_i = (value > 500) over
+    // purchases in (ts, event_id) order, H1 p=0.55 vs H0 p=0.45,
+    // α=β=0.05. Cumulative LLR crosses ln(19) → accept H1, −ln(19) →
+    // accept H0; reported: first crossing index + decision + final LLR.
+    // One ordered cumsum window — the sequential scan is a single pass
+    "q_sprt" -> ((s, d) => {
+      val lr1 = math.log(0.55 / 0.45)
+      val lr0 = math.log(0.45 / 0.55)
+      val bound = math.log(19.0)
+      val obs = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts"),
+          when(col("value") > 500.0, lit(lr1)).otherwise(lit(lr0)).as("llr"))
+      val w = Window.orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = obs
+        .withColumn("i", row_number().over(Window.orderBy(col("ts"), col("event_id"))))
+        .withColumn("s", sum("llr").over(w))
+      val cross = cum.filter(abs(col("s")) >= bound)
+        .agg(min("i").as("first_cross"))
+      cum.agg(count(lit(1)).as("n_obs"),
+          round(max_by(col("s"), col("i")), 4).as("final_llr"))
+        .crossJoin(cross)
+        .join(cum.select(col("i").as("first_cross"), col("s").as("_cs")),
+          Seq("first_cross"), "left")
+        .select(col("n_obs"), col("first_cross"),
+          when(col("_cs") >= bound, "accept_h1")
+            .when(col("_cs") <= -bound, "accept_h0")
+            .otherwise("continue").as("decision"),
+          round(col("_cs"), 4).as("llr_at_cross"),
+          col("final_llr"))
+    }),
+
     // ---- burst / spike detection -------------------------------------
     // security-telemetry staple: bucket events per (type, hour), then
     // flag buckets where the count exceeds mean + 2σ for that type. The
@@ -1811,6 +1871,48 @@ object EventQueries {
          |SELECT hop, count(*) AS n_nodes, min(node) AS min_node,
          | sum(node)::BIGINT AS sum_node
          |FROM d3 GROUP BY hop ORDER BY hop""".stripMargin
+    },
+
+    "q_cuped" ->
+      """WITH per AS (SELECT user_id,
+        |   sum(CASE WHEN ts < TIMESTAMP '2024-01-15' THEN value
+        |     ELSE 0 END) AS x,
+        |   sum(CASE WHEN ts >= TIMESTAMP '2024-01-15' THEN value
+        |     ELSE 0 END) AS y
+        |  FROM events GROUP BY 1),
+        |st AS (SELECT covar_pop(x, y) / var_pop(x) AS theta,
+        |   avg(x) AS mx FROM per)
+        |SELECT count(*) AS n_users, round(max(theta), 4) AS theta,
+        | round(var_pop(y), 2) AS var_y,
+        | round(var_pop(y - theta * (x - mx)), 2) AS var_y_adj,
+        | round((1.0 - var_pop(y - theta * (x - mx)) / var_pop(y)) * 100,
+        |   2) AS var_reduction_pct
+        |FROM per CROSS JOIN st""".stripMargin,
+
+    // SPRT boundaries/log-ratios are the Scala doubles interpolated
+    // verbatim so libm differences cannot skew the cumsum
+    "q_sprt" -> {
+      val lr1 = math.log(0.55 / 0.45)
+      val lr0 = math.log(0.45 / 0.55)
+      val bound = math.log(19.0)
+      s"""WITH obs AS (SELECT event_id, ts,
+         |   CASE WHEN value > 500 THEN $lr1::DOUBLE
+         |     ELSE $lr0::DOUBLE END AS llr
+         |  FROM events WHERE event_type = 'purchase'),
+         |c AS (SELECT row_number() OVER (ORDER BY ts, event_id) AS i,
+         |   sum(llr) OVER (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+         |     AS s
+         |  FROM obs),
+         |cr AS (SELECT min(i) AS first_cross FROM c WHERE abs(s) >= $bound),
+         |fin AS (SELECT count(*) AS n_obs,
+         |   round(max_by(s, i), 4) AS final_llr FROM c)
+         |SELECT fin.n_obs, cr.first_cross,
+         | CASE WHEN cs.s >= $bound THEN 'accept_h1'
+         |      WHEN cs.s <= -$bound THEN 'accept_h0'
+         |      ELSE 'continue' END AS decision,
+         | round(cs.s, 4) AS llr_at_cross, fin.final_llr
+         |FROM fin CROSS JOIN cr
+         |LEFT JOIN c cs ON cs.i = cr.first_cross""".stripMargin
     },
 
     "q_outlier_mad" ->
