@@ -61,6 +61,29 @@ object Bucketing {
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(name)
 
+  /** Rewrite a bucketed table in place, collapsing the one-file-per-
+    * append accumulation of [[appendBucketed]] back to one file per
+    * bucket. Reads the whole table (localCheckpoint materializes it
+    * before the DROP — the read plan must not reference the files being
+    * deleted), then [[writeBucketed]] the same rows under the same
+    * spec. Same data, same layout contract, minimal file count — run it
+    * when per-bucket file counts degrade scan/merge performance (each
+    * bucket file is a separate sorted run for the SMJ reader). Returns
+    * the row count rewritten. */
+  def compactBucketed(spark: SparkSession, name: String, key: String,
+      buckets: Int): Long = {
+    val snapshot = spark.table(name).localCheckpoint()
+    val n = snapshot.count()
+    // bucket files are written per (task, bucket): co-locating each
+    // bucket's rows in one task first (repartition uses the same
+    // murmur3-pmod hash as the bucket spec) yields exactly one file per
+    // non-empty bucket — without it the rewrite re-fragments
+    writeBucketed(
+      snapshot.repartition(buckets, org.apache.spark.sql.functions.col(key)),
+      name, key, buckets)
+    n
+  }
+
   /** Bucket both inputs by the join key, then inner-join the bucketed
     * tables. The join itself is shuffle-free (zero Exchange — pinned in
     * PlanShapeSpec); with `sortBy` it is merge-ready too. Result multiset

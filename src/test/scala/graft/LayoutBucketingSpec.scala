@@ -98,6 +98,40 @@ class LayoutBucketingSpec extends SparkSpec {
       "probe after append must still not shuffle the corpus:\n" + p.take(900))
   }
 
+  test("compactBucketed: collapses append files, preserves rows and probe results") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 10)
+    def files(): Int = {
+      val dir = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+        "graft_spec_lsh_cpt")
+      dir.listFiles((_, n) => n.endsWith(".parquet")).length
+    }
+    graft.ops.Similarity.lshIndexBuild(e.filter(col("vec_id") % 3 === 0),
+      "vec_id", "embedding", dim = 64,
+      tableName = "graft_spec_lsh_cpt", tableBuckets = 4, bits = 6, tables = 4)
+    for (r <- 1 to 2)
+      graft.ops.Similarity.lshIndexAppend(e.filter(col("vec_id") % 3 === r),
+        "vec_id", "embedding", dim = 64,
+        tableName = "graft_spec_lsh_cpt", tableBuckets = 4, bits = 6, tables = 4)
+    val before = files()
+    val rowsBefore = spark.table("graft_spec_lsh_cpt").count()
+    val preProbe = graft.ops.Similarity.lshIndexProbe(spark,
+      "graft_spec_lsh_cpt", q, "vec_id", "embedding",
+      dim = 64, k = 5, bits = 6, tables = 4, probes = 2).collect().toSet
+    val n = graft.ops.Bucketing.compactBucketed(
+      spark, "graft_spec_lsh_cpt", "bucket", 4)
+    assert(n == rowsBefore, s"compaction must rewrite every row: $n vs $rowsBefore")
+    assert(files() < before,
+      s"compaction must reduce file count (was $before, now ${files()})")
+    assert(files() <= 4, s"at most one file per bucket after compaction: ${files()}")
+    assert(spark.table("graft_spec_lsh_cpt").count() == rowsBefore)
+    val postProbe = graft.ops.Similarity.lshIndexProbe(spark,
+      "graft_spec_lsh_cpt", q, "vec_id", "embedding",
+      dim = 64, k = 5, bits = 6, tables = 4, probes = 2).collect().toSet
+    assert(postProbe == preProbe, "probe results must be unchanged by compaction")
+  }
+
   test("ivfIndexProbe: matches ivfTopK exactly; inverted file read bucketed") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 10)
