@@ -108,6 +108,60 @@ object Layout {
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** Globally-ordered cumulative sums WITHOUT the single-partition
+    * window: range-partition on the sort key, per-partition long totals
+    * for each value column collected to the driver (n·|cols| numbers),
+    * prefix offsets broadcast back, and one narrow pass accumulates the
+    * running sums. Adds `rn` (1-based global row number) and
+    * `<c>_cum` for every value column. Restricted to integral columns
+    * on purpose: long addition is order-free, so the result is
+    * bit-identical to the sequential window formulation at ANY
+    * partition count — which is what lets the unbounded-input
+    * sequential statistics (KS ECDFs, rank sums, SPRT prefix counts)
+    * drop their `Window.orderBy(...)` single-partition barrier while
+    * keeping their DuckDB twins unchanged. Float running sums must stay
+    * out: two-phase addition reorders them. */
+  def globalCumSum(df: DataFrame, sortCols: Seq[String],
+      valueCols: Seq[String], partitions: Int = 0): DataFrame = {
+    val n = if (partitions > 0) partitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val withLongs = valueCols.foldLeft(df)((d, c) =>
+      d.withColumn(c, col(c).cast("long")))
+    val parted = withLongs
+      .repartitionByRange(n, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .localCheckpoint()
+    val totals = parted
+      .groupBy(spark_partition_id().as("_pid"))
+      .agg(count(lit(1)).as("_n"),
+        valueCols.map(c => sum(col(c)).as(c)): _*)
+      .collect()
+      .map(r => r.getInt(0) ->
+        (r.getLong(1) +: valueCols.indices.map(i => r.getLong(2 + i))).toArray)
+      .toMap
+    val zero = Array.fill(valueCols.size + 1)(0L)
+    val offsets = (0 until n).scanLeft(zero) { (acc, pid) =>
+      val t = totals.getOrElse(pid, zero)
+      acc.zip(t).map { case (a, b) => a + b }
+    }.toArray
+    val schema = valueCols
+      .foldLeft(parted.schema.add("rn",
+        org.apache.spark.sql.types.LongType, nullable = false)) { (s, c) =>
+        s.add(s"${c}_cum", org.apache.spark.sql.types.LongType, nullable = false)
+      }
+    val idx = valueCols.map(c => parted.schema.fieldIndex(c))
+    val rdd = parted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val run = offsets(pid).clone()
+      it.map { row =>
+        run(0) += 1
+        var i = 0
+        while (i < idx.length) { run(i + 1) += row.getLong(idx(i)); i += 1 }
+        org.apache.spark.sql.Row.fromSeq(row.toSeq ++ run.toSeq)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
   /** Rewrite `df` clustered by the Z-order of (`xCol`, `yCol`):
     * range-partition on the Z-value (balanced output files via range
     * sampling, no hash skew) and sort within partitions, so parquet

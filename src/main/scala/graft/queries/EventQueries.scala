@@ -285,18 +285,21 @@ object EventQueries {
       val obs = Tables.events(s, d)
         .filter(col("event_type") === "purchase")
         .select(col("event_id"), col("ts"),
-          when(col("value") > 500.0, lit(lr1)).otherwise(lit(lr0)).as("llr"))
-      val w = Window.orderBy(col("ts"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = obs
-        .withColumn("i", row_number().over(Window.orderBy(col("ts"), col("event_id"))))
-        .withColumn("s", sum("llr").over(w))
+          when(col("value") > 500.0, 1L).otherwise(0L).as("x"))
+      // the LLR prefix is a function of EXACT prefix counts:
+      // s_i = successes·ln(p1/p0) + failures·ln((1−p1)/(1−p0)) — so the
+      // sequential scan distributes via the two-phase long cumsum (no
+      // single-partition window over the unbounded observation stream)
+      // and both engines compute s from the same two products
+      val cum = graft.ops.Layout.globalCumSum(obs, Seq("ts", "event_id"), Seq("x"))
+        .withColumn("s",
+          col("x_cum") * lit(lr1) + (col("rn") - col("x_cum")) * lit(lr0))
       val cross = cum.filter(abs(col("s")) >= bound)
-        .agg(min("i").as("first_cross"))
+        .agg(min("rn").as("first_cross"))
       cum.agg(count(lit(1)).as("n_obs"),
-          round(max_by(col("s"), col("i")), 4).as("final_llr"))
+          round(max_by(col("s"), col("rn")), 4).as("final_llr"))
         .crossJoin(cross)
-        .join(cum.select(col("i").as("first_cross"), col("s").as("_cs")),
+        .join(cum.select(col("rn").as("first_cross"), col("s").as("_cs")),
           Seq("first_cross"), "left")
         .select(col("n_obs"), col("first_cross"),
           when(col("_cs") >= bound, "accept_h1")
@@ -820,12 +823,12 @@ object EventQueries {
       val byVal = ev.groupBy("value").agg(
         sum(when(col("g") === "click", 1L).otherwise(0L)).as("a"),
         sum(when(col("g") === "purchase", 1L).otherwise(0L)).as("b"))
-      val w = Window.orderBy(col("value"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      byVal
-        .withColumn("ca", sum(col("a")).over(w))
-        .withColumn("cb", sum(col("b")).over(w))
-        .agg(round(max(abs(col("ca") / na - col("cb") / nb)), 4)
+      // the value domain is data-sized (continuous values ⇒ ~|rows|
+      // distinct), so the ECDF prefix counts come from the distributed
+      // two-phase cumsum, NOT a global Window (single-partition barrier);
+      // long counts make the result bit-equal to the window form
+      graft.ops.Layout.globalCumSum(byVal, Seq("value"), Seq("a", "b"))
+        .agg(round(max(abs(col("a_cum") / na - col("b_cum") / nb)), 4)
           .as("ks_d"),
           sum(col("a") + col("b")).as("n_total"))
     }),
@@ -837,18 +840,21 @@ object EventQueries {
       val ev = Tables.events(s, d)
         .filter(col("event_type").isin("click", "purchase"))
         .select(col("event_type").as("g"), col("value"))
-      val w = Window.orderBy("value")
-      val ranked = ev
-        .withColumn("rmin", rank().over(w))
-        .withColumn("cnt", count(lit(1)).over(
-          Window.partitionBy("value")))
-        // average rank of a tie group = rmin + (cnt-1)/2
-        .withColumn("r", col("rmin") + (col("cnt") - 1) / 2.0)
+      // rank arithmetic from per-value counts + the distributed global
+      // cumsum (no single-partition rank() window): rmin of a tie group
+      // = (total rows before it) + 1 = cnt_cum − cnt + 1; every rank is
+      // a multiple of 0.5, so the sums are float-exact in any order and
+      // bit-match the row-wise window formulation the oracle keeps
+      val byVal = ev.groupBy("value").agg(
+        sum(when(col("g") === "click", 1L).otherwise(0L)).as("ac"),
+        count(lit(1)).as("cnt"))
       val na = ev.filter(col("g") === "click").count().toDouble
-      ranked.filter(col("g") === "click")
-        .agg(round(sum("r"), 2).as("rank_sum_a"),
-          round(sum("r") - lit(na * (na + 1) / 2), 2).as("u_a"),
-          count(lit(1)).as("n_a"))
+      graft.ops.Layout.globalCumSum(byVal, Seq("value"), Seq("cnt"))
+        .withColumn("r",
+          (col("cnt_cum") - col("cnt") + 1) + (col("cnt") - 1) / 2.0)
+        .agg(round(sum(col("ac") * col("r")), 2).as("rank_sum_a"),
+          round(sum(col("ac") * col("r")) - lit(na * (na + 1) / 2), 2).as("u_a"),
+          sum("ac").as("n_a"))
     }),
 
     // population stability index (THE score-drift metric in model
@@ -1896,13 +1902,15 @@ object EventQueries {
       val lr0 = math.log(0.45 / 0.55)
       val bound = math.log(19.0)
       s"""WITH obs AS (SELECT event_id, ts,
-         |   CASE WHEN value > 500 THEN $lr1::DOUBLE
-         |     ELSE $lr0::DOUBLE END AS llr
+         |   CASE WHEN value > 500 THEN 1 ELSE 0 END AS x
          |  FROM events WHERE event_type = 'purchase'),
-         |c AS (SELECT row_number() OVER (ORDER BY ts, event_id) AS i,
-         |   sum(llr) OVER (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
-         |     AS s
+         |p AS (SELECT row_number() OVER (ORDER BY ts, event_id) AS i,
+         |   sum(x) OVER (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+         |     AS cx
          |  FROM obs),
+         |c AS (SELECT i,
+         |   cx::DOUBLE * $lr1::DOUBLE + (i - cx)::DOUBLE * $lr0::DOUBLE AS s
+         |  FROM p),
          |cr AS (SELECT min(i) AS first_cross FROM c WHERE abs(s) >= $bound),
          |fin AS (SELECT count(*) AS n_obs,
          |   round(max_by(s, i), 4) AS final_llr FROM c)

@@ -269,4 +269,26 @@ class LayoutBucketingSpec extends SparkSpec {
     val exp = expect.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(c1 == exp, "coalesced read must keep global offsets")
   }
+
+  test("globalCumSum matches the window cumsum bit-for-bit at any partition count") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"),  col("value"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("a"),
+        lit(1L).as("one"))
+    val w = Window.orderBy("value", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expect = ev
+      .withColumn("rn", row_number().over(Window.orderBy("value", "event_id")).cast("long"))
+      .withColumn("a_cum", sum("a").over(w))
+      .withColumn("one_cum", sum("one").over(w))
+      .select("event_id", "rn", "a_cum", "one_cum")
+    for (parts <- Seq(1, 7)) {
+      val got = graft.ops.Layout.globalCumSum(
+          ev, Seq("value", "event_id"), Seq("a", "one"), partitions = parts)
+        .select("event_id", "rn", "a_cum", "one_cum")
+      assert(got.except(expect).isEmpty && expect.except(got).isEmpty,
+        s"partitions=$parts: distributed cumsum must equal the window form")
+    }
+  }
 }

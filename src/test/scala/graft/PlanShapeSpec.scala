@@ -306,6 +306,22 @@ class PlanShapeSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
 
+  test("sequential statistics avoid the single-partition window (ks/mwu/sprt)") {
+    // these scan UNBOUNDED inputs (value domain / observation stream) —
+    // a global Window.orderBy here would serialize the whole dataset
+    // onto one task at 100 TB. After the globalCumSum rework the plans
+    // must carry NO Window node at all (the only SinglePartition
+    // exchange left is the constant-size final aggregate after a
+    // map-side partial, which is fine)
+    for (q <- Seq("q_ks_test", "q_mannwhitney", "q_sprt")) {
+      val p = plan(q)
+      assert(!p.contains("Window"),
+        s"$q must not use an unpartitioned window:\n" + p.take(800))
+      assert(p.contains("partial_"),
+        s"$q final agg must map-side combine:\n" + p.take(800))
+    }
+  }
+
   test("q_global_rownum: no single-partition exchange anywhere") {
     val p = plan("q_global_rownum")
     assert(!p.contains("Exchange SinglePartition"),
