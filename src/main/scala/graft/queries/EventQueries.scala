@@ -246,6 +246,30 @@ object EventQueries {
           + 0.5) / 1000).as("t_welch"))
     }),
 
+    // OHLC candlesticks — the canonical downsampling of a value stream
+    // to per-bucket open/high/low/close: open/close are argmin/argmax
+    // over the total (ts, event_id) order (deterministic under same-ts
+    // ties), one day-keyed map-side-combined aggregate
+    "q_ohlc" -> ((s, d) => {
+      // open/close tie-break over the total (ts, event_id) order via a
+      // zero-padded composite string key — lexicographic == numeric for
+      // the padded nonnegative fields, and DuckDB's arg_min/arg_max
+      // accept VARCHAR keys where they reject structs
+      val ord = format_string("%020d|%020d",
+        unix_micros(col("ts")), col("event_id"))
+      Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(
+          round(min_by(col("value"), ord), 2).as("open"),
+          round(max("value"), 2).as("high"),
+          round(min("value"), 2).as("low"),
+          round(max_by(col("value"), ord), 2).as("close"),
+          count(lit(1)).as("n_trades"),
+          round(sum("value"), 2).as("volume"))
+        .orderBy("day")
+    }),
+
     // CUPED variance reduction (the industry-standard A/B sensitivity
     // boost): per-user post-period metric Y adjusted by the pre-period
     // covariate X via θ = cov(X,Y)/var(X), Y' = Y − θ(X − E[X]).
@@ -1878,6 +1902,17 @@ object EventQueries {
          | sum(node)::BIGINT AS sum_node
          |FROM d3 GROUP BY hop ORDER BY hop""".stripMargin
     },
+
+    "q_ohlc" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        | round(arg_min(value,
+        |   printf('%020d|%020d', epoch_us(ts), event_id)), 2) AS open,
+        | round(max(value), 2) AS high, round(min(value), 2) AS low,
+        | round(arg_max(value,
+        |   printf('%020d|%020d', epoch_us(ts), event_id)), 2) AS close,
+        | count(*) AS n_trades, round(sum(value), 2) AS volume
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY day""".stripMargin,
 
     "q_cuped" ->
       """WITH per AS (SELECT user_id,
