@@ -942,23 +942,23 @@ object EventQueries {
     }),
 
     // Pareto concentration (the 80/20 readout): the smallest share of
-    // users that generates >= 80% of events — one rank window over the
-    // per-user aggregate plus a global cumulative share
+    // users that generates >= 80% of events. The per-user table is
+    // user-domain-sized — unbounded — so the descending cumulative
+    // share uses the distributed globalCumSum (sort key negated for
+    // descending order; long counts ⇒ bit-equal to the window form),
+    // never a single-partition rank window
     "q_power_users" -> ((s, d) => {
       val per = Tables.events(s, d)
         .groupBy("user_id").agg(count(lit(1)).as("n"))
-      val w = Window.orderBy(col("n").desc, col("user_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .withColumn("_negn", -col("n"))
       val tot = per.agg(sum("n").cast("double").as("t"),
         count(lit(1)).as("u"))
-      per.crossJoin(broadcast(tot))
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("n").desc, col("user_id"))))
-        .withColumn("cum", sum("n").over(w))
-        .filter(col("cum") >= lit(0.8) * col("t"))
-        .agg(min("rk").as("users_for_80pct"),
+      graft.ops.Layout.globalCumSum(per, Seq("_negn", "user_id"), Seq("n"))
+        .crossJoin(broadcast(tot))
+        .filter(col("n_cum") >= lit(0.8) * col("t"))
+        .agg(min("rn").as("users_for_80pct"),
           max("u").as("n_users"),
-          round(min("rk").cast("double") / max("u"), 4).as("share"))
+          round(min("rn").cast("double") / max("u"), 4).as("share"))
     }),
 
     // Lorenz curve points behind q_gini: per region, each revenue

@@ -321,9 +321,12 @@ object LlmQueries {
       val freq = Tables.documents(s, d)
         .select(explode(tokens(col("text"))).as("w"))
         .groupBy("w").agg(count(lit(1)).as("f"))
-      val ranked = freq.withColumn("r",
+      // top-1000 FIRST via orderBy+limit (TakeOrderedAndProject — a
+      // distributed heap), then rank the bounded 1000-row result: the
+      // vocabulary is unbounded, a global row_number over it is not
+      val ranked = freq.orderBy(col("f").desc, col("w")).limit(1000)
+        .withColumn("r",
           row_number().over(Window.orderBy(col("f").desc, col("w"))))
-        .filter(col("r") <= 1000)
       ranked.agg(
         round(expr("regr_slope(ln(f), ln(r))"), 4).as("zipf_slope"),
         round(expr("regr_r2(ln(f), ln(r))"), 4).as("r2"),

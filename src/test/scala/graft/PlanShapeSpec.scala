@@ -322,6 +322,15 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_power_users: descending Pareto cumsum has no Window; q_zipf ranks after the heap") {
+    val p = plan("q_power_users")
+    assert(!p.contains("Window"),
+      "per-user cumulative share must use the distributed cumsum:\n" + p.take(800))
+    val z = plan("q_zipf")
+    assert(z.contains("TakeOrderedAndProject"),
+      "top-1000 must be a distributed heap before ranking:\n" + z.take(800))
+  }
+
   test("q_global_rownum: no single-partition exchange anywhere") {
     val p = plan("q_global_rownum")
     assert(!p.contains("Exchange SinglePartition"),
