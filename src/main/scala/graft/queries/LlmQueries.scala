@@ -973,6 +973,42 @@ object LlmQueries {
           array_join(slice(col("content"), 1, 8), " ").as("head_content"))
     }),
 
+    // ---- RAKE keyword extraction (Rose et al. 2010) ------------------
+    // candidate phrases = maximal stopword-free token runs (phrase id =
+    // running stopword count per doc — a DOC-partitioned window, bounded
+    // by document length); word score = degree/freq over all phrase
+    // occurrences; phrase score = in-order fold of its word scores
+    // (bit-identical to the DuckDB list_reduce twin). Top 10 phrases
+    "q_rake" -> ((s, d) => {
+      val stop = Seq("the", "a", "of", "and", "to", "in", "is", "for",
+        "on", "with")
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+        .withColumn("is_stop", col("w").isin(stop: _*))
+      val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val content = toks
+        .withColumn("pk", sum(when(col("is_stop"), 1L).otherwise(0L)).over(wDoc))
+        .filter(!col("is_stop"))
+      val phr = content.groupBy("doc_id", "pk")
+        .agg(array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("w")))),
+            p => p("w")), " ").as("phrase"),
+          count(lit(1)).as("plen"))
+      val withLen = content.join(phr, Seq("doc_id", "pk"))
+      val wordScore = withLen.groupBy("w")
+        .agg((sum("plen").cast("double") / count(lit(1))).as("score"))
+      withLen.join(wordScore, "w")
+        .groupBy("doc_id", "pk", "phrase")
+        .agg(aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), col("score")))),
+            p => p("score")),
+          lit(0.0), (a, x) => a + x).as("s_occ"))
+        .groupBy("phrase")
+        .agg(count(lit(1)).as("n_occ"), round(max("s_occ"), 4).as("rake"))
+        .orderBy(col("rake").desc, col("phrase")).limit(10)
+    }),
+
     // ---- prefix near-dup groups --------------------------------------
     // dedup on the normalized head of the document (URL-less mirror /
     // boilerplate-clone detector): one md5-keyed shuffle with map-side
@@ -1938,6 +1974,34 @@ object LlmQueries {
          |CROSS JOIN nu CROSS JOIN nb
          |WHERE c_xy >= 5
          |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
+
+    "q_rake" ->
+      s"""WITH tk AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |t AS (SELECT doc_id, unnest(toks) AS w,
+         |   generate_subscripts(toks, 1) AS pos FROM tk),
+         |m AS (SELECT doc_id, pos, w,
+         |   w IN ('the','a','of','and','to','in','is','for','on','with')
+         |     AS is_stop FROM t),
+         |c0 AS (SELECT doc_id, pos, w, is_stop,
+         |   sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+         |     OVER (PARTITION BY doc_id ORDER BY pos
+         |       ROWS UNBOUNDED PRECEDING) AS pk
+         |  FROM m),
+         |cc AS (SELECT doc_id, pos, w, pk FROM c0 WHERE NOT is_stop),
+         |p AS (SELECT doc_id, pk,
+         |   string_agg(w, ' ' ORDER BY pos) AS phrase, count(*) AS plen
+         |  FROM cc GROUP BY 1, 2),
+         |wl AS (SELECT cc.doc_id, cc.pk, cc.pos, cc.w, p.phrase, p.plen
+         |  FROM cc JOIN p USING (doc_id, pk)),
+         |ws AS (SELECT w, sum(plen)::DOUBLE / count(*) AS score
+         |  FROM wl GROUP BY w),
+         |occ AS (SELECT wl.doc_id, wl.pk, wl.phrase,
+         |   list_reduce(list(ws.score ORDER BY wl.pos),
+         |     (a, b) -> a + b) AS s_occ
+         |  FROM wl JOIN ws USING (w) GROUP BY 1, 2, 3)
+         |SELECT phrase, count(*) AS n_occ, round(max(s_occ), 4) AS rake
+         |FROM occ GROUP BY phrase
+         |ORDER BY rake DESC, phrase LIMIT 10""".stripMargin,
 
     "q_stopword_filter" ->
       s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents)
