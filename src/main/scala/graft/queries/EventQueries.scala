@@ -246,6 +246,28 @@ object EventQueries {
           + 0.5) / 1000).as("t_welch"))
     }),
 
+    // chi-square test of independence (event_type × value-bucket
+    // contingency table): X² = Σ (O−E)²/E with E = row·col/N. Cell,
+    // row and column totals are three integer-exact aggregates over the
+    // |types|·|buckets| table; the only float work is the final
+    // bounded-size sum
+    "q_chi2" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type").as("t"),
+          floor(col("value") / 250.0).cast("int").as("b"))
+      val n = ev.count().toDouble
+      val cells = ev.groupBy("t", "b").agg(count(lit(1)).as("o"))
+      val rowT = cells.groupBy("t").agg(sum("o").as("rt"))
+      val colT = cells.groupBy("b").agg(sum("o").as("ct"))
+      cells.join(broadcast(rowT), "t").join(broadcast(colT), "b")
+        .withColumn("e", col("rt").cast("double") * col("ct") / lit(n))
+        .withColumn("x2", pow(col("o") - col("e"), 2) / col("e"))
+        .agg(count(lit(1)).as("n_cells"),
+          ((count_distinct(col("t")) - 1) *
+            (count_distinct(col("b")) - 1)).as("dof"),
+          round(sum("x2"), 4).as("chi2"))
+    }),
+
     // OHLC candlesticks — the canonical downsampling of a value stream
     // to per-bucket open/high/low/close: open/close are argmin/argmax
     // over the total (ts, event_id) order (deterministic under same-ts
@@ -1902,6 +1924,21 @@ object EventQueries {
          | sum(node)::BIGINT AS sum_node
          |FROM d3 GROUP BY hop ORDER BY hop""".stripMargin
     },
+
+    "q_chi2" ->
+      """WITH ev AS (SELECT event_type AS t,
+        |   CAST(floor(value / 250.0) AS INT) AS b FROM events),
+        |n AS (SELECT count(*)::DOUBLE AS n FROM ev),
+        |cells AS (SELECT t, b, count(*) AS o FROM ev GROUP BY 1, 2),
+        |rt AS (SELECT t, sum(o)::BIGINT AS rt FROM cells GROUP BY 1),
+        |ct AS (SELECT b, sum(o)::BIGINT AS ct FROM cells GROUP BY 1),
+        |x AS (SELECT cells.o, rt.rt::DOUBLE * ct.ct / n.n AS e
+        |  FROM cells JOIN rt USING (t) JOIN ct USING (b) CROSS JOIN n)
+        |SELECT count(*) AS n_cells,
+        | (SELECT (count(DISTINCT t) - 1) * (count(DISTINCT b) - 1)
+        |    FROM ev)::BIGINT AS dof,
+        | round(sum(pow(o - e, 2) / e), 4) AS chi2
+        |FROM x""".stripMargin,
 
     "q_ohlc" ->
       """SELECT CAST(ts AS DATE) AS day,
