@@ -72,6 +72,7 @@ object Sessions {
       .withExtensions { e =>
         graft.functions.VectorExpressions.inject(e)
         graft.plans.RangeJoinRule.inject(e)
+        graft.plans.VectorKernelRule.inject(e)
       }
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
