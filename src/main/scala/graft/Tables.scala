@@ -73,6 +73,7 @@ object Sessions {
         graft.functions.VectorExpressions.inject(e)
         graft.plans.RangeJoinRule.inject(e)
         graft.plans.VectorKernelRule.inject(e)
+        graft.plans.AsofMergeJoinStrategy.inject(e)
       }
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")

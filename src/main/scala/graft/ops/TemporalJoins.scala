@@ -65,6 +65,37 @@ object TemporalJoins {
         payload.map(c => col("_r").getField(c).as(c)): _*)
   }
 
+  /** [[asofJoin]] on the custom merge-scan physical operator
+    * ([[graft.plans.AsofMergeJoinExec]] via its own LogicalPlan node +
+    * planner Strategy): identical semantics and output shape, but the
+    * plan is two Exchange+Sorts feeding a single streaming merge pass —
+    * no union materialization and no window state. Result equality with
+    * the window formulation is spec-pinned (AsofMergeJoinSpec) and the
+    * registry query shares [[asofJoin]]'s DuckDB ASOF JOIN oracle. */
+  def asofJoinMerged(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    require(payload.nonEmpty, "asofJoinMerged needs at least one payload column")
+    val leftCols = left.columns.toSeq
+    require(!leftCols.exists(payload.contains),
+      s"payload names collide with left columns: ${payload.intersect(leftCols)}")
+    val lPlan = left.queryExecution.analyzed
+    // fresh exprIds on the right so self-as-of over one source never
+    // carries duplicate attribute ids into the binary node
+    val rAnalyzed = right.queryExecution.analyzed
+    val rPlan = Project(
+      rAnalyzed.output.map(a => Alias(a, a.name)()), rAnalyzed)
+    def attr(out: Seq[Attribute], n: String): Attribute =
+      out.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"no column $n in ${out.map(_.name)}"))
+    val node = graft.plans.AsofMergeJoinNode(lPlan, rPlan,
+      Seq(attr(lPlan.output, key)), Seq(attr(rPlan.output, key)),
+      attr(lPlan.output, leftTs), attr(rPlan.output, rightTs),
+      payload.map(attr(rPlan.output, _)))
+    org.apache.spark.sql.GraftShims.ofRows(left.sparkSession, node)
+  }
+
   /** Interval-range join: every (probe, interval) pair with
     * `startCol <= probeTs <= endCol` in the same `key` group. All three
     * columns must share one unit (e.g. epoch micros).

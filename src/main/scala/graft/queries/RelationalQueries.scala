@@ -220,6 +220,25 @@ object RelationalQueries {
           (col("us") - col("rus")).as("gap_us"))
     }),
 
+    // the same as-of join on the CUSTOM physical operator
+    // (plans/AsofMergeJoinExec: own LogicalPlan node + Strategy +
+    // streaming merge-scan SparkPlan, O(1) state per partition) —
+    // identical result multiset by contract, so it shares q_join_asof's
+    // DuckDB ASOF JOIN oracle
+    "q_join_asof_exec" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("rus"), col("event_id"))
+        .groupBy("user_id", "rus").agg(max("event_id").as("click_id"))
+      graft.ops.TemporalJoins.asofJoinMerged(purchases, clicks,
+          key = "user_id", leftTs = "us", rightTs = "rus",
+          payload = Seq("click_id", "rus"))
+        .select(col("event_id"), col("user_id"), col("click_id"),
+          (col("us") - col("rus")).as("gap_us"))
+    }),
+
     // interval-range join: events falling inside [purchase, purchase+30m]
     // windows of the same user (graft.ops.TemporalJoins.rangeJoin —
     // bucketed equi-join, each pair produced exactly once, never the
@@ -1704,6 +1723,16 @@ object RelationalQueries {
     })
   )
 
+  private lazy val asofOracleSql: String =
+    """WITH r AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS rus,
+      |  max(event_id) AS click_id
+      | FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      |l AS (SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) AS us
+      | FROM events WHERE event_type = 'purchase')
+      |SELECT l.event_id, l.user_id, r.click_id, l.us - r.rus AS gap_us
+      |FROM l ASOF LEFT JOIN r
+      |  ON l.user_id = r.user_id AND l.us >= r.rus""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_scan_count" -> "SELECT count(*) AS n FROM lineitem",
 
@@ -1747,15 +1776,10 @@ object RelationalQueries {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
 
-    "q_join_asof" ->
-      """WITH r AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS rus,
-        |  max(event_id) AS click_id
-        | FROM events WHERE event_type = 'click' GROUP BY 1, 2),
-        |l AS (SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) AS us
-        | FROM events WHERE event_type = 'purchase')
-        |SELECT l.event_id, l.user_id, r.click_id, l.us - r.rus AS gap_us
-        |FROM l ASOF LEFT JOIN r
-        |  ON l.user_id = r.user_id AND l.us >= r.rus""".stripMargin,
+    "q_join_asof" -> asofOracleSql,
+
+    // custom physical operator, same contract — shared oracle
+    "q_join_asof_exec" -> asofOracleSql,
 
     "q_join_range" ->
       """WITH p AS (SELECT event_id, event_type, user_id,

@@ -1,0 +1,80 @@
+package graft
+
+import graft.ops.TemporalJoins
+import org.apache.spark.sql.functions._
+
+/** The custom as-of physical operator ([[graft.plans.AsofMergeJoinExec]])
+  * against the window-formulation semantics oracle and on hand-built
+  * edge cases; plus the plan contract (one Exchange+Sort per side into
+  * the merge node, streaming O(1) state).
+  */
+class AsofMergeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-built: inclusive match, latest-prior wins, no-match nulls, key isolation") {
+    val trades = Seq((1L, 10L, "t1"), (1L, 20L, "t2"), (1L, 5L, "t0"),
+      (2L, 10L, "u1"), (3L, 10L, "v1")).toDF("k", "ts", "tid")
+    val quotes = Seq((1L, 5L, 1.0), (1L, 10L, 2.0), (1L, 15L, 3.0),
+      (2L, 11L, 9.0)).toDF("k", "qts", "px")
+    val out = TemporalJoins.asofJoinMerged(trades, quotes,
+        "k", "ts", "qts", Seq("px"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    assert(out == Set(
+      (1L, 5L, "t0", Some(1.0)),   // equal ts ⇒ inclusive
+      (1L, 10L, "t1", Some(2.0)),  // latest prior, not the first
+      (1L, 20L, "t2", Some(3.0)),
+      (2L, 10L, "u1", None),       // quote is later ⇒ no match
+      (3L, 10L, "v1", None)),      // keyless group ⇒ null payload
+      s"got $out")
+  }
+
+  test("matches the window-formulation asofJoin on real events (both payload orders)") {
+    val ev = Tables.events(spark, sf)
+    val probes = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"))
+    val anchors = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), unix_micros(col("ts")).as("at"))
+      .agg(max("value").as("v"), max("event_id").as("aid"))
+    val merged = TemporalJoins.asofJoinMerged(probes, anchors,
+      "user_id", "t", "at", Seq("v", "aid"))
+    val window = TemporalJoins.asofJoin(probes, anchors,
+      "user_id", "t", "at", Seq("v", "aid"))
+    assert(merged.exceptAll(window).isEmpty && window.exceptAll(merged).isEmpty,
+      "custom operator must equal the window formulation row-for-row")
+    assert(merged.count() == probes.count(), "left-outer: one row per probe")
+  }
+
+  test("plan: custom exec node fed by one Exchange+Sort per side") {
+    val ev = Tables.events(spark, sf)
+    val probes = ev.select(col("user_id"), unix_micros(col("ts")).as("t"))
+    val anchors = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), unix_micros(col("ts")).as("at"))
+      .agg(max("value").as("v"))
+    val df = TemporalJoins.asofJoinMerged(probes, anchors,
+      "user_id", "t", "at", Seq("v"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("AsofMergeJoin"), p.take(800))
+    assert(!p.contains("Window"), "no window state in the custom plan:\n" + p.take(800))
+    // each side reaches the merge node through its (key, time) sort —
+    // EnsureRequirements planned the distribution+ordering contract
+    assert("Sort \\[user_id#\\d+L ASC NULLS FIRST, t#\\d+L ASC".r.findAllIn(p).nonEmpty
+      && "Sort \\[user_id#\\d+L ASC NULLS FIRST, at#\\d+L ASC".r.findAllIn(p).nonEmpty,
+      "both children must sort by (key, time):\n" + p.take(900))
+  }
+
+  test("payload name guard and empty-right behavior") {
+    val l = Seq((1L, 10L, 5.0)).toDF("k", "ts", "v")
+    val r = Seq((1L, 5L, 1.0)).toDF("k", "qts", "v")
+    intercept[IllegalArgumentException] {
+      TemporalJoins.asofJoinMerged(l, r, "k", "ts", "qts", Seq("v"))
+    }
+    val rEmpty = Seq.empty[(Long, Long, Double)].toDF("k", "qts", "px")
+    val out = TemporalJoins.asofJoinMerged(l, rEmpty, "k", "ts", "qts", Seq("px"))
+      .collect()
+    assert(out.length == 1 && out(0).isNullAt(3),
+      "empty right side ⇒ all-null payloads, rows preserved")
+  }
+}
