@@ -1164,6 +1164,42 @@ object EventQueries {
         .orderBy("event_type")
     }),
 
+    // Mann–Kendall trend test — Theil–Sen's hypothesis-test companion:
+    // S = Σ_{i<j} sign(n_j − n_i) over the daily series, tie-corrected
+    // variance, continuity-corrected z. Integer-exact up to the final
+    // /18 and sqrt, so both engines agree bit-for-bit before rounding;
+    // the pair join is calendar-bounded per type like q_theilsen
+    "q_mann_kendall" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val a = daily.select(col("event_type"), col("day").as("d1"), col("n").as("n1"))
+      val b = daily.select(col("event_type"), col("day").as("d2"), col("n").as("n2"))
+      val sTab = a.join(b, "event_type").filter(col("d1") < col("d2"))
+        .groupBy("event_type")
+        .agg(sum(signum(col("n2") - col("n1")).cast("long")).as("s"))
+      val ties = daily.groupBy("event_type", "n")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days_distinct"),
+          sum(col("c")).as("nd"),
+          sum(col("c") * (col("c") - 1) * (col("c") * 2 + 5)).as("tsum"))
+      sTab.join(ties, "event_type")
+        .withColumn("vr",
+          (col("nd") * (col("nd") - 1) * (col("nd") * 2 + 5) - col("tsum"))
+            .cast("double") / 18.0)
+        .withColumn("z",
+          when(col("s") > 0, (col("s") - 1).cast("double") / sqrt(col("vr")))
+            .when(col("s") < 0, (col("s") + 1).cast("double") / sqrt(col("vr")))
+            .otherwise(0.0))
+        .select(col("event_type"), col("nd").as("n_days"), col("s"),
+          round(col("vr"), 4).as("var_s"), round(col("z"), 4).as("z"),
+          when(col("z") > 1.96, "increasing")
+            .when(col("z") < -1.96, "decreasing")
+            .otherwise("no_trend").as("trend"))
+        .orderBy("event_type")
+    }),
+
     // Holt's double exponential smoothing (level+trend, α=0.5 β=0.3)
     // folded left-to-right over the per-type daily series with the
     // aggregate HOF — identical operation order to the DuckDB
@@ -2033,6 +2069,36 @@ object EventQueries {
         | round(max(slope), 4) AS slope,
         | round(quantile_cont(ic, 0.5), 4) AS intercept
         |FROM ic GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_mann_kendall" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |   count(*)::BIGINT AS n FROM events GROUP BY 1, 2),
+        |st AS (SELECT a.event_type,
+        |   sum(CASE WHEN b.n > a.n THEN 1 WHEN b.n < a.n THEN -1
+        |     ELSE 0 END)::BIGINT AS s
+        |  FROM daily a JOIN daily b
+        |   ON a.event_type = b.event_type AND a.day < b.day
+        |  GROUP BY 1),
+        |tg AS (SELECT event_type, n, count(*)::BIGINT AS c
+        |  FROM daily GROUP BY 1, 2),
+        |ties AS (SELECT event_type, sum(c)::BIGINT AS nd,
+        |   sum(c * (c - 1) * (2*c + 5))::BIGINT AS tsum
+        |  FROM tg GROUP BY 1),
+        |v AS (SELECT st.event_type, st.s, ties.nd,
+        |   (ties.nd * (ties.nd - 1) * (2*ties.nd + 5) - ties.tsum)::DOUBLE
+        |     / 18.0 AS vr
+        |  FROM st JOIN ties USING (event_type)),
+        |z AS (SELECT event_type, nd, s, vr,
+        |   CASE WHEN s > 0 THEN (s - 1)::DOUBLE / sqrt(vr)
+        |        WHEN s < 0 THEN (s + 1)::DOUBLE / sqrt(vr)
+        |        ELSE 0.0 END AS z
+        |  FROM v)
+        |SELECT event_type, nd AS n_days, s, round(vr, 4) AS var_s,
+        | round(z, 4) AS z,
+        | CASE WHEN z > 1.96 THEN 'increasing'
+        |      WHEN z < -1.96 THEN 'decreasing'
+        |      ELSE 'no_trend' END AS trend
+        |FROM z ORDER BY event_type""".stripMargin,
 
     // the fold replays Spark's aggregate HOF exactly: same init, same
     // left-to-right operation order, lNew recomputed textually in the

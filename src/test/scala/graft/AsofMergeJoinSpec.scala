@@ -65,6 +65,23 @@ class AsofMergeJoinSpec extends SparkSpec {
       "both children must sort by (key, time):\n" + p.take(900))
   }
 
+  test("result invariant under shuffle partition count (1 vs 7)") {
+    val ev = Tables.events(spark, sf)
+    val probes = ev.select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"))
+    val anchors = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), unix_micros(col("ts")).as("at"))
+      .agg(max("value").as("v"))
+    def run(parts: String): Set[String] = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try TemporalJoins.asofJoinMerged(probes, anchors, "user_id", "t", "at", Seq("v"))
+        .collect().map(_.toString).toSet
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    assert(run("1") == run("7"),
+      "the merge must be partition-layout-independent")
+  }
+
   test("payload name guard and empty-right behavior") {
     val l = Seq((1L, 10L, 5.0)).toDF("k", "ts", "v")
     val r = Seq((1L, 5L, 1.0)).toDF("k", "qts", "v")
