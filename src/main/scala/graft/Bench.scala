@@ -121,17 +121,33 @@ object Bench {
       .map { case (k, ts) => "\"" + k + s"""\":${ts.size}""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2.min).sum
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_median":$med,"spread_pct":$spreadPct,"reps":$reps,"reps_used":$repsUsed,"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"sf":"$sfDir"}"""
-    println(json)
-    // stdout under sbt is wrapped in [info] decoration, which breaks the
-    // driver's JSON-line parse — also write the line to a file it can read.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // r10 postmortem: the single metric line grew (reps_used + loadavg
+    // telemetry) past the driver's ~2.3 KB stdout tail-capture and was cut
+    // mid-JSON → BENCH_r10.json recorded parsed:null, i.e. no headline
+    // number at all. Split the record in two:
+    //   - a DETAIL line (spread/reps/loadavg diagnostics) printed FIRST,
+    //     so a tail cut can only ever truncate diagnostics;
+    //   - a compact HEADLINE line (metric/total/per-query min + median
+    //     only, well under 1.5 KB) printed as the VERY LAST stdout line.
+    val detail = f"""{"metric":"bench_detail","spread_pct":$spreadPct,"reps":$reps,"reps_used":$repsUsed,"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f}"""
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_median":$med,"sf":"$sfDir"}"""
+    // Both lines also go to a file the driver can read without un-wrapping
+    // sbt's [info] stdout decoration. Default under target/ so a bench run
+    // never dirties the work tree (r10: the git-tracked bench_out.json was
+    // clobbered by every rerun, destroying the previous record).
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_out.json")
     try {
-      val w = new java.io.PrintWriter(new java.io.File(out))
-      try w.println(json) finally w.close()
+      val f = new java.io.File(out)
+      Option(f.getParentFile).foreach(_.mkdirs())
+      val w = new java.io.PrintWriter(f)
+      try { w.println(detail); w.println(json) } finally w.close()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
+    // Stop Spark BEFORE the headline println: shutdown chatter goes to
+    // stderr, but this guarantees nothing can land on stdout after it.
     spark.stop()
+    println(detail)
+    println(json)
   }
 }

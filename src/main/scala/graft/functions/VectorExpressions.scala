@@ -87,9 +87,12 @@ case class ArrayDotProduct(left: Expression, right: Expression) extends ArrayPai
     copy(left = newLeft, right = newRight)
 }
 
-/** graft_cosine(a, b): dot/(‖a‖·‖b‖) in one pass, codegen'd. Division-by-
-  * zero follows Java double semantics (NaN/Inf), matching the non-ANSI
-  * HOF formulation. */
+/** graft_cosine(a, b): dot/(‖a‖·‖b‖) in one pass, codegen'd. A zero-norm
+  * operand (denominator 0.0) yields NULL — matching Spark's non-ANSI
+  * `Divide`, which NULLs on a zero divisor, so the [[graft.plans.VectorKernelRule]]
+  * rewrite of the HOF quotient stays result-exact even for zero vectors
+  * (Java's bare 0/0 ⇒ NaN would instead sort ABOVE every real similarity
+  * in a descending top-k). */
 case class ArrayCosineSim(left: Expression, right: Expression) extends ArrayPairFold {
   override def prettyName: String = "graft_cosine"
 
@@ -102,7 +105,8 @@ case class ArrayCosineSim(left: Expression, right: Expression) extends ArrayPair
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) null else dot / denom
   }
 
   override protected def foldCode(ctx: CodegenContext, a: String, b: String, n: String,
@@ -110,6 +114,7 @@ case class ArrayCosineSim(left: Expression, right: Expression) extends ArrayPair
     val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
     val nb = ctx.freshName("nb"); val i = ctx.freshName("i")
     val x = ctx.freshName("x"); val y = ctx.freshName("y")
+    val denom = ctx.freshName("denom")
     s"""
        |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
        |for (int $i = 0; $i < $n; $i++) {
@@ -117,7 +122,50 @@ case class ArrayCosineSim(left: Expression, right: Expression) extends ArrayPair
        |  double $x = $a.getDouble($i); double $y = $b.getDouble($i);
        |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
        |}
-       |if (!$isNull) $result = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+       |if ($denom == 0.0) $isNull = true;
+       |if (!$isNull) $result = $dot / $denom;
+     """.stripMargin
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** graft_l2(a, b): Σ (aᵢ−bᵢ)² at double precision, codegen'd — the
+  * distance fold of k-means / PQ. Bit-identical to the HOF form
+  * `aggregate(zip_with(a,b,(x,y)->(x-y)*(x-y)), 0.0, (acc,e)->acc+e)`:
+  * left-to-right double accumulation, and the per-element subtract/square
+  * are the same IEEE ops in the same order. NULL on length mismatch or a
+  * null element, like [[ArrayDotProduct]]. */
+case class ArrayL2Sq(left: Expression, right: Expression) extends ArrayPairFold {
+  override def prettyName: String = "graft_l2"
+
+  override protected def foldEval(a: ArrayData, b: ArrayData, n: Int): Any = {
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getDouble(i) - b.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def foldCode(ctx: CodegenContext, a: String, b: String, n: String,
+      result: String, isNull: String): String = {
+    val acc = ctx.freshName("acc"); val i = ctx.freshName("i")
+    val d = ctx.freshName("d")
+    s"""
+       |double $acc = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $isNull = true; break; }
+       |  double $d = $a.getDouble($i) - $b.getDouble($i);
+       |  $acc += $d * $d;
+       |}
+       |if (!$isNull) $result = $acc;
      """.stripMargin
   }
 
@@ -331,6 +379,8 @@ object VectorExpressions {
       (children: Seq[Expression]) => ArrayDotProduct(children(0), children(1))))
     e.injectFunction(desc("graft_cosine", classOf[ArrayCosineSim],
       (children: Seq[Expression]) => ArrayCosineSim(children(0), children(1))))
+    e.injectFunction(desc("graft_l2", classOf[ArrayL2Sq],
+      (children: Seq[Expression]) => ArrayL2Sq(children(0), children(1))))
     e.injectFunction(desc("graft_hyperplane_sig", classOf[HyperplaneSignature],
       (children: Seq[Expression]) => {
         def lit(i: Int): Long = children(i) match {

@@ -37,6 +37,9 @@ object VectorFunctions {
   /** Native codegen'd cosine similarity ([[ArrayCosineSim]]). */
   def cosineN(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
 
+  /** Native codegen'd squared L2 distance ([[ArrayL2Sq]]). */
+  def l2sqN(a: Column, b: Column): Column = call_function("graft_l2", a, b)
+
   /** Squared L2 distance at double precision. */
   def l2sqD(a: Column, b: Column): Column =
     aggregate(

@@ -192,6 +192,11 @@ object Codecs {
     if (meta == null || meta.bitsPerPixel != 24) return -1L
     val offset = u32(bytes, 10).get.toInt
     val rowSize = ((3 * meta.width + 3) / 4) * 4
+    // lower bound too: a corrupted offset that is negative (u32 wrapped
+    // by toInt) or points inside the 54-byte headers would pass the
+    // upper-bound check and either AIOOBE or silently sum header bytes —
+    // both break the documented "-1 on parse failure" contract
+    if (offset < 54 || offset >= bytes.length) return -1L
     if (offset + rowSize.toLong * meta.height > bytes.length) return -1L
     var sum = 0L
     var y = 0

@@ -120,13 +120,19 @@ object Layout {
     * sequential statistics (KS ECDFs, rank sums, SPRT prefix counts)
     * drop their `Window.orderBy(...)` single-partition barrier while
     * keeping their DuckDB twins unchanged. Float running sums must stay
-    * out: two-phase addition reorders them. */
+    * out: two-phase addition reorders them.
+    *
+    * Null policy: a NULL value counts as 0 toward the running sum — the
+    * same running total `sum(c) OVER (ORDER BY …)` produces, since SQL
+    * sum skips NULLs. (Without the explicit coalesce, a NULL would NPE
+    * the executor pass's `getLong`, and an all-NULL partition would NPE
+    * the driver-side totals decode.) */
   def globalCumSum(df: DataFrame, sortCols: Seq[String],
       valueCols: Seq[String], partitions: Int = 0): DataFrame = {
     val n = if (partitions > 0) partitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val withLongs = valueCols.foldLeft(df)((d, c) =>
-      d.withColumn(c, col(c).cast("long")))
+      d.withColumn(c, coalesce(col(c).cast("long"), lit(0L))))
     val parted = withLongs
       .repartitionByRange(n, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)

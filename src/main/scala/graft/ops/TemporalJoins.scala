@@ -34,10 +34,17 @@ object TemporalJoins {
     * columns always come from the SAME matched right row (carried as one
     * struct), so a matched row's genuinely-NULL payload value surfaces
     * as NULL rather than a stale value from an older row.
+    *
+    * Null semantics: SQL equi-join — a NULL key never matches (the right
+    * side is filtered to non-null key + timestamp, so a null-key left
+    * row keeps a null payload instead of matching null-key right rows),
+    * and a NULL right timestamp is never "earliest"; a null-ts left row
+    * likewise matches nothing. Matches DuckDB ASOF JOIN.
     */
-  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+  def asofJoin(left: DataFrame, right0: DataFrame, key: String,
       leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
     require(payload.nonEmpty, "asofJoin needs at least one right payload column")
+    val right = right0.filter(col(key).isNotNull && col(rightTs).isNotNull)
     val leftCols = left.columns.toSeq
     require(!leftCols.exists(payload.contains),
       s"payload names collide with left columns: ${payload.intersect(leftCols)}")
@@ -73,10 +80,29 @@ object TemporalJoins {
     * the window formulation is spec-pinned (AsofMergeJoinSpec) and the
     * registry query shares [[asofJoin]]'s DuckDB ASOF JOIN oracle. */
   def asofJoinMerged(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, payload: Seq[String]): DataFrame =
+    asofJoinMergedKeys(left, right, Seq(key), leftTs, rightTs, payload)
+
+  /** Multi-key [[asofJoinMerged]]: the as-of group is the COMPOSITE of
+    * `keys` (e.g. (user_id, event_type)), exactly DuckDB's
+    * `ASOF LEFT JOIN ... ON l.k1 = r.k1 AND l.k2 = r.k2 AND l.ts >= r.ts`.
+    * [[graft.plans.AsofMergeJoinExec]] is Seq-keyed end to end (clustered
+    * distribution, (k1…kn, ts) sort, interpreted composite-row ordering),
+    * so this is the same single merge pass with a wider key projection.
+    *
+    * Null semantics: SQL equi-join — right rows with any NULL key or a
+    * NULL timestamp are filtered out (a NULL key never equals anything,
+    * and under the exec's natural NULLS-FIRST ordering an unfiltered
+    * null ts would otherwise count as the earliest match); left rows
+    * with NULL keys/ts keep null payloads. Matches the DuckDB oracle. */
+  def asofJoinMergedKeys(left: DataFrame, right0: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
     import org.apache.spark.sql.catalyst.plans.logical.Project
-    require(payload.nonEmpty, "asofJoinMerged needs at least one payload column")
+    require(keys.nonEmpty, "asofJoinMergedKeys needs at least one key column")
+    require(payload.nonEmpty, "asofJoinMergedKeys needs at least one payload column")
+    val right = right0.filter(
+      keys.map(col(_).isNotNull).reduce(_ && _) && col(rightTs).isNotNull)
     val leftCols = left.columns.toSeq
     require(!leftCols.exists(payload.contains),
       s"payload names collide with left columns: ${payload.intersect(leftCols)}")
@@ -90,7 +116,7 @@ object TemporalJoins {
       out.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"no column $n in ${out.map(_.name)}"))
     val node = graft.plans.AsofMergeJoinNode(lPlan, rPlan,
-      Seq(attr(lPlan.output, key)), Seq(attr(rPlan.output, key)),
+      keys.map(attr(lPlan.output, _)), keys.map(attr(rPlan.output, _)),
       attr(lPlan.output, leftTs), attr(rPlan.output, rightTs),
       payload.map(attr(rPlan.output, _)))
     org.apache.spark.sql.GraftShims.ofRows(left.sparkSession, node)

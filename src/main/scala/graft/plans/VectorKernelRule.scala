@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{ArrayCosineSim, ArrayDotProduct}
+import graft.functions.{ArrayCosineSim, ArrayDotProduct, ArrayL2Sq}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
@@ -14,6 +14,8 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   *     ⇒ graft_dot(a, b)                     ([[ArrayDotProduct]])
   *   dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b)))
   *     ⇒ graft_cosine(a, b)                  ([[ArrayCosineSim]])
+  *   aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0.0, (acc,e) -> acc+e)
+  *     ⇒ graft_l2(a, b)                      ([[ArrayL2Sq]])
   *
   * Users (and the engine's own oracle-surface queries) write the
   * declarative HOF form; the plan executes the one-pass codegen loop —
@@ -25,6 +27,14 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   * performs the same per-element operations as the three separate
   * passes. Null/length semantics match too (padded-null zip ⇒ NULL sum
   * ⇒ kernel's NULL on mismatch/null element).
+  *
+  * Zero-vector caveat (the ONE doc'd divergence, spec-pinned): on a
+  * zero-norm operand the HOF quotient's divisor is 0.0 — non-ANSI
+  * `Divide` NULLs, ANSI `Divide` (the Spark 4 default) ERRORS.
+  * [[ArrayCosineSim]] returns NULL in both modes (`try_divide`
+  * semantics): never Java's bare 0/0 ⇒ NaN — which would silently float
+  * a zero vector to the top of a descending top-k — and never a
+  * job-killing error for one degenerate corpus row.
   *
   * Disable with `spark.graft.vectorKernel.enabled=false` (the spec
   * A/Bs results across the flag).
@@ -47,46 +57,89 @@ object VectorKernelRule extends Rule[LogicalPlan] {
     case _ => e
   }
 
+  private def strip(v: Expression): Expression = v match {
+    case Cast(c, DoubleType, _, _) => strip(c)
+    case other => other
+  }
+
   /** `x * y` (either operand order; with or without enclosing casts to
     * double — the analyzer inserts them for float arrays, the optimizer
     * may have simplified them away for double arrays) over exactly the
     * two given lambda variables. */
   private def isElemProduct(e: Expression, x: NamedLambdaVariable,
+      y: NamedLambdaVariable): Boolean = e match {
+    case Multiply(l, r, _) =>
+      (strip(l), strip(r)) match {
+        case (a: NamedLambdaVariable, b: NamedLambdaVariable) =>
+          (a.exprId == x.exprId && b.exprId == y.exprId) ||
+            (a.exprId == y.exprId && b.exprId == x.exprId)
+        case _ => false
+      }
+    case _ => false
+  }
+
+  /** `(x-y)*(x-y)` — both factors the SAME orientation (a `(x-y)*(y-x)`
+    * would be the NEGATED square; it must not match). `(y-x)*(y-x)` is
+    * accepted: IEEE negation is exact, so the square is bit-equal. */
+  private def isElemSqDiff(e: Expression, x: NamedLambdaVariable,
       y: NamedLambdaVariable): Boolean = {
-    def strip(v: Expression): Expression = v match {
-      case Cast(c, DoubleType, _, _) => strip(c)
-      case other => other
+    def diffDir(v: Expression): Option[Boolean] = strip(v) match {
+      case Subtract(l, r, _) => (strip(l), strip(r)) match {
+        case (a: NamedLambdaVariable, b: NamedLambdaVariable)
+          if a.exprId == x.exprId && b.exprId == y.exprId => Some(true)
+        case (a: NamedLambdaVariable, b: NamedLambdaVariable)
+          if a.exprId == y.exprId && b.exprId == x.exprId => Some(false)
+        case _ => None
+      }
+      case _ => None
     }
     e match {
       case Multiply(l, r, _) =>
-        (strip(l), strip(r)) match {
-          case (a: NamedLambdaVariable, b: NamedLambdaVariable) =>
-            (a.exprId == x.exprId && b.exprId == y.exprId) ||
-              (a.exprId == y.exprId && b.exprId == x.exprId)
+        (diffDir(l), diffDir(r)) match {
+          case (Some(d1), Some(d2)) => d1 == d2
           case _ => false
         }
       case _ => false
     }
   }
 
-  /** aggregate(zip_with(a, b, λxy. x·y), 0.0, λse. s+e[, identity]) */
-  private object HofDot {
-    def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+  /** aggregate(zip_with(a, b, λxy. ELEM), 0.0, λse. s+e[, identity]) —
+    * the shared sum-fold frame; the element lambda is returned for the
+    * kernel-specific matchers to inspect. */
+  private object SumFold {
+    def unapply(e: Expression): Option[(Expression, Expression, Expression,
+        NamedLambdaVariable, NamedLambdaVariable)] = e match {
       case ArrayAggregate(
           ZipWith(a, b,
-            LambdaFunction(prod, Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _)),
+            LambdaFunction(elem, Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _)),
           Literal(0.0, DoubleType),
           LambdaFunction(Add(l, r, _), Seq(acc: NamedLambdaVariable, el: NamedLambdaVariable), _),
           LambdaFunction(fin: NamedLambdaVariable, Seq(finArg: NamedLambdaVariable), _))
-        if isElemProduct(prod, x, y) &&
-          fin.exprId == finArg.exprId &&
+        if fin.exprId == finArg.exprId &&
           ((l, r) match {
             case (lv: NamedLambdaVariable, rv: NamedLambdaVariable) =>
               (lv.exprId == acc.exprId && rv.exprId == el.exprId) ||
                 (lv.exprId == el.exprId && rv.exprId == acc.exprId)
             case _ => false
           }) =>
-        Some((a, b))
+        Some((a, b, elem, x, y))
+      case _ => None
+    }
+  }
+
+  /** aggregate(zip_with(a, b, λxy. x·y), 0.0, λse. s+e[, identity]) */
+  private object HofDot {
+    def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+      case SumFold(a, b, elem, x, y) if isElemProduct(elem, x, y) => Some((a, b))
+      case _ => None
+    }
+  }
+
+  /** aggregate(zip_with(a, b, λxy. (x−y)·(x−y)), 0.0, λse. s+e) — the
+    * squared-L2 fold of k-means / PQ distance. */
+  private object HofL2 {
+    def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+      case SumFold(a, b, elem, x, y) if isElemSqDiff(elem, x, y) => Some((a, b))
       case _ => None
     }
   }
@@ -116,6 +169,8 @@ object VectorKernelRule extends Rule[LogicalPlan] {
         ArrayCosineSim(toDoubleArray(a), toDoubleArray(b))
       case HofDot(a, b) =>
         ArrayDotProduct(toDoubleArray(a), toDoubleArray(b))
+      case HofL2(a, b) =>
+        ArrayL2Sq(toDoubleArray(a), toDoubleArray(b))
     }
   }
 }

@@ -94,4 +94,71 @@ class AsofMergeJoinSpec extends SparkSpec {
     assert(out.length == 1 && out(0).isNullAt(3),
       "empty right side ⇒ all-null payloads, rows preserved")
   }
+
+  test("multi-key: composite (k1,k2) groups are isolated, hand-built") {
+    // same k1, different k2 must NOT match — the composite is the group
+    val l = Seq((1L, "a", 10L, "l1"), (1L, "b", 10L, "l2"),
+      (2L, "a", 10L, "l3"), (1L, "a", 3L, "l4"))
+      .toDF("k1", "k2", "ts", "lid")
+    val r = Seq((1L, "a", 5L, 1.0), (1L, "b", 9L, 2.0), (2L, "b", 1L, 9.0))
+      .toDF("k1", "k2", "qts", "px")
+    val out = TemporalJoins.asofJoinMergedKeys(l, r, Seq("k1", "k2"),
+        "ts", "qts", Seq("px"))
+      .collect().map(row => (row.getString(3),
+        if (row.isNullAt(4)) None else Some(row.getDouble(4)))).toSet
+    assert(out == Set(
+      ("l1", Some(1.0)),  // (1,a): latest prior in the composite group
+      ("l2", Some(2.0)),  // (1,b): its own group's quote, not (1,a)'s
+      ("l3", None),       // (2,a): (2,b)'s quote must not bleed over
+      ("l4", None)),      // (1,a) before any quote
+      s"got $out")
+  }
+
+  test("multi-key: equals the window form run per composite group on real events") {
+    val ev = Tables.events(spark, sf)
+    val probes = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("t"))
+    val anchors = ev
+      .groupBy(col("user_id"), col("event_type"), unix_micros(col("ts")).as("at"))
+      .agg(max("value").as("v"))
+    val multi = TemporalJoins.asofJoinMergedKeys(probes, anchors,
+      Seq("user_id", "event_type"), "t", "at", Seq("v"))
+    // semantics oracle: fuse the composite key into ONE column and run
+    // the single-key window formulation — identical grouping by construction
+    def fused(df: org.apache.spark.sql.DataFrame) = df.withColumn("_ck",
+      concat_ws("|", col("user_id"), col("event_type")))
+    val single = TemporalJoins.asofJoin(
+      fused(probes).drop("user_id", "event_type"),
+      fused(anchors).drop("user_id", "event_type"),
+      "_ck", "t", "at", Seq("v"))
+      .withColumn("user_id", split(col("_ck"), "\\|")(0).cast("long"))
+      .withColumn("event_type", split(col("_ck"), "\\|")(1))
+      .select("user_id", "event_type", "event_id", "t", "v")
+    assert(multi.exceptAll(single).isEmpty && single.exceptAll(multi).isEmpty,
+      "multi-key exec must equal the fused-key window formulation")
+    assert(multi.count() == probes.count(), "left-outer: one row per probe")
+  }
+
+  test("null keys and null timestamps never match (SQL equi-join semantics)") {
+    def L(v: Long): java.lang.Long = java.lang.Long.valueOf(v)
+    val nl: java.lang.Long = null
+    val l = Seq((nl, L(10L), "null-key"), (L(1L), nl, "null-ts"),
+      (L(1L), L(10L), "real")).toDF("k", "ts", "lid")
+    val r = Seq((nl, L(5L), 1.0), (L(1L), nl, 2.0), (L(1L), L(5L), 3.0))
+      .toDF("k", "qts", "px")
+    val out = TemporalJoins.asofJoinMerged(l, r, "k", "ts", "qts", Seq("px"))
+      .collect().map(row => (row.getString(2),
+        if (row.isNullAt(3)) None else Some(row.getDouble(3)))).toSet
+    assert(out == Set(
+      ("null-key", None),      // NULL key matches nothing — not even NULL
+      ("null-ts", None),       // NULL probe ts compares with nothing
+      ("real", Some(3.0))),    // and the null-ts right row is never "earliest"
+      s"got $out")
+    // window formulation must agree (shared oracle contract)
+    val win = TemporalJoins.asofJoin(l, r, "k", "ts", "qts", Seq("px"))
+      .collect().map(row => (row.getString(2),
+        if (row.isNullAt(3)) None else Some(row.getDouble(3)))).toSet
+    assert(win == out, s"window form diverged: $win")
+  }
 }

@@ -291,4 +291,21 @@ class LayoutBucketingSpec extends SparkSpec {
         s"partitions=$parts: distributed cumsum must equal the window form")
     }
   }
+
+  test("globalCumSum null policy: NULL counts as 0, all-NULL partitions survive") {
+    import spark.implicits._
+    def L(v: Long): java.lang.Long = java.lang.Long.valueOf(v)
+    val nl: java.lang.Long = null
+    // sort key 1..6; nulls interleaved AND clustered so at least one
+    // range partition (partitions=3 over 6 rows) is entirely NULL —
+    // the case that NPE'd the driver-side totals decode before the fix
+    val df = Seq((1L, L(10L)), (2L, nl), (3L, nl), (4L, nl), (5L, L(5L)), (6L, nl))
+      .toDF("k", "v")
+    val got = graft.ops.Layout.globalCumSum(df, Seq("k"), Seq("v"), partitions = 3)
+      .select("k", "rn", "v_cum")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 1L, 10L), (2L, 2L, 10L), (3L, 3L, 10L),
+      (4L, 4L, 10L), (5L, 5L, 15L), (6L, 6L, 15L)),
+      s"NULL must contribute 0 to the running sum (sum-over-window semantics): $got")
+  }
 }

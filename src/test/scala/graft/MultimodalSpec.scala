@@ -132,5 +132,13 @@ class MultimodalSpec extends SparkSpec {
     val compressed = hand.clone(); compressed(30) = 1 // biCompression = BI_RLE8
     assert(Codecs.parseBmp(compressed) == None, "compressed BMP must be rejected")
     assert(Codecs.bmpPixelSum(hand.dropRight(3)) == -1L, "truncated pixel array")
+    // corrupted pixel-array offset: pointing INSIDE the 54-byte headers
+    // (would silently sum header bytes) and u32 values whose toInt goes
+    // negative (would AIOOBE) must both return -1, not throw
+    val offHdr = hand.clone(); offHdr(10) = 8 // offset = 8 < 54
+    assert(Codecs.bmpPixelSum(offHdr) == -1L, "offset into header must fail cleanly")
+    val offNeg = hand.clone()
+    for (i <- 0 until 4) offNeg(10 + i) = 0xFF.toByte // offset = 0xFFFFFFFF → toInt -1
+    assert(Codecs.bmpPixelSum(offNeg) == -1L, "wrapped-negative offset must fail cleanly")
   }
 }

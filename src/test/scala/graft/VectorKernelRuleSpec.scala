@@ -73,9 +73,72 @@ class VectorKernelRuleSpec extends SparkSpec {
       .executedPlan.toString
     assert(!p.contains("graft_dot"),
       "non-dot folds must stay untouched:\n" + p.take(600))
-    // l2sqD's (x-y)^2 fold must also survive unrewritten and correct
-    val l2 = emb.select(l2sqD(col("embedding"), col("embedding")).as("z"))
+  }
+
+  test("L2 fold rewrites to graft_l2 and is bit-identical on/off") {
+    val q = emb.select(col("vec_id"),
+      l2sqD(col("embedding"), reverse(col("embedding"))).as("z"))
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("graft_l2"), "(x-y)^2 fold must rewrite:\n" + p.take(600))
+    assert(!p.contains("aggregate(zip_with"),
+      "no interpreted HOF fold should remain:\n" + p.take(600))
+    def run(): Array[(Long, Double)] =
+      q.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val on = run()
+    spark.conf.set(ENABLED_CONF, "false")
+    val off = try run() finally spark.conf.set(ENABLED_CONF, "true")
+    assert(on.sameElements(off), "graft_l2 must match the HOF bits exactly")
+    // self-distance sanity: identical operands give exactly 0.0
+    val selfMax = emb.select(l2sqD(col("embedding"), col("embedding")).as("z"))
       .agg(max(abs(col("z")))).collect()(0).getDouble(0)
-    assert(l2 == 0.0)
+    assert(selfMax == 0.0)
+  }
+
+  test("L2 look-alikes do NOT rewrite (negated square / sum-square)") {
+    def fold(elem: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.Column) =
+      aggregate(
+        zip_with(col("embedding"), col("embedding"),
+          (x, y) => elem(x.cast("double"), y.cast("double"))),
+        lit(0.0), (a, e) => a + e)
+    val negSq = fold((x, y) => (x - y) * (y - x))   // -(x-y)^2: NOT the L2 fold
+    val sumSq = fold((x, y) => (x + y) * (x + y))   // (x+y)^2: NOT the L2 fold
+    val p = emb.select(negSq.as("n"), sumSq.as("s"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("graft_l2"),
+      "mixed-orientation / non-difference folds must stay untouched:\n" + p.take(600))
+  }
+
+  test("cosine on a zero-norm vector is NULL under the kernel, never NaN") {
+    import spark.implicits._
+    // parallelize so the optimizer cannot constant-fold the division at
+    // plan time (a LocalRelation would hit ANSI divide-by-zero before
+    // the comparison even runs)
+    val d = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      (1L, Array(0.0, 0.0, 0.0), Array(1.0, 2.0, 3.0)),
+      (2L, Array(1.0, 0.0, 0.0), Array(0.0, 0.0, 0.0)),
+      (3L, Array(1.0, 2.0, 2.0), Array(2.0, 4.0, 4.0))), 2))
+      .toDF("id", "a", "b")
+    def run(): Map[Long, Option[Double]] =
+      d.select(col("id"), cosineD(col("a"), col("b")).as("c"))
+        .collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        .toMap
+    val on = run()
+    assert(on(1L).isEmpty && on(2L).isEmpty,
+      "zero-norm operand must yield NULL — Java's bare 0/0 NaN would sort " +
+        "above every real similarity in a descending top-k")
+    assert(on(3L).exists(v => math.abs(v - 1.0) < 1e-12))
+    // documented divergence (kernel ≡ try_divide): under ANSI the raw HOF
+    // quotient ERRORS on a zero divisor; the kernel degrades to NULL so a
+    // single degenerate vector cannot kill a full-corpus similarity job
+    spark.conf.set(ENABLED_CONF, "false")
+    try {
+      val off = intercept[Exception] { run() }
+      def chain(t: Throwable): String =
+        if (t == null) "" else t.getMessage + "|" + chain(t.getCause)
+      assert(chain(off).contains("DIVIDE_BY_ZERO"),
+        s"expected the ANSI divide-by-zero error, got: ${chain(off).take(300)}")
+    } finally spark.conf.set(ENABLED_CONF, "true")
   }
 }
