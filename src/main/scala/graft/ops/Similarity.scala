@@ -229,6 +229,121 @@ object Similarity {
     lshRerank(c.join(q.hint("shuffle_merge"), "cell"), k)
   }
 
+  /** The per-query L2 ADC table: element j of the outer array is
+    * subspace j's table — squared L2 distance from the query's j-th
+    * subvector to each codeword, the same left-to-right (x−y)² fold the
+    * codebook oracles replay (and [[graft.plans.VectorKernelRule]]
+    * rewrites to the `graft_l2` codegen kernel). */
+  private def adcL2Tables(vecCol: String,
+      codebooks: Array[Array[Seq[Double]]]): Column = {
+    val m = codebooks.length
+    val dim = codebooks.map(_.head.length).sum
+    val sub = dim / m
+    array((0 until m).map { j =>
+      val cbLit = typedLit(codebooks(j).map(_.toIndexedSeq).toIndexedSeq)
+      val subV = transform(slice(col(vecCol), j * sub + 1, sub),
+        _.cast("double"))
+      transform(cbLit, c => aggregate(zip_with(subV, c, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (a, x) => a + x))
+    }: _*)
+  }
+
+  /** Σ over subspaces of the candidate's code lookups in `_tab` — the
+    * ADC approximation of |query − candidate|². */
+  private def adcL2Dist(m: Int, codeCol: String): Column =
+    (0 until m).map(j =>
+        element_at(element_at(col("_tab"), j + 1),
+          element_at(col(codeCol), j + 1) + 1))
+      .reduce(_ + _)
+
+  /** Exact-ADC (full-scan) L2 top-k over PQ codes — [[pqTopK]]'s
+    * distance-metric sibling and the recall baseline for [[ivfPqProbe]]:
+    * every corpus code is scored (m table lookups), smallest approximate
+    * |q−x|² wins. Output: (q_id, rnk, n_id, dist_adc). */
+  def pqTopKL2(queries: DataFrame, corpusCodes: DataFrame,
+      codebooks: Array[Array[Seq[Double]]], idCol: String, vecCol: String,
+      codeIdCol: String, codeCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"),
+      adcL2Tables(vecCol, codebooks).as("_tab"))
+    val scored = corpusCodes
+      .select(col(codeIdCol).as("n_id"), col(codeCol).as("_code"))
+      .crossJoin(broadcast(q))
+      .withColumn("dist_adc", adcL2Dist(codebooks.length, "_code"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("dist_adc").asc, col("n_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "n_id", "dist_adc")
+  }
+
+  /** The query side's nprobe coarse cells: rank ALL k centroid scores
+    * (x·c_j − |c_j|²/2, the L2 assignment score — argmax ≡ argmin
+    * |x−c_j|²) descending with ties to the lower index, keep the first
+    * nprobe indices. The centroid matrix is a bounded literal; the whole
+    * thing is one narrow HOF projection. */
+  private def coarseProbeCells(v: Column, cents: Array[Seq[Double]],
+      nprobe: Int): Column = {
+    val centsLit = typedLit(cents.map(_.toIndexedSeq).toIndexedSeq)
+    val bias = typedLit(centroidBias(cents, cosine = false).toIndexedSeq)
+    val vd = transform(v, _.cast("double"))
+    val scored = zip_with(centsLit, sequence(lit(0), lit(cents.length - 1)),
+      (c, j) => struct(
+        (aggregate(zip_with(vd, c, (x, y) => x * y),
+          lit(0.0), (a, x) => a + x) - element_at(bias, j + 1)).as("s"),
+        j.as("j")))
+    val sorted = array_sort(scored, (a, b) =>
+      when(a("s") > b("s"), -1).when(a("s") < b("s"), 1)
+        .otherwise(when(a("j") < b("j"), -1).otherwise(1)))
+    transform(slice(sorted, 1, nprobe), s => s("j"))
+  }
+
+  /** IVFADC index build — the canonical large-corpus ANN serving shape,
+    * composing structures this file already owns: a COARSE k-means
+    * quantizer (raw-L2 [[kmeans]] centroids, the same codebook-training
+    * mode PQ uses) partitions the corpus into cells, and the inverted
+    * file holds PQ CODES ([[pqEncode]]) instead of raw vectors — rows
+    * (cell, n_id, pq_code) written as a cell-bucketed table. m small
+    * ints per corpus vector instead of dim floats, AND a probe touches
+    * nprobe cells instead of the corpus: the two at-scale savings
+    * multiply. Cell assignment is the [[graft.functions.CentroidArgmax]]
+    * codegen kernel against the broadcast-literal centroid matrix. */
+  def ivfPqIndexBuild(corpus: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Seq[Double]]], coarseCents: Array[Seq[Double]],
+      tableName: String, tableBuckets: Int = 32): Unit = {
+    val coded = pqEncode(corpus, vecCol, codebooks)
+      .select(col(idCol).as("n_id"), col("pq_code"),
+        call_function("graft_centroid_argmax",
+          transform(col(vecCol), _.cast("double")),
+          typedLit(coarseCents.flatten.toIndexedSeq),
+          typedLit(centroidBias(coarseCents, cosine = false).toIndexedSeq))
+          .as("cell"))
+    Bucketing.writeBucketed(coded, tableName, "cell", tableBuckets)
+  }
+
+  /** IVFADC probe over an [[ivfPqIndexBuild]] table (same centroids and
+    * codebooks!): each query carries its precomputed m×k L2 ADC table
+    * ([[pqTopK]]'s trick) AND explodes to its [[coarseProbeCells]]; the
+    * equi-join on cell against the bucketed inverted file leaves the
+    * corpus side Exchange-free, scoring a candidate is m array lookups,
+    * and the per-query top-k reduces map-side via WindowGroupLimit. A
+    * corpus row lives in exactly ONE cell and probe cells are distinct,
+    * so a (query, candidate) pair meets at most once — no dedup step.
+    * Output: (q_id, rnk, n_id, dist_adc), smallest distance first. */
+  def ivfPqProbe(spark: SparkSession, tableName: String, queries: DataFrame,
+      idCol: String, vecCol: String, codebooks: Array[Array[Seq[Double]]],
+      coarseCents: Array[Seq[Double]], k: Int, nprobe: Int = 3): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"),
+      adcL2Tables(vecCol, codebooks).as("_tab"),
+      explode(coarseProbeCells(col(vecCol), coarseCents, nprobe)).as("cell"))
+    val scored = spark.table(tableName).join(q.hint("shuffle_merge"), "cell")
+      .withColumn("dist_adc", adcL2Dist(codebooks.length, "pq_code"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("dist_adc").asc, col("n_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "n_id", "dist_adc")
+  }
+
   /** Per-label element-wise mean embedding (the cluster-centroid /
     * class-prototype primitive): posexplode to (label, pos, v), average
     * per coordinate, reassemble in position order. The shuffle is keyed
@@ -293,7 +408,19 @@ object Similarity {
   }
 
   def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int = 5, cosine: Boolean = true): DataFrame = {
+      iters: Int = 5, cosine: Boolean = true): DataFrame =
+    kmeansImpl(df, idCol, vecCol, k, iters, cosine)._1
+
+  /** [[kmeans]]' training loop, returning the FINAL centroid matrix
+    * instead of the assignment — the coarse-quantizer handle
+    * [[ivfPqIndexBuild]] persists alongside the index (k·dim doubles,
+    * driver-held and broadcast as literals like the PQ codebooks). */
+  def kmeansFit(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int = 5, cosine: Boolean = true): Array[Seq[Double]] =
+    kmeansImpl(df, idCol, vecCol, k, iters, cosine)._2
+
+  private def kmeansImpl(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int, cosine: Boolean): (DataFrame, Array[Seq[Double]]) = {
     require(k > 0 && iters > 0, "k and iters must be positive")
     // cosine: pre-normalize once so dot == cosine (zero vectors stay 0)
     val vd = transform(col(vecCol), _.cast("double"))
@@ -324,7 +451,7 @@ object Similarity {
           .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
         cents = cents.zipWithIndex.map { case (old, j) => next.getOrElse(j, old) }
       }
-      assigned.drop("_nv")
+      (assigned.drop("_nv"), cents)
     } finally normed.unpersist()
   }
 

@@ -250,17 +250,20 @@ object EventQueries {
     // contingency table): X² = Σ (O−E)²/E with E = row·col/N. Cell,
     // row and column totals are three integer-exact aggregates over the
     // |types|·|buckets| table; the only float work is the final
-    // bounded-size sum
+    // bounded-size sum. N rides along as a fourth cells-sized aggregate
+    // broadcast back in — NOT a driver-side ev.count(), which would be a
+    // second full scan of the fact table at 100 TB
     "q_chi2" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .select(col("event_type").as("t"),
           floor(col("value") / 250.0).cast("int").as("b"))
-      val n = ev.count().toDouble
       val cells = ev.groupBy("t", "b").agg(count(lit(1)).as("o"))
       val rowT = cells.groupBy("t").agg(sum("o").as("rt"))
       val colT = cells.groupBy("b").agg(sum("o").as("ct"))
+      val total = cells.agg(sum("o").cast("double").as("n_total"))
       cells.join(broadcast(rowT), "t").join(broadcast(colT), "b")
-        .withColumn("e", col("rt").cast("double") * col("ct") / lit(n))
+        .crossJoin(broadcast(total))
+        .withColumn("e", col("rt").cast("double") * col("ct") / col("n_total"))
         .withColumn("x2", pow(col("o") - col("e"), 2) / col("e"))
         .agg(count(lit(1)).as("n_cells"),
           ((count_distinct(col("t")) - 1) *
@@ -423,7 +426,14 @@ object EventQueries {
     // linear (equal-credit) multi-touch attribution — q_attr_first's
     // fractional sibling: every click in the purchase's 7-day lookback
     // gets 1/n_touch credit, summed by click day. One user_id join +
-    // one per-purchase window count; the fact stream is never collected
+    // one per-purchase window count; the fact stream is never collected.
+    // The credit sum is ORDER-PINNED: a raw float sum(1.0/n_touch) is
+    // partition-order-dependent, and at one data generation this day's
+    // total sat exactly on a round-half .xx5 boundary — the same query
+    // flipped 46.87/46.88 between two runs on identical data. Grouping
+    // to exact (day, n_touch) counts first and folding them in n_touch
+    // order makes the float adds a fixed sequence on any topology (the
+    // per-group count is integer-exact, so only the bounded fold floats).
     "q_attr_linear" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val p = ev.filter(col("event_type") === "purchase")
@@ -436,12 +446,20 @@ object EventQueries {
           col("c_us") > col("p_us") - lit(7L * 24 * 3600 * 1000000L))
         .withColumn("n_touch",
           count(lit(1)).over(Window.partitionBy("p_id")))
-      touches
         .withColumn("day", to_date(timestamp_micros(col("c_us"))))
+      val credit = touches
+        .groupBy("day", "n_touch").agg(count(lit(1)).as("g"))
         .groupBy("day")
-        .agg(round(sum(lit(1.0) / col("n_touch")), 2).as("credit"),
-          count_distinct(col("p_id")).as("n_purchases"),
+        .agg(round(aggregate(
+          array_sort(collect_list(struct(col("n_touch"), col("g")))),
+          lit(0.0),
+          (a, x) => a + x.getField("g").cast("double") / x.getField("n_touch")),
+          2).as("credit"))
+      val counts = touches.groupBy("day")
+        .agg(count_distinct(col("p_id")).as("n_purchases"),
           count(lit(1)).as("n_touches"))
+      credit.join(counts, Seq("day"))
+        .select("day", "credit", "n_purchases", "n_touches")
         .orderBy("day")
     }),
 
@@ -724,13 +742,17 @@ object EventQueries {
       val eps = 0.001
       val cms = ev.stat.countMinSketch("event_type", eps, 0.99, 42)
       val exact = ev.groupBy("event_type").agg(count(lit(1)).as("exact_n"))
-      val total = ev.count()
+      // N for the eps·N bound rides the |types|-row aggregate already
+      // computed — not a driver-side ev.count() second full scan
+      val total = exact.agg(sum("exact_n").as("n_total"))
       val types = exact.select("event_type").as[String].collect().toSeq
       val est = types.map(t => (t, cms.estimateCount(t))).toDF("event_type", "_est")
       exact.join(broadcast(est), Seq("event_type"))
+        .crossJoin(broadcast(total))
         .select(col("event_type"), col("exact_n"),
           (col("_est") >= col("exact_n") &&
-            col("_est") <= col("exact_n") + lit(math.ceil(eps * total).toLong))
+            col("_est") <= col("exact_n") +
+              ceil(lit(eps) * col("n_total")).cast("long"))
             .as("cms_ok"))
         .orderBy("event_type")
     }),
@@ -864,8 +886,6 @@ object EventQueries {
       val ev = Tables.events(s, d)
         .filter(col("event_type").isin("click", "purchase"))
         .select(col("event_type").as("g"), col("value"))
-      val na = ev.filter(col("g") === "click").count().toDouble
-      val nb = ev.filter(col("g") === "purchase").count().toDouble
       val byVal = ev.groupBy("value").agg(
         sum(when(col("g") === "click", 1L).otherwise(0L)).as("a"),
         sum(when(col("g") === "purchase", 1L).otherwise(0L)).as("b"))
@@ -873,8 +893,14 @@ object EventQueries {
       // distinct), so the ECDF prefix counts come from the distributed
       // two-phase cumsum, NOT a global Window (single-partition barrier);
       // long counts make the result bit-equal to the window form
-      graft.ops.Layout.globalCumSum(byVal, Seq("value"), Seq("a", "b"))
-        .agg(round(max(abs(col("a_cum") / na - col("b_cum") / nb)), 4)
+      val g = graft.ops.Layout.globalCumSum(byVal, Seq("value"), Seq("a", "b"))
+      // na/nb = the cumsums' final offsets (a_cum is nondecreasing, so
+      // max == total) off the checkpointed per-value table — NOT two
+      // driver-side filtered ev.count()s, each a full scan at 100 TB
+      val tot = g.agg(max("a_cum").cast("double").as("na"),
+        max("b_cum").cast("double").as("nb"))
+      g.crossJoin(broadcast(tot))
+        .agg(round(max(abs(col("a_cum") / col("na") - col("b_cum") / col("nb"))), 4)
           .as("ks_d"),
           sum(col("a") + col("b")).as("n_total"))
     }),
@@ -894,12 +920,18 @@ object EventQueries {
       val byVal = ev.groupBy("value").agg(
         sum(when(col("g") === "click", 1L).otherwise(0L)).as("ac"),
         count(lit(1)).as("cnt"))
-      val na = ev.filter(col("g") === "click").count().toDouble
-      graft.ops.Layout.globalCumSum(byVal, Seq("value"), Seq("cnt"))
-        .withColumn("r",
+      val g = graft.ops.Layout.globalCumSum(byVal, Seq("value"), Seq("cnt"))
+      // n_a from the per-value counts already aggregated (one narrow agg
+      // over the checkpointed table) — not a driver-side filtered
+      // ev.count() second scan; max(na) in the final agg reads the
+      // broadcast constant back out
+      val tot = g.agg(sum("ac").cast("double").as("na"))
+      g.withColumn("r",
           (col("cnt_cum") - col("cnt") + 1) + (col("cnt") - 1) / 2.0)
+        .crossJoin(broadcast(tot))
         .agg(round(sum(col("ac") * col("r")), 2).as("rank_sum_a"),
-          round(sum(col("ac") * col("r")) - lit(na * (na + 1) / 2), 2).as("u_a"),
+          round(sum(col("ac") * col("r")) -
+            max(col("na") * (col("na") + 1) / 2), 2).as("u_a"),
           sum("ac").as("n_a"))
     }),
 
@@ -917,9 +949,14 @@ object EventQueries {
         .as("e")).first().getSeq[Double](0)
       val bin = edges.foldLeft(lit(0)) { (acc, e) =>
         acc + when(col("value") > e, 1).otherwise(0) }
+      // each side's N = sum of its own bin counts via a window over the
+      // ≤10-bin aggregate (bounded domain, so the unpartitioned window
+      // is a 10-row frame, not a barrier) — not a driver-side df.count()
+      // that re-scans each side at 100 TB
       def dist(df: DataFrame, n: String) = df.withColumn("bin", bin)
-        .groupBy("bin").agg((count(lit(1)) /
-          lit(df.count().toDouble)).as(n))
+        .groupBy("bin").agg(count(lit(1)).as("_c"))
+        .select(col("bin"),
+          (col("_c") / sum("_c").over(Window.partitionBy()).cast("double")).as(n))
       dist(ref, "p").join(dist(cur, "q"), Seq("bin"))
         .agg(round(sum((col("p") - col("q")) *
           log(col("p") / col("q"))), 4).as("psi"),
@@ -1568,6 +1605,9 @@ object EventQueries {
       """SELECT event_type, count(*) AS exact_n, TRUE AS cms_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // credit fold replayed in the same pinned order: exact (day,n_touch)
+    // counts, then a left fold in n_touch order (list_reduce's init is
+    // the prepended 0.0 — the extra 0.0+first is float-exact)
     "q_attr_linear" ->
       """WITH p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us
         |  FROM events WHERE event_type = 'purchase'),
@@ -1576,11 +1616,19 @@ object EventQueries {
         |t AS (SELECT p.p_id, c.c_us,
         |   count(*) OVER (PARTITION BY p.p_id) AS n_touch
         |  FROM p JOIN c ON p.user_id = c.user_id
-        |  WHERE c.c_us <= p.p_us AND c.c_us > p.p_us - 604800000000)
-        |SELECT make_timestamp(c_us)::DATE AS day,
-        | round(sum(1.0 / n_touch), 2) AS credit,
-        | count(DISTINCT p_id) AS n_purchases, count(*) AS n_touches
-        |FROM t GROUP BY day ORDER BY day""".stripMargin,
+        |  WHERE c.c_us <= p.p_us AND c.c_us > p.p_us - 604800000000),
+        |td AS (SELECT make_timestamp(c_us)::DATE AS day, p_id, n_touch FROM t),
+        |grp AS (SELECT day, n_touch, count(*) AS g FROM td GROUP BY 1, 2),
+        |cr AS (SELECT day, round(list_reduce(
+        |    list_prepend(0.0::DOUBLE,
+        |      list(g::DOUBLE / n_touch ORDER BY n_touch)),
+        |    (a, x) -> a + x), 2) AS credit
+        |  FROM grp GROUP BY day),
+        |ct AS (SELECT day, count(DISTINCT p_id) AS n_purchases,
+        |    count(*) AS n_touches
+        |  FROM td GROUP BY day)
+        |SELECT cr.day, cr.credit, ct.n_purchases, ct.n_touches
+        |FROM cr JOIN ct USING (day) ORDER BY day""".stripMargin,
 
     "q_window_median" ->
       """SELECT user_id, event_id,

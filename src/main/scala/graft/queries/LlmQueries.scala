@@ -706,6 +706,46 @@ object LlmQueries {
         .select(col("q_id"), col("rnk"), col("n_id"), round(col("sim"), 4).as("sim"))
     }),
 
+    // IVFADC — the canonical large-corpus ANN serving composition: a
+    // COARSE k-means quantizer (raw-L2 Lloyd's, the same training mode
+    // PQ codebooks use) partitions the corpus into cells, the persisted
+    // inverted file holds PQ codes bucketed by cell, probes prune to
+    // nprobe cells (zero corpus-side Exchange) and L2-ADC scores the
+    // survivors (m array lookups per candidate). The MACRO-AVERAGED
+    // recall@5 of the cell-pruned top-k vs the FULL-scan ADC top-k (the
+    // exact baseline for the same compressed metric — isolating what the
+    // IVF pruning loses) is asserted IN the query (≥ 0.5; measured
+    // 0.72–0.84 across SFs — these synthetic embeddings are near-random,
+    // so cell structure is weak and per-query recall varies); the oracle
+    // replays coarse centroids + codebooks + cells and pins rows + flag.
+    "q_sim_ivfpq" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cb = Similarity.pqTrain(e, "vec_id", "embedding",
+        m = 4, k = 8, iters = 2)
+      val coarse = Similarity.kmeansFit(e, "vec_id", "embedding",
+        k = 8, iters = 2, cosine = false)
+      val tbl = "graft_ivfpq_idx_" + s.sparkContext.applicationId
+        .replaceAll("[^A-Za-z0-9_]", "_")
+      Similarity.ivfPqIndexBuild(e, "vec_id", "embedding", cb, coarse,
+        tableName = tbl, tableBuckets = 8)
+      val queries = e.filter(col("vec_id") < 5)
+      val ivfadc = Similarity.ivfPqProbe(s, tbl, queries,
+        "vec_id", "embedding", cb, coarse, k = 5, nprobe = 4)
+      val full = Similarity.pqTopKL2(queries,
+        Similarity.pqEncode(e, "embedding", cb), cb,
+        "vec_id", "embedding", "vec_id", "pq_code", k = 5)
+      val recall = ivfadc.select(col("q_id"), col("n_id"))
+        .join(full.select(col("q_id"), col("n_id")).withColumn("_hit", lit(1)),
+          Seq("q_id", "n_id"), "left")
+        .groupBy("q_id")
+        .agg((sum(coalesce(col("_hit"), lit(0))) / 5.0).as("_r"))
+        .agg(avg("_r").as("_recall"))
+      ivfadc.crossJoin(broadcast(recall))
+        .select(col("q_id"), col("rnk"), col("n_id"),
+          round(col("dist_adc"), 4).as("dist_r"),
+          (col("_recall") >= 0.5).as("recall_ok"))
+    }),
+
     "q_token_bpe" -> ((s, d) =>
       Tables.documents(s, d)
         .groupBy("lang")
@@ -1366,6 +1406,50 @@ object LlmQueries {
       sb.toString
     }.mkString(",\n")
 
+  /** The exact squared-L2 fold between two DuckDB lists, replaying the
+    * engine's left-to-right `0.0 + (x−y)² + …` accumulation (the
+    * [[graft.functions.ArrayL2Sq]] kernel / its HOF twin) — list_reduce
+    * with a prepended 0.0 init, per the list_reduce accumulator rule. */
+  private def l2FoldSql(a: String, b: String, n: Int): String =
+    s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, ${n + 1}),
+       |      i -> ($a[i::INT] - $b[i::INT]) * ($a[i::INT] - $b[i::INT]))),
+       |      (acc, x) -> acc + x)""".stripMargin
+
+  /** Unrolled COARSE raw-L2 k-means over the full vector `v(vec_id, vd)`
+    * — the IVFADC coarse quantizer, same idiom as [[pqSqlChain]]'s
+    * per-subspace loop (argmax of dot − |c|²/2, ties to the lower
+    * cluster; empty clusters keep their previous centroid). Produces
+    * `gc{iters}` (final centroids, cluster ids preserved) and `gaf`
+    * (final assignment of every corpus vector). */
+  private def coarseL2SqlChain(k: Int, iters: Int): String = {
+    val sb = new StringBuilder(
+      s"""gc0 AS (SELECT cluster, vd AS cv FROM (
+         |    SELECT vd, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cluster
+         |    FROM v) WHERE cluster < $k)""".stripMargin)
+    var prev = "gc0"
+    val assign = (alias: String, src: String) =>
+      s"""$alias AS (SELECT vec_id, vd, cluster FROM (
+         |    SELECT vec_id, vd, cluster,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, cluster) AS rn
+         |    FROM (SELECT n.vec_id, n.vd, c.cluster,
+         |            list_dot_product(n.vd, c.cv) - list_dot_product(c.cv, c.cv)/2 AS sc
+         |          FROM v n CROSS JOIN $src c)) WHERE rn = 1)""".stripMargin
+    for (i <- 1 to iters) {
+      sb.append(",\n").append(assign(s"ga$i", prev))
+      sb.append(s""",
+        |gc$i AS (SELECT p.cluster, COALESCE(nl.cv, p.cv) AS cv
+        |  FROM $prev p LEFT JOIN (
+        |    SELECT cluster, list(m ORDER BY pos) AS cv FROM (
+        |      SELECT cluster, pos, avg(x) AS m FROM (
+        |        SELECT cluster, unnest(vd) AS x, generate_subscripts(vd,1) AS pos FROM ga$i)
+        |      GROUP BY cluster, pos) GROUP BY cluster) nl
+        |  ON p.cluster = nl.cluster)""".stripMargin)
+      prev = s"gc$i"
+    }
+    sb.append(",\n").append(assign("gaf", prev))
+    sb.toString
+  }
+
   /** XXH64 (Spark's xxhash64, seed 42) replayed in DuckDB SQL for the
     * short-input path (len ≤ 31 bytes — covers this corpus's whole token
     * alphabet with 4× headroom; ≥ 32 bytes would need the 4-accumulator
@@ -1929,6 +2013,54 @@ object LlmQueries {
     // sign bit), so the whole probe→candidate→re-rank path has an exact
     // DuckDB twin — corpus takes its top cell, queries probe top-6.
     "q_sim_ivf" -> ivfTopKOracleSql,
+
+    // IVFADC: replayed PQ codebooks (pqSqlChain) + a replayed COARSE
+    // raw-L2 k-means (same unrolled-Lloyd's idiom as q_kmeans, k=8,
+    // iters=2) for the cells; L2-ADC distances as the exact per-element
+    // (x−y)² left fold; per-query recall flag vs the full-scan ADC top-k
+    "q_sim_ivfpq" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vd, label FROM embeddings),
+         |${pqSqlChain(4, 8, 16, 2)},
+         |${coarseL2SqlChain(8, 2)},
+         |ccell AS (SELECT vec_id AS n_id, cluster AS cell FROM gaf),
+         |qpc AS (SELECT vec_id AS q_id, cluster AS cell FROM (
+         |    SELECT n.vec_id, c.cluster,
+         |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |        list_dot_product(n.vd, c.cv) - list_dot_product(c.cv, c.cv)/2 DESC,
+         |        c.cluster) AS rn
+         |    FROM (SELECT vec_id, vd FROM v WHERE vec_id < 5) n CROSS JOIN gc2 c)
+         |  WHERE rn <= 4),
+         |adc AS (
+         |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         |    ${(0 until 4).map(s => l2FoldSql(s"qs$s.sub", s"b$s.cv", 16))
+                 .mkString("\n     + ")} AS dist_adc
+         |  FROM (SELECT vec_id FROM v WHERE vec_id < 5) q
+         |  JOIN sv0 qs0 ON q.vec_id = qs0.vec_id
+         |  JOIN sv1 qs1 ON q.vec_id = qs1.vec_id
+         |  JOIN sv2 qs2 ON q.vec_id = qs2.vec_id
+         |  JOIN sv3 qs3 ON q.vec_id = qs3.vec_id
+         |  CROSS JOIN v n
+         |  JOIN code0 ON n.vec_id = code0.vec_id JOIN cb0 b0 ON code0.ci = b0.ci
+         |  JOIN code1 ON n.vec_id = code1.vec_id JOIN cb1 b1 ON code1.ci = b1.ci
+         |  JOIN code2 ON n.vec_id = code2.vec_id JOIN cb2 b2 ON code2.ci = b2.ci
+         |  JOIN code3 ON n.vec_id = code3.vec_id JOIN cb3 b3 ON code3.ci = b3.ci),
+         |rfull AS (SELECT q_id, n_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY dist_adc ASC, n_id) AS rnk
+         |  FROM adc),
+         |topfull AS (SELECT q_id, n_id FROM rfull WHERE rnk <= 5),
+         |rivf AS (SELECT a.q_id, a.n_id, a.dist_adc,
+         |    row_number() OVER (PARTITION BY a.q_id ORDER BY a.dist_adc ASC, a.n_id) AS rnk
+         |  FROM adc a JOIN qpc ON a.q_id = qpc.q_id
+         |             JOIN ccell ON a.n_id = ccell.n_id AND qpc.cell = ccell.cell),
+         |topivf AS (SELECT q_id, rnk, n_id, dist_adc FROM rivf WHERE rnk <= 5),
+         |rec AS (SELECT avg(r) AS recall FROM (
+         |  SELECT t.q_id, count(m.n_id) / 5.0 AS r
+         |  FROM topivf t LEFT JOIN topfull m
+         |    ON t.q_id = m.q_id AND t.n_id = m.n_id
+         |  GROUP BY t.q_id))
+         |SELECT t.q_id, t.rnk, t.n_id, round(t.dist_adc, 4) AS dist_r,
+         |  rec.recall >= 0.5 AS recall_ok
+         |FROM topivf t CROSS JOIN rec""".stripMargin,
 
     // identical result multiset by construction (layout change only)
     "q_sim_ivf_persisted" -> ivfTopKOracleSql,

@@ -239,6 +239,30 @@ object RelationalQueries {
           (col("us") - col("rus")).as("gap_us"))
     }),
 
+    // MULTI-key as-of through the custom operator: the as-of group is the
+    // COMPOSITE (user_id, event_type) — same user, different type must
+    // NOT match. Probes are odd event_ids, anchors even, so the match is
+    // non-degenerate (a probe is never its own anchor). AsofMergeJoinExec
+    // is Seq-keyed end to end (clustered distribution + (k1,k2,ts) sort +
+    // composite-row merge compare); DuckDB twin: native multi-key
+    // ASOF LEFT JOIN.
+    "q_join_asof_multi" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val probes = ev.filter(col("event_id") % 2 === 1)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val anchors = ev.filter(col("event_id") % 2 === 0)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("rus"), col("event_id"))
+        .groupBy("user_id", "event_type", "rus")
+        .agg(max("event_id").as("anchor_id"))
+      graft.ops.TemporalJoins.asofJoinMergedKeys(probes, anchors,
+          keys = Seq("user_id", "event_type"), leftTs = "us", rightTs = "rus",
+          payload = Seq("anchor_id", "rus"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("anchor_id"), (col("us") - col("rus")).as("gap_us"))
+    }),
+
     // interval-range join: events falling inside [purchase, purchase+30m]
     // windows of the same user (graft.ops.TemporalJoins.rangeJoin —
     // bucketed equi-join, each pair produced exactly once, never the
@@ -1780,6 +1804,21 @@ object RelationalQueries {
 
     // custom physical operator, same contract — shared oracle
     "q_join_asof_exec" -> asofOracleSql,
+
+    // composite-key as-of on the custom operator — DuckDB's native
+    // multi-condition ASOF LEFT JOIN is the twin
+    "q_join_asof_multi" ->
+      """WITH r AS (SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS rus,
+        |  max(event_id) AS anchor_id
+        | FROM events WHERE event_id % 2 = 0 GROUP BY 1, 2, 3),
+        |l AS (SELECT event_id, user_id, event_type,
+        |  epoch_us(ts::TIMESTAMP) AS us
+        | FROM events WHERE event_id % 2 = 1)
+        |SELECT l.event_id, l.user_id, l.event_type, r.anchor_id,
+        |  l.us - r.rus AS gap_us
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.event_type = r.event_type
+        |  AND l.us >= r.rus""".stripMargin,
 
     "q_join_range" ->
       """WITH p AS (SELECT event_id, event_type, user_id,

@@ -778,4 +778,34 @@ class DedupSimilaritySpec extends SparkSpec {
       .select("vec_id", "proj")
     assert(p.select("vec_id", "proj").except(p2).isEmpty)
   }
+
+  test("IVFADC: probing ALL cells recovers the full ADC scan exactly; fewer cells nest") {
+    val e = Tables.embeddings(spark, sf)
+    val cb = Similarity.pqTrain(e, "vec_id", "embedding", m = 4, k = 8, iters = 2)
+    val coarse = Similarity.kmeansFit(e, "vec_id", "embedding",
+      k = 4, iters = 2, cosine = false)
+    val tbl = "ivfpq_spec_" + System.nanoTime()
+    Similarity.ivfPqIndexBuild(e, "vec_id", "embedding", cb, coarse, tbl,
+      tableBuckets = 4)
+    val queries = e.filter(col("vec_id") < 3)
+    val full = Similarity.pqTopKL2(queries,
+      Similarity.pqEncode(e, "embedding", cb), cb,
+      "vec_id", "embedding", "vec_id", "pq_code", k = 4)
+    // nprobe = k (all cells): the cell partition is exhaustive, so the
+    // pruned search IS the full scan — row-for-row, scores included
+    val all = Similarity.ivfPqProbe(spark, tbl, queries,
+      "vec_id", "embedding", cb, coarse, k = 4, nprobe = 4)
+    assert(all.exceptAll(full).isEmpty && full.exceptAll(all).isEmpty,
+      "nprobe=k must equal the exhaustive ADC scan exactly")
+    // fewer probes return a subset of candidates: every reported
+    // neighbor must also appear in the nprobe=k candidate ranking with
+    // a distance no better than its own rank position allows
+    val two = Similarity.ivfPqProbe(spark, tbl, queries,
+      "vec_id", "embedding", cb, coarse, k = 4, nprobe = 2)
+    val pairs = two.select("q_id", "n_id", "dist_adc")
+    assert(pairs.join(full.select(col("q_id"), col("n_id"), col("dist_adc").as("d2")),
+        Seq("q_id", "n_id"))
+      .filter(col("dist_adc") =!= col("d2")).isEmpty,
+      "shared (q,n) pairs must carry identical ADC distances")
+  }
 }
