@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Scale-sensitivity proof harness (r11): runs the heavy operator family
+  * at every scale dir given on the command line (default the three
+  * driver SFs + /tmp/sf1 from tools/gen_sf1.py), reporting min-of-2
+  * seconds per (query, sf) and the FINAL (post-AQE) physical plan
+  * signature — the sequence of operator node names with exprIds, stats,
+  * and codegen stage ids stripped. A signature that changes between SFs
+  * is exactly the regression the 100 TB claims need to rule out (e.g. a
+  * broadcast join silently flipping to sort-merge once a side outgrows
+  * the threshold); the harness prints PLAN_OK/PLAN_DIFF per query
+  * against the smallest SF's signature and exits nonzero on any diff
+  * among the pinned set.
+  *
+  * Usage: sbt "runMain graft.ScaleProof [dir ...]"
+  */
+object ScaleProof {
+  // timed at every SF; the first five are the plan-pinned heavy set
+  val pinned: Seq[String] = Seq(
+    "q_dedup_minhash", "q_sim_lsh_persisted", "q_join_asof_exec",
+    "q_triangle_count", "q_label_prop")
+  val timedOnly: Seq[String] = Seq("q_bpe_train")
+
+  /** Final physical plan as a normalized operator-sequence signature. */
+  def signature(df: DataFrame): String = {
+    def finalPlan(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    def walk(p: SparkPlan): Seq[String] = {
+      val here = finalPlan(p)
+      val name = here.nodeName
+        .replaceAll("\\(\\d+\\)", "") // WholeStageCodegen (3) → stable
+      name +: here.children.flatMap(c => walk(c))
+    }
+    walk(df.queryExecution.executedPlan)
+      .filterNot(n => n == "ReusedExchange" || n == "InputAdapter" ||
+        n == "AQEShuffleRead") // runtime artifacts, not plan strategy
+      .mkString(">")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1", "/tmp/sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = Sessions.builder(s"local[$cpus]", cpus.toInt)
+      .appName("graft-scaleproof").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sigs = collection.mutable.Map[String, String]() // query → first-SF sig
+    var planDiffs = 0
+    for (name <- pinned ++ timedOnly) {
+      val fn = SparkEntry.queries(name)
+      val times = dirs.map { d =>
+        def rep(): Double = {
+          val t0 = System.nanoTime()
+          fn(spark, d).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        rep() // warmup (JIT + page cache at this SF)
+        val t = math.min(rep(), rep())
+        if (pinned.contains(name)) {
+          // execute the SAME QueryExecution so AQE finalizes in place,
+          // then read the final plan's signature off it
+          val dfSig = fn(spark, d)
+          dfSig.foreach(_ => ())
+          val sig = signature(dfSig)
+          sigs.get(name) match {
+            case None => sigs(name) = sig
+            case Some(base) if base == sig =>
+              System.err.println(s"[scaleproof] PLAN_OK $name at $d")
+            case Some(base) =>
+              planDiffs += 1
+              System.err.println(s"[scaleproof] PLAN_DIFF $name at $d\n  base: $base\n  here: $sig")
+          }
+        }
+        f"$t%.2f"
+      }
+      println(s"""SCALE $name ${dirs.zip(times).map { case (d, t) => s"${d.split('/').last}=$t" }.mkString(" ")}""")
+    }
+    println(s"SCALE plan_diffs=$planDiffs")
+    spark.stop()
+    if (planDiffs > 0) sys.exit(1)
+  }
+}

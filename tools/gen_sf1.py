@@ -1,0 +1,134 @@
+#!/usr/bin/env python3
+"""Deterministic sf1 generator for the scale-proof runs (r11).
+
+The driver owns /root/testdata (read-only, sf <= 0.1). For the 10x
+scale-sensitivity evidence we synthesize sf1 into /tmp/sf1 from sf0.1 by
+replicating each table 10x with disjoint key spaces — the realistic
+growth axis (10x users / docs / vectors, per-entity density unchanged):
+
+- events:     event_id + r*100000, ts + r*30 days; user/type/value/props
+              unchanged — 10x LONGER HISTORY for the same user
+              population, the linear growth axis. (A 10x-users-same-
+              window replica was tried first and rejected: it densifies
+              every (hour, type) co-occurrence basket 10x, which grows
+              the derived graph EDGE SET ~100x — q_triangle_count's
+              input went superlinear by construction and spilled 20 GB
+              at sf1. Longer history keeps per-basket density fixed, so
+              event-derived inputs scale like the fact table itself;
+              the co-occurrence graph then saturates toward the
+              user-population bound, which ScaleProof reports alongside
+              the timings.)
+- documents:  doc_id + r*5000; for r>0 the token sequence is permuted by
+              a per-(replica,doc) seeded shuffle — token MULTISET (and so
+              tokenization/BPE work) is preserved, while cross-replica
+              shingle overlap drops to noise so near-dup clusters do not
+              artificially grow 10x (which would square the candidate
+              pair counts and make minhash look superlinear).
+- embeddings: vec_id + r*2000; for r>0 each vector gets a deterministic
+              N(0, 0.05) perturbation — distinct vectors with the same
+              distributional shape (exact copies would degenerate LSH
+              buckets into 10x-deep duplicate stacks).
+
+Everything is seeded: same inputs -> bit-identical /tmp/sf1.
+"""
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+DST = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+R = 10
+
+import os
+
+os.makedirs(DST, exist_ok=True)
+
+# ---- events -----------------------------------------------------------
+t = pq.read_table(f"{SRC}/events.parquet")
+ts_us = pa.compute.cast(t["ts"], pa.int64())
+parts = []
+for r in range(R):
+    shifted = pa.compute.add(ts_us, r * 30 * 86400 * 1000000)
+    parts.append(
+        pa.table(
+            {
+                "event_id": pa.compute.add(t["event_id"], r * 100000),
+                "ts": pa.compute.cast(shifted, pa.timestamp("us")),
+                "user_id": t["user_id"],
+                "event_type": t["event_type"],
+                "value": t["value"],
+                "props": t["props"],
+            }
+        )
+    )
+ev = pa.concat_tables(parts)
+pq.write_table(ev, f"{DST}/events.parquet")
+print("events", ev.num_rows)
+
+# ---- documents --------------------------------------------------------
+t = pq.read_table(f"{SRC}/documents.parquet")
+doc_ids = t["doc_id"].to_pylist()
+texts = t["text"].to_pylist()
+langs = t["lang"].to_pylist()
+sources = t["source"].to_pylist()
+out = {"doc_id": [], "text": [], "lang": [], "source": [], "n_chars": []}
+for r in range(R):
+    for i, (d, txt) in enumerate(zip(doc_ids, texts)):
+        if r == 0:
+            new = txt
+        else:
+            toks = txt.split(" ")
+            rng = np.random.RandomState((42 + r * 1000003 + d) % (2**31))
+            rng.shuffle(toks)
+            new = " ".join(toks)
+        out["doc_id"].append(d + r * 5000)
+        out["text"].append(new)
+        out["lang"].append(langs[i])
+        out["source"].append(sources[i])
+        out["n_chars"].append(len(new))
+docs = pa.table(
+    {
+        "doc_id": pa.array(out["doc_id"], pa.int64()),
+        "text": pa.array(out["text"], pa.string()),
+        "lang": pa.array(out["lang"], pa.string()),
+        "source": pa.array(out["source"], pa.string()),
+        "n_chars": pa.array(out["n_chars"], pa.int64()),
+    }
+)
+pq.write_table(docs, f"{DST}/documents.parquet")
+print("documents", docs.num_rows)
+
+# ---- embeddings -------------------------------------------------------
+t = pq.read_table(f"{SRC}/embeddings.parquet")
+vec_ids = t["vec_id"].to_pylist()
+embs = np.array(t["embedding"].to_pylist(), dtype=np.float32)
+labels = t["label"].to_pylist()
+ids, vecs, labs = [], [], []
+for r in range(R):
+    rng = np.random.RandomState(42 + r)
+    noise = (
+        np.zeros_like(embs)
+        if r == 0
+        else rng.normal(0, 0.05, embs.shape).astype(np.float32)
+    )
+    ids.extend(v + r * 2000 for v in vec_ids)
+    vecs.extend((embs + noise).tolist())
+    labs.extend(labels)
+emb = pa.table(
+    {
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array(labs, pa.int32()),
+    }
+)
+pq.write_table(emb, f"{DST}/embeddings.parquet")
+print("embeddings", emb.num_rows)
+
+# ---- small dims copied verbatim (loaders expect the files) ------------
+import shutil
+
+for name in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]:
+    shutil.copy(f"{SRC}/{name}.parquet", f"{DST}/{name}.parquet")
+    print(name, "copied (sf0.1 verbatim — not used by the sf1 heavy set)")
