@@ -297,6 +297,119 @@ object Similarity {
     transform(slice(sorted, 1, nprobe), s => s("j"))
   }
 
+  /** `v − c[cell]`: the residual of a vector against its coarse
+    * centroid, with the centroid matrix riding as a 2-D literal indexed
+    * by the (computed) cell column. */
+  private def residualCol(vec: Column, cellCol: Column,
+      cents: Array[Seq[Double]]): Column = {
+    val centsLit = typedLit(cents.map(_.toIndexedSeq).toIndexedSeq)
+    zip_with(transform(vec, _.cast("double")),
+      element_at(centsLit, cellCol + 1), (x, c) => x - c)
+  }
+
+  /** Cell assignment under the raw-L2 coarse quantizer — the
+    * [[graft.functions.CentroidArgmax]] codegen kernel. */
+  private def coarseCell(vec: Column, cents: Array[Seq[Double]]): Column =
+    call_function("graft_centroid_argmax",
+      transform(vec, _.cast("double")),
+      typedLit(cents.flatten.toIndexedSeq),
+      typedLit(centroidBias(cents, cosine = false).toIndexedSeq))
+
+  /** RESIDUAL IVFADC index build — the canonical (FAISS-style) refinement
+    * of [[ivfPqIndexBuild]]: PQ codebooks are trained on, and codes
+    * encode, the RESIDUAL `x − c[cell(x)]` instead of the raw vector.
+    * Residual magnitudes are much smaller than vector magnitudes once the
+    * coarse quantizer has soaked up the cell mean, so the same m×k code
+    * budget spends its resolution on the part that actually
+    * differentiates neighbors within a cell — better ADC fidelity at
+    * identical index bytes. Returns the trained residual codebooks (the
+    * probe needs them); rows (cell, n_id, pq_code) bucketed by cell as
+    * before. */
+  def ivfPqResidualIndexBuild(corpus: DataFrame, idCol: String,
+      vecCol: String, coarseCents: Array[Seq[Double]], m: Int, k: Int,
+      iters: Int, tableName: String,
+      tableBuckets: Int = 32): Array[Array[Seq[Double]]] = {
+    val withRes = corpus
+      .withColumn("_cell", coarseCell(col(vecCol), coarseCents))
+      .withColumn("_res", residualCol(col(vecCol), col("_cell"), coarseCents))
+    val codebooks = pqTrain(withRes, idCol, "_res", m, k, iters)
+    val coded = pqEncode(withRes, "_res", codebooks)
+      .select(col(idCol).as("n_id"), col("pq_code"), col("_cell").as("cell"))
+    Bucketing.writeBucketed(coded, tableName, "cell", tableBuckets)
+    codebooks
+  }
+
+  /** The L2 ADC table over an arbitrary residual COLUMN (vs
+    * [[adcL2Tables]]' named raw column): element j = squared L2 from the
+    * residual's j-th subvector to each codeword, same left-to-right
+    * (x−y)² fold. */
+  private def adcL2TablesOf(res: Column,
+      codebooks: Array[Array[Seq[Double]]]): Column = {
+    val m = codebooks.length
+    val dim = codebooks.map(_.head.length).sum
+    val sub = dim / m
+    array((0 until m).map { j =>
+      val cbLit = typedLit(codebooks(j).map(_.toIndexedSeq).toIndexedSeq)
+      val subV = slice(res, j * sub + 1, sub)
+      transform(cbLit, c => aggregate(zip_with(subV, c, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (a, x) => a + x))
+    }: _*)
+  }
+
+  /** RESIDUAL IVFADC probe: the query explodes to its nprobe coarse
+    * cells and carries a PER-CELL ADC table — distances are between the
+    * query's residual against THAT cell and the candidate's residual
+    * codewords, i.e. |（q−c) − pq(x−c)|² ≈ |q−x|². Same plan shape as
+    * [[ivfPqProbe]] (bucketed inverted file, zero corpus-side Exchange,
+    * WindowGroupLimit top-k); the query side just computes nprobe m×k
+    * tables instead of one. Output: (q_id, rnk, n_id, dist_adc). */
+  def ivfPqResidualProbe(spark: SparkSession, tableName: String,
+      queries: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Seq[Double]]], coarseCents: Array[Seq[Double]],
+      k: Int, nprobe: Int = 3): DataFrame = {
+    val q = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("_qv"),
+        explode(coarseProbeCells(col(vecCol), coarseCents, nprobe)).as("cell"))
+      .withColumn("_tab", adcL2TablesOf(
+        residualCol(col("_qv"), col("cell"), coarseCents), codebooks))
+      .drop("_qv")
+    val scored = spark.table(tableName).join(q.hint("shuffle_merge"), "cell")
+      .withColumn("dist_adc", adcL2Dist(codebooks.length, "pq_code"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("dist_adc").asc, col("n_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "n_id", "dist_adc")
+  }
+
+  /** Exhaustive residual-ADC top-k — [[ivfPqResidualProbe]]'s recall
+    * baseline: EVERY corpus code is scored against the query residual
+    * for the candidate's OWN cell (the per-cell tables are
+    * k_coarse·m·k doubles per query — bounded literals' worth of work,
+    * computed once per query row and broadcast). */
+  def pqResidualTopKL2(queries: DataFrame, corpusCodes: DataFrame,
+      codebooks: Array[Array[Seq[Double]]], coarseCents: Array[Seq[Double]],
+      idCol: String, vecCol: String, codeIdCol: String, codeCol: String,
+      cellCol: String, k: Int): DataFrame = {
+    val nCells = coarseCents.length
+    // tabs[cell][subspace][codeword] for every coarse cell
+    val tabs = array((0 until nCells).map { cell =>
+      adcL2TablesOf(residualCol(col(vecCol), lit(cell), coarseCents), codebooks)
+    }: _*)
+    val q = queries.select(col(idCol).as("q_id"), tabs.as("_tabs"))
+    val scored = corpusCodes
+      .select(col(codeIdCol).as("n_id"), col(codeCol).as("_code"),
+        col(cellCol).as("_cell"))
+      .crossJoin(broadcast(q))
+      .withColumn("_tab", element_at(col("_tabs"), col("_cell") + 1))
+      .withColumn("dist_adc", adcL2Dist(codebooks.length, "_code"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("dist_adc").asc, col("n_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "n_id", "dist_adc")
+  }
+
   /** IVFADC index build — the canonical large-corpus ANN serving shape,
     * composing structures this file already owns: a COARSE k-means
     * quantizer (raw-L2 [[kmeans]] centroids, the same codebook-training

@@ -746,6 +746,40 @@ object LlmQueries {
           (col("_recall") >= 0.5).as("recall_ok"))
     }),
 
+    // RESIDUAL IVFADC — the canonical FAISS-style refinement: PQ
+    // codebooks trained on and codes encoding the residual x − c[cell],
+    // so the m×k budget spends its resolution inside the cell (spec pins
+    // the reconstruction-error win vs raw codes at equal budget, and
+    // all-cells probe ≡ exhaustive residual scan). Probe carries one ADC
+    // table per probed cell (|q−c| residual vs codewords); same
+    // zero-corpus-Exchange bucketed plan as q_sim_ivfpq. Macro recall@5
+    // vs the exhaustive residual-ADC scan asserted in-query; the oracle
+    // replays coarse Lloyd's, residuals, codebooks, and the exact folds.
+    "q_sim_ivfpq_res" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val coarse = Similarity.kmeansFit(e, "vec_id", "embedding",
+        k = 8, iters = 2, cosine = false)
+      val tbl = "graft_ivfpqres_idx_" + s.sparkContext.applicationId
+        .replaceAll("[^A-Za-z0-9_]", "_")
+      val cb = Similarity.ivfPqResidualIndexBuild(e, "vec_id", "embedding",
+        coarse, m = 4, k = 8, iters = 2, tableName = tbl, tableBuckets = 8)
+      val queries = e.filter(col("vec_id") < 5)
+      val ivfadc = Similarity.ivfPqResidualProbe(s, tbl, queries,
+        "vec_id", "embedding", cb, coarse, k = 5, nprobe = 4)
+      val full = Similarity.pqResidualTopKL2(queries, s.table(tbl), cb,
+        coarse, "vec_id", "embedding", "n_id", "pq_code", "cell", k = 5)
+      val recall = ivfadc.select(col("q_id"), col("n_id"))
+        .join(full.select(col("q_id"), col("n_id")).withColumn("_hit", lit(1)),
+          Seq("q_id", "n_id"), "left")
+        .groupBy("q_id")
+        .agg((sum(coalesce(col("_hit"), lit(0))) / 5.0).as("_r"))
+        .agg(avg("_r").as("_recall"))
+      ivfadc.crossJoin(broadcast(recall))
+        .select(col("q_id"), col("rnk"), col("n_id"),
+          round(col("dist_adc"), 4).as("dist_r"),
+          (col("_recall") >= 0.5).as("recall_ok"))
+    }),
+
     "q_token_bpe" -> ((s, d) =>
       Tables.documents(s, d)
         .groupBy("lang")
@@ -1415,17 +1449,18 @@ object LlmQueries {
        |      i -> ($a[i::INT] - $b[i::INT]) * ($a[i::INT] - $b[i::INT]))),
        |      (acc, x) -> acc + x)""".stripMargin
 
-  /** Unrolled COARSE raw-L2 k-means over the full vector `v(vec_id, vd)`
-    * — the IVFADC coarse quantizer, same idiom as [[pqSqlChain]]'s
-    * per-subspace loop (argmax of dot − |c|²/2, ties to the lower
-    * cluster; empty clusters keep their previous centroid). Produces
-    * `gc{iters}` (final centroids, cluster ids preserved) and `gaf`
-    * (final assignment of every corpus vector). */
-  private def coarseL2SqlChain(k: Int, iters: Int): String = {
+  /** Unrolled COARSE raw-L2 k-means over the full vector
+    * `srcTbl(vec_id, vd)` — the IVFADC coarse quantizer, same idiom as
+    * [[pqSqlChain]]'s per-subspace loop (argmax of dot − |c|²/2, ties to
+    * the lower cluster; empty clusters keep their previous centroid).
+    * Produces `gc{iters}` (final centroids, cluster ids preserved) and
+    * `gaf` (final assignment of every corpus vector). */
+  private def coarseL2SqlChain(k: Int, iters: Int,
+      srcTbl: String = "v"): String = {
     val sb = new StringBuilder(
       s"""gc0 AS (SELECT cluster, vd AS cv FROM (
          |    SELECT vd, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cluster
-         |    FROM v) WHERE cluster < $k)""".stripMargin)
+         |    FROM $srcTbl) WHERE cluster < $k)""".stripMargin)
     var prev = "gc0"
     val assign = (alias: String, src: String) =>
       s"""$alias AS (SELECT vec_id, vd, cluster FROM (
@@ -1433,7 +1468,7 @@ object LlmQueries {
          |      row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, cluster) AS rn
          |    FROM (SELECT n.vec_id, n.vd, c.cluster,
          |            list_dot_product(n.vd, c.cv) - list_dot_product(c.cv, c.cv)/2 AS sc
-         |          FROM v n CROSS JOIN $src c)) WHERE rn = 1)""".stripMargin
+         |          FROM $srcTbl n CROSS JOIN $src c)) WHERE rn = 1)""".stripMargin
     for (i <- 1 to iters) {
       sb.append(",\n").append(assign(s"ga$i", prev))
       sb.append(s""",
@@ -2052,6 +2087,59 @@ object LlmQueries {
          |    row_number() OVER (PARTITION BY a.q_id ORDER BY a.dist_adc ASC, a.n_id) AS rnk
          |  FROM adc a JOIN qpc ON a.q_id = qpc.q_id
          |             JOIN ccell ON a.n_id = ccell.n_id AND qpc.cell = ccell.cell),
+         |topivf AS (SELECT q_id, rnk, n_id, dist_adc FROM rivf WHERE rnk <= 5),
+         |rec AS (SELECT avg(r) AS recall FROM (
+         |  SELECT t.q_id, count(m.n_id) / 5.0 AS r
+         |  FROM topivf t LEFT JOIN topfull m
+         |    ON t.q_id = m.q_id AND t.n_id = m.n_id
+         |  GROUP BY t.q_id))
+         |SELECT t.q_id, t.rnk, t.n_id, round(t.dist_adc, 4) AS dist_r,
+         |  rec.recall >= 0.5 AS recall_ok
+         |FROM topivf t CROSS JOIN rec""".stripMargin,
+
+    // RESIDUAL IVFADC: coarse chain over the RAW table `vr`, residuals
+    // (x − c[cell]) become the `v` that pqSqlChain trains/encodes, ADC
+    // distances pair the query's per-cell residual subvectors with the
+    // candidate's codewords; per-query recall vs the exhaustive
+    // residual-ADC scan, macro-averaged
+    "q_sim_ivfpq_res" ->
+      s"""WITH vr AS (SELECT vec_id, embedding::DOUBLE[] AS vd, label FROM embeddings),
+         |${coarseL2SqlChain(8, 2, "vr")},
+         |v AS (SELECT g.vec_id,
+         |    list_transform(range(1, 65), i -> g.vd[i::INT] - c.cv[i::INT]) AS vd,
+         |    NULL AS label
+         |  FROM gaf g JOIN gc2 c ON g.cluster = c.cluster),
+         |${pqSqlChain(4, 8, 16, 2)},
+         |ccell AS (SELECT vec_id AS n_id, cluster AS cell FROM gaf),
+         |qpc AS (SELECT vec_id AS q_id, cluster AS cell FROM (
+         |    SELECT n.vec_id, c.cluster,
+         |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |        list_dot_product(n.vd, c.cv) - list_dot_product(c.cv, c.cv)/2 DESC,
+         |        c.cluster) AS rn
+         |    FROM (SELECT vec_id, vd FROM vr WHERE vec_id < 5) n CROSS JOIN gc2 c)
+         |  WHERE rn <= 4),
+         |qres AS (SELECT q.vec_id AS q_id, c.cluster AS cell,
+         |    list_transform(range(1, 65), i -> q.vd[i::INT] - c.cv[i::INT]) AS qr
+         |  FROM (SELECT vec_id, vd FROM vr WHERE vec_id < 5) q CROSS JOIN gc2 c),
+         |qsub AS (SELECT q_id, cell, qr[1:16] AS s0, qr[17:32] AS s1,
+         |    qr[33:48] AS s2, qr[49:64] AS s3 FROM qres),
+         |adc AS (
+         |  SELECT qs.q_id, n.n_id, qs.cell,
+         |    ${(0 until 4).map(s => l2FoldSql(s"qs.s$s", s"b$s.cv", 16))
+                 .mkString("\n     + ")} AS dist_adc
+         |  FROM ccell n
+         |  JOIN qsub qs ON qs.cell = n.cell
+         |  JOIN code0 ON n.n_id = code0.vec_id JOIN cb0 b0 ON code0.ci = b0.ci
+         |  JOIN code1 ON n.n_id = code1.vec_id JOIN cb1 b1 ON code1.ci = b1.ci
+         |  JOIN code2 ON n.n_id = code2.vec_id JOIN cb2 b2 ON code2.ci = b2.ci
+         |  JOIN code3 ON n.n_id = code3.vec_id JOIN cb3 b3 ON code3.ci = b3.ci),
+         |rfull AS (SELECT q_id, n_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY dist_adc ASC, n_id) AS rnk
+         |  FROM adc),
+         |topfull AS (SELECT q_id, n_id FROM rfull WHERE rnk <= 5),
+         |rivf AS (SELECT a.q_id, a.n_id, a.dist_adc,
+         |    row_number() OVER (PARTITION BY a.q_id ORDER BY a.dist_adc ASC, a.n_id) AS rnk
+         |  FROM adc a JOIN qpc ON a.q_id = qpc.q_id AND a.cell = qpc.cell),
          |topivf AS (SELECT q_id, rnk, n_id, dist_adc FROM rivf WHERE rnk <= 5),
          |rec AS (SELECT avg(r) AS recall FROM (
          |  SELECT t.q_id, count(m.n_id) / 5.0 AS r

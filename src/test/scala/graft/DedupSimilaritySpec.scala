@@ -808,4 +808,47 @@ class DedupSimilaritySpec extends SparkSpec {
       .filter(col("dist_adc") =!= col("d2")).isEmpty,
       "shared (q,n) pairs must carry identical ADC distances")
   }
+
+  test("residual IVFADC: all-cells probe == exhaustive residual scan; fidelity beats raw-PQ") {
+    val e = Tables.embeddings(spark, sf)
+    val coarse = Similarity.kmeansFit(e, "vec_id", "embedding",
+      k = 4, iters = 2, cosine = false)
+    val tbl = "ivfpqres_spec_" + System.nanoTime()
+    val cb = Similarity.ivfPqResidualIndexBuild(e, "vec_id", "embedding",
+      coarse, m = 4, k = 8, iters = 2, tableName = tbl, tableBuckets = 4)
+    val queries = e.filter(col("vec_id") < 3)
+    val corpusCodes = spark.table(tbl)
+    val full = Similarity.pqResidualTopKL2(queries, corpusCodes, cb, coarse,
+      "vec_id", "embedding", "n_id", "pq_code", "cell", k = 4)
+    val all = Similarity.ivfPqResidualProbe(spark, tbl, queries,
+      "vec_id", "embedding", cb, coarse, k = 4, nprobe = 4)
+    assert(all.exceptAll(full).isEmpty && full.exceptAll(all).isEmpty,
+      "nprobe=k must equal the exhaustive residual-ADC scan exactly")
+    // residual codes must reconstruct better than raw-vector codes at
+    // the same (m, k) budget — THE reason residual IVFADC exists: mean
+    // squared reconstruction error via decode on each representation
+    import graft.functions.VectorFunctions.l2sqD
+    val rawCb = Similarity.pqTrain(e, "vec_id", "embedding", m = 4, k = 8, iters = 2)
+    val rawErr = Similarity.pqDecode(
+        Similarity.pqEncode(e, "embedding", rawCb), rawCb)
+      .select(l2sqD(col("embedding"), col("pq_vec")).as("err"))
+      .agg(avg("err")).collect()(0).getDouble(0)
+    val centsLit = typedLit(coarse.map(_.toIndexedSeq).toIndexedSeq)
+    val vd = transform(col("embedding"), (x: org.apache.spark.sql.Column) => x.cast("double"))
+    val withRes = e
+      .withColumn("_cell", call_function("graft_centroid_argmax", vd,
+        typedLit(coarse.flatten.toIndexedSeq),
+        typedLit(Similarity.centroidBias(coarse, cosine = false).toIndexedSeq)))
+      .withColumn("_res",
+        zip_with(vd, element_at(centsLit, col("_cell") + 1), (x, c) => x - c))
+    // |res − decode(code)|² == |x − (centroid + decode(code))|²: the
+    // full reconstruction error of the residual representation
+    val resErr = Similarity.pqDecode(
+        Similarity.pqEncode(withRes, "_res", cb), cb)
+      .select(l2sqD(col("_res"), col("pq_vec")).as("err"))
+      .agg(avg("err")).collect()(0).getDouble(0)
+    assert(resErr < rawErr,
+      f"residual coding must cut reconstruction error at equal budget: " +
+        f"residual $resErr%.4f vs raw $rawErr%.4f")
+  }
 }

@@ -154,6 +154,27 @@ class LayoutBucketingSpec extends SparkSpec {
       "inverted file must read the bucketed layout:\n" + p.take(900))
   }
 
+  test("ivfPqProbe: corpus side reads bucketed with zero cell Exchange") {
+    val e = Tables.embeddings(spark, sf)
+    val cb = graft.ops.Similarity.pqTrain(e, "vec_id", "embedding",
+      m = 4, k = 8, iters = 1)
+    val coarse = graft.ops.Similarity.kmeansFit(e, "vec_id", "embedding",
+      k = 4, iters = 1, cosine = false)
+    graft.ops.Similarity.ivfPqIndexBuild(e, "vec_id", "embedding", cb, coarse,
+      tableName = "graft_spec_ivfpq_idx", tableBuckets = 4)
+    val probed = graft.ops.Similarity.ivfPqProbe(spark,
+      "graft_spec_ivfpq_idx", e.filter(col("vec_id") < 5),
+      "vec_id", "embedding", cb, coarse, k = 5, nprobe = 2)
+    probed.collect()
+    val p = probed.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val cellExchanges = "Exchange hashpartitioning\\(cell".r.findAllIn(p).length
+    assert(cellExchanges == 1,
+      s"only the query side may shuffle on cell (saw $cellExchanges):\n" + p.take(900))
+    assert(p.contains("Bucketed: true"),
+      "PQ-coded inverted file must read the bucketed layout:\n" + p.take(900))
+  }
+
   test("zvalue: exact Morton codes for hand-interleaved inputs") {
     val df = spark.range(1).select(
       graft.ops.Layout.zvalue(lit(3), lit(5)).as("a"),      // 0b101 | 0b100010
