@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, ImplicitCastInputTypes, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
 /** One-pass tokenize→shingle kernel, shared by interpreted eval and the
@@ -52,18 +53,12 @@ object ShingleKernel {
     val toks = text.toString.toLowerCase(java.util.Locale.ROOT)
       .trim.split("\\s+")
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val tb = tokenBytes(toks)
+    val buf = shingleBuf(tb, n)
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     var i = 0
     while (i <= toks.length - n) {
-      val sb = new java.lang.StringBuilder(32)
-      var k = 0
-      while (k < n) {
-        if (k > 0) sb.append(' ')
-        sb.append(toks(i + k))
-        k += 1
-      }
-      val u = UTF8String.fromString(sb.toString)
-      seen.add(XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L))
+      seen.add(hashShingle(tb, i, n, buf))
       i += 1
     }
     val out = new Array[Any](seen.size)
@@ -71,6 +66,51 @@ object ShingleKernel {
     var j = 0
     while (it.hasNext) { out(j) = it.next().longValue(); j += 1 }
     new GenericArrayData(out)
+  }
+
+  /** UTF-8 bytes of each token, computed ONCE per token (each token is
+    * otherwise re-encoded into up to `n` shingle strings). */
+  private[functions] def tokenBytes(toks: Array[String]): Array[Array[Byte]] = {
+    val tb = new Array[Array[Byte]](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      tb(i) = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      i += 1
+    }
+    tb
+  }
+
+  /** One reusable buffer sized for the longest window of `n` tokens —
+    * the per-shingle StringBuilder→String→UTF8String allocation chain
+    * this replaces dominated the kernel's cost, not the hashing. */
+  private[functions] def shingleBuf(tb: Array[Array[Byte]], n: Int): Array[Byte] = {
+    var maxLen = 0
+    var i = 0
+    while (i <= tb.length - n) {
+      var len = n - 1
+      var k = 0
+      while (k < n) { len += tb(i + k).length; k += 1 }
+      if (len > maxLen) maxLen = len
+      i += 1
+    }
+    new Array[Byte](maxLen)
+  }
+
+  /** XXH64 (Spark seed 42) of the shingle `toks[i..i+n)` joined by ' ' —
+    * UTF-8 concatenation is byte-wise, so this is bit-equal to hashing
+    * `UTF8String.fromString(toks.slice(i, i+n).mkString(" "))`. */
+  private[functions] def hashShingle(tb: Array[Array[Byte]], i: Int, n: Int,
+      buf: Array[Byte]): Long = {
+    var pos = 0
+    var k = 0
+    while (k < n) {
+      if (k > 0) { buf(pos) = ' '; pos += 1 }
+      val t = tb(i + k)
+      System.arraycopy(t, 0, buf, pos, t.length)
+      pos += t.length
+      k += 1
+    }
+    XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, pos, 42L)
   }
 }
 
@@ -261,19 +301,13 @@ object SketchKernel {
       return new GenericInternalRow(Array[Any](
         new GenericArrayData(Array.empty[Any]),
         new GenericArrayData(Array.empty[Any])))
+    val tb = ShingleKernel.tokenBytes(toks)
+    val buf = ShingleKernel.shingleBuf(tb, n)
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     val mins = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i <= toks.length - n) {
-      val sb = new java.lang.StringBuilder(32)
-      var k = 0
-      while (k < n) {
-        if (k > 0) sb.append(' ')
-        sb.append(toks(i + k))
-        k += 1
-      }
-      val u = UTF8String.fromString(sb.toString)
-      val xx = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+      val xx = ShingleKernel.hashShingle(tb, i, n, buf)
       seen.add(xx)
       val h = ((xx % p) + p) % p
       var j = 0

@@ -129,7 +129,10 @@ object Dedup {
       col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>
         struct(b.as("band"),
-          xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
+          // xxhash64 hashes the LONG array natively (seed-chained per
+          // element) — no per-band long→string formatting; only the
+          // equality classes of band slices matter, not the hash values
+          xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
             .as("bh")))).as("bucket"))
       .select(col("id"), col("bucket.band"), col("bucket.bh"))
     // Drop degenerate buckets instead of exploding them quadratically.
