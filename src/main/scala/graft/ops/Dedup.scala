@@ -87,6 +87,63 @@ object Dedup {
       .withColumn("n_tokens_kept", coalesce(col("n_tokens_kept"), lit(0L)))
   }
 
+  /** Maximal duplicated substrings at ARBITRARY alignment — the full
+    * sliding-window form of Lee et al. 2022's duplicated-span removal
+    * ([[spanDedup]] is the fixed-grid approximation: it only catches
+    * spans that happen to line up with the chunk grid). Every
+    * overlapping `k`-token window is fingerprinted; a window is a
+    * duplicate iff it is not the corpus-wide FIRST occurrence of its
+    * token sequence (ordered by (document id, position)); per document,
+    * overlapping or adjacent duplicate windows merge into maximal spans.
+    * Catches cross-document boilerplate at any offset AND within-document
+    * repetition (a doc that repeats its own opening paragraph).
+    *
+    * Scale shape: the corpus-wide step is one groupBy on the window's
+    * 8-byte xxhash64 with a map-side-combined `min(struct(id, pos))`
+    * election — robust to hot n-grams, where a row_number window over
+    * the hash would single-task the head key. The span merge is a
+    * lag/cumsum window PARTITIONED BY DOCUMENT, so its state is bounded
+    * by one document's token count. Window text never shuffles — only
+    * (hash, id, pos) triples do.
+    *
+    * Output: (idCol, span_start, span_end, n_dup_windows) — inclusive
+    * token positions, one row per maximal duplicated span.
+    */
+  def duplicateSpans(docs: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame = {
+    val t = docs
+      .select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("_toks"))
+      .withColumn("_n", size(col("_toks")))
+      .filter(col("_n") >= k)
+    // xxhash64 over the token-array SLICE: equality classes are exactly
+    // token-sequence equality (tokens cannot contain whitespace), so no
+    // string join/concat is ever built.
+    val w = t.select(col(idCol),
+      posexplode(transform(sequence(lit(0), col("_n") - k),
+        i => xxhash64(slice(col("_toks"), i + 1, lit(k))))).as(Seq("pos", "_wh")))
+    val firsts = w.groupBy("_wh")
+      .agg(count(lit(1)).as("_c"), min(struct(col(idCol), col("pos"))).as("_w"))
+      .filter(col("_c") >= 2)
+      .select(col("_wh"), col("_w")(idCol).as("_fid"), col("_w")("pos").as("_fpos"))
+    val dups = w.join(firsts, Seq("_wh"))
+      .filter(!(col(idCol) === col("_fid") && col("pos") === col("_fpos")))
+      .select(col(idCol), col("pos"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("pos")
+    dups
+      .withColumn("_brk",
+        when(col("pos") >
+          coalesce(lag(col("pos"), 1).over(byDoc), lit(-k - 1)) + k, 1)
+          .otherwise(0))
+      .withColumn("_g", sum(col("_brk")).over(byDoc))
+      .groupBy(col(idCol), col("_g"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + k - 1).cast("long").as("span_end"),
+        count(lit(1)).as("n_dup_windows"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        col("n_dup_windows"))
+  }
+
   /** Candidate near-duplicate pairs via MinHash + banded LSH.
     *
     * numHashes = bands * rowsPerBand. Two docs become a candidate pair iff

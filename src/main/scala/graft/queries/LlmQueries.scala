@@ -948,6 +948,12 @@ object LlmQueries {
           sum(when(col("n_chunks_kept") === 0, 1L).otherwise(0L))
             .as("n_emptied"))),
 
+    // sliding-window duplicated-substring spans (full Lee et al. shape:
+    // any alignment, cross- and within-document; q_span_dedup is the
+    // fixed-grid approximation) — maximal merged spans per document
+    "q_dedup_substring" -> ((s, d) =>
+      Dedup.duplicateSpans(Tables.documents(s, d), "text", "doc_id", k = 5)),
+
     // per-document unigram entropy (quality/diversity signal) — zero
     // shuffle: run-length fold over the sorted token array per row
     "q_token_entropy" -> ((s, d) =>
@@ -2545,6 +2551,31 @@ object LlmQueries {
         | array_to_string(t[s : least(s + 31, len(t))], ' ') AS chunk_text,
         | CAST(least(s + 31, len(t)) - s + 1 AS INT) AS n_tokens
         |FROM st""".stripMargin,
+
+    // every overlapping 5-token window; dup = not the (doc_id, pos)-first
+    // occurrence of its token sequence (row_number > 1 ≡ the Spark side's
+    // min(struct) election); gaps-and-islands merge to maximal spans
+    "q_dedup_substring" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split_regex(lower(trim(text)), '\s+') AS toks
+        | FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 5),
+        |w AS (SELECT doc_id, g.i - 1 AS pos,
+        |  array_to_string(toks[g.i : g.i + 4], ' ') AS kg
+        | FROM n, LATERAL (SELECT unnest(generate_series(1, n - 4)) AS i) g),
+        |sel AS (SELECT doc_id, pos FROM w QUALIFY
+        |  row_number() OVER (PARTITION BY kg ORDER BY doc_id, pos) > 1),
+        |brk AS (SELECT doc_id, pos,
+        |  CASE WHEN pos > coalesce(lag(pos) OVER (
+        |    PARTITION BY doc_id ORDER BY pos), -6) + 5 THEN 1 ELSE 0 END AS b
+        | FROM sel),
+        |grp AS (SELECT doc_id, pos, sum(b) OVER (
+        |  PARTITION BY doc_id ORDER BY pos
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g FROM brk)
+        |SELECT doc_id, min(pos)::BIGINT AS span_start,
+        | (max(pos) + 4)::BIGINT AS span_end,
+        | count(*)::BIGINT AS n_dup_windows
+        |FROM grp GROUP BY doc_id, g""".stripMargin,
 
     // same chunk grid as q_chunk_tokens (stride = size, no overlap);
     // winner per span = row_number 1 over (doc_id, chunk_id) — identical

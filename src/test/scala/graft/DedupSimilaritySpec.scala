@@ -197,6 +197,33 @@ class DedupSimilaritySpec extends SparkSpec {
       graft.functions.TextFunctions.fingerprint(col("text"))).distinct().count())
   }
 
+  test("duplicateSpans: cross-doc offset spans, within-doc repetition, merge/gap/short-doc rules") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d e f"),          // source of the shared run
+      (2L, "x a b c d e y"),        // same 5-run at offset 1
+      (3L, "p q r s t p q r s t"),  // repeats ITSELF: second copy is dup
+      (4L, "a b c"),                // shorter than k → no windows
+      (5L, "a b c d e z z z z z z z z a b c d e") // leading dup + z-run self-dup + trailing dup
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(d, "text", "doc_id", k = 5)
+      .orderBy("doc_id", "span_start")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 2: window at pos 1 == doc 1 pos 0 → one span [1,5], 1 window.
+    // doc 3: window at pos 5 (pqrst, first at pos 0) → span [5,9];
+    //        pos 1..4 (qrstp, rstpq, ...) occur once each → not dups.
+    // doc 5: "a b c d e" at pos 0 dups doc 1 pos 0 → span [0,4] (pos 1
+    //        window "b c d e z" is unique → gap → break);
+    //        z-run: zzzzz FIRST at pos 5 (not a dup), dups at 6,7,8
+    //        (window [8,12]); pos 13 ("a b c d e" again, dup) starts
+    //        exactly at 12+1 → ADJACENT → merges: span [6,17], 4 windows.
+    assert(spans.toSeq == Seq(
+      (2L, 1L, 5L, 1L),
+      (3L, 5L, 9L, 1L),
+      (5L, 0L, 4L, 1L), (5L, 6L, 17L, 4L)))
+  }
+
   test("LSH ANN recall@5 against brute force") {
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
