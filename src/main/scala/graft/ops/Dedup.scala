@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.core.Transforms
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale corpus curation
@@ -37,6 +37,57 @@ object Dedup {
       .select(col("canonical_id").as(idCol))
     docs.join(keep, idCol) // canonical ids are unique → inner join keeps one per group
   }
+
+  /** Build a PERSISTED exact-dedup fingerprint index — the incremental-
+    * ingestion shape of [[exactDedup]]. At 100 TB the corpus is not
+    * re-deduplicated per crawl batch: the historical fingerprint set
+    * lives as a bucketed table (one row per distinct fingerprint, with
+    * its canonical first id), and each new batch anti-joins against it
+    * with ZERO index-side Exchange ([[dedupAgainstIndex]]), then appends
+    * only its NOVEL fingerprints ([[dedupIndexAppend]]) — writes are
+    * delta-sized, reads stay bucketed. Mirrors the persisted-ANN-index
+    * lifecycle ([[Similarity.lshIndexBuild]]). */
+  def dedupIndexBuild(docs: DataFrame, textCol: String, idCol: String,
+      tableName: String, tableBuckets: Int = 32): Unit =
+    Bucketing.writeBucketed(
+      docs.select(fingerprint(col(textCol)).as("fp"),
+          col(idCol).cast("long").as("first_id"))
+        .groupBy("fp").agg(min("first_id").as("first_id")),
+      tableName, "fp", tableBuckets)
+
+  /** Rows of `batch` that are NOVEL against a [[dedupIndexBuild]] table:
+    * fingerprint unseen by the index AND first (min-id) within the batch.
+    * The anti-join streams the bucketed index with no Exchange (only the
+    * batch shuffles — pinned in LayoutBucketingSpec); the within-batch
+    * election rides the same fp partitioning. */
+  def dedupAgainstIndex(spark: SparkSession, tableName: String,
+      batch: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val withFp = batch.withColumn("_fp", fingerprint(col(textCol)))
+    val unseen = withFp.hint("shuffle_merge")
+      .join(spark.table(tableName), col("_fp") === col("fp"), "left_anti")
+    val winners = unseen // aliased group key: no self-join exprId clash
+      .groupBy(col("_fp").as("_wfp"))
+      .agg(min(col(idCol).cast("long")).as("_wid"))
+    unseen.join(winners,
+        col("_fp") === col("_wfp") &&
+          col(idCol).cast("long") === col("_wid"),
+        "left_semi")
+      .drop("_fp")
+  }
+
+  /** Append a deduplicated batch's fingerprints to the index — the
+    * write is proportional to the NOVEL delta, not the corpus. Feed it
+    * [[dedupAgainstIndex]]'s output (rows already unseen + in-batch
+    * unique), so build(b0) + append(novel(b1)) holds exactly the same
+    * (fp, first_id) set as a from-scratch build over the survivors. */
+  def dedupIndexAppend(spark: SparkSession, tableName: String,
+      novel: DataFrame, textCol: String, idCol: String,
+      tableBuckets: Int = 32): Unit =
+    Bucketing.appendBucketed(
+      novel.select(fingerprint(col(textCol)).as("fp"),
+          col(idCol).cast("long").as("first_id"))
+        .groupBy("fp").agg(min("first_id").as("first_id")),
+      tableName, "fp", tableBuckets)
 
   /** Corpus-wide exact SPAN dedup — the distributed, windowed variant of
     * duplicated-substring removal (Lee et al. 2022, "Deduplicating

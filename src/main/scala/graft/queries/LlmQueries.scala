@@ -948,6 +948,24 @@ object LlmQueries {
           sum(when(col("n_chunks_kept") === 0, 1L).otherwise(0L))
             .as("n_emptied"))),
 
+    // incremental dedup against a PERSISTED fingerprint index: build on
+    // batch 0, dedup batch 1 against it, append batch 1's novel
+    // fingerprints, dedup batch 2 against the GROWN index — survivors of
+    // batches 1+2 are first-occurrence-wins across the batch sequence
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tbl = "graft_dd_idx_" + s.sparkContext.applicationId
+        .replaceAll("[^A-Za-z0-9_]", "_")
+      val batch = (b: Int) => docs.filter(col("doc_id") % 3 === b)
+      Dedup.dedupIndexBuild(batch(0), "text", "doc_id", tbl, tableBuckets = 8)
+      val n1 = Dedup.dedupAgainstIndex(s, tbl, batch(1), "text", "doc_id")
+        .localCheckpoint() // materialize BEFORE the append extends the index
+      Dedup.dedupIndexAppend(s, tbl, n1, "text", "doc_id", tableBuckets = 8)
+      val n2 = Dedup.dedupAgainstIndex(s, tbl, batch(2), "text", "doc_id")
+      n1.withColumn("batch", lit(1L)).unionByName(n2.withColumn("batch", lit(2L)))
+        .select(col("doc_id"), col("batch"))
+    }),
+
     // sliding-window duplicated-substring spans (full Lee et al. shape:
     // any alignment, cross- and within-document; q_span_dedup is the
     // fixed-grid approximation) — maximal merged spans per document
@@ -2551,6 +2569,20 @@ object LlmQueries {
         | array_to_string(t[s : least(s + 31, len(t))], ' ') AS chunk_text,
         | CAST(least(s + 31, len(t)) - s + 1 AS INT) AS n_tokens
         |FROM st""".stripMargin,
+
+    // first-occurrence-wins across the ordered batch sequence: a doc
+    // survives iff no earlier batch saw its fingerprint and it is the
+    // min-id holder of its fingerprint within its own batch
+    "q_dedup_incremental" ->
+      """WITH f AS (SELECT doc_id, doc_id % 3 AS batch,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        | FROM documents),
+        |s AS (SELECT doc_id, batch,
+        |  min(batch) OVER (PARTITION BY fp) AS fb,
+        |  min(doc_id) OVER (PARTITION BY fp, batch) AS fid
+        | FROM f)
+        |SELECT doc_id, batch::BIGINT AS batch FROM s
+        |WHERE batch = fb AND doc_id = fid AND batch > 0""".stripMargin,
 
     // every overlapping 5-token window; dup = not the (doc_id, pos)-first
     // occurrence of its token sequence (row_number > 1 ≡ the Spark side's

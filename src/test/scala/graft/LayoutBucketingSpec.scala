@@ -98,6 +98,43 @@ class LayoutBucketingSpec extends SparkSpec {
       "probe after append must still not shuffle the corpus:\n" + p.take(900))
   }
 
+  test("dedup index: batchwise build+append+probe ≡ one-shot exactDedup; index never exchanges") {
+    import graft.ops.Dedup
+    val docs = Tables.documents(spark, sf)
+    val batch = (b: Int) => docs.filter(col("doc_id") % 3 === b)
+    Dedup.dedupIndexBuild(batch(0), "text", "doc_id",
+      "graft_spec_dd_idx", tableBuckets = 4)
+    val n1 = Dedup.dedupAgainstIndex(spark, "graft_spec_dd_idx",
+      batch(1), "text", "doc_id").localCheckpoint()
+    Dedup.dedupIndexAppend(spark, "graft_spec_dd_idx", n1, "text", "doc_id",
+      tableBuckets = 4)
+    // NOT checkpointed: the plan pin below must see the probe plan
+    val n2 = Dedup.dedupAgainstIndex(spark, "graft_spec_dd_idx",
+      batch(2), "text", "doc_id")
+    // the incremental survivors of batches 0..2 = one-shot exactDedup,
+    // EXCEPT ties across batches resolve to the earlier batch (not the
+    // global min id) — compare fingerprint SETS, which ties don't move
+    val survivors = spark.table("graft_spec_dd_idx").select("fp")
+    val oneShot = Dedup.exactDedup(docs, "text", "doc_id")
+      .select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+    // index after both appends holds batch0+batch1 fps; batch2's novel
+    // fps are n2's — union must equal the one-shot fingerprint set
+    val incAll = survivors.union(
+      n2.select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp")))
+    assert(incAll.exceptAll(oneShot).isEmpty && oneShot.exceptAll(incAll).isEmpty,
+      "incremental fp set must equal one-shot dedup's fp set")
+    // scale pin: the probe anti-join consumes the bucketed index scan
+    // directly — only the batch side may shuffle on the fingerprint
+    n2.collect()
+    val p = n2.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("Bucketed: true"),
+      "index scan must read the bucketed layout:\n" + p.take(900))
+    val idxExchanges = "Exchange hashpartitioning\\(fp".r.findAllIn(p).length
+    assert(idxExchanges == 0, // batch side shuffles on `_fp`, never on `fp`
+      s"index side must never exchange (saw $idxExchanges):\n" + p.take(900))
+  }
+
   test("compactBucketed: collapses append files, preserves rows and probe results") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 10)
