@@ -99,9 +99,12 @@ object Graph {
       .cache()
     val w1 = oriented.select(col("u"), col("w").as("x"), col("dw").as("dx"))
     val w2 = oriented.select(col("u"), col("w").as("y"), col("dw").as("dy"))
-    // rank(x) < rank(y) matches the closing edge's orientation x→y
+    // rank(x) < rank(y) matches the closing edge's orientation x→y;
+    // spelled as flat comparisons — the struct(..) < struct(..) form
+    // allocates a row per compare across the Σ d⁺² candidate stream
     val wedges = w1.join(w2, Seq("u"))
-      .filter(struct(col("dx"), col("x")) < struct(col("dy"), col("y")))
+      .filter(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
     val tri = wedges
       .join(oriented.select(col("u").as("x"), col("w").as("y")),
         Seq("x", "y"))
