@@ -145,7 +145,15 @@ object TextFunctions {
     * all codegen HOFs. The explode+groupBy(doc,term) formulation would
     * shuffle every token occurrence in the corpus; this emits only the
     * distinct terms per document and shuffles nothing. */
-  def termCounts(text: Column): Column = {
+  def termCounts(text: Column): Column =
+    call_function("graft_term_counts", text)
+
+  /** The original Column-HOF formulation of [[termCounts]], kept as the
+    * semantic reference the native kernel is spec-pinned against
+    * (TfIdfSpec). NOT for production paths: Catalyst does not CSE into
+    * lambda scopes, so `element_at(srt, i)` re-sorts and re-tokenizes
+    * the document per lambda element — O(n²·log n) per row. */
+  private[graft] def termCountsHof(text: Column): Column = {
     val srt = array_sort(tokens(text))
     val n = size(srt)
     val bounds = filter(sequence(lit(1), n),

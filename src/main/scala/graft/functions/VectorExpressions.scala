@@ -423,6 +423,8 @@ object VectorExpressions {
       }))
     e.injectFunction(desc("graft_simhash", classOf[SimhashSignature],
       (children: Seq[Expression]) => SimhashSignature(children(0))))
+    e.injectFunction(desc("graft_term_counts", classOf[TermCounts],
+      (children: Seq[Expression]) => TermCounts(children(0))))
     e.injectFunction(desc("graft_centroid_argmax", classOf[CentroidArgmax],
       (children: Seq[Expression]) => {
         def arrLit(i: Int): Array[Double] = children(i) match {

@@ -44,6 +44,19 @@ object Bucketing {
       .format("parquet").saveAsTable(name)
   }
 
+  /** [[writeBucketed]]'s orphaned-location cleanup for a PLAIN (non-
+    * bucketed) managed table — side tables like the search index's
+    * additive stats need the same prior-JVM-leftover handling. */
+  def writeTable(df: DataFrame, name: String): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(name)
+  }
+
   /** Append rows to an existing bucketed table written by
     * [[writeBucketed]] (same key + bucket count — Spark validates the
     * spec matches). Each append adds one file per non-empty bucket;

@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.core.Transforms
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -93,6 +93,87 @@ object TfIdf {
         (col("cnt") + lit(k1) *
           (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl))))
       .groupBy(idCol)
+      .agg(sum("_s").as("score"), count(lit(1)).as("n_terms"))
+  }
+
+  /** Build a PERSISTED inverted (posting-list) index for [[bm25]]
+    * retrieval — the text-search analog of the persisted ANN indexes
+    * ([[Similarity.lshIndexBuild]]) and the dedup fingerprint index. The
+    * posting table (term, doc_id, cnt, dl) is bucketed BY TERM, so a
+    * probe's query-term filter prunes to the matching buckets instead of
+    * scanning the corpus; corpus stats persist additively as
+    * (n_docs, total_dl) batch rows in a `<table>_stats` side table —
+    * token counts are integers, so avgdl recomputed from the summed
+    * totals is EXACT (order-free), and appends just add a row. */
+  def searchIndexBuild(docs: DataFrame, idCol: String, textCol: String,
+      tableName: String, tableBuckets: Int = 32): Unit = {
+    val tf = Transforms.materialized(
+        docs.select(col(idCol), col(textCol)), "_tc",
+        termCounts(col(textCol)))
+      .select(col(idCol).cast("long").as("doc_id"),
+        aggregate(col("_tc"), lit(0L), (a, p) => a + p.getField("cnt"))
+          .as("dl"),
+        explode(col("_tc")).as("_p"))
+      .select(col("_p.term").as("term"), col("doc_id"),
+        col("_p.cnt").cast("long").as("cnt"), col("dl"))
+    Bucketing.writeBucketed(tf, tableName, "term", tableBuckets)
+    Bucketing.writeTable(
+      docs.select(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col(textCol)))).cast("long").as("total_dl")),
+      tableName + "_stats")
+  }
+
+  /** Extend a [[searchIndexBuild]] table with a new document batch:
+    * postings append per touched bucket (delta-sized), and the stats
+    * table gains one additive (n_docs, total_dl) row — nothing global
+    * is recomputed. Probes against the grown index return exactly what
+    * a from-scratch build over the union would (TfIdfSpec pins it). */
+  def searchIndexAppend(newDocs: DataFrame, idCol: String, textCol: String,
+      tableName: String, tableBuckets: Int = 32): Unit = {
+    val tf = Transforms.materialized(
+        newDocs.select(col(idCol), col(textCol)), "_tc",
+        termCounts(col(textCol)))
+      .select(col(idCol).cast("long").as("doc_id"),
+        aggregate(col("_tc"), lit(0L), (a, p) => a + p.getField("cnt"))
+          .as("dl"),
+        explode(col("_tc")).as("_p"))
+      .select(col("_p.term").as("term"), col("doc_id"),
+        col("_p.cnt").cast("long").as("cnt"), col("dl"))
+    Bucketing.appendBucketed(tf, tableName, "term", tableBuckets)
+    newDocs.select(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col(textCol)))).cast("long").as("total_dl"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .format("parquet").saveAsTable(tableName + "_stats")
+  }
+
+  /** BM25-score a query against a [[searchIndexBuild]] table. Result
+    * multiset is identical to [[bm25]] over the indexed corpus with the
+    * same parameters (the oracle surface): df_t re-derives from the
+    * matched postings, N/avgdl from the summed stats rows — both exact.
+    *
+    * Scale shape: the term IN (...) filter prunes the bucketed posting
+    * scan to the query terms' buckets (pinned in TfIdfSpec); everything
+    * after is bounded by the matched posting count, and the only shuffle
+    * is the per-doc score aggregation of those postings. The corpus text
+    * is never touched at probe time. */
+  def searchIndexProbe(spark: SparkSession, tableName: String,
+      queryTerms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val st = spark.table(tableName + "_stats")
+      .agg(sum("n_docs").as("n"), sum("total_dl").as("t")).first()
+    val n = st.getLong(0).toDouble
+    val avgdl = st.getLong(1).toDouble / n
+    val postings = spark.table(tableName)
+      .filter(col("term").isin(queryTerms: _*))
+    val dft = postings.groupBy("term").agg(count(lit(1)).as("df_t"))
+    val idf = log(lit(1.0) +
+      (lit(n) - col("df_t") + 0.5) / (col("df_t") + 0.5))
+    postings.join(broadcast(dft), "term")
+      .withColumn("_s", idf * col("cnt").cast("double") * (lit(k1) + 1.0) /
+        (col("cnt").cast("double") + lit(k1) *
+          (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / lit(avgdl))))
+      .groupBy("doc_id")
       .agg(sum("_s").as("score"), count(lit(1)).as("n_terms"))
   }
 

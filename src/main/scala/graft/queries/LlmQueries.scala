@@ -1010,6 +1010,19 @@ object LlmQueries {
         .select(col("doc_id"), col("n_terms"),
           round(col("score"), 2).as("score_r"))),
 
+    // same scorer against a PERSISTED inverted posting index: build
+    // bucketed-by-term posting lists + additive stats, probe touches
+    // only the query terms' buckets — the corpus text is never read
+    "q_bm25_persisted" -> ((s, d) => {
+      val tbl = "graft_inv_idx_" + s.sparkContext.applicationId
+        .replaceAll("[^A-Za-z0-9_]", "_")
+      TfIdf.searchIndexBuild(Tables.documents(s, d), "doc_id", "text",
+        tbl, tableBuckets = 8)
+      TfIdf.searchIndexProbe(s, tbl, Seq("spark", "merge", "window"))
+        .select(col("doc_id"), col("n_terms"),
+          round(col("score"), 2).as("score_r"))
+    }),
+
     // corpus vocabulary head: 20 most document-frequent terms
     "q_doc_freq" -> ((s, d) =>
       TfIdf.documentFrequencies(Tables.documents(s, d), "text")
@@ -1290,6 +1303,27 @@ object LlmQueries {
       |r AS (SELECT q_id, n_id, sim,
       |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rnk FROM s)
       |SELECT q_id, rnk, n_id, round(sim, 4) AS sim FROM r WHERE rnk <= 5""".stripMargin
+
+  // shared by q_bm25_search and q_bm25_persisted — the persisted-index
+  // probe is multiset-identical to the direct scorer by construction
+  private lazy val bm25OracleSql: String =
+    s"""WITH d AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       |tfc AS (
+       |  SELECT doc_id, term, count(*)::DOUBLE AS cnt
+       |  FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+       |  WHERE term IN ('spark', 'merge', 'window')
+       |  GROUP BY doc_id, term),
+       |dls AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM d),
+       |stats AS (SELECT count(*)::DOUBLE AS n_docs,
+       |  avg(len(toks))::DOUBLE AS avgdl FROM d),
+       |dft AS (SELECT term, count(*) AS df_t FROM tfc GROUP BY term)
+       |SELECT tfc.doc_id AS doc_id, count(*) AS n_terms,
+       |  round(sum(ln(1 + (n_docs - df_t + 0.5) / (df_t + 0.5)) *
+       |    cnt * (1.2 + 1) /
+       |    (cnt + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 2) AS score_r
+       |FROM tfc JOIN dft USING (term) JOIN dls USING (doc_id)
+       |  CROSS JOIN stats
+       |GROUP BY tfc.doc_id""".stripMargin
 
   private lazy val lshTopKOracleSql: String =
     s"""WITH sgn(t, b, s) AS (VALUES ${lshSignRows(6, 4, 64, 42L)}),
@@ -1642,24 +1676,12 @@ object LlmQueries {
          |SELECT doc_id, rnk, term, round(tfidf, 2) AS score_r
          |FROM ranked WHERE rnk <= 5 AND doc_id < 50""".stripMargin,
 
-    "q_bm25_search" ->
-      s"""WITH d AS (SELECT doc_id, $sqlToks AS toks FROM documents),
-         |tfc AS (
-         |  SELECT doc_id, term, count(*)::DOUBLE AS cnt
-         |  FROM (SELECT doc_id, unnest(toks) AS term FROM d)
-         |  WHERE term IN ('spark', 'merge', 'window')
-         |  GROUP BY doc_id, term),
-         |dls AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM d),
-         |stats AS (SELECT count(*)::DOUBLE AS n_docs,
-         |  avg(len(toks))::DOUBLE AS avgdl FROM d),
-         |dft AS (SELECT term, count(*) AS df_t FROM tfc GROUP BY term)
-         |SELECT tfc.doc_id AS doc_id, count(*) AS n_terms,
-         |  round(sum(ln(1 + (n_docs - df_t + 0.5) / (df_t + 0.5)) *
-         |    cnt * (1.2 + 1) /
-         |    (cnt + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 2) AS score_r
-         |FROM tfc JOIN dft USING (term) JOIN dls USING (doc_id)
-         |  CROSS JOIN stats
-         |GROUP BY tfc.doc_id""".stripMargin,
+    "q_bm25_search" -> bm25OracleSql,
+
+    // the persisted-index probe returns the identical multiset (df_t
+    // re-derived from matched postings; N/avgdl from exact integer
+    // stats totals) — the direct-scorer oracle IS its oracle
+    "q_bm25_persisted" -> bm25OracleSql,
 
     "q_doc_freq" ->
       s"""SELECT term, count(*) AS df_t FROM (

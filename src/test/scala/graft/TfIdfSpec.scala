@@ -25,6 +25,22 @@ class TfIdfSpec extends SparkSpec {
     assert(got(1L).map(_._1) == got(1L).map(_._1).sorted.distinct)
   }
 
+  test("native termCounts kernel ≡ the Column-HOF reference form, bit for bit") {
+    val edge = Seq(
+      (1L, "b a b A b"),            // case folding + run-length
+      (2L, "x\t y\n\n z  x"),       // every ASCII \s variant collapses
+      (3L, ""), (4L, "   "),        // empty + all-whitespace → ("", 1)
+      (5L, "é É zz aa")   // unicode lowercase é/É merge
+    ).toDF("doc_id", "text")
+    for (d <- Seq(edge, Tables.documents(spark, sf).select(col("doc_id"), col("text")))) {
+      val kernel = d.select(col("doc_id"), TextFunctions.termCounts(col("text")).as("tc"))
+      val hof = d.select(col("doc_id"), TextFunctions.termCountsHof(col("text")).as("tc"))
+      // whole-array comparison: order inside the array must match too
+      assert(kernel.exceptAll(hof).isEmpty && hof.exceptAll(kernel).isEmpty,
+        "kernel and HOF termCounts must agree including array order")
+    }
+  }
+
   test("termCounts agrees with explode+groupBy on real corpus text") {
     val docs = Tables.documents(spark, sf).filter(col("doc_id") < 100)
     val kernel = docs.select(col("doc_id"),
@@ -114,5 +130,46 @@ class TfIdfSpec extends SparkSpec {
       s"bm25 must shuffle at most twice, saw $exchanges:\n${p.take(1200)}")
     assert(p.contains("BroadcastHashJoin"),
       s"df_t must broadcast back:\n${p.take(1200)}")
+  }
+
+  test("persisted inverted index: probe ≡ direct bm25; append ≡ rebuild; buckets prune") {
+    val docs = Tables.documents(spark, sf)
+    val terms = Seq("spark", "merge", "window")
+    TfIdf.searchIndexBuild(docs, "doc_id", "text", "graft_spec_inv",
+      tableBuckets = 8)
+    val probed = TfIdf.searchIndexProbe(spark, "graft_spec_inv", terms)
+    val direct = TfIdf.bm25(docs, "doc_id", "text", terms)
+      .select(col("doc_id").cast("long").as("doc_id"), col("score"),
+        col("n_terms"))
+    val joined = probed.alias("p")
+      .join(direct.alias("d"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("p.score").as("ps"), col("d.score").as("ds"),
+        col("p.n_terms").as("pn"), col("d.n_terms").as("dn"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(!r.isNullAt(1) && !r.isNullAt(2),
+        s"doc ${r.getLong(0)} present on only one side")
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-9,
+        s"doc ${r.getLong(0)}: probe ${r.getDouble(1)} vs direct ${r.getDouble(2)}")
+      assert(r.getLong(3) == r.getLong(4))
+    }
+    // incremental: build half + append half probes like the full build
+    TfIdf.searchIndexBuild(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", "graft_spec_inv2", tableBuckets = 8)
+    TfIdf.searchIndexAppend(docs.filter(col("doc_id") % 2 =!= 0),
+      "doc_id", "text", "graft_spec_inv2", tableBuckets = 8)
+    val inc = TfIdf.searchIndexProbe(spark, "graft_spec_inv2", terms)
+    assert(inc.exceptAll(probed).isEmpty && probed.exceptAll(inc).isEmpty,
+      "incrementally-built index must probe identically to a full build")
+    // scale pin: the term IN filter prunes the bucketed posting scan —
+    // only the query terms' buckets are read, never the whole index
+    probed.collect()
+    val p = probed.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(p)
+    assert(sel.isDefined, "posting scan must be bucket-pruned:\n" + p.take(900))
+    assert(sel.get.group(1).toInt < sel.get.group(2).toInt,
+      "probe must read a strict subset of buckets: " + sel.get.matched)
   }
 }
