@@ -141,6 +141,31 @@ object StreamingOps {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Dedup-at-ingest against a PERSISTED fingerprint index
+    * ([[graft.ops.Dedup.dedupIndexBuild]]) — the streaming half of the
+    * incremental-corpus lifecycle: a document survives a micro-batch iff
+    * its normalized-text fingerprint is absent from the historical index
+    * (stream-static LEFT ANTI join — stateless, the static side is
+    * re-resolved per micro-batch, so a [[graft.ops.Dedup
+    * .dedupIndexAppend]] between batches takes effect without restart)
+    * AND it is the first holder of that fingerprint within the
+    * watermark horizon (`dropDuplicatesWithinWatermark` on the
+    * fingerprint — the only state, watermark-bounded). Batch twin:
+    * [[graft.ops.Dedup.dedupAgainstIndex]] (StreamingSpec pins the
+    * survivor sets against it across an append). Output: the input
+    * columns, append mode. */
+  def dedupIngestStream(stream: DataFrame, textCol: String, idCol: String,
+      tsCol: String, watermark: String, spark: SparkSession,
+      tableName: String): DataFrame = {
+    val withFp = stream.withColumn("_fp",
+      graft.functions.TextFunctions.fingerprint(col(textCol)))
+    withFp
+      .join(spark.table(tableName), col("_fp") === col("fp"), "left_anti")
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("_fp")
+      .drop("_fp")
+  }
+
   /** Streaming NEAR-dedup as a Pipeline.via one-liner: key each document
     * by the minimum of its winnowing fingerprints
     * ([[graft.ops.Dedup.winnowFingerprints]], SIGMOD'03) — the bottom-1

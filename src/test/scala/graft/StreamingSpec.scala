@@ -386,6 +386,50 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty, "threshold 0.3 should produce at least one match")
   }
 
+  test("dedupIngestStream: drops index hits + in-stream dups; index append takes effect mid-stream") {
+    import graft.ops.Dedup
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).cache()
+    Dedup.dedupIndexBuild(docs.filter(col("doc_id") % 3 === 0),
+      "text", "doc_id", "graft_spec_dd_stream", tableBuckets = 4)
+    val b1 = docs.filter(col("doc_id") % 3 === 1)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val b2 = docs.filter(col("doc_id") % 3 === 2)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val ms = new MemoryStream[(Long, String, Timestamp)](23, spark, None)
+    val df = ms.toDF().toDF("doc_id", "text", "ts")
+    val out = StreamingOps.dedupIngestStream(df, "text", "doc_id", "ts",
+      watermark = "10 minutes", spark, "graft_spec_dd_stream")
+    val q = out.writeStream.format("memory").queryName("dd_stream_out")
+      .outputMode("append").start()
+    ms.addData(b1.map { case (id, t) => (id, t, ts(0)) }.toSeq)
+    q.processAllAvailable()
+    val after1 = spark.table("dd_stream_out").select("doc_id")
+      .as[Long].collect().toSet
+    // batch twin of batch 1
+    val want1 = Dedup.dedupAgainstIndex(spark, "graft_spec_dd_stream",
+        docs.filter(col("doc_id") % 3 === 1), "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(after1 == want1,
+      s"extra=${(after1 -- want1).take(5)} missing=${(want1 -- after1).take(5)}")
+    // append batch 1's survivors, then stream batch 2: the static side
+    // re-resolves per micro-batch, so the appended fps must now drop
+    Dedup.dedupIndexAppend(spark, "graft_spec_dd_stream",
+      docs.filter(col("doc_id").isin(after1.toSeq: _*)), "text", "doc_id",
+      tableBuckets = 4)
+    ms.addData(b2.map { case (id, t) => (id, t, ts(5)) }.toSeq)
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    val all = spark.table("dd_stream_out").select("doc_id")
+      .as[Long].collect().toSet
+    val want2 = Dedup.dedupAgainstIndex(spark, "graft_spec_dd_stream",
+        docs.filter(col("doc_id") % 3 === 2), "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert((all -- after1) == want2,
+      s"batch-2 survivors diverge from the batch twin after the append")
+    assert(after1.nonEmpty && want2.nonEmpty, "fixture must exercise both batches")
+  }
+
   test("tumbling window streaming agg matches the batch q_time_bucket shape") {
     val ms = new MemoryStream[(Long, Timestamp)](13, spark, None)
     val df = ms.toDF().toDF("v", "ts")
