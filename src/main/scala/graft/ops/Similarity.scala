@@ -603,16 +603,65 @@ object Similarity {
     val dim = df.select(size(col(vecCol))).first().getInt(0)
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
     val sub = dim / m
-    (0 until m).toArray.map { j =>
-      val subDf = df.select(col(idCol).as("_pid"),
+    // All m subspace Lloyd's loops share their corpus passes: one
+    // persisted slice pass, then ONE job per iteration that assigns and
+    // re-means every subspace at once (explode m (subspace, cluster,
+    // subvector) entries per row, mean keyed by (subspace, cluster)).
+    // The per-subspace sequential form costs m·(iters+2) full corpus
+    // jobs; this costs iters+2 — the math is identical: the md5-least
+    // init rows are the same rows for every subspace, the assignment is
+    // the same CentroidArgmax kernel per subspace, and the mean update
+    // differs only in float summation order (the ~1e-16 fuzz the
+    // kmeans oracles already document).
+    val sliced = df.select(col(idCol).as("_pid"),
+      array((0 until m).map(j =>
         transform(slice(col(vecCol), j * sub + 1, sub),
-          _.cast("double")).as("_sub"))
-      centroids(
-          kmeans(subDf, "_pid", "_sub", k, iters, cosine = false),
-          "_sub", "cluster")
-        .orderBy("cluster")
-        .collect().map(_.getSeq[Double](1))
-    }
+          _.cast("double"))): _*).as("_subs"))
+    sliced.persist()
+    try {
+      val initRows: Array[IndexedSeq[IndexedSeq[Double]]] = sliced
+        .select(col("_subs"), md5(col("_pid").cast("string")).as("_h"))
+        .orderBy("_h").limit(k)
+        .collect()
+        .map(_.getSeq[scala.collection.Seq[Double]](0)
+          .iterator.map(_.toIndexedSeq).toIndexedSeq)
+      var cents: Array[Array[Seq[Double]]] =
+        (0 until m).toArray.map(j => initRows.map(r => r(j): Seq[Double]))
+      def meansOfAssignment(): Map[(Int, Int), Seq[Double]] = {
+        val assigns = array((0 until m).map(j => struct(
+          lit(j).as("j"),
+          call_function("graft_centroid_argmax", col("_subs")(j),
+            typedLit(cents(j).flatten.toIndexedSeq),
+            typedLit(centroidBias(cents(j), cosine = false).toIndexedSeq))
+            .as("cluster"),
+          col("_subs")(j).as("v"))): _*)
+        sliced.select(explode(assigns).as("a"))
+          .select(col("a.j").as("j"), col("a.cluster").as("cluster"),
+            posexplode(col("a.v")).as(Seq("_pos", "_v")))
+          .groupBy("j", "cluster", "_pos").agg(avg("_v").as("_m"))
+          .groupBy("j", "cluster")
+          .agg(transform(
+            array_sort(collect_list(struct(col("_pos"), col("_m")))),
+            p => p("_m")).as("centroid"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1)) ->
+            (r.getSeq[Double](2).toIndexedSeq: Seq[Double]))
+          .toMap
+      }
+      for (_ <- 1 to iters) {
+        val next = meansOfAssignment()
+        cents = cents.zipWithIndex.map { case (cbj, j) =>
+          cbj.zipWithIndex.map { case (old, c) => next.getOrElse((j, c), old) }
+        }
+      }
+      // the codebook is the mean of the FINAL assignment, present
+      // clusters only, ordered by cluster id (empties dropped — PQ
+      // codes index the codeword LIST, cluster ids are irrelevant)
+      val fin = meansOfAssignment()
+      (0 until m).toArray.map { j =>
+        (0 until k).flatMap(c => fin.get((j, c))).toArray
+      }
+    } finally sliced.unpersist()
   }
 
   /** Encode vectors against [[pqTrain]] codebooks: per subspace, the
