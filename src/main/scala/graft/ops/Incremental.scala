@@ -25,6 +25,42 @@ object Incremental {
       .agg(count(lit(1)).as("n"), sum(valueCol).as("sum_v"),
         min(valueCol).as("min_v"), max(valueCol).as("max_v"))
 
+  /** Snapshot reconciliation: classify every key across two versions of
+    * a table as `I` (only in `after`), `D` (only in `before`), or `U`
+    * (present in both with any compared column differing, null-safely);
+    * unchanged keys are dropped. The change-data-capture EXTRACT side —
+    * the inverse of the CDC-apply op — and the audit primitive behind
+    * "what did this pipeline run change".
+    *
+    * Scale shape: ONE co-partitioned full-outer join on the key columns;
+    * the column comparison is a codegen'd null-safe equality chain — no
+    * driver work, no per-column jobs, output bounded by the changed-key
+    * count. Output: the key columns + `op`. */
+  def snapshotDiff(before: DataFrame, after: DataFrame, keys: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "compareCols must be non-empty")
+    val bb = compareCols.foldLeft(
+        before.select((keys ++ compareCols).map(col): _*)
+          .withColumn("_in_b", lit(1))) {
+      (d, c) => d.withColumnRenamed(c, "_b_" + c)
+    }
+    val aa = compareCols.foldLeft(
+        after.select((keys ++ compareCols).map(col): _*)
+          .withColumn("_in_a", lit(1))) {
+      (d, c) => d.withColumnRenamed(c, "_a_" + c)
+    }
+    val changed = compareCols
+      .map(c => !(col("_b_" + c) <=> col("_a_" + c)))
+      .reduce(_ || _)
+    bb.join(aa, keys, "full_outer")
+      .withColumn("op",
+        when(col("_in_b").isNull, lit("I"))
+          .when(col("_in_a").isNull, lit("D"))
+          .when(changed, lit("U")))
+      .filter(col("op").isNotNull)
+      .select(keys.map(col) :+ col("op"): _*)
+  }
+
   /** Merge two state tables: full-outer on keys, combine each aggregate
     * with its algebra (+, +, least, greatest). least/greatest skip the
     * nulls a one-sided key produces. sum is combined null-aware: SQL

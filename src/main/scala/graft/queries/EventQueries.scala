@@ -650,6 +650,24 @@ object EventQueries {
         .orderBy("user_id")
     }),
 
+    // ---- snapshot diff (CDC extract: what changed between versions) --
+    // two deterministic snapshots derived from customer: the "before"
+    // drops custkey%7==0, the "after" drops custkey%11==0 and bumps
+    // acctbal on custkey%5==0 — so all three op classes appear. One
+    // co-partitioned full-outer join; unchanged keys never leave it.
+    "q_snapshot_diff" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val before = c.filter(col("c_custkey") % 7 =!= 0)
+      val after = c.filter(col("c_custkey") % 11 =!= 0)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 5 === 0, col("c_acctbal") + 10.0)
+            .otherwise(col("c_acctbal")))
+      graft.ops.Incremental.snapshotDiff(before, after,
+          keys = Seq("c_custkey"),
+          compareCols = Seq("c_acctbal", "c_mktsegment"))
+        .orderBy("c_custkey")
+    }),
+
     // ---- SCD2 history build (type-2 dimension from an event log) -----
     // collapse each user's consecutive same-type runs into validity
     // intervals — the gaps-and-islands double window (change flag, then
@@ -2228,6 +2246,23 @@ object EventQueries {
         | round(sum(value) / count(*), 4) AS avg_v
         |FROM events GROUP BY day, event_type
         |ORDER BY day, event_type""".stripMargin,
+
+    // full outer on the key; IS DISTINCT FROM = Spark's null-safe <=>
+    "q_snapshot_diff" ->
+      """WITH b AS (SELECT c_custkey, c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 7 <> 0),
+        |a AS (SELECT c_custkey,
+        |  CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 10.0
+        |       ELSE c_acctbal END AS c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 11 <> 0),
+        |j AS (SELECT coalesce(b.c_custkey, a.c_custkey) AS c_custkey,
+        |  CASE WHEN b.c_custkey IS NULL THEN 'I'
+        |       WHEN a.c_custkey IS NULL THEN 'D'
+        |       WHEN b.c_acctbal IS DISTINCT FROM a.c_acctbal
+        |         OR b.c_mktsegment IS DISTINCT FROM a.c_mktsegment THEN 'U'
+        |  END AS op
+        | FROM b FULL OUTER JOIN a ON b.c_custkey = a.c_custkey)
+        |SELECT c_custkey, op FROM j WHERE op IS NOT NULL""".stripMargin,
 
     "q_cdc_apply" ->
       """WITH log AS (SELECT user_id, ts, event_id,

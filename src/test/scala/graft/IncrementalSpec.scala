@@ -78,4 +78,25 @@ class IncrementalSpec extends SparkSpec {
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(m == Map("only_a" -> (1L, 2.0), "only_b" -> (1L, -3.0)))
   }
+
+  test("snapshotDiff: I/D/U classes, unchanged dropped, NULL compare is null-safe") {
+    import spark.implicits._
+    val before = Seq(
+      (1L, Some(10.0), "x"),  // unchanged → dropped
+      (2L, Some(20.0), "x"),  // value changes → U
+      (3L, None, "x"),        // NULL == NULL → unchanged, dropped
+      (4L, None, "x"),        // NULL → value → U
+      (5L, Some(50.0), "x")   // only in before → D
+    ).toDF("k", "v", "seg")
+    val after = Seq(
+      (1L, Some(10.0), "x"),
+      (2L, Some(21.0), "x"),
+      (3L, None, "x"),
+      (4L, Some(4.0), "x"),
+      (6L, Some(60.0), "x")   // only in after → I
+    ).toDF("k", "v", "seg")
+    val got = Incremental.snapshotDiff(before, after, Seq("k"), Seq("v", "seg"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(2L -> "U", 4L -> "U", 5L -> "D", 6L -> "I"))
+  }
 }
