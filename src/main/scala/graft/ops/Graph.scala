@@ -224,15 +224,22 @@ object Graph {
       .distinct().localCheckpoint()
     var dist = Seq((source, 0)).toDF("node", "hop").localCheckpoint()
     var frontier = dist.select("node")
-    for (h <- 1 to maxHops) {
+    var h = 1
+    var exhausted = false
+    while (h <= maxHops && !exhausted) {
+      // only the frontier is checkpointed: `dist` is a union of already-
+      // materialized pieces, so its lineage stays maxHops-bounded without
+      // paying a re-materialization of the whole distance table per hop
       val next = frontier
         .join(und, frontier("node") === und("a"))
         .select(col("b").as("node")).distinct()
         .join(dist, Seq("node"), "left_anti")
         .withColumn("hop", lit(h))
         .localCheckpoint()
-      dist = dist.unionAll(next).localCheckpoint()
+      dist = dist.unionAll(next)
       frontier = next.select("node")
+      exhausted = next.isEmpty // materialized — a cheap scan, ends the walk
+      h += 1
     }
     dist
   }
