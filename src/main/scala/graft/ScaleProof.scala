@@ -22,7 +22,8 @@ object ScaleProof {
   // timed at every SF; the first five are the plan-pinned heavy set
   val pinned: Seq[String] = Seq(
     "q_dedup_minhash", "q_sim_lsh_persisted", "q_join_asof_exec",
-    "q_triangle_count", "q_label_prop")
+    "q_triangle_count", "q_label_prop", "q_dedup_substring",
+    "q_bm25_persisted")
   val timedOnly: Seq[String] = Seq("q_bpe_train")
 
   /** Final physical plan as a normalized operator-sequence signature. */
