@@ -112,9 +112,11 @@ object Similarity {
     * of its own beyond the per-file merge. */
   def lshIndexBuild(corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, tableName: String, tableBuckets: Int = 32,
-      bits: Int = 8, tables: Int = 4, seed: Long = 42L): Unit = {
-    val sig = corpus.select(col(idCol).as("n_id"), col(vecCol).as("nv"),
-      explode(lshBuckets(col(vecCol), bits, dim, tables, 0, seed)).as("bucket"))
+      bits: Int = 8, tables: Int = 4, seed: Long = 42L,
+      metaCols: Seq[String] = Nil): Unit = {
+    val sig = corpus.select(Seq(col(idCol).as("n_id"), col(vecCol).as("nv"),
+      explode(lshBuckets(col(vecCol), bits, dim, tables, 0, seed))
+        .as("bucket")) ++ metaCols.map(col): _*)
     Bucketing.writeBucketed(sig, tableName, "bucket", tableBuckets)
   }
 
@@ -126,9 +128,11 @@ object Similarity {
     * one full build). */
   def lshIndexAppend(newCorpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, tableName: String, tableBuckets: Int = 32,
-      bits: Int = 8, tables: Int = 4, seed: Long = 42L): Unit = {
-    val sig = newCorpus.select(col(idCol).as("n_id"), col(vecCol).as("nv"),
-      explode(lshBuckets(col(vecCol), bits, dim, tables, 0, seed)).as("bucket"))
+      bits: Int = 8, tables: Int = 4, seed: Long = 42L,
+      metaCols: Seq[String] = Nil): Unit = {
+    val sig = newCorpus.select(Seq(col(idCol).as("n_id"), col(vecCol).as("nv"),
+      explode(lshBuckets(col(vecCol), bits, dim, tables, 0, seed))
+        .as("bucket")) ++ metaCols.map(col): _*)
     Bucketing.appendBucketed(sig, tableName, "bucket", tableBuckets)
   }
 
@@ -142,8 +146,16 @@ object Similarity {
   def lshIndexProbe(spark: SparkSession, tableName: String,
       queries: DataFrame, idCol: String, vecCol: String, dim: Int, k: Int,
       bits: Int = 8, tables: Int = 4, probes: Int = 0,
-      seed: Long = 42L): DataFrame = {
-    val c = spark.table(tableName)
+      seed: Long = 42L,
+      corpusFilter: Option[Column] = None): DataFrame = {
+    // FILTERED vector search: the metadata predicate (over metaCols the
+    // build embedded in the index) lands as a parquet PushedFilter on
+    // the bucketed scan — pre-filtering, not post-filtering the top-k,
+    // so a selective predicate cannot starve the result the way
+    // filter-after-rank does. Identical to probing an index built over
+    // the pre-filtered corpus (bucketing is per-row — DedupSimilaritySpec
+    // pins it).
+    val c = corpusFilter.foldLeft(spark.table(tableName))((t, f) => t.filter(f))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"),
       explode(lshBuckets(col(vecCol), bits, dim, tables, probes, seed)).as("bucket"))
     lshRerank(c.join(q.hint("shuffle_merge"), "bucket"), k)

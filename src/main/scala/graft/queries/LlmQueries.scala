@@ -463,6 +463,24 @@ object LlmQueries {
         .select(col("q_id"), col("rnk"), col("n_id"), round(col("sim"), 4).as("sim"))
     }),
 
+    // FILTERED vector search: the label predicate pre-filters the
+    // persisted index scan (a parquet PushedFilter on the bucketed
+    // read), so selective predicates cannot starve the top-k the way
+    // filter-after-rank does; identical to indexing the filtered corpus
+    "q_sim_filtered" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val tbl = "graft_lshf_idx_" + s.sparkContext.applicationId
+        .replaceAll("[^A-Za-z0-9_]", "_")
+      Similarity.lshIndexBuild(e, "vec_id", "embedding", dim = 64,
+        tableName = tbl, tableBuckets = 8, bits = 6, tables = 4,
+        metaCols = Seq("label"))
+      Similarity.lshIndexProbe(s, tbl, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", dim = 64, k = 5, bits = 6, tables = 4,
+          probes = 2, corpusFilter = Some(col("label") === 3))
+        .select(col("q_id"), col("rnk"), col("n_id"),
+          round(col("sim"), 4).as("sim"))
+    }),
+
     // Misra-Gries heavy hitters; capacity 64 > |distinct event_type|, so
     // the sketch is in its exact regime and DuckDB-oracle-checkable.
     "q_approx_topk" -> ((s, d) => {
@@ -1325,7 +1343,13 @@ object LlmQueries {
        |  CROSS JOIN stats
        |GROUP BY tfc.doc_id""".stripMargin
 
-  private lazy val lshTopKOracleSql: String =
+  private lazy val lshTopKOracleSql: String = lshTopKOracle("TRUE")
+
+  /** [[lshTopKOracleSql]] with a corpus-side predicate (over embeddings
+    * columns) — `TRUE` is the unfiltered search, anything else is the
+    * filtered-vector-search twin: the predicate restricts which vectors
+    * may appear as neighbors, exactly like the probe's pre-filter. */
+  private def lshTopKOracle(corpusPred: String): String =
     s"""WITH sgn(t, b, s) AS (VALUES ${lshSignRows(6, 4, 64, 42L)}),
        |v AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
        |acc AS (SELECT vec_id, t, b, list_dot_product(vd, s::DOUBLE[]) AS a
@@ -1333,7 +1357,9 @@ object LlmQueries {
        |sig AS (SELECT vec_id, t,
        |  sum(CASE WHEN a >= 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sg
        | FROM acc GROUP BY vec_id, t),
-       |cb AS (SELECT vec_id AS n_id, t*64 + sg AS bucket FROM sig),
+       |cb AS (SELECT s.vec_id AS n_id, t*64 + sg AS bucket FROM sig s
+       |       JOIN embeddings e2 ON s.vec_id = e2.vec_id
+       |       WHERE $corpusPred),
        |qb AS (SELECT DISTINCT vec_id AS q_id, t*64 + xor(sg, p::BIGINT) AS bucket
        |       FROM sig CROSS JOIN (VALUES (0), (1), (2)) pr(p)
        |       WHERE vec_id < 10),
@@ -2029,6 +2055,11 @@ object LlmQueries {
     // identical result multiset by construction — the persisted index
     // changes layout/physics only, so it shares the lshTopK oracle
     "q_sim_lsh_persisted" -> lshTopKOracleSql,
+
+    // same pipeline with the corpus restricted to label = 3 before
+    // bucketing — the filtered-search contract (pre-filter, not
+    // rank-then-filter)
+    "q_sim_filtered" -> lshTopKOracle("e2.label = 3"),
 
     // Lloyd's k-means is deterministic end to end (md5 init, fixed
     // iteration count, tie-broken argmax) — the oracle unrolls the

@@ -240,6 +240,34 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(approx.forall { case (q, n) => q != n })
   }
 
+  test("filtered vector search ≡ searching an index built over the pre-filtered corpus") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 10)
+    graft.ops.Similarity.lshIndexBuild(e, "vec_id", "embedding", dim = 64,
+      tableName = "graft_spec_lshf", tableBuckets = 4, bits = 6, tables = 4,
+      metaCols = Seq("label"))
+    val filtered = graft.ops.Similarity.lshIndexProbe(spark,
+      "graft_spec_lshf", q, "vec_id", "embedding", dim = 64, k = 5,
+      bits = 6, tables = 4, probes = 2,
+      corpusFilter = Some(col("label") === 3))
+    graft.ops.Similarity.lshIndexBuild(e.filter(col("label") === 3),
+      "vec_id", "embedding", dim = 64,
+      tableName = "graft_spec_lshf_pre", tableBuckets = 4, bits = 6, tables = 4)
+    val prebuilt = graft.ops.Similarity.lshIndexProbe(spark,
+      "graft_spec_lshf_pre", q, "vec_id", "embedding", dim = 64, k = 5,
+      bits = 6, tables = 4, probes = 2)
+    assert(filtered.exceptAll(prebuilt).isEmpty &&
+      prebuilt.exceptAll(filtered).isEmpty,
+      "pre-filtering the index scan must equal indexing the filtered corpus")
+    assert(filtered.count() > 0)
+    // the predicate must reach the parquet scan of the bucketed index
+    filtered.collect()
+    val p = filtered.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("PushedFilters: [") && p.contains("EqualTo(label,3)"),
+      "label predicate must be pushed into the index scan:\n" + p.take(1200))
+  }
+
   test("IVF ANN recall@5 against brute force") {
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
