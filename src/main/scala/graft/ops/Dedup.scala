@@ -195,6 +195,44 @@ object Dedup {
         col("n_dup_windows"))
   }
 
+  /** Content-defined chunking (the rsync/casync/restic primitive,
+    * adapted to text): a chunk boundary opens wherever the rolling
+    * window's hash lands in a fixed residue class —
+    * `xxhash64(substr(text, i, w)) % modulus == 0` — so boundaries are
+    * decided by CONTENT, not position. Insertions or deletions shift
+    * every downstream offset, which re-cuts every chunk of a fixed grid
+    * ([[spanDedup]]) and every window of a fixed-k slide
+    * ([[duplicateSpans]]); CDC boundaries re-synchronize one window
+    * past the edit, so block-level dedup keeps matching the unedited
+    * remainder. Expected chunk length ≈ `modulus` characters. Pure
+    * content-defined form: no min/max chunk clamps (a doc shorter than
+    * `w` is one chunk; empty text yields none).
+    *
+    * Scale shape: boundary detection is a per-row O(len·w) narrow pass
+    * (window hash per position); chunk extraction is zip_with on the
+    * boundary array — the corpus never shuffles to be chunked. Output:
+    * (idCol, chunk_id, chunk).
+    */
+  def cdcChunks(docs: DataFrame, textCol: String, idCol: String,
+      w: Int = 8, modulus: Int = 64): DataFrame = {
+    val n = length(col(textCol))
+    val bpos = when(n < w, array().cast("array<int>"))
+      .otherwise(filter(sequence(lit(1), n - (w - 1)), i =>
+        pmod(xxhash64(col(textCol).substr(i, lit(w))), lit(modulus)) === 0))
+    val starts = when(n >= 1, array_union(array(lit(1)), bpos))
+      .otherwise(array().cast("array<int>"))
+    docs
+      .withColumn("_st", starts)
+      .withColumn("_en",
+        when(size(col("_st")) === 0, array().cast("array<int>"))
+          .otherwise(concat(
+            slice(col("_st"), lit(2), greatest(size(col("_st")) - 1, lit(0))),
+            array(n + 1))))
+      .select(col(idCol),
+        posexplode(zip_with(col("_st"), col("_en"),
+          (s, e) => col(textCol).substr(s, e - s))).as(Seq("chunk_id", "chunk")))
+  }
+
   /** Candidate near-duplicate pairs via MinHash + banded LSH.
     *
     * numHashes = bands * rowsPerBand. Two docs become a candidate pair iff

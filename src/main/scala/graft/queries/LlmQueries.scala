@@ -984,6 +984,23 @@ object LlmQueries {
         .select(col("doc_id"), col("batch"))
     }),
 
+    // content-defined chunking dedup: boundaries where the rolling
+    // 8-char window hash ≡ 0 (mod 64) — block dedup that survives
+    // insertions shifting every downstream offset (fixed grids and
+    // fixed-k slides both re-cut; CDC re-synchronizes past the edit).
+    // All-BIGINT output: chunk counts, distinct chunks, duplicated
+    // occurrences and their character mass
+    "q_dedup_cdc" -> ((s, d) => {
+      val ch = Dedup.cdcChunks(Tables.documents(s, d), "text", "doc_id")
+      ch.groupBy("chunk").agg(count(lit(1)).as("cnt"))
+        .select(col("cnt"), length(col("chunk")).as("len"))
+        .agg(sum("cnt").cast("long").as("n_chunks"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("cnt") - 1).cast("long").as("dup_occ"),
+          sum((col("cnt") - 1) * col("len")).cast("long").as("dup_chars"),
+          sum(col("cnt") * col("len")).cast("long").as("total_chars"))
+    }),
+
     // sliding-window duplicated-substring spans (full Lee et al. shape:
     // any alignment, cross- and within-document; q_span_dedup is the
     // fixed-grid approximation) — maximal merged spans per document
@@ -2622,6 +2639,35 @@ object LlmQueries {
         | array_to_string(t[s : least(s + 31, len(t))], ' ') AS chunk_text,
         | CAST(least(s + 31, len(t)) - s + 1 AS INT) AS n_tokens
         |FROM st""".stripMargin,
+
+    // every 8-char window hashed with the replayed XXH64 ([[Xxh64Sql]]);
+    // boundary where h ≡ 0 (mod 64); chunks re-assembled per doc via
+    // lead() over the distinct boundary set prefixed with position 1
+    "q_dedup_cdc" ->
+      s"""WITH docs8 AS MATERIALIZED (SELECT doc_id, text,
+         |  length(text) AS dl FROM documents),
+         |w AS MATERIALIZED (SELECT doc_id, g.i AS pos, substr(text, g.i, 8) AS t
+         |  FROM docs8, LATERAL (SELECT unnest(generate_series(1, dl - 7)) AS i) g
+         |  WHERE dl >= 8),
+         |tl AS MATERIALIZED (SELECT t, length(t) AS len
+         |  FROM (SELECT DISTINCT t FROM w)),
+         |${Xxh64Sql.chain},
+         |bnd AS (SELECT doc_id, pos FROM w JOIN hf USING (t) WHERE h % 64 = 0),
+         |st AS (SELECT DISTINCT doc_id, pos FROM (
+         |  SELECT doc_id, pos FROM bnd
+         |  UNION ALL SELECT doc_id, 1 AS pos FROM docs8 WHERE dl >= 1)),
+         |ck AS (SELECT s.doc_id, s.pos,
+         |  coalesce(lead(s.pos, 1) OVER (
+         |    PARTITION BY s.doc_id ORDER BY s.pos), d.dl + 1) AS np, d.text
+         | FROM st s JOIN docs8 d USING (doc_id)),
+         |chunks AS (SELECT doc_id, substr(text, pos, np - pos) AS chunk FROM ck),
+         |g AS (SELECT chunk, count(*) AS cnt, length(chunk) AS len
+         |  FROM chunks GROUP BY chunk)
+         |SELECT sum(cnt)::BIGINT AS n_chunks, count(*)::BIGINT AS n_distinct,
+         |  sum(cnt - 1)::BIGINT AS dup_occ,
+         |  sum((cnt - 1) * len)::BIGINT AS dup_chars,
+         |  sum(cnt * len)::BIGINT AS total_chars
+         |FROM g""".stripMargin,
 
     // first-occurrence-wins across the ordered batch sequence: a doc
     // survives iff no earlier batch saw its fingerprint and it is the

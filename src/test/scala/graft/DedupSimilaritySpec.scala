@@ -224,6 +224,32 @@ class DedupSimilaritySpec extends SparkSpec {
       (5L, 0L, 4L, 1L), (5L, 6L, 17L, 4L)))
   }
 
+  test("cdcChunks: lossless reassembly, edit-resync property, short/empty docs") {
+    import spark.implicits._
+    def chunksOf(t: String): Seq[String] =
+      Dedup.cdcChunks(Seq((1L, t)).toDF("doc_id", "text"), "text", "doc_id")
+        .orderBy("chunk_id").select("chunk").as[String].collect().toSeq
+    val base = Tables.documents(spark, sf)
+      .filter(length(col("text")) > 200).select("text")
+      .as[String].first()
+    // lossless: chunks concatenate back to the document
+    val c1 = chunksOf(base)
+    assert(c1.mkString == base)
+    assert(c1.size >= 3, s"fixture needs >=3 chunks, got ${c1.size}")
+    // THE content-defined property: an insertion at the front shifts
+    // every offset, but boundaries are decided by window content, so
+    // they re-synchronize — all chunks after each text's first boundary
+    // are identical (a fixed grid or fixed-k slide re-cuts everything)
+    val edited = "Z " + base
+    val c2 = chunksOf(edited)
+    assert(c2.mkString == edited)
+    assert(c1.tail == c2.drop(c2.size - (c1.size - 1)),
+      s"post-boundary chunks must re-sync after a front edit")
+    // degenerate docs
+    assert(chunksOf("short") == Seq("short")) // < window → one chunk
+    assert(chunksOf("") == Seq.empty)
+  }
+
   test("LSH ANN recall@5 against brute force") {
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
