@@ -224,18 +224,24 @@ object Similarity {
     * repeated probe batches touch nprobe cells of a co-located layout
     * and never re-shuffle the corpus. */
   def ivfIndexBuild(corpus: DataFrame, idCol: String, vecCol: String,
-      tableName: String, tableBuckets: Int = 32, nlist: Int = 32): Unit = {
-    val inv = corpus.select(col(idCol).as("n_id"), col(vecCol).as("nv"),
-      explode(ivfCells(col(vecCol), nlist, 1)).as("cell"))
+      tableName: String, tableBuckets: Int = 32, nlist: Int = 32,
+      metaCols: Seq[String] = Nil): Unit = {
+    val inv = corpus.select(Seq(col(idCol).as("n_id"), col(vecCol).as("nv"),
+      explode(ivfCells(col(vecCol), nlist, 1)).as("cell")) ++
+      metaCols.map(col): _*)
     Bucketing.writeBucketed(inv, tableName, "cell", tableBuckets)
   }
 
   /** Probe an [[ivfIndexBuild]] table (same nlist!): identical result
-    * multiset to [[ivfTopK]]; only the query batch exchanges on cell. */
+    * multiset to [[ivfTopK]]; only the query batch exchanges on cell.
+    * `corpusFilter` (over build-time metaCols) is the filtered-search
+    * path, same contract as [[lshIndexProbe]]: a parquet PushedFilter
+    * pre-filters the inverted file before candidates form. */
   def ivfIndexProbe(spark: SparkSession, tableName: String,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
-      nlist: Int = 32, nprobe: Int = 4): DataFrame = {
-    val c = spark.table(tableName)
+      nlist: Int = 32, nprobe: Int = 4,
+      corpusFilter: Option[Column] = None): DataFrame = {
+    val c = corpusFilter.foldLeft(spark.table(tableName))((t, f) => t.filter(f))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"),
       explode(ivfCells(col(vecCol), nlist, nprobe)).as("cell"))
     lshRerank(c.join(q.hint("shuffle_merge"), "cell"), k)

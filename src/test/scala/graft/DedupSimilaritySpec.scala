@@ -294,6 +294,27 @@ class DedupSimilaritySpec extends SparkSpec {
       "label predicate must be pushed into the index scan:\n" + p.take(1200))
   }
 
+  test("filtered IVF probe ≡ probing an index built over the pre-filtered corpus") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 10)
+    graft.ops.Similarity.ivfIndexBuild(e, "vec_id", "embedding",
+      tableName = "graft_spec_ivff", tableBuckets = 4, nlist = 16,
+      metaCols = Seq("label"))
+    val filtered = graft.ops.Similarity.ivfIndexProbe(spark,
+      "graft_spec_ivff", q, "vec_id", "embedding", k = 5,
+      nlist = 16, nprobe = 4, corpusFilter = Some(col("label") === 3))
+    graft.ops.Similarity.ivfIndexBuild(e.filter(col("label") === 3),
+      "vec_id", "embedding",
+      tableName = "graft_spec_ivff_pre", tableBuckets = 4, nlist = 16)
+    val prebuilt = graft.ops.Similarity.ivfIndexProbe(spark,
+      "graft_spec_ivff_pre", q, "vec_id", "embedding", k = 5,
+      nlist = 16, nprobe = 4)
+    assert(filtered.exceptAll(prebuilt).isEmpty &&
+      prebuilt.exceptAll(filtered).isEmpty,
+      "pre-filtering the inverted file must equal indexing the filtered corpus")
+    assert(filtered.count() > 0)
+  }
+
   test("IVF ANN recall@5 against brute force") {
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
