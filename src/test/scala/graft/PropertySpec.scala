@@ -173,4 +173,49 @@ class PropertySpec extends SparkSpec {
         s"seed=$seed w=$w h=$h topDown=$topDown")
     }
   }
+
+  // random text with every whitespace the tokenizer treats specially,
+  // repeats (to force multi-count terms), unicode case pairs, and digits
+  private def randomText(rnd: scala.util.Random): String = {
+    val words = Vector("spark", "Spark", "merge", "é", "É", "中文", "a", "A",
+      "x1", "", "zz")
+    val seps = Vector(" ", "  ", "\t", "\n", " \t ", "", "\r\n")
+    (0 until rnd.nextInt(40)).map { _ =>
+      words(rnd.nextInt(words.size)) + seps(rnd.nextInt(seps.size))
+    }.mkString
+  }
+
+  test("native termCounts kernel ≡ HOF reference on random whitespace-heavy text") {
+    import graft.functions.TextFunctions
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(400 + seed)
+      val docs = (0 until 150).map(i => (i.toLong, randomText(rnd)))
+        .toDF("doc_id", "text").repartition(4)
+      val kernel = docs.select(col("doc_id"),
+        TextFunctions.termCounts(col("text")).as("tc"))
+      val hof = docs.select(col("doc_id"),
+        TextFunctions.termCountsHof(col("text")).as("tc"))
+      // exceptAll on the whole array pins element ORDER, not just content
+      assert(kernel.exceptAll(hof).isEmpty && hof.exceptAll(kernel).isEmpty,
+        s"seed=$seed: kernel and HOF termCounts diverge")
+    }
+  }
+
+  test("cdcChunks reassembles every random document losslessly") {
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(500 + seed)
+      val docs = (0 until 120).map(i => (i.toLong, randomText(rnd)))
+      val df = docs.toDF("doc_id", "text").repartition(4)
+      val got = graft.ops.Dedup.cdcChunks(df, "text", "doc_id")
+        .groupBy("doc_id")
+        .agg(concat_ws("", array_sort(collect_list(
+          struct(col("chunk_id"), col("chunk")))).getField("chunk"))
+          .as("re"))
+        .as[(Long, String)].collect().toMap
+      docs.foreach { case (id, t) =>
+        assert(got.getOrElse(id, "") == t,
+          s"seed=$seed doc=$id: reassembly diverges (len ${t.length})")
+      }
+    }
+  }
 }
