@@ -1058,6 +1058,20 @@ object LlmQueries {
           round(col("score"), 2).as("score_r"))
     }),
 
+    // corpus-wide frequent PHRASE mining: top word trigrams by
+    // occurrence (boilerplate surface — the thing CDC/span dedup then
+    // removes). Partial aggregation means the shuffle carries only each
+    // partition's distinct phrases; the true heavy-hitter head at
+    // 100 TB is the sketch path (q_approx_topk/TopKSketch) — this is
+    // the exact twin with a deterministic (count, phrase) total order
+    "q_frequent_phrases" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(shinglesN(col("text"), 3)).as("phrase"))
+        .groupBy("phrase")
+        .agg(count(lit(1)).as("n_occ"), countDistinct("doc_id").as("n_docs"))
+        .orderBy(desc("n_occ"), asc("phrase"))
+        .limit(20)),
+
     // corpus vocabulary head: 20 most document-frequent terms
     "q_doc_freq" -> ((s, d) =>
       TfIdf.documentFrequencies(Tables.documents(s, d), "text")
@@ -1725,6 +1739,16 @@ object LlmQueries {
     // re-derived from matched postings; N/avgdl from exact integer
     // stats totals) — the direct-scorer oracle IS its oracle
     "q_bm25_persisted" -> bm25OracleSql,
+
+    "q_frequent_phrases" ->
+      s"""WITH d AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |g AS (SELECT doc_id, array_to_string(toks[g.i : g.i + 2], ' ') AS phrase
+         |  FROM d, LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i) g
+         |  WHERE len(toks) >= 3),
+         |c AS (SELECT phrase, count(*) AS n_occ,
+         |  count(DISTINCT doc_id) AS n_docs FROM g GROUP BY phrase)
+         |SELECT phrase, n_occ::BIGINT AS n_occ, n_docs::BIGINT AS n_docs
+         |FROM c ORDER BY n_occ DESC, phrase LIMIT 20""".stripMargin,
 
     "q_doc_freq" ->
       s"""SELECT term, count(*) AS df_t FROM (
