@@ -177,6 +177,54 @@ object TfIdf {
       .agg(sum("_s").as("score"), count(lit(1)).as("n_terms"))
   }
 
+  /** Character-trigram substring-search index — the pg_trgm /
+    * code-search design, the SUBSTRING complement of the term-level
+    * [[searchIndexBuild]]: posting rows (trigram, doc_id) bucketed BY
+    * trigram. Documents shorter than 3 characters produce no postings
+    * (and no 3+-character query can match them). */
+  def trigramIndexBuild(docs: DataFrame, idCol: String, textCol: String,
+      tableName: String, tableBuckets: Int = 32): Unit = {
+    val n = length(col(textCol))
+    val tg = docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(when(n < 3, array().cast("array<string>"))
+          .otherwise(array_distinct(transform(sequence(lit(1), n - 2),
+            i => col(textCol).substr(i, lit(3)))))).as("tg"))
+    Bucketing.writeBucketed(tg, tableName, "tg", tableBuckets)
+  }
+
+  /** Exact substring search against a [[trigramIndexBuild]] table:
+    * candidates are documents whose posting rows cover EVERY trigram of
+    * the query (a necessary condition for containing it), then the
+    * survivors are verified with a real `contains` against the text —
+    * so results are EXACT, the index only prunes. Scan cost: the
+    * trigram IN (...) predicate is PUSHED into the posting scan, and
+    * because the build `sortBy`s each bucket file on tg, every
+    * trigram's postings are contiguous — parquet min/max row-group
+    * stats skip everything outside the query's trigrams. (Spark's
+    * planner deliberately does NOT use the bucketed-scan path here —
+    * DisableUnnecessaryBucketedScan fires because no downstream
+    * operator consumes tg-partitioning, unlike the bm25 probe whose
+    * df_t aggregate does — so the pruning mechanism is row-group
+    * stats, not SelectedBucketsCount; TfIdfSpec pins the pushed
+    * filter + 2-column ReadSchema.) The verify join touches only
+    * candidate documents, a set bounded by the query's rarest
+    * trigram's document frequency. Returns the matching `doc_id`s. */
+  def trigramIndexProbe(spark: SparkSession, tableName: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      query: String): DataFrame = {
+    require(query.length >= 3,
+      "substring query must be at least 3 characters (one full trigram)")
+    val qTgs = query.sliding(3).toSeq.distinct
+    val cands = spark.table(tableName)
+      .filter(col("tg").isin(qTgs: _*))
+      .groupBy("doc_id").agg(count(lit(1)).as("_m")) // postings are distinct per doc
+      .filter(col("_m") === qTgs.size)
+    docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("_t"))
+      .join(cands, "doc_id")
+      .filter(col("_t").contains(lit(query)))
+      .select("doc_id")
+  }
+
   /** Top-k keywords per document by TF-IDF, rank 1 = highest score, ties
     * broken on term so the output is engine-stable. One additional
     * shuffle on the document id (per-group top-k window). */

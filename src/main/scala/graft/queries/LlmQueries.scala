@@ -1058,6 +1058,18 @@ object LlmQueries {
           round(col("score"), 2).as("score_r"))
     }),
 
+    // exact substring search through the char-trigram posting index
+    // (pg_trgm design): conjunctive trigram pruning + contains() verify
+    // — exact results, index-pruned cost, bucket-pruned posting scan
+    "q_substr_search" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tbl = "graft_trgm_idx_" + s.sparkContext.applicationId
+        .replaceAll("[^A-Za-z0-9_]", "_")
+      TfIdf.trigramIndexBuild(docs, "doc_id", "text", tbl, tableBuckets = 8)
+      TfIdf.trigramIndexProbe(s, tbl, docs, "doc_id", "text", "merge window")
+        .orderBy("doc_id")
+    }),
+
     // corpus-wide frequent PHRASE mining: top word trigrams by
     // occurrence (boilerplate surface — the thing CDC/span dedup then
     // removes). Partial aggregation means the shuffle carries only each
@@ -1739,6 +1751,12 @@ object LlmQueries {
     // re-derived from matched postings; N/avgdl from exact integer
     // stats totals) — the direct-scorer oracle IS its oracle
     "q_bm25_persisted" -> bm25OracleSql,
+
+    // the index is exact by construction (necessary-condition pruning +
+    // contains verify) — the oracle is the plain substring scan
+    "q_substr_search" ->
+      """SELECT doc_id FROM documents
+        |WHERE instr(text, 'merge window') > 0""".stripMargin,
 
     "q_frequent_phrases" ->
       s"""WITH d AS (SELECT doc_id, $sqlToks AS toks FROM documents),

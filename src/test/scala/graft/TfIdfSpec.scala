@@ -132,6 +132,40 @@ class TfIdfSpec extends SparkSpec {
       s"df_t must broadcast back:\n${p.take(1200)}")
   }
 
+  test("trigram substring index: probe ≡ direct contains scan; buckets prune") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    TfIdf.trigramIndexBuild(docs, "doc_id", "text", "graft_spec_trgm",
+      tableBuckets = 8)
+    for (q <- Seq("merge window", "spark", "xyz_never_present", "e m")) {
+      if (q.length >= 3) {
+        val got = TfIdf.trigramIndexProbe(spark, "graft_spec_trgm",
+          docs, "doc_id", "text", q).as[Long].collect().toSet
+        val want = docs.filter(col("text").contains(q))
+          .select(col("doc_id")).as[Long].collect().toSet
+        assert(got == want, s"query '$q': extra=${(got -- want).take(5)} " +
+          s"missing=${(want -- got).take(5)}")
+      }
+    }
+    assert(intercept[IllegalArgumentException](
+      TfIdf.trigramIndexProbe(spark, "graft_spec_trgm", docs,
+        "doc_id", "text", "ab")).getMessage.contains("3 characters"))
+    // the trigram IN predicate must be pushed into the posting scan
+    // with only (doc_id, tg) read — bucket pruning does NOT apply here
+    // by planner design (DisableUnnecessaryBucketedScan: nothing
+    // consumes tg-partitioning); row-group stats over the sortBy(tg)
+    // clustering carry the skip instead
+    val probed = TfIdf.trigramIndexProbe(spark, "graft_spec_trgm",
+      docs, "doc_id", "text", "merge window")
+    probed.collect()
+    val p = probed.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("PushedFilters: [In(tg, "),
+      "trigram IN must reach the posting scan:\n" + p.take(900))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,tg:string>"),
+      "posting scan must read only (doc_id, tg):\n" + p.take(900))
+  }
+
   test("persisted inverted index: probe ≡ direct bm25; append ≡ rebuild; buckets prune") {
     val docs = Tables.documents(spark, sf)
     val terms = Seq("spark", "merge", "window")
