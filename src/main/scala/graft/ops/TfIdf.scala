@@ -225,6 +225,29 @@ object TfIdf {
       .select("doc_id")
   }
 
+  /** Typo-tolerant (fuzzy) matching against a [[trigramIndexBuild]]
+    * table — pg_trgm's containment idea with all-integer semantics: a
+    * document matches when it holds posting rows for at least
+    * `ceil(minFrac · |query trigrams|)` of the query's distinct
+    * trigrams, so a one-character typo (which perturbs ≤ 3 trigrams)
+    * still matches at minFrac ≈ 0.7–0.9 while [[trigramIndexProbe]]'s
+    * exact contains() would not. No floats anywhere: the threshold is
+    * an integer count, so the result set is engine-exact. Same pruned
+    * posting-scan shape as the exact probe. Output:
+    * (doc_id, n_matched). */
+  def trigramFuzzyProbe(spark: SparkSession, tableName: String,
+      query: String, minFrac: Double): DataFrame = {
+    require(query.length >= 3,
+      "fuzzy query must be at least 3 characters (one full trigram)")
+    require(minFrac > 0.0 && minFrac <= 1.0, "minFrac must be in (0, 1]")
+    val qTgs = query.sliding(3).toSeq.distinct
+    val need = math.ceil(minFrac * qTgs.size).toInt
+    spark.table(tableName)
+      .filter(col("tg").isin(qTgs: _*))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_matched"))
+      .filter(col("n_matched") >= need)
+  }
+
   /** Top-k keywords per document by TF-IDF, rank 1 = highest score, ties
     * broken on term so the output is engine-stable. One additional
     * shuffle on the document id (per-group top-k window). */

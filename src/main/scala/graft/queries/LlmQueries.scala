@@ -1070,6 +1070,18 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // typo-tolerant trigram matching: "merge windoz" (one-char typo)
+    // still finds the "merge window" docs — ≥90% of the query's
+    // distinct trigrams present; integer threshold, engine-exact
+    "q_fuzzy_match" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tbl = "graft_trgm_fz_" + s.sparkContext.applicationId
+        .replaceAll("[^A-Za-z0-9_]", "_")
+      TfIdf.trigramIndexBuild(docs, "doc_id", "text", tbl, tableBuckets = 8)
+      TfIdf.trigramFuzzyProbe(s, tbl, "merge windoz", minFrac = 0.9)
+        .orderBy("doc_id")
+    }),
+
     // corpus-wide frequent PHRASE mining: top word trigrams by
     // occurrence (boilerplate surface — the thing CDC/span dedup then
     // removes). Partial aggregation means the shuffle carries only each
@@ -1751,6 +1763,18 @@ object LlmQueries {
     // re-derived from matched postings; N/avgdl from exact integer
     // stats totals) — the direct-scorer oracle IS its oracle
     "q_bm25_persisted" -> bm25OracleSql,
+
+    // distinct doc trigrams restricted to the query's, counted per doc;
+    // 9 = ceil(0.9 * 10 query trigrams) — integer threshold, no floats
+    "q_fuzzy_match" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS dl FROM documents),
+        |t AS (SELECT doc_id, substr(text, g.i, 3) AS tg
+        |  FROM d, LATERAL (SELECT unnest(generate_series(1, dl - 2)) AS i) g
+        |  WHERE dl >= 3),
+        |dt AS (SELECT DISTINCT doc_id, tg FROM t
+        |  WHERE tg IN (' wi','doz','e w','erg','ge ','ind','mer','ndo','rge','win'))
+        |SELECT doc_id, count(*)::BIGINT AS n_matched FROM dt
+        |GROUP BY doc_id HAVING count(*) >= 9""".stripMargin,
 
     // the index is exact by construction (necessary-condition pruning +
     // contains verify) — the oracle is the plain substring scan

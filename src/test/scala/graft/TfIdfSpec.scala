@@ -166,6 +166,39 @@ class TfIdfSpec extends SparkSpec {
       "posting scan must read only (doc_id, tg):\n" + p.take(900))
   }
 
+  test("trigram fuzzy probe: typo still matches; count twin of the direct definition") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    TfIdf.trigramIndexBuild(docs, "doc_id", "text", "graft_spec_trgm_fz",
+      tableBuckets = 8)
+    val exactHits = TfIdf.trigramIndexProbe(spark, "graft_spec_trgm_fz",
+      docs, "doc_id", "text", "merge window").as[Long].collect().toSet
+    assume(exactHits.nonEmpty, "fixture needs real 'merge window' docs")
+    // the typo'd query finds NOTHING exactly...
+    assert(TfIdf.trigramIndexProbe(spark, "graft_spec_trgm_fz",
+      docs, "doc_id", "text", "merge windoz").count() == 0)
+    // ...but every exact-phrase doc survives the 0.9 fuzzy threshold
+    // (a 1-char edit perturbs at most 3 of the 10 query trigrams, and
+    // here only 'doz' is novel)
+    val fuzzy = TfIdf.trigramFuzzyProbe(spark, "graft_spec_trgm_fz",
+      "merge windoz", minFrac = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(exactHits.subsetOf(fuzzy),
+      s"missing=${(exactHits -- fuzzy).take(5)}")
+    // count twin of the definition, computed without the index
+    val qTgs = "merge windoz".sliding(3).toSeq.distinct
+    val want = docs
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), length(col("text")) - 2),
+          i => col("text").substr(i, lit(3))))).as("tg"))
+      .filter(col("tg").isin(qTgs: _*))
+      .groupBy("doc_id").agg(count(lit(1)).as("m"))
+      .filter(col("m") >= 9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(fuzzy == want)
+  }
+
   test("persisted inverted index: probe ≡ direct bm25; append ≡ rebuild; buckets prune") {
     val docs = Tables.documents(spark, sf)
     val terms = Seq("spark", "merge", "window")
