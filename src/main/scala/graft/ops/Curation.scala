@@ -45,6 +45,33 @@ object Curation {
 
   /** Drop every document sharing at least `minOverlap` shingles with the
     * benchmark — the decontamination filter itself. */
+  /** Multi-type PII scrubbing — the pre-training privacy pass. Patterns
+    * stay in the regex subset Java and RE2 share (no lookarounds, no
+    * backrefs), so a DuckDB oracle runs the identical expressions.
+    * Replacement order is most-specific first (a card is four
+    * spaced/dashed quads; the phone pattern must not see it first). */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "card" -> "\\b\\d{4}(?:[ -]\\d{4}){3}\\b",
+    "phone" -> "\\+?\\d{1,2} \\d{3}-\\d{3}-\\d{4}",
+    "ipv4" -> "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b",
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")
+
+  /** Adds per-type match counts `n_card`/`n_phone`/`n_ipv4`/`n_email`
+    * (counted on the ORIGINAL text, so counts are order-independent)
+    * and `red`, the text with every match replaced by its `[TYPE]`
+    * token, applied in [[piiPatterns]] order. One narrow codegen pass —
+    * nothing shuffles. */
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    val withCounts = piiPatterns.foldLeft(df) { case (d, (name, pat)) =>
+      d.withColumn("n_" + name,
+        size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast("long"))
+    }
+    withCounts.withColumn("red",
+      piiPatterns.foldLeft(col(textCol)) { case (c, (name, pat)) =>
+        regexp_replace(c, pat, "[" + name.toUpperCase + "]")
+      })
+  }
+
   def decontaminate(docs: DataFrame, textCol: String, idCol: String,
       bench: DataFrame, benchTextCol: String, shingleLen: Int = 3,
       minOverlap: Int = 1): DataFrame = {

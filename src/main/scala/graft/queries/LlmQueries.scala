@@ -150,6 +150,28 @@ object LlmQueries {
     // site) and detection derives from it (txt <> red ⟺ an email matched,
     // since "[EMAIL]" can never match the pattern) — one regex pass per
     // row, not three.
+    // multi-type PII scrubbing (card/phone/IPv4/email) — deterministic
+    // synthetic PII appended per row (the corpus itself carries none);
+    // counts from the pre-redaction text, ordered [TYPE] replacement
+    "q_pii_multi" -> ((s, d) => {
+      val did = col("doc_id")
+      val txt = concat(col("text"),
+        lit(" contact "), col("source"), lit("@example."), col("lang"),
+        lit(" from 10.0."), (did % 256).cast("string"),
+        lit("."), (did % 100).cast("string"),
+        lit(" call +1 555-"), lpad((did % 1000).cast("string"), 3, "0"),
+        lit("-"), lpad((did % 10000).cast("string"), 4, "0"),
+        lit(" card 4111 1111 1111 "),
+        lpad((did % 10000).cast("string"), 4, "0"))
+      Curation.redactPii(
+          Tables.documents(s, d).withColumn("txt", txt), "txt")
+        .groupBy("lang")
+        .agg(sum("n_card").as("cards"), sum("n_phone").as("phones"),
+          sum("n_ipv4").as("ips"), sum("n_email").as("emails"),
+          sum(length(col("red"))).as("redacted_len"),
+          count_distinct(md5(col("red"))).as("n_distinct"))
+    }),
+
     "q_pii_redact" -> ((s, d) => {
       val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
       graft.core.Transforms.materialized(
@@ -1824,6 +1846,37 @@ object LlmQueries {
          |  GROUP BY doc_id, lang)
          |SELECT lang, round(sum(lp), 2) AS sum_lp, count(*) AS n
          |FROM sc GROUP BY lang""".stripMargin,
+
+    // counts on the pre-redaction text via regexp_extract_all length;
+    // chained replace in the same most-specific-first order
+    "q_pii_multi" ->
+      """WITH t AS (SELECT lang,
+        |  text || ' contact ' || source || '@example.' || lang
+        |    || ' from 10.0.' || (doc_id % 256)::VARCHAR
+        |    || '.' || (doc_id % 100)::VARCHAR
+        |    || ' call +1 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+        |    || '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+        |    || ' card 4111 1111 1111 '
+        |    || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS txt
+        | FROM documents),
+        |r AS (SELECT lang, txt,
+        |  len(regexp_extract_all(txt, '\b\d{4}(?:[ -]\d{4}){3}\b')) AS n_card,
+        |  len(regexp_extract_all(txt, '\+?\d{1,2} \d{3}-\d{3}-\d{4}')) AS n_phone,
+        |  len(regexp_extract_all(txt, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ipv4,
+        |  len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(txt,
+        |    '\b\d{4}(?:[ -]\d{4}){3}\b', '[CARD]', 'g'),
+        |    '\+?\d{1,2} \d{3}-\d{3}-\d{4}', '[PHONE]', 'g'),
+        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IPV4]', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g')
+        |    AS red
+        | FROM t)
+        |SELECT lang, sum(n_card)::BIGINT AS cards,
+        | sum(n_phone)::BIGINT AS phones, sum(n_ipv4)::BIGINT AS ips,
+        | sum(n_email)::BIGINT AS emails,
+        | sum(length(red))::BIGINT AS redacted_len,
+        | count(DISTINCT md5(red)) AS n_distinct
+        |FROM r GROUP BY lang""".stripMargin,
 
     "q_pii_redact" ->
       """SELECT lang,

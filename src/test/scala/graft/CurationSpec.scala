@@ -369,4 +369,31 @@ class CurationSpec extends SparkSpec {
     assert(!out(4L)._4, "digit-only doc fails alpha fraction")
     assert(!out(5L)._1 && !out(5L)._2, "empty doc fails")
   }
+
+  test("redactPii: per-type counts and ordered replacement on hand-built text") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "mail a@b.co and c.d@e-f.org twice"),          // 2 emails
+      (2L, "server 192.168.0.1 and 10.0.0.255 up"),       // 2 ipv4
+      (3L, "call +1 555-010-1234 or 49 555-010-9999"),    // 2 phones
+      (4L, "card 4111 1111 1111 1234 and 4111-1111-1111-0000"), // 2 cards
+      // the ordering trap: the card must become [CARD], not be
+      // partially eaten by the phone/ipv4 patterns
+      (5L, "pay 4111 1111 1111 9999 at 10.0.0.1 via x@y.io"),
+      (6L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val r = graft.ops.Curation.redactPii(d, "text")
+      .select("doc_id", "n_card", "n_phone", "n_ipv4", "n_email", "red")
+      .as[(Long, Long, Long, Long, Long, String)]
+      .collect().map(t => t._1 -> t).toMap
+    assert((r(1L)._2, r(1L)._3, r(1L)._4, r(1L)._5) == (0L, 0L, 0L, 2L))
+    assert(r(1L)._6 == "mail [EMAIL] and [EMAIL] twice")
+    assert(r(2L)._4 == 2L && r(2L)._6 == "server [IPV4] and [IPV4] up")
+    assert(r(3L)._3 == 2L && r(3L)._6 == "call [PHONE] or [PHONE]")
+    assert(r(4L)._2 == 2L && r(4L)._6 == "card [CARD] and [CARD]")
+    assert((r(5L)._2, r(5L)._4, r(5L)._5) == (1L, 1L, 1L))
+    assert(r(5L)._6 == "pay [CARD] at [IPV4] via [EMAIL]")
+    assert(r(6L)._6 == "no pii here at all" &&
+      (r(6L)._2 | r(6L)._3 | r(6L)._4 | r(6L)._5) == 0L)
+  }
 }
