@@ -150,6 +150,26 @@ object LlmQueries {
     // site) and detection derives from it (txt <> red ⟺ an email matched,
     // since "[EMAIL]" can never match the pattern) — one regex pass per
     // row, not three.
+    // split-leakage guard: near-duplicate documents (shared 12-token
+    // prefix) straddling the id-hash train/test split — the split
+    // hashes IDs, duplicates have different ids → they leak; the
+    // canonical dedup-BEFORE-split lesson, measured. (Exact-fingerprint
+    // leakage is the degenerate subset; this corpus's duplicates are
+    // near-dups, so the prefix key is what actually catches them.)
+    "q_split_leakage" -> ((s, d) => {
+      import graft.functions.TextFunctions
+      Curation.hashSplit(Tables.documents(s, d), "doc_id", trainFrac = 0.8)
+        .select(md5(concat_ws(" ",
+          slice(TextFunctions.tokens(col("text")), 1, 12))).as("fp"),
+          col("split"))
+        .groupBy("fp")
+        .agg(count_distinct(col("split")).as("n_splits"),
+          count(lit(1)).as("n_docs"))
+        .filter(col("n_splits") > 1)
+        .agg(count(lit(1)).as("leaked_groups"),
+          sum("n_docs").cast("long").as("leaked_docs"))
+    }),
+
     // multi-type PII scrubbing (card/phone/IPv4/email) — deterministic
     // synthetic PII appended per row (the corpus itself carries none);
     // counts from the pre-redaction text, ordered [TYPE] replacement
@@ -1846,6 +1866,22 @@ object LlmQueries {
          |  GROUP BY doc_id, lang)
          |SELECT lang, round(sum(lp), 2) AS sum_lp, count(*) AS n
          |FROM sc GROUP BY lang""".stripMargin,
+
+    // same md5-prefix split threshold ('cccc' = 0.8 * 65536 in hex) and
+    // 12-token-prefix fingerprint as the Spark side
+    "q_split_leakage" ->
+      """WITH s AS (SELECT
+        |  md5(array_to_string((string_split_regex(
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+        |    ' '))[1:12], ' ')) AS fp,
+        |  CASE WHEN substr(md5(doc_id::VARCHAR), 1, 4) < 'cccc'
+        |       THEN 'train' ELSE 'test' END AS split
+        | FROM documents),
+        |g AS (SELECT fp, count(DISTINCT split) AS n_splits,
+        |  count(*) AS n_docs FROM s GROUP BY fp)
+        |SELECT count(*)::BIGINT AS leaked_groups,
+        | sum(n_docs)::BIGINT AS leaked_docs
+        |FROM g WHERE n_splits > 1""".stripMargin,
 
     // counts on the pre-redaction text via regexp_extract_all length;
     // chained replace in the same most-specific-first order
