@@ -789,17 +789,29 @@ object EventQueries {
         Seq("event_type"))
       val est = graft.ops.Sketches.ddsketchQuantiles(sk, Seq("event_type"),
         Seq(0.5, 0.95, 0.99))
+      // the in-query accuracy contract compares each sketch quantile to
+      // the exact order statistic at the SKETCH'S OWN rank convention
+      // (floor(q·(n−1))+1) with the sketch's real α = 1% bound — an
+      // interpolated percentile() at 3% flaked at sf0.001 (n ≈ 200:
+      // interpolation between the top order statistics legitimately
+      // drifts >3% from the bucket value DDSketch actually bounds)
+      val rank = (q: Double, vs: org.apache.spark.sql.Column) =>
+        (floor(lit(q) * (size(vs) - 1)) + 1).cast("int")
       val exact = ev.filter(col("value") > 0)
         .groupBy("event_type")
-        .agg(expr("percentile(value, array(0.5D, 0.95D, 0.99D))").as("ex"))
+        .agg(sort_array(collect_list(col("value").cast("double"))).as("vs"))
+        .select(col("event_type"),
+          element_at(col("vs"), rank(0.5, col("vs"))).as("x50"),
+          element_at(col("vs"), rank(0.95, col("vs"))).as("x95"),
+          element_at(col("vs"), rank(0.99, col("vs"))).as("x99"))
       est.join(broadcast(exact), Seq("event_type"))
         .select(col("event_type"), col("n"),
           col("p50"), col("p95"), col("p99"),
-          (abs(col("p50") - col("ex")(0)) / col("ex")(0) <= 0.03)
+          (abs(col("p50") - col("x50")) / col("x50") <= 0.010001)
             .as("ok_p50"),
-          (abs(col("p95") - col("ex")(1)) / col("ex")(1) <= 0.03)
+          (abs(col("p95") - col("x95")) / col("x95") <= 0.010001)
             .as("ok_p95"),
-          (abs(col("p99") - col("ex")(2)) / col("ex")(2) <= 0.03)
+          (abs(col("p99") - col("x99")) / col("x99") <= 0.010001)
             .as("ok_p99"))
         .orderBy("event_type")
     }),
@@ -1340,7 +1352,15 @@ object EventQueries {
     // rolling 24-bucket correlation between event volume and value sum
     // per type (the drift diagnostic between two aligned series) —
     // windows keyed by type; degenerate frames (zero variance or < 2
-    // rows) emit NULL on both engines by explicit guard
+    // rows) emit NULL on both engines by explicit guard. NOTE: the
+    // guard must not wrap `corr().over(w)` — window aggregates evaluate
+    // for EVERY frame before the projection's `when` runs, and Spark's
+    // Corr throws DIVIDE_BY_ZERO under ANSI on a zero-variance frame
+    // (every hour having exactly one event makes the count series
+    // constant — found by the sf0.001 edge sweep, r11). The correlation
+    // is built from windowed MOMENTS instead (sums never divide), with
+    // the division living in the row projection where `when` really is
+    // lazy; same sn/sv guard as the oracle's corr().
     "q_rolling_corr" -> ((s, d) => {
       val hb = Tables.events(s, d)
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
@@ -1348,11 +1368,21 @@ object EventQueries {
           sum("value").as("v"))
       val w = Window.partitionBy("event_type").orderBy("hour")
         .rowsBetween(-23, 0)
+      val m = count(lit(1)).over(w).cast("double")
+      val sx = sum("n").over(w)
+      val sy = sum("v").over(w)
+      val sxx = sum(col("n") * col("n")).over(w)
+      val syy = sum(col("v") * col("v")).over(w)
+      val sxy = sum(col("n") * col("v")).over(w)
       hb.withColumn("sn", stddev_pop("n").over(w))
         .withColumn("sv", stddev_pop("v").over(w))
+        .withColumn("_m", m).withColumn("_sx", sx).withColumn("_sy", sy)
+        .withColumn("_sxx", sxx).withColumn("_syy", syy).withColumn("_sxy", sxy)
         .withColumn("corr24",
           when(col("sn") > 0 && col("sv") > 0,
-            round(corr("n", "v").over(w), 4)))
+            round((col("_m") * col("_sxy") - col("_sx") * col("_sy")) /
+              sqrt(col("_m") * col("_sxx") - col("_sx") * col("_sx")) /
+              sqrt(col("_m") * col("_syy") - col("_sy") * col("_sy")), 4)))
         .select("event_type", "hour", "corr24")
     }),
 

@@ -524,8 +524,12 @@ object RelationalQueries {
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(
-          round(median(col("l_extendedprice")), 2).as("med_price"),
-          round(expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity)"), 2).as("p90_qty"),
+          // interpolated quantiles land on exact .xx5 midpoints ((a+b)/2
+          // of 2-decimal prices) where Spark's and DuckDB's round()
+          // disagree — sf0.001 flipped med_price by a cent (r11); the
+          // floor-based half-up round is engine-identical (values > 0)
+          (floor(median(col("l_extendedprice")) * 100 + 0.5) / 100).as("med_price"),
+          (floor(expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity)") * 100 + 0.5) / 100).as("p90_qty"),
           round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
           round(var_samp(col("l_discount")), 6).as("var_disc"),
           round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
@@ -2029,8 +2033,8 @@ object RelationalQueries {
 
     "q_agg_stats" ->
       """SELECT l_returnflag,
-        | round(median(l_extendedprice), 2) AS med_price,
-        | round(quantile_cont(l_quantity, 0.9), 2) AS p90_qty,
+        | floor(median(l_extendedprice) * 100 + 0.5) / 100 AS med_price,
+        | floor(quantile_cont(l_quantity, 0.9) * 100 + 0.5) / 100 AS p90_qty,
         | round(stddev_samp(l_extendedprice), 2) AS sd_price,
         | round(var_samp(l_discount), 6) AS var_disc,
         | round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
