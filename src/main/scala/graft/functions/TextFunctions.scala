@@ -148,6 +148,14 @@ object TextFunctions {
   def termCounts(text: Column): Column =
     call_function("graft_term_counts", text)
 
+  /** Per-pattern occurrence counts (array<int>, aligned with `patterns`)
+    * in ONE Aho–Corasick pass per row — the blocklist scan
+    * ([[MultiPatternCounts]]); O(len) per document regardless of how many
+    * terms the dictionary holds. */
+  def multiPatternCounts(text: Column, patterns: Seq[String]): Column =
+    call_function("graft_multi_count", text,
+      array(patterns.map(lit): _*))
+
   /** The original Column-HOF formulation of [[termCounts]], kept as the
     * semantic reference the native kernel is spec-pinned against
     * (TfIdfSpec). NOT for production paths: Catalyst does not CSE into

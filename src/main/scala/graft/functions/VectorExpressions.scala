@@ -436,6 +436,24 @@ object VectorExpressions {
         }
         CentroidArgmax(children(0), arrLit(1), arrLit(2))
       }))
+    e.injectFunction(desc("graft_multi_count", classOf[MultiPatternCounts],
+      (children: Seq[Expression]) => {
+        // function resolution runs before constant folding, so the
+        // dictionary arrives as CreateArray(literals); a pre-folded
+        // array Literal is accepted too
+        import org.apache.spark.sql.catalyst.expressions.{CreateArray, Literal}
+        val pats = children(1) match {
+          case CreateArray(elems, _) if elems.forall(_.isInstanceOf[Literal]) =>
+            elems.map { case Literal(v, _) => v.toString }
+          case Literal(v, ArrayType(t, _))
+              if t == org.apache.spark.sql.types.StringType =>
+            v.asInstanceOf[ArrayData].toArray[org.apache.spark.unsafe.types.UTF8String](t)
+              .map(_.toString).toSeq
+          case other => throw new IllegalArgumentException(
+            s"graft_multi_count arg 2 must be an array<string> literal, got $other")
+        }
+        MultiPatternCounts(children(0), pats)
+      }))
     e.injectFunction(desc("graft_shingle_sketch", classOf[ShingleSketch],
       (children: Seq[Expression]) => {
         def intLit(i: Int): Int = children(i) match {

@@ -20,6 +20,12 @@ import org.apache.spark.sql.functions._
 object LlmQueries {
   private type Q = (SparkSession, String) => DataFrame
 
+  // q_blocklist_match's term dictionary: all patterns border-free (no
+  // proper prefix that is also a suffix), so every-occurrence AC counts
+  // equal non-overlapping replace counts — the oracle relies on it.
+  private[graft] val blocklistPats = Seq("big table", "dup", "fast scan",
+    "scan", "slow merge", "slow query", "small batch", "sort merge")
+
   // DuckDB twin of TextFunctions.tokens — keep in sync.
   private val sqlToks =
     "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
@@ -190,6 +196,27 @@ object LlmQueries {
           sum("n_ipv4").as("ips"), sum("n_email").as("emails"),
           sum(length(col("red"))).as("redacted_len"),
           count_distinct(md5(col("red"))).as("n_distinct"))
+    }),
+
+    // blocklist scan: per-pattern occurrence + doc-hit counts over the
+    // whole corpus in ONE Aho–Corasick pass per document (graft_multi_count
+    // — O(len) per row however large the term dictionary; the naive shape
+    // is one contains()/regexp pass PER TERM). The list deliberately nests
+    // one pattern inside another ("scan" ⊂ "fast scan") to exercise the
+    // suffix-link outputs; all patterns are border-free, so the AC
+    // all-occurrences count equals DuckDB's non-overlapping replace count.
+    "q_blocklist_match" -> ((s, d) => {
+      val pats = blocklistPats
+      Tables.documents(s, d)
+        .select(posexplode(multiPatternCounts(col("text"), pats))
+          .as(Seq("pid", "cnt")))
+        .groupBy("pid")
+        .agg(sum(when(col("cnt") > 0, 1L).otherwise(0L)).as("n_docs"),
+          sum(col("cnt")).cast("long").as("occurrences"))
+        .select(element_at(array(pats.map(lit): _*), col("pid") + 1)
+          .as("pattern"),
+          col("n_docs"), col("occurrences"))
+        .orderBy("pattern")
     }),
 
     "q_pii_redact" -> ((s, d) => {
@@ -1913,6 +1940,20 @@ object LlmQueries {
         | sum(length(red))::BIGINT AS redacted_len,
         | count(DISTINCT md5(red)) AS n_distinct
         |FROM r GROUP BY lang""".stripMargin,
+
+    // non-overlapping replace count == AC every-occurrence count because
+    // every pattern is border-free (checked in CurationSpec); `//` keeps
+    // the division integral (DuckDB `/` is float division)
+    "q_blocklist_match" ->
+      """WITH p(pat) AS (VALUES ('big table'), ('dup'), ('fast scan'),
+        |  ('scan'), ('slow merge'), ('slow query'), ('small batch'),
+        |  ('sort merge'))
+        |SELECT pat AS pattern,
+        | sum(CASE WHEN contains(text, pat) THEN 1 ELSE 0 END)::BIGINT AS n_docs,
+        | sum((length(text) - length(replace(text, pat, ''))) // length(pat))::BIGINT
+        |   AS occurrences
+        |FROM documents CROSS JOIN p
+        |GROUP BY pat ORDER BY pat""".stripMargin,
 
     "q_pii_redact" ->
       """SELECT lang,

@@ -396,4 +396,77 @@ class CurationSpec extends SparkSpec {
     assert(r(6L)._6 == "no pii here at all" &&
       (r(6L)._2 | r(6L)._3 | r(6L)._4 | r(6L)._5) == 0L)
   }
+
+  // ---- graft_multi_count (Aho–Corasick blocklist kernel) --------------
+
+  private def bruteCounts(text: String, pats: Seq[String]): Seq[Int] =
+    pats.map { p =>
+      var c = 0; var from = 0
+      while ({ val i = text.indexOf(p, from); if (i >= 0) { c += 1; from = i + 1 }; i >= 0 }) ()
+      c
+    }
+
+  private def acCounts(rows: Seq[String], pats: Seq[String]): Seq[Seq[Int]] = {
+    import graft.functions.TextFunctions.multiPatternCounts
+    rows.toDF("t")
+      .select(multiPatternCounts(col("t"), pats).as("h"))
+      .collect().map(r =>
+        if (r.isNullAt(0)) null
+        else r.getSeq[Int](0).toIndexedSeq).toIndexedSeq
+  }
+
+  test("multiPatternCounts: nested patterns, overlaps, and suffix-link outputs") {
+    // "aa" self-overlaps; "ab" nests inside "aab" endings via fail links
+    val pats = Seq("aa", "ab", "aab", "b")
+    val texts = Seq("aaab", "abab", "aabaab", "bbbb", "")
+    val got = acCounts(texts, pats)
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i) == bruteCounts(t, pats),
+        s"'$t': got ${got(i)}, want ${bruteCounts(t, pats)}")
+    }
+    // spot-check the interesting ones by hand
+    assert(got(0) == Seq(2, 1, 1, 1), s"aaab: ${got(0)}") // aa@0, aa@1(overlap), ab@2, aab@1, b@3
+    assert(got(2) == Seq(2, 2, 2, 2), s"aabaab: ${got(2)}")
+  }
+
+  test("multiPatternCounts: null text nulls, UTF-8 multi-byte patterns count bytewise-exactly") {
+    import graft.functions.TextFunctions.multiPatternCounts
+    val r = Seq[(java.lang.Long, String)]((1L, "café été café"), (2L, null))
+      .toDF("id", "t")
+      .select(col("id"), multiPatternCounts(col("t"), Seq("é", "café")).as("h"))
+      .collect().map(x => x.getLong(0) ->
+        (if (x.isNullAt(1)) null else x.getSeq[Int](1).toIndexedSeq)).toMap
+    assert(r(1L) == Seq(4, 2), s"accent counts: ${r(1L)}")
+    assert(r(2L) == null, "null text must stay null")
+  }
+
+  test("multiPatternCounts: q_blocklist_match dictionary is border-free (oracle precondition)") {
+    // the DuckDB oracle counts non-overlapping matches; equality with the
+    // AC every-occurrence count requires each pattern to have no border
+    graft.queries.LlmQueries.blocklistPats.foreach { p =>
+      val borders = (1 until p.length).filter(k => p.take(k) == p.takeRight(k))
+      assert(borders.isEmpty, s"pattern '$p' has border(s) $borders")
+    }
+  }
+
+  test("multiPatternCounts: equals per-pattern brute scan on real corpus docs") {
+    val pats = graft.queries.LlmQueries.blocklistPats
+    val sample = docs.select("text").limit(50).collect().map(_.getString(0)).toSeq
+    val got = acCounts(sample, pats)
+    sample.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i) == bruteCounts(t, pats), s"doc $i diverged")
+    }
+  }
+
+  test("multiPatternCounts: randomized property vs brute force on a small alphabet") {
+    val rnd = new scala.util.Random(42)
+    val pats = Seq("a", "ab", "ba", "aba", "bb", "aab")
+    val texts = Seq.fill(60)(
+      (0 until (1 + rnd.nextInt(30))).map(_ => if (rnd.nextBoolean()) 'a' else 'b').mkString)
+    val got = acCounts(texts, pats)
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i) == bruteCounts(t, pats),
+        s"'$t': got ${got(i)}, want ${bruteCounts(t, pats)}")
+    }
+  }
 }
