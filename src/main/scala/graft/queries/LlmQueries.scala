@@ -198,6 +198,38 @@ object LlmQueries {
           count_distinct(md5(col("red"))).as("n_distinct"))
     }),
 
+    // entity resolution: link a typo'd record stream back to the clean
+    // catalog with exact-recall prefix/suffix blocking (PassJoin τ=1) +
+    // codegen levenshtein verify — two equi-joins, never a cross join.
+    // Dirty side = every 7th customer with one deterministic digit
+    // DELETED (position rotates with the key); each must re-link to its
+    // source at distance 1 (n_true), and zero-padded keys make several
+    // genuine distance-1 ambiguities (n_ambiguous > 0 — delete a zero
+    // from Customer#000000123 and Customer#000001123 is one edit away
+    // too). Split 16/2 because the entropy of id-like strings lives in
+    // the tail: the tail-2 block key prunes ~100x vs the naive cross
+    // join at sf0.1 (LinkageSpec pins recall == naive).
+    "q_fuzzy_link" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val p = (lit(10) + col("c_custkey") % 9).cast("int")
+      val dirty = cust.filter(col("c_custkey") % 7 === 3)
+        .select(col("c_custkey").as("src_key"),
+          concat(substr(col("c_name"), lit(1), p - 1),
+            substr(col("c_name"), p + 1, lit(18) - p)).as("d_s"))
+      val pairs = graft.ops.Linkage.editJoin1(
+        dirty, "src_key", "d_s", cust, "c_custkey", "c_name",
+        headLen = 16, tailLen = 2)
+      val per = pairs.groupBy("d_id")
+        .agg(count(lit(1)).as("m"),
+          sum(when(col("c_id") === col("d_id"), 1L).otherwise(0L)).as("t"))
+      dirty.join(per, dirty("src_key") === per("d_id"), "left")
+        .agg(count(lit(1)).as("n_dirty"),
+          count(col("d_id")).as("n_linked"),
+          sum(when(col("m") > 1, 1L).otherwise(0L)).as("n_ambiguous"),
+          coalesce(sum("m"), lit(0L)).as("n_pairs"),
+          coalesce(sum("t"), lit(0L)).as("n_true"))
+    }),
+
     // blocklist scan: per-pattern occurrence + doc-hit counts over the
     // whole corpus in ONE Aho–Corasick pass per document (graft_multi_count
     // — O(len) per row however large the term dictionary; the naive shape
@@ -1940,6 +1972,29 @@ object LlmQueries {
         | sum(length(red))::BIGINT AS redacted_len,
         | count(DISTINCT md5(red)) AS n_distinct
         |FROM r GROUP BY lang""".stripMargin,
+
+    // naive-by-construction twin: LEFT JOIN on the levenshtein predicate
+    // itself (no blocking) — if the prefix/suffix blocking ever lost a
+    // candidate, the counts would diverge here
+    "q_fuzzy_link" ->
+      """WITH dirty AS (
+        | SELECT c_custkey AS src_key,
+        |   substr(c_name, 1, (9 + c_custkey % 9)::INT)
+        |   || substr(c_name, (11 + c_custkey % 9)::INT,
+        |        (8 - c_custkey % 9)::INT) AS d_s
+        | FROM customer WHERE c_custkey % 7 = 3),
+        |per AS (
+        | SELECT d.src_key, count(c.c_custkey) AS m,
+        |   sum(CASE WHEN c.c_custkey = d.src_key THEN 1 ELSE 0 END) AS t
+        | FROM dirty d LEFT JOIN customer c
+        |   ON levenshtein(d.d_s, c.c_name) <= 1
+        | GROUP BY d.src_key)
+        |SELECT count(*)::BIGINT AS n_dirty,
+        | sum(CASE WHEN m > 0 THEN 1 ELSE 0 END)::BIGINT AS n_linked,
+        | sum(CASE WHEN m > 1 THEN 1 ELSE 0 END)::BIGINT AS n_ambiguous,
+        | sum(m)::BIGINT AS n_pairs,
+        | sum(t)::BIGINT AS n_true
+        |FROM per""".stripMargin,
 
     // non-overlapping replace count == AC every-occurrence count because
     // every pattern is border-free (checked in CurationSpec); `//` keeps
