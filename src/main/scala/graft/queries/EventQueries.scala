@@ -119,6 +119,45 @@ object EventQueries {
           max("lag_sec").as("max_lag_sec"))
     }),
 
+    // ---- weight of evidence / information value ----------------------
+    // the credit-scoring feature diagnostic, run on sessionized events:
+    // does session length predict purchase? Sessions = 30-min-gap splits
+    // per user (same convention as q_sessionize); bin = session length
+    // capped at 8; WOE_i = ln(dist_good_i / dist_bad_i) with +0.5
+    // Laplace smoothing per bin, IV term = (dg - db)·WOE. Scale shape:
+    // one per-user window pass (bounded partitions), one groupBy
+    // (user, sid), one groupBy bin (≤8 rows) — the totals row is a
+    // broadcast scalar join on the TINY binned aggregate, and every
+    // float derives deterministically from integer counts (no
+    // partition-order sums).
+    "q_woe_iv" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      val prevUs = lag(unix_micros(col("ts")), 1).over(w)
+      val sess = ev
+        .withColumn("brk",
+          when(prevUs.isNull ||
+            unix_micros(col("ts")) - prevUs > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum("brk").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(count(lit(1)).as("len"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0)).as("lab"))
+      val binned = sess.groupBy(least(col("len"), lit(8)).as("bin"))
+        .agg(sum(when(col("lab") === 1, 1L).otherwise(0L)).as("n_good"),
+          sum(when(col("lab") === 0, 1L).otherwise(0L)).as("n_bad"))
+      val tot = binned.agg(sum("n_good").as("gt"), sum("n_bad").as("bt"),
+        count(lit(1)).cast("long").as("k"))
+      val dg = (col("n_good") + lit(0.5)) / (col("gt") + lit(0.5) * col("k"))
+      val db = (col("n_bad") + lit(0.5)) / (col("bt") + lit(0.5) * col("k"))
+      binned.join(broadcast(tot))
+        .select(col("bin"), col("n_good"), col("n_bad"),
+          (floor(log(dg / db) * 10000 + 0.5) / 10000).as("woe"),
+          (floor((dg - db) * log(dg / db) * 1000000 + 0.5) / 1000000).as("iv_term"))
+        .orderBy("bin")
+    }),
+
     // ---- cohort retention --------------------------------------------
     // users grouped by first-seen day; for each cohort, distinct active
     // users at day offsets 0..7. The cohort table is |users| rows and
@@ -1534,6 +1573,37 @@ object EventQueries {
         |   AS avg_lag_sec,
         | max(date_diff('second', t1, t3)) AS max_lag_sec
         |FROM s1 JOIN s3 USING (user_id)""".stripMargin,
+
+    // same 30-min-gap sessionization, bin cap, and +0.5 smoothing; every
+    // float is a deterministic function of integer counts
+    "q_woe_iv" ->
+      """WITH g AS (SELECT user_id, ts, event_type,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |       THEN 1 ELSE 0 END AS brk
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, event_type,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid FROM g),
+        |sess AS (SELECT user_id, sid, count(*) AS len,
+        |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS lab
+        | FROM s GROUP BY user_id, sid),
+        |b AS (SELECT least(len, 8) AS bin,
+        |  sum(CASE WHEN lab = 1 THEN 1 ELSE 0 END)::BIGINT AS n_good,
+        |  sum(CASE WHEN lab = 0 THEN 1 ELSE 0 END)::BIGINT AS n_bad
+        | FROM sess GROUP BY 1),
+        |t AS (SELECT sum(n_good)::BIGINT AS gt, sum(n_bad)::BIGINT AS bt,
+        |  count(*)::BIGINT AS k FROM b)
+        |SELECT bin, n_good, n_bad,
+        | floor(ln(((n_good + 0.5) / (gt + 0.5 * k)) /
+        |          ((n_bad + 0.5) / (bt + 0.5 * k))) * 10000 + 0.5) / 10000
+        |   AS woe,
+        | floor((((n_good + 0.5) / (gt + 0.5 * k)) -
+        |        ((n_bad + 0.5) / (bt + 0.5 * k))) *
+        |       ln(((n_good + 0.5) / (gt + 0.5 * k)) /
+        |          ((n_bad + 0.5) / (bt + 0.5 * k))) * 1000000 + 0.5) / 1000000
+        |   AS iv_term
+        |FROM b CROSS JOIN t ORDER BY bin""".stripMargin,
 
     "q_join_asof_nearest" ->
       """SELECT c.user_id, c.event_id,
