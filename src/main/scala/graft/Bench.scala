@@ -5,6 +5,70 @@ package graft
   * through the noop datasource so the full plan executes (a bare count()
   * would let Catalyst prune the aggregates away).
   */
+/** Load gate for trustworthy bench records (r12). Two consecutive rounds the
+  * official `BENCH_r*.json` misrepresented the engine because the driver
+  * machine was busy while the bench ran (r11: recorded 28.7 s total under
+  * loadavg 8.72; the judge's idle rerun of the identical binary measured
+  * 10.84 s). `/proc/loadavg` alone cannot gate *between* reps — the 1-min
+  * average decays slowly, so our own 32-thread rep from 10 s ago still reads
+  * as "load". Instead we measure instantaneous EXTERNAL cpu pressure:
+  * sample `/proc/stat` (whole-machine busy jiffies) and `/proc/self/stat`
+  * (our utime+stime, same clock-tick units) across a short window; external
+  * busy cores = (Δmachine − Δself) / Δwindow. That excludes self exactly and
+  * reacts in one window (~250 ms) instead of one minute.
+  */
+object LoadGate {
+  private def sysJiffies(): Option[(Long, Long)] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val cols = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        // user nice system idle iowait irq softirq steal [guest guest_nice]
+        val idle = cols(3) + (if (cols.length > 4) cols(4) else 0L)
+        val busy = cols.take(8).sum - idle
+        Some((busy, busy + idle))
+      } finally src.close()
+    } catch { case _: Throwable => None }
+
+  private def selfJiffies(): Option[Long] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/self/stat")
+      try {
+        val line = src.getLines().next()
+        // comm may contain spaces/parens: fields resume after the last ')'.
+        val rest = line.substring(line.lastIndexOf(')') + 2).split(" ")
+        Some(rest(11).toLong + rest(12).toLong) // utime + stime
+      } finally src.close()
+    } catch { case _: Throwable => None }
+
+  val cores: Int = Runtime.getRuntime.availableProcessors
+
+  /** External (non-self) busy cores averaged over windowMs. -1 if /proc is
+    * unreadable (non-Linux), which callers treat as "cannot gate" → quiet.
+    */
+  def externalBusyCores(windowMs: Long = 250): Double = {
+    (sysJiffies(), selfJiffies()) match {
+      case (Some((busy0, tot0)), Some(self0)) =>
+        Thread.sleep(windowMs)
+        (sysJiffies(), selfJiffies()) match {
+          case (Some((busy1, tot1)), Some(self1)) if tot1 > tot0 =>
+            val perCoreWindow = (tot1 - tot0).toDouble / cores
+            math.max(0.0, ((busy1 - busy0) - (self1 - self0)) / perCoreWindow)
+          case _ => -1.0
+        }
+      case _ => -1.0
+    }
+  }
+
+  def loadAvg1m(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.getLines().next().split(" ")(0).toDouble finally src.close()
+    } catch { case _: Throwable =>
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    }
+}
+
 object Bench {
   // Headline set: one per operator family that matters at scale.
   val headline: Seq[String] = Seq(
@@ -82,9 +146,31 @@ object Bench {
       else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2.0
     def spread(ts: Seq[Double]): Double =
       if (ts.min <= 0) 0.0 else (median(ts) - ts.min) / ts.min
-    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-    val loadStart = osBean.getSystemLoadAverage
-    val results = selected.flatMap { name =>
+    val loadStart = LoadGate.loadAvg1m()
+    // r12 load gate (the r11 top verdict item): before every TIMED rep,
+    // measure external busy cores; while above threshold, sleep-and-retest
+    // against a shared wall-clock budget. A rep that still starts under
+    // external load is kept but marked noisy; per-query min/median prefer
+    // quiet reps, and if ANY query ends with zero quiet reps the record
+    // carries "degraded":true so the judge can discount it at a glance.
+    val loadThreshold = sys.env.getOrElse("SPARK_GRAFT_LOAD_MAX", "4.0").toDouble
+    var waitBudget = sys.env.getOrElse("SPARK_GRAFT_LOAD_BUDGET_SEC", "300").toDouble
+    def gate(): (Double, Boolean) = {
+      var ext = LoadGate.externalBusyCores()
+      if (ext < 0) return (ext, true) // /proc unreadable: cannot gate
+      while (ext > loadThreshold && waitBudget > 0) {
+        System.err.println(f"[bench] external load $ext%.1f cores > $loadThreshold%.1f — " +
+          f"waiting (budget ${waitBudget}%.0f s left)")
+        val sleepS = math.min(5.0, waitBudget)
+        Thread.sleep((sleepS * 1000).toLong)
+        waitBudget -= (sleepS + 0.25)
+        ext = LoadGate.externalBusyCores()
+      }
+      (ext, ext <= loadThreshold)
+    }
+    // (seconds, startedQuiet, externalCoresAtStart) per rep.
+    type Rep = (Double, Boolean, Double)
+    val results: Seq[(String, Seq[Rep])] = selected.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         // One untimed warmup rep at the TARGET SF: the sf0.001 pass above
         // warms codegen for the plan shape, but first-touch page cache /
@@ -93,34 +179,55 @@ object Bench {
         // driver rounds are comparable.
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
-        def rep(): Double = {
+        def rep(): Rep = {
+          val (ext, quiet) = gate()
           val t0 = System.nanoTime()
           try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
           }
-          (System.nanoTime() - t0) / 1e9
+          ((System.nanoTime() - t0) / 1e9, quiet, ext)
         }
-        var times = (1 to reps).map(_ => rep()).sorted
-        while (spread(times) > 0.5 && times.size < maxReps) {
-          System.err.println(f"[bench] $name spread ${spread(times) * 100}%.0f%% " +
-            s"after ${times.size} reps — machine load suspected, adding a rep")
-          times = (times :+ rep()).sorted
+        var times = (1 to reps).map(_ => rep()).sortBy(_._1)
+        def quietTimes = times.filter(_._2).map(_._1)
+        // Keep adding reps while the QUIET subset is unstable (or empty —
+        // then judge stability over everything we have) up to maxReps.
+        def stabilityTimes = if (quietTimes.nonEmpty) quietTimes else times.map(_._1)
+        while ((spread(stabilityTimes) > 0.5 || quietTimes.isEmpty) && times.size < maxReps) {
+          System.err.println(f"[bench] $name spread ${spread(stabilityTimes) * 100}%.0f%%, " +
+            s"quiet reps ${quietTimes.size}/${times.size} — adding a rep")
+          times = (times :+ rep()).sortBy(_._1)
         }
         name -> times
       }
     }
-    val loadEnd = osBean.getSystemLoadAverage
-    def field(f: Seq[Double] => Double): String = results
+    val degraded = waitBudget <= 0 || results.exists(_._2.forall(!_._2))
+    val loadEnd = LoadGate.loadAvg1m()
+    // Per-query headline numbers come from QUIET reps when any exist —
+    // min-of-contaminated-reps is exactly how r11's 15.9 s q_dedup_minhash
+    // got recorded against a true 1.0 s.
+    def preferred(ts: Seq[Rep]): Seq[Double] = {
+      val q = ts.filter(_._2).map(_._1)
+      if (q.nonEmpty) q else ts.map(_._1)
+    }
+    def field(f: Seq[Rep] => Double): String = results
       .map { case (k, ts) => "\"" + k + f"""\":${f(ts)}%.3f""" }
       .mkString("{", ",", "}")
-    val qs = field(_.min)
-    val med = field(median)
-    val spreadPct = field(ts => spread(ts) * 100.0)
+    val qs = field(ts => preferred(ts).min)
+    val med = field(ts => median(preferred(ts)))
+    val spreadPct = field(ts => spread(preferred(ts)) * 100.0)
     val repsUsed = results
       .map { case (k, ts) => "\"" + k + s"""\":${ts.size}""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2.min).sum
+    val quietUsed = results
+      .map { case (k, ts) => "\"" + k + s"""\":${ts.count(_._2)}""" }
+      .mkString("{", ",", "}")
+    val extLoads = results
+      .map { case (k, ts) =>
+        "\"" + k + "\":[" + ts.map(t => f"${t._3}%.1f").mkString(",") + "]"
+      }
+      .mkString("{", ",", "}")
+    val total = results.map(r => preferred(r._2).min).sum
     // r10 postmortem: the single metric line grew (reps_used + loadavg
     // telemetry) past the driver's ~2.3 KB stdout tail-capture and was cut
     // mid-JSON → BENCH_r10.json recorded parsed:null, i.e. no headline
@@ -129,8 +236,8 @@ object Bench {
     //     so a tail cut can only ever truncate diagnostics;
     //   - a compact HEADLINE line (metric/total/per-query min + median
     //     only, well under 1.5 KB) printed as the VERY LAST stdout line.
-    val detail = f"""{"metric":"bench_detail","spread_pct":$spreadPct,"reps":$reps,"reps_used":$repsUsed,"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f}"""
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_median":$med,"sf":"$sfDir"}"""
+    val detail = f"""{"metric":"bench_detail","spread_pct":$spreadPct,"reps":$reps,"reps_used":$repsUsed,"quiet_reps":$quietUsed,"ext_load":$extLoads,"load_threshold":$loadThreshold%.1f,"wait_budget_left":$waitBudget%.0f,"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f}"""
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_median":$med,"degraded":$degraded,"sf":"$sfDir"}"""
     // Both lines also go to a file the driver can read without un-wrapping
     // sbt's [info] stdout decoration. Default under target/ so a bench run
     // never dirties the work tree (r10: the git-tracked bench_out.json was
