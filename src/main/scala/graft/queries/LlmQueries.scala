@@ -486,9 +486,27 @@ object LlmQueries {
     // hybrid retrieval: dense (cosine top-20) and sparse (trigram-shingle
     // jaccard top-20) candidate lists fused by reciprocal rank
     // (k=60, the standard RRF constant) — the RAG two-tower + lexical
-    // fusion primitive. Both lists are broadcast-query streamed-corpus
-    // passes; the fusion is a tiny (queries×40)-row full outer join.
-    // vec_id and doc_id are the same id space in this corpus.
+    // fusion primitive. vec_id and doc_id are the same id space here.
+    //
+    // r12: the sparse leg is candidate-generated from the shingle
+    // INVERTED INDEX instead of a broadcast-queries × full-corpus scan
+    // with per-pair array_union/array_intersect (the one plan the r11
+    // verdict flagged as unshippable at 100 TB). Exact equivalence to
+    // the all-pairs oracle, by construction:
+    //   - shingleHashes() is DISTINCT hashes, so |A∩B| = the number of
+    //     matching posting rows in the index join and
+    //     |A∪B| = sz_q + sz_n − inter; j = inter/(szq+szn−inter) is the
+    //     same two integers divided as size(intersect)/size(union);
+    //   - the index has full recall for every pair with inter ≥ 1 (no
+    //     hot-shingle cap here — at 100 TB you would df-cap candidate
+    //     generation, trading exactness, see Dedup.ngramJaccardPairs);
+    //   - a j=0 pair can only reach the sparse top-20 (ordered j DESC,
+    //     n_id) when a query has k < 20 positive candidates, and then
+    //     only the globally smallest j=0 ids qualify: the 21 smallest
+    //     corpus ids (⊇ 20−k smallest j=0 ids + self + any positives)
+    //     unioned in with inter=0 cover that tail exactly.
+    // The corpus is touched by two narrow passes (shingle kernel +
+    // explode); only matched (q,n) pairs shuffle — never shingle arrays.
     "q_hybrid_rrf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val dense = Similarity.bruteForceTopK(
@@ -498,14 +516,28 @@ object LlmQueries {
         .select(col("doc_id"), shingleHashes(col("text"), 3).as("sh"))
       val qs = sh.filter(col("doc_id") < 10)
         .select(col("doc_id").as("q_id"), col("sh").as("q_sh"))
+      val qinv = qs.select(col("q_id"), size(col("q_sh")).as("sz_q"),
+        explode(col("q_sh")).as("s"))
+      val cinv = sh.select(col("doc_id").as("n_id"), size(col("sh")).as("sz_n"),
+        explode(col("sh")).as("s"))
+      val interCnt = cinv.join(broadcast(qinv), Seq("s"))
+        .groupBy("q_id", "n_id", "sz_q", "sz_n")
+        .agg(count(lit(1)).as("inter"))
+      val fillerIds = sh
+        .select(col("doc_id").as("n_id"), size(col("sh")).as("sz_n"))
+        .orderBy("n_id").limit(21)
+      val filler = broadcast(qs.select(col("q_id"), size(col("q_sh")).as("sz_q")))
+        .crossJoin(broadcast(fillerIds))
+        .withColumn("inter", lit(0L))
       val w = Window.partitionBy("q_id").orderBy(col("j").desc, col("n_id"))
-      val sparse = broadcast(qs)
-        .crossJoin(sh.select(col("doc_id").as("n_id"), col("sh").as("n_sh")))
+      val sparse = interCnt.unionByName(filler)
+        .groupBy("q_id", "n_id", "sz_q", "sz_n")
+        .agg(max("inter").as("inter"))
         .filter(col("q_id") =!= col("n_id"))
         .withColumn("j",
-          when(size(array_union(col("q_sh"), col("n_sh"))) === 0, lit(0.0))
-            .otherwise(size(array_intersect(col("q_sh"), col("n_sh"))).cast("double") /
-              size(array_union(col("q_sh"), col("n_sh"))).cast("double")))
+          when(col("sz_q") + col("sz_n") - col("inter") === 0, lit(0.0))
+            .otherwise(col("inter").cast("double") /
+              (col("sz_q") + col("sz_n") - col("inter")).cast("double")))
         .withColumn("rnk_s", row_number().over(w))
         .filter(col("rnk_s") <= 20)
         .select("q_id", "n_id", "rnk_s")
