@@ -444,7 +444,13 @@ object VectorExpressions {
         import org.apache.spark.sql.catalyst.expressions.{CreateArray, Literal}
         val pats = children(1) match {
           case CreateArray(elems, _) if elems.forall(_.isInstanceOf[Literal]) =>
-            elems.map { case Literal(v, _) => v.toString }
+            // a lit(null) element would otherwise NPE on v.toString deep in
+            // resolution — reject it with the error the require intends
+            elems.map {
+              case Literal(null, _) => throw new IllegalArgumentException(
+                "graft_multi_count patterns must not contain null literals")
+              case Literal(v, _) => v.toString
+            }
           case Literal(v, ArrayType(t, _))
               if t == org.apache.spark.sql.types.StringType =>
             v.asInstanceOf[ArrayData].toArray[org.apache.spark.unsafe.types.UTF8String](t)
@@ -453,6 +459,16 @@ object VectorExpressions {
             s"graft_multi_count arg 2 must be an array<string> literal, got $other")
         }
         MultiPatternCounts(children(0), pats)
+      }))
+    e.injectFunction(desc("graft_cdc_boundaries", classOf[CdcBoundaries],
+      (children: Seq[Expression]) => {
+        def intLit(i: Int): Int = children(i) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_cdc_boundaries arg ${i + 1} must be a literal, got $other")
+        }
+        CdcBoundaries(children(0), intLit(1), intLit(2))
       }))
     e.injectFunction(desc("graft_shingle_sketch", classOf[ShingleSketch],
       (children: Seq[Expression]) => {

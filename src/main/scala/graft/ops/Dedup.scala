@@ -208,17 +208,21 @@ object Dedup {
     * content-defined form: no min/max chunk clamps (a doc shorter than
     * `w` is one chunk; empty text yields none).
     *
-    * Scale shape: boundary detection is a per-row O(len·w) narrow pass
-    * (window hash per position); chunk extraction is zip_with on the
-    * boundary array — the corpus never shuffles to be chunked. Output:
-    * (idCol, chunk_id, chunk).
+    * Scale shape: boundary detection is the one-pass codegen kernel
+    * [[graft.functions.CdcBoundariesKernel]] — O(len) character-offset
+    * walk + one XXH64 call per window, replacing the r11 HOF form
+    * (`filter(sequence(...), i => pmod(xxhash64(substr(text,i,w)),m)=0)`)
+    * that was CodegenFallback with per-position Column machinery
+    * (O(len·w) — the same lambda-scope trap graft_term_counts fixed;
+    * DedupSpec pins bit-equality of the two forms). Chunk extraction is
+    * zip_with on the boundary array — the corpus never shuffles to be
+    * chunked. Output: (idCol, chunk_id, chunk).
     */
   def cdcChunks(docs: DataFrame, textCol: String, idCol: String,
       w: Int = 8, modulus: Int = 64): DataFrame = {
     val n = length(col(textCol))
-    val bpos = when(n < w, array().cast("array<int>"))
-      .otherwise(filter(sequence(lit(1), n - (w - 1)), i =>
-        pmod(xxhash64(col(textCol).substr(i, lit(w))), lit(modulus)) === 0))
+    val bpos = call_function("graft_cdc_boundaries",
+      col(textCol), lit(w), lit(modulus))
     val starts = when(n >= 1, array_union(array(lit(1)), bpos))
       .otherwise(array().cast("array<int>"))
     docs

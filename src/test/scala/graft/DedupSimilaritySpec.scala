@@ -250,6 +250,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(chunksOf("") == Seq.empty)
   }
 
+  test("graft_cdc_boundaries kernel ≡ the HOF xxhash64(substr) reference form") {
+    import spark.implicits._
+    // the r11 HOF formulation, kept verbatim as the semantic reference
+    def hofBoundaries(w: Int, m: Int): org.apache.spark.sql.Column = {
+      val n = length(col("text"))
+      when(n < w, array().cast("array<int>"))
+        .otherwise(filter(sequence(lit(1), n - (w - 1)), i =>
+          pmod(xxhash64(col("text").substr(i, lit(w))), lit(m)) === 0))
+    }
+    // real corpus text + handcrafted edges: empty, shorter-than-window,
+    // exactly-window, and multi-byte chars (substr is CHARACTER-based —
+    // the kernel must window over UTF-8 char offsets, not bytes)
+    val edge = Seq("", "ab", "abcdefgh", "héllo wörld ünïcode δοκιμή 試験テキスト",
+      "aaaaaaaaaaaaaaaaaaaaaaaa").toDF("text")
+    val sample = Tables.documents(spark, sf).select("text").limit(200)
+      .unionByName(edge)
+    for ((w, m) <- Seq((8, 64), (4, 16), (1, 3))) {
+      val diff = sample
+        .select(col("text"),
+          call_function("graft_cdc_boundaries", col("text"), lit(w), lit(m)).as("k"),
+          hofBoundaries(w, m).as("h"))
+        .filter(not(col("k") <=> col("h")))
+        .count()
+      assert(diff == 0, s"kernel diverged from HOF form for w=$w m=$m on $diff rows")
+    }
+  }
+
   test("LSH ANN recall@5 against brute force") {
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
