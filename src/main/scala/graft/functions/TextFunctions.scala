@@ -156,6 +156,35 @@ object TextFunctions {
     call_function("graft_multi_count", text,
       array(patterns.map(lit): _*))
 
+  /** [[multiPatternCounts]] with the transition-table backend forced
+    * ("dense" | "csr" | "auto") — benchmark/diagnostic surface; results
+    * are identical across backends (CurationSpec pins it).
+    *
+    * The dictionary travels as ONE NUL-joined string literal, not an
+    * `array(lit, …)`: a 10⁵-element CreateArray is a 10⁵-child Catalyst
+    * node that every analyzer/optimizer pass re-walks — ~20 s of plan
+    * time at 100k terms, dwarfing the scan itself. Plan size must not
+    * scale with dictionary size any more than executor work does. */
+  def multiPatternCounts(text: Column, patterns: Seq[String], backend: String): Column = {
+    require(patterns.forall(!_.contains("\u0000")),
+      "patterns must not contain NUL (used as the literal separator)")
+    call_function("graft_multi_count", text,
+      lit(patterns.mkString("\u0000")), lit(backend))
+  }
+
+  /** Sparse blocklist scan: `array<struct<pat_id,cnt>>` of only the
+    * dictionary terms that occur (pat_id = dictionary position,
+    * ascending) - per-row output O(matches), not O(|dict|), which is what
+    * makes a 100k-term dictionary scan flat ([[MultiPatternHits]]; the
+    * dense [[multiPatternCounts]] vector would be 400 KB PER ROW there). */
+  def multiPatternHits(text: Column, patterns: Seq[String],
+      backend: String = "auto"): Column = {
+    require(patterns.forall(!_.contains("\u0000")),
+      "patterns must not contain NUL (used as the literal separator)")
+    call_function("graft_multi_hits", text,
+      lit(patterns.mkString("\u0000")), lit(backend))
+  }
+
   /** The original Column-HOF formulation of [[termCounts]], kept as the
     * semantic reference the native kernel is spec-pinned against
     * (TfIdfSpec). NOT for production paths: Catalyst does not CSE into

@@ -436,29 +436,51 @@ object VectorExpressions {
         }
         CentroidArgmax(children(0), arrLit(1), arrLit(2))
       }))
+    // shared dictionary/backend extraction for the two blocklist kernels.
+    // Function resolution runs before constant folding, so a small
+    // dictionary arrives as CreateArray(literals); a pre-folded array
+    // Literal is accepted too; and a LARGE dictionary arrives NUL-joined
+    // in ONE string literal (constant-size plan node; see TextFunctions -
+    // a 100k-element CreateArray costs ~20 s of analyzer/optimizer walks).
+    def multiPatternArgs(fn: String, children: Seq[Expression]): (Seq[String], String) = {
+      import org.apache.spark.sql.catalyst.expressions.{CreateArray, Literal}
+      val pats = children(1) match {
+        case CreateArray(elems, _) if elems.forall(_.isInstanceOf[Literal]) =>
+          // a lit(null) element would otherwise NPE on v.toString deep in
+          // resolution - reject it with the error the require intends
+          elems.map {
+            case Literal(null, _) => throw new IllegalArgumentException(
+              s"$fn patterns must not contain null literals")
+            case Literal(v, _) => v.toString
+          }
+        case Literal(v, ArrayType(t, _))
+            if t == org.apache.spark.sql.types.StringType =>
+          v.asInstanceOf[ArrayData].toArray[org.apache.spark.unsafe.types.UTF8String](t)
+            .map(_.toString).toSeq
+        case Literal(v, org.apache.spark.sql.types.StringType) if v != null =>
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(
+            v.toString.split("\u0000"))
+        case other => throw new IllegalArgumentException(
+          s"$fn arg 2 must be an array<string> literal, got $other")
+      }
+      val backend =
+        if (children.size < 3) "auto"
+        else children(2) match {
+          case Literal(v, _) if v != null => v.toString
+          case other => throw new IllegalArgumentException(
+            s"$fn arg 3 must be a string literal, got $other")
+        }
+      (pats, backend)
+    }
     e.injectFunction(desc("graft_multi_count", classOf[MultiPatternCounts],
       (children: Seq[Expression]) => {
-        // function resolution runs before constant folding, so the
-        // dictionary arrives as CreateArray(literals); a pre-folded
-        // array Literal is accepted too
-        import org.apache.spark.sql.catalyst.expressions.{CreateArray, Literal}
-        val pats = children(1) match {
-          case CreateArray(elems, _) if elems.forall(_.isInstanceOf[Literal]) =>
-            // a lit(null) element would otherwise NPE on v.toString deep in
-            // resolution — reject it with the error the require intends
-            elems.map {
-              case Literal(null, _) => throw new IllegalArgumentException(
-                "graft_multi_count patterns must not contain null literals")
-              case Literal(v, _) => v.toString
-            }
-          case Literal(v, ArrayType(t, _))
-              if t == org.apache.spark.sql.types.StringType =>
-            v.asInstanceOf[ArrayData].toArray[org.apache.spark.unsafe.types.UTF8String](t)
-              .map(_.toString).toSeq
-          case other => throw new IllegalArgumentException(
-            s"graft_multi_count arg 2 must be an array<string> literal, got $other")
-        }
-        MultiPatternCounts(children(0), pats)
+        val (pats, backend) = multiPatternArgs("graft_multi_count", children)
+        MultiPatternCounts(children(0), pats, backend)
+      }))
+    e.injectFunction(desc("graft_multi_hits", classOf[MultiPatternHits],
+      (children: Seq[Expression]) => {
+        val (pats, backend) = multiPatternArgs("graft_multi_hits", children)
+        MultiPatternHits(children(0), pats, backend)
       }))
     e.injectFunction(desc("graft_cdc_boundaries", classOf[CdcBoundaries],
       (children: Seq[Expression]) => {

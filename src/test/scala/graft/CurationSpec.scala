@@ -458,6 +458,64 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("AcAutomaton: CSR backend ≡ dense backend ≡ brute force; auto-switch on trie size") {
+    import graft.functions.AcAutomaton
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(7)
+    val pats = (Seq("aa", "ab", "aab", "b", "aba", "é", "café") ++
+      Seq.fill(60)((0 until (1 + rnd.nextInt(8)))
+        .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)).distinct
+    val bytes = pats.map(_.getBytes("UTF-8")).toArray
+    val dense = new AcAutomaton(bytes, "dense")
+    val csr = new AcAutomaton(bytes, "csr")
+    assert(dense.isDense && !csr.isDense)
+    val texts = Seq.fill(100)((0 until rnd.nextInt(80))
+      .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString) ++ Seq("", "café été")
+    texts.foreach { t =>
+      val u = UTF8String.fromString(t)
+      val d = dense.counts(u).toIntArray.toSeq
+      assert(d == csr.counts(u).toIntArray.toSeq, s"backend divergence on '$t'")
+      assert(d == bruteCounts(t, pats), s"'$t' vs brute")
+    }
+    // small dictionary auto-selects dense; a trie past the 32K-node
+    // budget auto-selects csr, still count-identical to forced dense
+    assert(new AcAutomaton(bytes).isDense)
+    val bigPats = (0 until 6000).map(i => f"term${rnd.nextInt(100000)}%05d_$i%04d")
+      .distinct.toArray
+    val big = new AcAutomaton(bigPats.map(_.getBytes("UTF-8")))
+    assert(!big.isDense, s"expected csr for ${big.nNodes} nodes")
+    val bigDense = new AcAutomaton(bigPats.map(_.getBytes("UTF-8")), "dense")
+    val probe = UTF8String.fromString(
+      bigPats.take(20).mkString(" ") + " " + bigPats.take(5).mkString(""))
+    assert(big.counts(probe).toIntArray.toSeq ==
+      bigDense.counts(probe).toIntArray.toSeq)
+    // the point of the backend: ~two orders of magnitude less table memory
+    assert(big.approxBytes * 20 < bigDense.approxBytes,
+      s"csr ${big.approxBytes}B vs dense ${bigDense.approxBytes}B")
+  }
+
+  test("multiPatternHits ≡ nonzero entries of multiPatternCounts, both backends, NUL-literal dict") {
+    import graft.functions.TextFunctions.{multiPatternCounts, multiPatternHits}
+    val pats = Seq("aa", "ab", "aab", "b", "aba", "zqnevermatches")
+    val texts = Seq("aaab", "abab", "aabaab", "bbbb", "", "ababab aba")
+    for (backend <- Seq("dense", "csr")) {
+      val rows = texts.toDF("t")
+        .select(
+          multiPatternCounts(col("t"), pats, backend).as("c"),
+          multiPatternHits(col("t"), pats, backend).as("h"))
+        .collect()
+      rows.zip(texts).foreach { case (r, t) =>
+        val dense = r.getSeq[Int](0)
+        val sparse = r.getSeq[org.apache.spark.sql.Row](1)
+          .map(x => x.getInt(0) -> x.getInt(1))
+        val expect = dense.zipWithIndex.collect { case (c, i) if c > 0 => i -> c }
+        assert(sparse == expect, s"'$t' [$backend]: $sparse vs $expect")
+        // pat_id ascending, no zero counts
+        assert(sparse.map(_._1) == sparse.map(_._1).sorted)
+      }
+    }
+  }
+
   test("multiPatternCounts: randomized property vs brute force on a small alphabet") {
     val rnd = new scala.util.Random(42)
     val pats = Seq("a", "ab", "ba", "aba", "bb", "aab")
