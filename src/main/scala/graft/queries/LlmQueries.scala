@@ -230,6 +230,44 @@ object LlmQueries {
           coalesce(sum("t"), lit(0L)).as("n_true"))
     }),
 
+    // τ=2 entity resolution (real-name typo budget): each dirty record
+    // carries TWO edits — a deletion in the key region plus a
+    // substitution in the shared prefix — and links back through the
+    // full τ+1-segment PassJoin ([[graft.ops.Linkage.editJoin]]; the
+    // oracle IS the naive levenshtein≤2 join, so any blocking recall
+    // loss diverges the hash). Same report shape as q_fuzzy_link.
+    //
+    // Candidate-prune note: these synthetic keys are PassJoin's
+    // adversarial case — all entropy sits in 5 of 18 chars, so the
+    // prefix segments are single-valued and their clean buckets are the
+    // whole catalog (ids-only candidate pairs + threshold-levenshtein
+    // keep it ~2.3× the naive cost's better shape at sf0.1; on natural
+    // name data every segment carries entropy and the prune is ~100×,
+    // as editJoin1's measured). Exact recall forbids dropping hot
+    // segments; the hot bucket is a skew-join AQE handles.
+    "q_fuzzy_link2" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val p = (lit(10) + col("c_custkey") % 9).cast("int")
+      val del = concat(substr(col("c_name"), lit(1), p - 1),
+        substr(col("c_name"), p + 1, lit(18) - p))
+      val q = (lit(3) + col("c_custkey") % 5).cast("int")
+      val dirty = cust.filter(col("c_custkey") % 7 === 3)
+        .select(col("c_custkey").as("src_key"),
+          concat(substr(del, lit(1), q - 1), lit("x"),
+            substr(del, q + 1, length(del) - q)).as("d_s"))
+      val pairs = graft.ops.Linkage.editJoin(
+        dirty, "src_key", "d_s", cust, "c_custkey", "c_name", tau = 2)
+      val per = pairs.groupBy("d_id")
+        .agg(count(lit(1)).as("m"),
+          sum(when(col("c_id") === col("d_id"), 1L).otherwise(0L)).as("t"))
+      dirty.join(per, dirty("src_key") === per("d_id"), "left")
+        .agg(count(lit(1)).as("n_dirty"),
+          count(col("d_id")).as("n_linked"),
+          sum(when(col("m") > 1, 1L).otherwise(0L)).as("n_ambiguous"),
+          coalesce(sum("m"), lit(0L)).as("n_pairs"),
+          coalesce(sum("t"), lit(0L)).as("n_true"))
+    }),
+
     // blocklist scan: per-pattern occurrence + doc-hit counts over the
     // whole corpus in ONE Aho–Corasick pass per document (graft_multi_count
     // — O(len) per row however large the term dictionary; the naive shape
@@ -2020,6 +2058,31 @@ object LlmQueries {
         |   sum(CASE WHEN c.c_custkey = d.src_key THEN 1 ELSE 0 END) AS t
         | FROM dirty d LEFT JOIN customer c
         |   ON levenshtein(d.d_s, c.c_name) <= 1
+        | GROUP BY d.src_key)
+        |SELECT count(*)::BIGINT AS n_dirty,
+        | sum(CASE WHEN m > 0 THEN 1 ELSE 0 END)::BIGINT AS n_linked,
+        | sum(CASE WHEN m > 1 THEN 1 ELSE 0 END)::BIGINT AS n_ambiguous,
+        | sum(m)::BIGINT AS n_pairs,
+        | sum(t)::BIGINT AS n_true
+        |FROM per""".stripMargin,
+
+    "q_fuzzy_link2" ->
+      """WITH del AS (
+        | SELECT c_custkey AS src_key,
+        |   substr(c_name, 1, (9 + c_custkey % 9)::INT)
+        |   || substr(c_name, (11 + c_custkey % 9)::INT,
+        |        (8 - c_custkey % 9)::INT) AS del_s
+        | FROM customer WHERE c_custkey % 7 = 3),
+        |dirty AS (
+        | SELECT src_key,
+        |   substr(del_s, 1, (2 + src_key % 5)::INT) || 'x'
+        |   || substr(del_s, (4 + src_key % 5)::INT, length(del_s)) AS d_s
+        | FROM del),
+        |per AS (
+        | SELECT d.src_key, count(c.c_custkey) AS m,
+        |   sum(CASE WHEN c.c_custkey = d.src_key THEN 1 ELSE 0 END) AS t
+        | FROM dirty d LEFT JOIN customer c
+        |   ON levenshtein(d.d_s, c.c_name) <= 2
         | GROUP BY d.src_key)
         |SELECT count(*)::BIGINT AS n_dirty,
         | sum(CASE WHEN m > 0 THEN 1 ELSE 0 END)::BIGINT AS n_linked,

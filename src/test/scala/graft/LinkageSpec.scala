@@ -61,6 +61,74 @@ class LinkageSpec extends SparkSpec {
     assert(dirtyIds.forall(id => naive.contains((id, id))))
   }
 
+  test("editJoin1: short strings (head/tail overlap) keep exact recall via the naive leg") {
+    // the r11 ADVICE case: strings shorter than headLen+tailLen overlap
+    // the two key regions; an edit in the overlap changes BOTH keys and
+    // the r11 blocked-only operator silently dropped the pair
+    val clean = Seq((1L, "shortkey99"), (2L, "Customer#000000123")).toDF("c_id", "c_s")
+    val dirty = Seq(
+      (10L, "shortkey9"),   // delete in the last 2 chars of a 10-char string
+      (11L, "shortkeyX9"),  // substitute at 9 — inside head(16) AND just before tail(2)
+      (12L, "shortke999"),  // substitute at 8
+      (13L, "Customer#00000012")) // long-string control
+      .toDF("d_id", "d_s")
+    val naive = naivePairs(dirty, clean)
+    val blocked = blockedPairs(dirty, clean, 16, 2)
+    assert(blocked == naive, s"blocked=$blocked naive=$naive")
+    assert(naive.contains((10L, 1L)) && naive.contains((11L, 1L)))
+  }
+
+  private def naivePairsTau(dirty: DataFrame, clean: DataFrame, tau: Int): Set[(Long, Long)] =
+    dirty.crossJoin(clean)
+      .filter(levenshtein(col("d_s"), col("c_s")) <= tau)
+      .select("d_id", "c_id").as[(Long, Long)].collect().toSet
+
+  test("editJoin τ=2: recall == naive for double edits at every position class, incl. short strings") {
+    val clean = Seq((1L, "Customer#000000123"), (2L, "Customer#000001499"),
+      (3L, "ab"), (4L, "x"), (5L, "abcde")).toDF("c_id", "c_s")
+    val dirty = Seq(
+      (10L, "ustomer#00000012"),    // delete first + delete last
+      (11L, "CXstomer#0000001x3"),  // substitute at 2 and 17
+      (12L, "Customer##0000001233"),// insert at 10 + insert at 18
+      (13L, "Custome#00000149"),    // delete at 8 + delete at 18
+      (14L, "Customer#000001499"),  // exact
+      (15L, "ba"),                  // 2 substitutions on a 2-char string
+      (16L, "abzzcde"),             // 2 inserts mid-string
+      (17L, ""),                    // empty: within 2 of "ab"/"x"
+      (18L, "totally unrelated"))
+      .toDF("d_id", "d_s")
+    for (tau <- Seq(1, 2, 3)) {
+      val naive = naivePairsTau(dirty, clean, tau)
+      val got = Linkage.editJoin(dirty, "d_id", "d_s", clean, "c_id", "c_s", tau)
+        .select("d_id", "c_id").as[(Long, Long)].collect().toSet
+      assert(got == naive, s"tau=$tau: got=$got naive=$naive")
+    }
+    val n2 = naivePairsTau(dirty, clean, 2)
+    assert(n2.contains((10L, 1L)) && n2.contains((11L, 1L)) &&
+      n2.contains((12L, 1L)) && n2.contains((15L, 3L)) && n2.contains((17L, 3L)))
+    assert(!n2.exists(_._1 == 18L))
+  }
+
+  test("editJoin τ=2: recall == naive on the q_fuzzy_link2 derivation at sf0.001") {
+    val cust = Tables.customer(spark, "/root/testdata/sf0.001")
+    val p = (lit(10) + col("c_custkey") % 9).cast("int")
+    val del = concat(substr(col("c_name"), lit(1), p - 1),
+      substr(col("c_name"), p + 1, lit(18) - p))
+    val q = (lit(3) + col("c_custkey") % 5).cast("int")
+    val dirty = cust.filter(col("c_custkey") % 7 === 3)
+      .select(col("c_custkey").as("d_id"),
+        concat(substr(del, lit(1), q - 1), lit("x"),
+          substr(del, q + 1, length(del) - q)).as("d_s"))
+    val clean = cust.select(col("c_custkey").as("c_id"), col("c_name").as("c_s"))
+    val naive = naivePairsTau(dirty, clean, 2)
+    val got = Linkage.editJoin(dirty, "d_id", "d_s", clean, "c_id", "c_s", 2)
+      .select("d_id", "c_id").as[(Long, Long)].collect().toSet
+    assert(got == naive, s"|got|=${got.size} |naive|=${naive.size}")
+    val dirtyIds = dirty.select("d_id").as[Long].collect().toSet
+    assert(dirtyIds.forall(id => naive.contains((id, id))),
+      "every 2-edit record must re-link to its source")
+  }
+
   test("editJoin1: tail-heavy split prunes candidates >10x vs the cross product") {
     // prune ratio GROWS with catalog size (buckets get relatively
     // smaller); sf0.001's 150-customer catalog only prunes ~5x, so this
