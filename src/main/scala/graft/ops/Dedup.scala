@@ -79,14 +79,23 @@ object Dedup {
     * write is proportional to the NOVEL delta, not the corpus. Feed it
     * [[dedupAgainstIndex]]'s output (rows already unseen + in-batch
     * unique), so build(b0) + append(novel(b1)) holds exactly the same
-    * (fp, first_id) set as a from-scratch build over the survivors. */
+    * (fp, first_id) set as a from-scratch build over the survivors.
+    *
+    * The delta is materialized (eager localCheckpoint) BEFORE the write:
+    * [[dedupAgainstIndex]]'s plan reads `spark.table(tableName)` (the
+    * anti-join), so appending its un-materialized output back to the
+    * same table would be a self-referential write — Spark's
+    * cannot-insert-into-table-being-read error, or a survivor set that
+    * silently shifts if the plan re-evaluates after an earlier append
+    * (r11 ADVICE). */
   def dedupIndexAppend(spark: SparkSession, tableName: String,
       novel: DataFrame, textCol: String, idCol: String,
       tableBuckets: Int = 32): Unit =
     Bucketing.appendBucketed(
       novel.select(fingerprint(col(textCol)).as("fp"),
           col(idCol).cast("long").as("first_id"))
-        .groupBy("fp").agg(min("first_id").as("first_id")),
+        .groupBy("fp").agg(min("first_id").as("first_id"))
+        .localCheckpoint(true),
       tableName, "fp", tableBuckets)
 
   /** Corpus-wide exact SPAN dedup — the distributed, windowed variant of

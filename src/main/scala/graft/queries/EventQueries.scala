@@ -1417,8 +1417,15 @@ object EventQueries {
         .withColumn("sv", stddev_pop("v").over(w))
         .withColumn("_m", m).withColumn("_sx", sx).withColumn("_sy", sy)
         .withColumn("_sxx", sxx).withColumn("_syy", syy).withColumn("_sxy", sxy)
+        // the guard checks the MOMENT discriminants too (not just the
+        // stably-computed sn/sv): m·sxx − sx² can cancel slightly
+        // negative in floating point on a tiny-but-nonzero-variance
+        // frame while stddev_pop's central-moment recurrence stays
+        // positive, and sqrt(−ε) would emit NaN (r11 ADVICE)
         .withColumn("corr24",
-          when(col("sn") > 0 && col("sv") > 0,
+          when(col("sn") > 0 && col("sv") > 0 &&
+              col("_m") * col("_sxx") - col("_sx") * col("_sx") > 0 &&
+              col("_m") * col("_syy") - col("_sy") * col("_sy") > 0,
             round((col("_m") * col("_sxy") - col("_sx") * col("_sy")) /
               sqrt(col("_m") * col("_sxx") - col("_sx") * col("_sx")) /
               sqrt(col("_m") * col("_syy") - col("_sy") * col("_sy")), 4)))
