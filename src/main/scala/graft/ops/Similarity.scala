@@ -475,6 +475,52 @@ object Similarity {
       .select("q_id", "rnk", "n_id", "dist_adc")
   }
 
+  /** Append a new corpus batch to an [[ivfPqIndexBuild]] table — encode
+    * with the SAME codebooks/centroids, write delta-sized (the
+    * crawl-ingestion lifecycle, like [[lshIndexAppend]] /
+    * [[graft.ops.Dedup.dedupIndexAppend]]). Codebooks are frozen at
+    * build time — the FAISS operating model; retrain + rebuild when the
+    * vector distribution drifts. */
+  def ivfPqIndexAppend(newCorpus: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Seq[Double]]], coarseCents: Array[Seq[Double]],
+      tableName: String, tableBuckets: Int = 32): Unit = {
+    val coded = pqEncode(newCorpus, vecCol, codebooks)
+      .select(col(idCol).as("n_id"), col("pq_code"),
+        call_function("graft_centroid_argmax",
+          transform(col(vecCol), _.cast("double")),
+          typedLit(coarseCents.flatten.toIndexedSeq),
+          typedLit(centroidBias(coarseCents, cosine = false).toIndexedSeq))
+          .as("cell"))
+    Bucketing.appendBucketed(coded, tableName, "cell", tableBuckets)
+  }
+
+  /** Streaming IVFADC probe — [[ivfPqProbe]]'s stream-static sibling
+    * (the serving path: a query stream against the persisted
+    * [[ivfPqIndexBuild]] inverted file). Each incoming vector computes
+    * its m×k ADC table once, explodes to its nprobe coarse cells, and
+    * stream-static equi-joins the cell-bucketed code table — the same
+    * zero-corpus-Exchange shape as the batch probe, re-resolved per
+    * micro-batch so an index append between batches is picked up
+    * without restart. Emission is threshold-match (dist_adc ≤ maxDist):
+    * per-group ranking windows don't exist in append-mode streaming,
+    * and because a corpus row lives in exactly ONE cell and probe cells
+    * are distinct, a (query, candidate) pair meets at most once — the
+    * operator is fully STATELESS (no watermark, no dedup state), unlike
+    * [[graft.streaming.StreamingOps.annMatchStream]]'s multi-table LSH
+    * collisions. Output: (q_id, ts, n_id, dist_adc), append mode. */
+  def ivfPqMatchStream(stream: DataFrame, idCol: String, vecCol: String,
+      tsCol: String, spark: SparkSession, tableName: String,
+      codebooks: Array[Array[Seq[Double]]], coarseCents: Array[Seq[Double]],
+      maxDist: Double, nprobe: Int = 3): DataFrame = {
+    val q = stream.select(col(idCol).as("q_id"), col(tsCol).as("ts"),
+      adcL2Tables(vecCol, codebooks).as("_tab"),
+      explode(coarseProbeCells(col(vecCol), coarseCents, nprobe)).as("cell"))
+    q.join(spark.table(tableName), "cell")
+      .withColumn("dist_adc", adcL2Dist(codebooks.length, "pq_code"))
+      .filter(col("dist_adc") <= maxDist)
+      .select("q_id", "ts", "n_id", "dist_adc")
+  }
+
   /** Per-label element-wise mean embedding (the cluster-centroid /
     * class-prototype primitive): posexplode to (label, pos, v), average
     * per coordinate, reassemble in position order. The shuffle is keyed

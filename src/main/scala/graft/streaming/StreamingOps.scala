@@ -132,6 +132,23 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("q_id", "n_id")
   }
 
+  /** Streaming ANN matcher against a PERSISTED IVFADC index
+    * ([[graft.ops.Similarity.ivfPqIndexBuild]]) — [[annMatchStream]]'s
+    * product-quantized sibling for corpora too large to hold raw
+    * signatures: the stream-static cell join leaves the inverted file
+    * Exchange-free and picks up index appends between micro-batches;
+    * fully stateless (a pair meets at most once — one cell per corpus
+    * row, distinct probe cells — so there is no dedup state to keep).
+    * StreamingSpec pins it against the batch
+    * [[graft.ops.Similarity.ivfPqProbe]] twin. */
+  def ivfPqMatchStream(stream: DataFrame, idCol: String, vecCol: String,
+      tsCol: String, spark: SparkSession, tableName: String,
+      codebooks: Array[Array[Seq[Double]]],
+      coarseCents: Array[Seq[Double]],
+      maxDist: Double, nprobe: Int = 3): DataFrame =
+    graft.ops.Similarity.ivfPqMatchStream(stream, idCol, vecCol, tsCol,
+      spark, tableName, codebooks, coarseCents, maxDist, nprobe)
+
   /** Exact streaming dedup within the watermark horizon — at-least-once
     * input → effectively-once output (≈ the conformance suite's no-dup
     * assertion, /root/reference/test/suite_test.go:95-104, as an operator).

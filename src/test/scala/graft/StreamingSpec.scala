@@ -386,6 +386,59 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty, "threshold 0.3 should produce at least one match")
   }
 
+  test("ivfPqMatchStream: stream probes the IVFADC index; matches the batch twin across an append") {
+    import graft.ops.Similarity
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).cache()
+    val cb = Similarity.pqTrain(e, "vec_id", "embedding", m = 4, k = 8, iters = 2)
+    val coarse = Similarity.kmeansFit(e, "vec_id", "embedding",
+      k = 4, iters = 2, cosine = false)
+    val corpus1 = e.filter(col("vec_id") % 2 === 0)
+    val corpus2 = e.filter(col("vec_id") % 2 === 1)
+    Similarity.ivfPqIndexBuild(corpus1, "vec_id", "embedding", cb, coarse,
+      "graft_spec_ivfpq_stream", tableBuckets = 4)
+    val queries = e.filter(col("vec_id") < 8)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // threshold: generous enough that both batches match something
+    val maxDist = 60.0
+    val ms = new MemoryStream[(Long, Array[Float], Timestamp)](29, spark, None)
+    val df = ms.toDF().toDF("vec_id", "embedding", "ts")
+    val out = StreamingOps.ivfPqMatchStream(df, "vec_id", "embedding", "ts",
+      spark, "graft_spec_ivfpq_stream", cb, coarse, maxDist, nprobe = 2)
+    val q = out.writeStream.format("memory").queryName("ivfpq_out")
+      .outputMode("append").start()
+    def batchTwin(ids: Seq[Long]): Set[(Long, Long)] =
+      Similarity.ivfPqProbe(spark, "graft_spec_ivfpq_stream",
+          e.filter(col("vec_id").isin(ids: _*)), "vec_id", "embedding",
+          cb, coarse, k = Int.MaxValue, nprobe = 2)
+        .filter(col("dist_adc") <= maxDist)
+        .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val (b1, b2) = queries.splitAt(4)
+    ms.addData(b1.map { case (id, v) => (id, v, ts(0)) }.toSeq)
+    q.processAllAvailable()
+    val got1 = spark.table("ivfpq_out").select("q_id", "n_id")
+      .as[(Long, Long)].collect().toSet
+    val want1 = batchTwin(b1.map(_._1).toSeq)
+    assert(got1 == want1,
+      s"batch-1 mismatch: extra=${(got1 -- want1).take(5)} missing=${(want1 -- got1).take(5)}")
+    // append the second corpus half (same frozen codebooks): the static
+    // side re-resolves per micro-batch, so batch 2 must see it
+    Similarity.ivfPqIndexAppend(corpus2, "vec_id", "embedding", cb, coarse,
+      "graft_spec_ivfpq_stream", tableBuckets = 4)
+    ms.addData(b2.map { case (id, v) => (id, v, ts(5)) }.toSeq)
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    val all = spark.table("ivfpq_out").select("q_id", "n_id")
+      .as[(Long, Long)].collect().toSet
+    val want2 = batchTwin(b2.map(_._1).toSeq) // twin runs on the APPENDED table
+    assert((all -- got1) == want2,
+      s"batch-2 mismatch after append: extra=${((all -- got1) -- want2).take(5)} " +
+        s"missing=${(want2 -- (all -- got1)).take(5)}")
+    assert(got1.nonEmpty && want2.nonEmpty, "fixture must match in both batches")
+    // the appended half (odd n_ids) must actually surface in batch 2
+    assert(want2.exists(_._2 % 2 == 1), "append must contribute candidates")
+  }
+
   test("dedupIngestStream: drops index hits + in-stream dups; index append takes effect mid-stream") {
     import graft.ops.Dedup
     val docs = Tables.documents(spark, sf)
