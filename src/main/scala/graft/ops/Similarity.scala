@@ -494,6 +494,31 @@ object Similarity {
     Bucketing.appendBucketed(coded, tableName, "cell", tableBuckets)
   }
 
+  /** Exact re-rank of ANN candidates — the FAISS "refine" stage, and the
+    * reason ADC recall@k is measured on CANDIDATE SETS, not final
+    * orderings: on concentrated high-dimensional data the gaps between
+    * consecutive true neighbors sit below PQ quantization noise at any
+    * practical code budget, so the serving pipeline takes a generous
+    * ADC top-k' (k' ≈ 10k), joins back the k' RAW vectors per query,
+    * and exact-L2 re-ranks to the final k. Candidate and query sides
+    * are query-batch-bounded and broadcast; the corpus is touched by
+    * one narrow semi-join-shaped pass — no corpus shuffle.
+    * Output: (q_id, rnk, n_id, dist), exact squared L2, ascending. */
+  def refineTopK(candidates: DataFrame, queries: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    import graft.functions.VectorFunctions.l2sqN
+    val cand = candidates.select(col("q_id"), col("n_id"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("_nv"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("_qv"))
+    val w = Window.partitionBy("q_id").orderBy(col("dist").asc, col("n_id"))
+    c.join(broadcast(cand), Seq("n_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("dist", l2sqN(col("_qv"), col("_nv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "n_id", "dist")
+  }
+
   /** Streaming IVFADC probe — [[ivfPqProbe]]'s stream-static sibling
     * (the serving path: a query stream against the persisted
     * [[ivfPqIndexBuild]] inverted file). Each incoming vector computes

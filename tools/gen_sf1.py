@@ -101,21 +101,37 @@ pq.write_table(docs, f"{DST}/documents.parquet")
 print("documents", docs.num_rows)
 
 # ---- embeddings -------------------------------------------------------
+# Default: replicate the driver's (near-uniform random) vectors with a
+# small perturbation — the ADVERSARIAL distribution for every index.
+# --mog: deterministic mixture-of-Gaussians instead (r12; 8 centers,
+# sigma 0.25 — same recipe StructuredEmbeddingsSpec pins recall >=0.8
+# on), for scale runs where the index should see CLUSTERED geometry.
 t = pq.read_table(f"{SRC}/embeddings.parquet")
 vec_ids = t["vec_id"].to_pylist()
 embs = np.array(t["embedding"].to_pylist(), dtype=np.float32)
 labels = t["label"].to_pylist()
-ids, vecs, labs = [], [], []
-for r in range(R):
-    rng = np.random.RandomState(42 + r)
-    noise = (
-        np.zeros_like(embs)
-        if r == 0
-        else rng.normal(0, 0.05, embs.shape).astype(np.float32)
-    )
-    ids.extend(v + r * 2000 for v in vec_ids)
-    vecs.extend((embs + noise).tolist())
-    labs.extend(labels)
+MOG = "--mog" in sys.argv
+if MOG:
+    dim = embs.shape[1]
+    rng = np.random.RandomState(4242)
+    centers = rng.randn(8, dim)
+    n_total = len(vec_ids) * R
+    ids = list(range(n_total))
+    pts = centers[np.arange(n_total) % 8] + 0.25 * rng.randn(n_total, dim)
+    vecs = pts.astype(np.float32).tolist()
+    labs = [int(i % 8) for i in range(n_total)]
+else:
+    ids, vecs, labs = [], [], []
+    for r in range(R):
+        rng = np.random.RandomState(42 + r)
+        noise = (
+            np.zeros_like(embs)
+            if r == 0
+            else rng.normal(0, 0.05, embs.shape).astype(np.float32)
+        )
+        ids.extend(v + r * 2000 for v in vec_ids)
+        vecs.extend((embs + noise).tolist())
+        labs.extend(labels)
 emb = pa.table(
     {
         "vec_id": pa.array(ids, pa.int64()),
