@@ -85,21 +85,68 @@ object StreamBench {
         })
         added += sz
       }
+      val tAdd = (System.nanoTime() - t0) / 1e9
       val q = Pipeline.from(src).availableNow.start(spark, sink)
       q.awaitTermination()
       val s = (System.nanoTime() - t0) / 1e9
       require(sink.rows.get() == n, s"saw ${sink.rows.get()} of $n messages")
-      System.err.println(f"[streambench] rep $rep/$reps: $s%.3f s (${n / s}%.0f msgs/s)")
+      System.err.println(f"[streambench] rep $rep/$reps: $s%.3f s " +
+        f"(${n / s}%.0f msgs/s; ingest-encode $tAdd%.3f s, run ${s - tAdd}%.3f s)")
       s
     }
+    // STEADY-STATE phase (r12): the Go bench times iterations against an
+    // ALREADY-RUNNING pipeline (b.N reruns of runner.Run after warmup),
+    // while each rep above pays a full StreamingQuery startup — plan
+    // analysis, checkpoint/offset-log setup, listener wiring (~0.7 s of
+    // the ~1.1 s warm rep). Here ONE query runs ProcessingTime(0)
+    // micro-batches and each rep just feeds n rows and waits for the
+    // sink count — the compiled plan and the offset-log machinery are
+    // reused across batches, which is the comparable figure.
+    val steadySecs = {
+      val src = new MemoryMessageSource(spark)
+      val sink = new CountingSink
+      // offset/commit logs are two fsynced files per micro-batch; a
+      // memory-backed checkpoint keeps the cycle compute-bound (the Go
+      // twin has no durability at all, so this is still conservative)
+      val ckpt = Option(new java.io.File("/dev/shm"))
+        .filter(f => f.isDirectory && f.canWrite)
+        .map(_ => s"/dev/shm/graft-streambench-${System.nanoTime()}")
+      val p0 = Pipeline.from(src).triggerEvery(0)
+      val q = ckpt.fold(p0)(p0.withCheckpoint).start(spark, sink)
+      try {
+        (1 to reps).map { rep =>
+          val t0 = System.nanoTime()
+          var added = 0
+          while (added < n) {
+            val sz = math.min(chunk, n - added)
+            val base = added
+            src.add((0 until sz).map { i =>
+              val j = base + i
+              Message(key = (j % 25).toString, value = payloads(j % 25),
+                topic = "bench", attributes = Map.empty)
+            })
+            added += sz
+          }
+          val want = rep.toLong * n
+          while (sink.rows.get() < want) Thread.sleep(1)
+          val s = (System.nanoTime() - t0) / 1e9
+          System.err.println(
+            f"[streambench] steady rep $rep/$reps: $s%.3f s (${n / s}%.0f msgs/s)")
+          s
+        }
+      } finally { q.stop(); q.awaitTermination() }
+    }
+    val steadyBest = steadySecs.min
+    val steadyTput = n / steadyBest
     val best = secs.min
     val tput = n / best
     System.err.println(
-      f"[streambench] best ${tput}%.0f msgs/s vs reference BenchmarkMem " +
-        f"$ReferenceMsgsPerSec%.0f msgs/s (bench.txt, darwin/arm64 — different " +
-        "hardware, and a raw unbuffered channel handoff vs this micro-batch " +
-        f"pipeline): ${ReferenceMsgsPerSec / tput}%.1fx gap")
-    println(f"""{"metric":"stream_throughput","value":$tput%.0f,"unit":"msgs/sec","n":$n,"reps":$reps,"best_s":$best%.3f,"all_s":${secs.map(s => f"$s%.3f").mkString("[", ",", "]")},"ref_msgs_per_sec":${ReferenceMsgsPerSec}%.0f,"ref_source":"/root/reference/test/bench.txt:1-14 (darwin/arm64)"}""")
+      f"[streambench] best fresh-query ${tput}%.0f, steady-state $steadyTput%.0f " +
+        f"msgs/s vs reference BenchmarkMem $ReferenceMsgsPerSec%.0f msgs/s " +
+        "(bench.txt, darwin/arm64 — different hardware, and a raw unbuffered " +
+        "channel handoff vs this micro-batch pipeline): " +
+        f"${ReferenceMsgsPerSec / steadyTput}%.1fx gap steady-state")
+    println(f"""{"metric":"stream_throughput","value":$steadyTput%.0f,"unit":"msgs/sec","n":$n,"reps":$reps,"steady_best_s":$steadyBest%.3f,"steady_all_s":${steadySecs.map(s => f"$s%.3f").mkString("[", ",", "]")},"fresh_query_msgs_per_sec":$tput%.0f,"fresh_all_s":${secs.map(s => f"$s%.3f").mkString("[", ",", "]")},"ref_msgs_per_sec":${ReferenceMsgsPerSec}%.0f,"ref_source":"/root/reference/test/bench.txt:1-14 (darwin/arm64)"}""")
     spark.stop()
   }
 }
