@@ -26,6 +26,16 @@ object LlmQueries {
   private[graft] val blocklistPats = Seq("big table", "dup", "fast scan",
     "scan", "slow merge", "slow query", "small batch", "sort merge")
 
+  /** q_blocklist_hits dictionary: the 8 matching phrases plus 40
+    * deterministic inert terms — "zq" + 6 letters from [a-p], so no term
+    * contains a second 'z'/'q' and every junk term is provably
+    * border-free (the oracle's replace-count twin needs that), and none
+    * can occur in the ~31-word corpus vocabulary. */
+  private[graft] val blocklistHitsDict: Seq[String] = (blocklistPats ++ {
+    val rnd = new scala.util.Random(99)
+    Seq.fill(40)("zq" + (0 until 6).map(_ => ('a' + rnd.nextInt(16)).toChar).mkString)
+  }).distinct
+
   // DuckDB twin of TextFunctions.tokens — keep in sync.
   private val sqlToks =
     "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
@@ -282,6 +292,26 @@ object LlmQueries {
           .as(Seq("pid", "cnt")))
         .groupBy("pid")
         .agg(sum(when(col("cnt") > 0, 1L).otherwise(0L)).as("n_docs"),
+          sum(col("cnt")).cast("long").as("occurrences"))
+        .select(element_at(array(pats.map(lit): _*), col("pid") + 1)
+          .as("pattern"),
+          col("n_docs"), col("occurrences"))
+        .orderBy("pattern")
+    }),
+
+    // SPARSE blocklist scan (r12): graft_multi_hits emits only the
+    // patterns that occur — per-row output O(matches), not O(|dict|),
+    // the shape that keeps a 10⁵-term dictionary flat (BlocklistBench).
+    // The 48-term dictionary is mostly inert junk, so the dense count
+    // vector would be 48 ints/row of mostly zeros where hits carries
+    // ~1-8 structs; absent patterns never reach the aggregation at all.
+    "q_blocklist_hits" -> ((s, d) => {
+      val pats = blocklistHitsDict
+      Tables.documents(s, d)
+        .select(explode(multiPatternHits(col("text"), pats)).as("h"))
+        .select(col("h.pat_id").as("pid"), col("h.cnt").as("cnt"))
+        .groupBy("pid")
+        .agg(count(lit(1)).as("n_docs"),
           sum(col("cnt")).cast("long").as("occurrences"))
         .select(element_at(array(pats.map(lit): _*), col("pid") + 1)
           .as("pattern"),
@@ -591,6 +621,22 @@ object LlmQueries {
     }),
 
     // ---- embedding similarity ---------------------------------------
+    // candidate generation + EXACT re-rank (r12): cosine top-20
+    // candidates, then [[graft.ops.Similarity.refineTopK]] re-ranks by
+    // true squared L2 to the final 5 — the FAISS "refine" serving
+    // pipeline (on concentrated high-dim data ADC ordering noise
+    // exceeds true neighbor gaps, so the exact re-rank stage is load-
+    // bearing; measured in StructuredEmbeddingsSpec). Candidates and
+    // queries broadcast; the corpus is touched by one narrow pass.
+    "q_sim_refine" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val qs = e.filter(col("vec_id") < 10)
+      val cands = Similarity.bruteForceTopK(qs, e, "vec_id", "embedding", k = 20)
+      Similarity.refineTopK(cands, qs, e, "vec_id", "embedding", k = 5)
+        .select(col("q_id"), col("rnk"), col("n_id"),
+          round(col("dist"), 4).as("dist"))
+    }),
+
     "q_sim_cosine_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.bruteForceTopK(
@@ -2104,6 +2150,38 @@ object LlmQueries {
         |   AS occurrences
         |FROM documents CROSS JOIN p
         |GROUP BY pat ORDER BY pat""".stripMargin,
+
+    // twin of the sparse hits scan: same per-term replace counts over
+    // the 48-term dictionary, rows for matched patterns only
+    "q_blocklist_hits" ->
+      s"""WITH p(pat) AS (VALUES ${blocklistHitsDict.map(p => s"('$p')").mkString(", ")})
+         |SELECT pat AS pattern,
+         | sum(CASE WHEN contains(text, pat) THEN 1 ELSE 0 END)::BIGINT AS n_docs,
+         | sum((length(text) - length(replace(text, pat, ''))) // length(pat))::BIGINT
+         |   AS occurrences
+         |FROM documents CROSS JOIN p
+         |GROUP BY pat
+         |HAVING sum(CASE WHEN contains(text, pat) THEN 1 ELSE 0 END) > 0
+         |ORDER BY pattern""".stripMargin,
+
+    "q_sim_refine" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, vd AS qv FROM v WHERE vec_id < 10),
+         |s AS (SELECT q_id, vec_id AS n_id, qv, vd AS nv,
+         |  list_dot_product(qv, vd)
+         |   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(vd, vd))) AS sim
+         | FROM q CROSS JOIN v WHERE q_id <> vec_id),
+         |cand AS (SELECT q_id, n_id, qv, nv FROM (
+         |  SELECT q_id, n_id, qv, nv,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rc
+         |  FROM s) WHERE rc <= 20),
+         |r AS (SELECT q_id, n_id,
+         |  ${l2FoldSql("qv", "nv", 64)} AS dist
+         | FROM cand)
+         |SELECT q_id, rnk, n_id, round(dist, 4) AS dist FROM (
+         |  SELECT q_id, n_id, dist, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY dist, n_id) AS rnk FROM r)
+         |WHERE rnk <= 5""".stripMargin,
 
     "q_pii_redact" ->
       """SELECT lang,
