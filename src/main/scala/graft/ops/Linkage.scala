@@ -148,29 +148,25 @@ object Linkage {
         .otherwise(emptyKeys)
     }
     val dSeg = d
-      .select(col("d_id"), col("d_s"),
+      .select(col("d_id"),
         explode(array_distinct(flatten(array(dKeyArrays: _*)))).as("k"))
-    // VERIFY BEFORE DISTINCT: a hot shared-prefix segment key can pair
-    // most of both sides (tens of millions of candidates on entropy-
-    // poor keys), but the segment join's output is never materialized —
-    // it flows map-side straight into the banded threshold levenshtein
-    // (O(τ·len) per pair, -1 past τ), and only the true matches reach a
-    // shuffle. A pair colliding on several segment keys is verified
-    // ≤ (τ+1)(2τ+1) times — redundant codegen compute, traded for not
-    // shuffling the candidate set at all; the pair-distinct then runs
-    // on the match-sized survivor set.
-    val blocked = dSeg.join(cSeg, Seq("k"))
-      .withColumn("dist", levenshtein(col("d_s"), col("c_s"), tau))
-      .filter(col("dist") =!= -1)
+    // candidate generation carries IDS ONLY through the join + distinct
+    // (a hot shared-prefix segment can emit |dirty|·|bucket| pairs; 16-
+    // byte id pairs shuffle, the strings rejoin afterwards — same trick
+    // as minhashNearDup's verify stage). Requires unique ids per side.
+    val candIds = dSeg.join(cSeg.select(col("c_id"), col("k")), Seq("k"))
+      .select("d_id", "c_id")
     // clean strings too short to partition: broadcast naive leg (their
     // partners are all within length τ of ≤ τ chars — a tiny set)
     val short = d.join(
       broadcast(c.filter(length(col("c_s")) < nseg)),
       abs(length(col("d_s")) - length(col("c_s"))) <= tau)
+      .select("d_id", "c_id")
+    candIds.unionByName(short).distinct()
+      .join(d, Seq("d_id")).join(c, Seq("c_id"))
+      // threshold levenshtein: O(τ·len) banded DP per pair, -1 past τ
       .withColumn("dist", levenshtein(col("d_s"), col("c_s"), tau))
       .filter(col("dist") =!= -1)
-    blocked.select("d_id", "d_s", "c_id", "c_s", "dist")
-      .unionByName(short.select("d_id", "d_s", "c_id", "c_s", "dist"))
-      .distinct()
+      .select("d_id", "d_s", "c_id", "c_s", "dist")
   }
 }
