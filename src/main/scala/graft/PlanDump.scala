@@ -75,6 +75,8 @@ object PlanDump {
       "persisted fingerprint index probed Bucketed:true: only the new batch exchanges on the fingerprint, index-side Exchange count is zero",
     "q_bm25_persisted" ->
       "persisted inverted index probe: posting scan bucket-pruned to the query terms (SelectedBucketsCount), corpus text never read",
+    "q_fuzzy_link2" ->
+      "full τ+1-segment PassJoin: candidates from ONE equi-join on segment keys carrying IDS only, pair-distinct map-side-combined, banded threshold-levenshtein verify on survivors — the naive cross join never appears (the short-string leg's BroadcastNestedLoopJoin sees an empty filtered side)",
     "q_hybrid_rrf" ->
       "sparse leg candidates come from the shingle inverted index (BroadcastHashJoin on the 8-byte shingle hash); its only cross join is the 10×21 broadcast j=0 filler — the document corpus is never cross-joined or array-shuffled (the dense leg keeps its contract-bounded broadcast-query brute-force pass)")
 

@@ -23,7 +23,9 @@ object ScaleProof {
   val pinned: Seq[String] = Seq(
     "q_dedup_minhash", "q_sim_lsh_persisted", "q_join_asof_exec",
     "q_triangle_count", "q_label_prop", "q_dedup_substring",
-    "q_bm25_persisted")
+    "q_bm25_persisted",
+    // r12-reworked plans: inverted-index sparse leg / native CDC kernel
+    "q_hybrid_rrf", "q_dedup_cdc")
   val timedOnly: Seq[String] = Seq("q_bpe_train")
 
   /** Final physical plan as a normalized operator-sequence signature. */
