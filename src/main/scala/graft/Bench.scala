@@ -41,7 +41,19 @@ object LoadGate {
       } finally src.close()
     } catch { case _: Throwable => None }
 
-  val cores: Int = Runtime.getRuntime.availableProcessors
+  /** Host core count from /proc/stat's per-cpu lines — NOT the JVM's
+    * availableProcessors: in a cgroup/cpuset-limited container the JVM
+    * may see 8 while /proc/stat aggregates all 32 host cores, and
+    * normalizing machine-wide jiffies by the JVM count would inflate
+    * the per-core window 4× and let genuinely loaded reps through. */
+  val cores: Int = {
+    val counted =
+      try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try src.getLines().count(_.matches("cpu\\d+ .*")) finally src.close()
+      } catch { case _: Throwable => 0 }
+    if (counted > 0) counted else Runtime.getRuntime.availableProcessors
+  }
 
   /** External (non-self) busy cores averaged over windowMs. -1 if /proc is
     * unreadable (non-Linux), which callers treat as "cannot gate" → quiet.

@@ -22,19 +22,16 @@ object BlocklistBench {
     val spark = Sessions.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // dictionary drawn from the corpus vocabulary so hits are plentiful
-    // (the synthetic corpus holds only ~31 distinct words): all ordered
-    // two-word phrases (the 8..870 rows, r11-comparable), then all
-    // ordered THREE-word phrases to reach the ≥10⁴-term operating point
-    // — ~28k terms / ~2.8×10⁵ trie nodes, where dense rows are ~280 MiB
-    // and the CSR backend takes over at ~1/80th of that
+    // dictionary drawn from the corpus vocabulary so hits are plentiful:
+    // all ordered two-word phrases over the top-30 words — the SAME
+    // 30-word enumeration as r11, so the n8..n870 rows stay comparable
+    // round-over-round (the ≥10⁴-term rows below use this 870-phrase
+    // matcher core plus inert junk, holding match density fixed)
     val vocab = Tables.documents(spark, sfDir)
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").count().orderBy(desc("count"), asc("w"))
-      .limit(40).collect().map(_.getString(0)).toSeq
+      .limit(30).collect().map(_.getString(0)).toSeq
     val phrases = for (a <- vocab; b <- vocab if a != b) yield s"$a $b"
-    val phrases3 = for (a <- vocab; b <- vocab if a != b; c <- vocab if b != c)
-      yield s"$a $b $c"
 
     def acQuery(pats: Seq[String], backend: String = "auto"): DataFrame =
       Tables.documents(spark, sfDir)
@@ -66,8 +63,7 @@ object BlocklistBench {
     // then overflows the optimizer stack around ~900 leaves — the
     // dictionary-sized plan is itself the scaling failure the constant-
     // size automaton reference object avoids. 870 is the r11 dense
-    // ceiling row (kept for round-over-round comparability); 12k is the
-    // ≥10⁴-term row where the auto backend is CSR.
+    // ceiling row (kept for round-over-round comparability).
     val sizes = Seq(8, 64, 256, 870)
     val small = sizes.map { n =>
       val pats = phrases.take(n)

@@ -128,13 +128,30 @@ object StreamBench {
             added += sz
           }
           val want = rep.toLong * n
-          while (sink.rows.get() < want) Thread.sleep(1)
+          while (sink.rows.get() < want) {
+            // fail loudly instead of spinning forever if a micro-batch
+            // died (the wait would otherwise hang the official bench)
+            q.exception.foreach(e => throw e)
+            require(q.isActive, s"query stopped at ${sink.rows.get()}/$want rows")
+            Thread.sleep(1)
+          }
           val s = (System.nanoTime() - t0) / 1e9
           System.err.println(
             f"[streambench] steady rep $rep/$reps: $s%.3f s (${n / s}%.0f msgs/s)")
           s
         }
-      } finally { q.stop(); q.awaitTermination() }
+      } finally {
+        q.stop(); q.awaitTermination()
+        // the RAM-backed checkpoint must not outlive the run — leaked
+        // tmpfs files are exactly the background pressure LoadGate exists
+        // to keep out of bench records
+        ckpt.foreach { dir =>
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(new java.io.File(dir))
+        }
+      }
     }
     val steadyBest = steadySecs.min
     val steadyTput = n / steadyBest

@@ -313,7 +313,12 @@ object AcAutomaton {
       b0 += 1
     }
     val dense = choice match {
-      case "dense" => true
+      case "dense" =>
+        // nNodes << 8 must stay a valid Int array size — past ~8.4M
+        // nodes the shift wraps; fail fast with the real cause
+        require(nNodes <= (Int.MaxValue >> 8),
+          s"dense backend cannot hold $nNodes trie nodes (${nNodes.toLong << 8} ints); use csr")
+        true
       case "csr" => false
       case _ => nNodes <= DenseNodeLimit
     }

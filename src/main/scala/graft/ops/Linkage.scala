@@ -132,15 +132,14 @@ object Linkage {
       val lenS = lenR + delta
       val li = segLen(lenS, i)
       val pi = segStart(lenS, i)
-      // ±τ window, tightened at the ends: an untouched FIRST segment has
-      // no deletable material before it (j ≥ p_0 = 1, only insertions can
-      // push it right), and an untouched LAST segment has nothing after
-      // it in s, so its match must END within τ of the end of r
-      var jlo = greatest(lit(1), pi - tau)
-      var jhi = least(lenR - li + 1, pi + tau)
-      if (i == 0) jlo = greatest(jlo, lit(1))
-      if (i == 0) jhi = least(jhi, lit(1) + tau)
-      if (i == nseg - 1) jlo = greatest(jlo, lenR - tau - li + 1)
+      // ±τ window, tightened at the last segment: it has nothing after
+      // it in s, so its match must END within τ of the end of r. (The
+      // first segment needs no extra clause — p_0 = 1 makes the generic
+      // bounds already [1, 1+τ]: nothing before it can be deleted, and
+      // only insertions can push it right.)
+      val jlo0 = greatest(lit(1), pi - tau)
+      val jlo = if (i == nseg - 1) greatest(jlo0, lenR - tau - li + 1) else jlo0
+      val jhi = least(lenR - li + 1, pi + tau)
       when(lenS >= nseg && jlo <= jhi,
         transform(sequence(jlo, jhi), j =>
           struct(lit(i).as("i"), lenS.as("l"),

@@ -438,18 +438,27 @@ object Similarity {
     * nprobe cells instead of the corpus: the two at-scale savings
     * multiply. Cell assignment is the [[graft.functions.CentroidArgmax]]
     * codegen kernel against the broadcast-literal centroid matrix. */
-  def ivfPqIndexBuild(corpus: DataFrame, idCol: String, vecCol: String,
-      codebooks: Array[Array[Seq[Double]]], coarseCents: Array[Seq[Double]],
-      tableName: String, tableBuckets: Int = 32): Unit = {
-    val coded = pqEncode(corpus, vecCol, codebooks)
+  /** The shared IVFADC row projection: PQ-encode + raw-L2 coarse-cell
+    * assignment. Build and append MUST use the identical projection —
+    * a drift (e.g. a flipped cosine flag on one side) would silently
+    * write appended rows into wrong cells and bleed probe recall. */
+  private def ivfPqCoded(corpus: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Seq[Double]]],
+      coarseCents: Array[Seq[Double]]): DataFrame =
+    pqEncode(corpus, vecCol, codebooks)
       .select(col(idCol).as("n_id"), col("pq_code"),
         call_function("graft_centroid_argmax",
           transform(col(vecCol), _.cast("double")),
           typedLit(coarseCents.flatten.toIndexedSeq),
           typedLit(centroidBias(coarseCents, cosine = false).toIndexedSeq))
           .as("cell"))
-    Bucketing.writeBucketed(coded, tableName, "cell", tableBuckets)
-  }
+
+  def ivfPqIndexBuild(corpus: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Seq[Double]]], coarseCents: Array[Seq[Double]],
+      tableName: String, tableBuckets: Int = 32): Unit =
+    Bucketing.writeBucketed(
+      ivfPqCoded(corpus, idCol, vecCol, codebooks, coarseCents),
+      tableName, "cell", tableBuckets)
 
   /** IVFADC probe over an [[ivfPqIndexBuild]] table (same centroids and
     * codebooks!): each query carries its precomputed m×k L2 ADC table
@@ -483,16 +492,10 @@ object Similarity {
     * vector distribution drifts. */
   def ivfPqIndexAppend(newCorpus: DataFrame, idCol: String, vecCol: String,
       codebooks: Array[Array[Seq[Double]]], coarseCents: Array[Seq[Double]],
-      tableName: String, tableBuckets: Int = 32): Unit = {
-    val coded = pqEncode(newCorpus, vecCol, codebooks)
-      .select(col(idCol).as("n_id"), col("pq_code"),
-        call_function("graft_centroid_argmax",
-          transform(col(vecCol), _.cast("double")),
-          typedLit(coarseCents.flatten.toIndexedSeq),
-          typedLit(centroidBias(coarseCents, cosine = false).toIndexedSeq))
-          .as("cell"))
-    Bucketing.appendBucketed(coded, tableName, "cell", tableBuckets)
-  }
+      tableName: String, tableBuckets: Int = 32): Unit =
+    Bucketing.appendBucketed(
+      ivfPqCoded(newCorpus, idCol, vecCol, codebooks, coarseCents),
+      tableName, "cell", tableBuckets)
 
   /** Exact re-rank of ANN candidates — the FAISS "refine" stage, and the
     * reason ADC recall@k is measured on CANDIDATE SETS, not final

@@ -2052,17 +2052,26 @@ object EventQueries {
         | count(*) AS n_cells, max(n)::BIGINT AS n_events
         |FROM j JOIN px USING (x) JOIN py USING (y) CROSS JOIN t""".stripMargin,
 
+    // the guard mirrors the Spark side's MOMENT-discriminant checks too
+    // (r12): on a tiny-variance frame m·sxx − sx² can cancel ≤ 0 in the
+    // raw-moment form while stddev_pop's recurrence stays positive —
+    // both engines must take the NULL arm on exactly the same frames
     "q_rolling_corr" ->
       """WITH hb AS (SELECT event_type, date_trunc('hour', ts) AS hour,
         |   count(*)::DOUBLE AS n, sum(value) AS v
         |  FROM events GROUP BY 1, 2),
         |f AS (SELECT event_type, hour,
         |   stddev_pop(n) OVER w AS sn, stddev_pop(v) OVER w AS sv,
-        |   corr(n, v) OVER w AS c
+        |   corr(n, v) OVER w AS c,
+        |   count(*) OVER w ::DOUBLE AS m,
+        |   sum(n) OVER w AS sx, sum(v) OVER w AS sy,
+        |   sum(n * n) OVER w AS sxx, sum(v * v) OVER w AS syy
         |  FROM hb WINDOW w AS (PARTITION BY event_type ORDER BY hour
         |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
         |SELECT event_type, hour,
-        | CASE WHEN sn > 0 AND sv > 0 THEN round(c, 4) END AS corr24
+        | CASE WHEN sn > 0 AND sv > 0
+        |   AND m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0
+        |  THEN round(c, 4) END AS corr24
         |FROM f""".stripMargin,
 
     "q_triangle_count" ->

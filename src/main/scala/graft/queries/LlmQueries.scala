@@ -250,10 +250,14 @@ object LlmQueries {
     // Candidate-prune note: these synthetic keys are PassJoin's
     // adversarial case — all entropy sits in 5 of 18 chars, so the
     // prefix segments are single-valued and their clean buckets are the
-    // whole catalog (ids-only candidate pairs + threshold-levenshtein
-    // keep it ~2.3× the naive cost's better shape at sf0.1; on natural
-    // name data every segment carries entropy and the prune is ~100×,
-    // as editJoin1's measured). Exact recall forbids dropping hot
+    // whole catalog (~25M candidates from a 32M cross space). Even so,
+    // measured at sf0.1: blocked Spark 33.3 s vs DuckDB's naive
+    // levenshtein join 37.8 s — ids-only pairs with map-side partial
+    // distinct + banded threshold verify beat the naive single-node
+    // engine on its best case (a verify-before-distinct variant
+    // measured 1.6× WORSE: the compact-pair dedup is the win). On
+    // natural name data every segment carries entropy and the prune is
+    // ~100×, as editJoin1's measured. Exact recall forbids dropping hot
     // segments; the hot bucket is a skew-join AQE handles.
     "q_fuzzy_link2" -> ((s, d) => {
       val cust = Tables.customer(s, d)
