@@ -180,7 +180,11 @@ object Bench {
       }
       (ext, ext <= loadThreshold)
     }
-    // (seconds, startedQuiet, externalCoresAtStart) per rep.
+    // (seconds, quiet, externalCores) per rep; quiet requires the load
+    // check to pass BOTH before and after the timed run (load arriving
+    // mid-rep would otherwise leave a contaminated rep marked quiet and
+    // eligible for the headline min), and externalCores is the worse of
+    // the two samples.
     type Rep = (Double, Boolean, Double)
     val results: Seq[(String, Seq[Rep])] = selected.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
@@ -192,13 +196,16 @@ object Bench {
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
         def rep(): Rep = {
-          val (ext, quiet) = gate()
+          val (ext, quietAtStart) = gate()
           val t0 = System.nanoTime()
           try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
           }
-          ((System.nanoTime() - t0) / 1e9, quiet, ext)
+          val secs = (System.nanoTime() - t0) / 1e9
+          val extEnd = LoadGate.externalBusyCores()
+          val quietAtEnd = extEnd < 0 || extEnd <= loadThreshold
+          (secs, quietAtStart && quietAtEnd, math.max(ext, extEnd))
         }
         var times = (1 to reps).map(_ => rep()).sortBy(_._1)
         def quietTimes = times.filter(_._2).map(_._1)

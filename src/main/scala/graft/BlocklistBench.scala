@@ -110,13 +110,17 @@ object BlocklistBench {
       val backend = if (ac.isDense) "dense" else "csr"
       val (tAc, nAc) = time(hitsQuery(pats))
       require(nAc == n870occ, s"junk terms changed counts at n=$n: $nAc vs $n870occ")
+      // projected dense-backend size, computed from the row layout
+      // (256 resolved-goto ints per node), not the 1-node-per-KiB
+      // numeric coincidence
+      val denseKb = ac.nNodes.toLong * 256L * java.lang.Integer.BYTES / 1024L
       val denseField =
         if (n <= 10000) {
           val (tDense, nDense) = time(hitsQuery(pats, "dense"))
           require(nAc == nDense, s"backend drift at n=$n")
-          f""""dense_sec":$tDense%.3f,"dense_table_kb":${ac.nNodes.toLong}"""
+          f""""dense_sec":$tDense%.3f,"dense_table_kb":$denseKb"""
         } else
-          f""""dense_sec":null,"dense_table_kb":${ac.nNodes.toLong}"""
+          f""""dense_sec":null,"dense_table_kb":$denseKb"""
       f""""mixed$n":{"ac_sec":$tAc%.3f,"vs_n870_sec":$t870%.3f,"occurrences":$nAc,""" +
         f""""backend":"$backend","table_kb":${ac.approxBytes / 1024},$denseField}"""
     }

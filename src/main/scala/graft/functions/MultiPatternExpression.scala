@@ -123,6 +123,10 @@ final class AcAutomaton(patterns: Array[Array[Byte]], backendChoice: String = "a
   def hits(text: UTF8String): ArrayData = {
     val (cnt, touched) = scratch.get()
     var nTouched = 0
+    // the finally (not the row-build loop) owns the scratch reset: if
+    // anything escapes mid-walk or mid-build (e.g. OOM on the row array),
+    // a dirty cnt would poison every later row on this reused task thread
+    try {
     val bytes = text.getBytes
     val n = bytes.length
     var st = 0
@@ -175,10 +179,13 @@ final class AcAutomaton(patterns: Array[Array[Byte]], backendChoice: String = "a
       val id = touched(j)
       rows(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
         Array[Any](id, cnt(id)))
-      cnt(id) = 0 // reset scratch — only touched entries
       j += 1
     }
     new GenericArrayData(rows)
+    } finally {
+      var j = 0
+      while (j < nTouched) { cnt(touched(j)) = 0; j += 1 }
+    }
   }
 
   // binary search the node's sorted edge list; -1 when absent

@@ -510,7 +510,11 @@ object Similarity {
   def refineTopK(candidates: DataFrame, queries: DataFrame,
       corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     import graft.functions.VectorFunctions.l2sqN
-    val cand = candidates.select(col("q_id"), col("n_id"))
+    // distinct: duplicate (q_id, n_id) pairs from the caller (e.g. a
+    // multi-probe that surfaces the same neighbor twice) would otherwise
+    // occupy several of the final k ranks; candidate sets are
+    // query-batch-bounded so the dedup is broadcast-cheap
+    val cand = candidates.select(col("q_id"), col("n_id")).distinct()
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("_nv"))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("_qv"))
     val w = Window.partitionBy("q_id").orderBy(col("dist").asc, col("n_id"))
