@@ -36,6 +36,25 @@ object LlmQueries {
     Seq.fill(40)("zq" + (0 until 6).map(_ => ('a' + rnd.nextInt(16)).toChar).mkString)
   }).distinct
 
+  /** q_sim_ivfpq_refine's corpus: a CLUSTERED embedding table derived
+    * deterministically from `embeddings` — per-label integer-lattice
+    * centers, center(label)[i] = ((37·label + 17·i) mod 13) − 6, plus
+    * the raw embedding as noise. Labels are distinct mod 13 so any two
+    * centers differ by a nonzero lattice shift in nearly every
+    * coordinate (unit-plus separation) while the noise is σ≈0.13/coord
+    * — tight, well-separated clusters, the geometry real embedding
+    * corpora have and space-partitioning indexes exploit
+    * (StructuredEmbeddingsSpec's mixture-of-Gaussians, but exactly
+    * replayable in DuckDB: the lattice arithmetic is integer-exact and
+    * center + x is a single IEEE add on both engines). */
+  private def clusteredEmbeddings(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(
+      col("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        ((col("label") * 37 + i * 17) % 13 - 6).cast("double")
+          + x.cast("double")).as("embedding"),
+      col("label"))
+
   // DuckDB twin of TextFunctions.tokens — keep in sync.
   private val sqlToks =
     "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
@@ -1017,6 +1036,55 @@ object LlmQueries {
         .select(col("q_id"), col("rnk"), col("n_id"),
           round(col("dist_adc"), 4).as("dist_r"),
           (col("_recall") >= 0.5).as("recall_ok"))
+    }),
+
+    // END-TO-END ANN SERVING (r13): the composition a retrieval user
+    // actually runs — residual-IVFADC candidate generation with a
+    // generous k' = 10·k, then the exact re-rank to the final k
+    // ([[graft.ops.Similarity.refineTopK]]), with end-to-end recall@5
+    // vs the exact L2 top-5 asserted IN the query (≥ 0.8). The driver's
+    // synthetic embeddings are near-uniform random — the adversarial
+    // case where space-partitioning recall honestly sits at 0.4–0.5
+    // (q_sim_ivfpq pins that) — so this query runs on a CLUSTERED
+    // corpus derived deterministically from the same table (see
+    // [[clusteredEmbeddings]]): mixture-of-Gaussians geometry like
+    // StructuredEmbeddingsSpec's, but exactly replayable in DuckDB.
+    "q_sim_ivfpq_refine" -> ((s, d) => {
+      val e = clusteredEmbeddings(s, d)
+      val coarse = Similarity.kmeansFit(e, "vec_id", "embedding",
+        k = 10, iters = 3, cosine = false)
+      val tbl = "graft_ivfpqref_idx_" + s.sparkContext.applicationId
+        .replaceAll("[^A-Za-z0-9_]", "_")
+      // m=16, k=32: the code budget StructuredEmbeddingsSpec measured as
+      // necessary on this geometry — within-cluster distance gaps sit
+      // below m=4 quantization noise, so a small-code ADC ranks cluster-
+      // mates near-randomly and the top-k' candidate set dilutes
+      // (measured 0.36 candidate recall at sf0.1 with m=4,k=8)
+      val cb = Similarity.ivfPqResidualIndexBuild(e, "vec_id", "embedding",
+        coarse, m = 16, k = 32, iters = 3, tableName = tbl, tableBuckets = 8)
+      val queries = e.filter(col("vec_id") < 5)
+      val cands = Similarity.ivfPqResidualProbe(s, tbl, queries,
+        "vec_id", "embedding", cb, coarse, k = 50, nprobe = 4)
+      val refined = Similarity.refineTopK(cands, queries, e,
+        "vec_id", "embedding", k = 5)
+      // exact L2 top-5 baseline (self-pairs kept — the probe keeps them)
+      val qv = queries.select(col("vec_id").as("q_id"), col("embedding").as("_qv"))
+      val wx = Window.partitionBy("q_id").orderBy(col("_d").asc, col("n_id"))
+      val exact = broadcast(qv)
+        .crossJoin(e.select(col("vec_id").as("n_id"), col("embedding").as("_nv")))
+        .withColumn("_d", l2sqN(col("_qv"), col("_nv")))
+        .withColumn("_rnk", row_number().over(wx))
+        .filter(col("_rnk") <= 5)
+        .select(col("q_id"), col("n_id"), lit(1).as("_hit"))
+      val recall = refined.select("q_id", "n_id")
+        .join(exact, Seq("q_id", "n_id"), "left")
+        .groupBy("q_id")
+        .agg((sum(coalesce(col("_hit"), lit(0))) / 5.0).as("_r"))
+        .agg(avg("_r").as("_recall"))
+      refined.crossJoin(broadcast(recall))
+        .select(col("q_id"), col("rnk"), col("n_id"),
+          round(col("dist"), 4).as("dist"),
+          (col("_recall") >= 0.8).as("recall_ok"))
     }),
 
     "q_token_bpe" -> ((s, d) =>
@@ -2671,6 +2739,74 @@ object LlmQueries {
          |SELECT t.q_id, t.rnk, t.n_id, round(t.dist_adc, 4) AS dist_r,
          |  rec.recall >= 0.5 AS recall_ok
          |FROM topivf t CROSS JOIN rec""".stripMargin,
+
+    // END-TO-END serving twin: clustered corpus (integer-lattice centers
+    // + raw embedding noise — exact arithmetic on both engines), the
+    // q_sim_ivfpq_res replay chain (coarse Lloyd's over vr, residual v,
+    // PQ codebooks), candidates = residual-ADC top-50 within the 4
+    // probed cells, exact-L2 re-rank to top-5 (l2FoldSql), recall vs
+    // the exhaustive exact-L2 top-5
+    "q_sim_ivfpq_refine" ->
+      s"""WITH vr AS MATERIALIZED (SELECT vec_id,
+         |    list_transform(range(1, 65), i ->
+         |      ((label*37 + (i-1)*17) % 13 - 6)::DOUBLE
+         |        + embedding[i::INT]::DOUBLE) AS vd,
+         |    label FROM embeddings),
+         |${coarseL2SqlChain(10, 3, "vr")},
+         |v AS MATERIALIZED (SELECT g.vec_id,
+         |    list_transform(range(1, 65), i -> g.vd[i::INT] - c.cv[i::INT]) AS vd,
+         |    NULL AS label
+         |  FROM gaf g JOIN gc3 c ON g.cluster = c.cluster),
+         |${pqSqlChain(16, 32, 4, 3)},
+         |ccell AS (SELECT vec_id AS n_id, cluster AS cell FROM gaf),
+         |qpc AS (SELECT vec_id AS q_id, cluster AS cell FROM (
+         |    SELECT n.vec_id, c.cluster,
+         |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |        list_dot_product(n.vd, c.cv) - list_dot_product(c.cv, c.cv)/2 DESC,
+         |        c.cluster) AS rn
+         |    FROM (SELECT vec_id, vd FROM vr WHERE vec_id < 5) n CROSS JOIN gc3 c)
+         |  WHERE rn <= 4),
+         |qres AS (SELECT q.vec_id AS q_id, c.cluster AS cell,
+         |    list_transform(range(1, 65), i -> q.vd[i::INT] - c.cv[i::INT]) AS qr
+         |  FROM (SELECT vec_id, vd FROM vr WHERE vec_id < 5) q CROSS JOIN gc3 c),
+         |qsub AS (SELECT q_id, cell,
+         |    ${(0 until 16).map(j => s"qr[${j * 4 + 1}:${j * 4 + 4}] AS s$j")
+                 .mkString(", ")} FROM qres),
+         |adc AS (
+         |  SELECT qs.q_id, n.n_id, qs.cell,
+         |    ${(0 until 16).map(s => l2FoldSql(s"qs.s$s", s"b$s.cv", 4))
+                 .mkString("\n     + ")} AS dist_adc
+         |  FROM ccell n
+         |  JOIN qsub qs ON qs.cell = n.cell
+         |  ${(0 until 16).map(s =>
+                 s"JOIN code$s ON n.n_id = code$s.vec_id JOIN cb$s b$s ON code$s.ci = b$s.ci")
+                 .mkString("\n  ")}),
+         |rivf AS (SELECT a.q_id, a.n_id, a.dist_adc,
+         |    row_number() OVER (PARTITION BY a.q_id ORDER BY a.dist_adc ASC, a.n_id) AS rnk
+         |  FROM adc a JOIN qpc ON a.q_id = qpc.q_id AND a.cell = qpc.cell),
+         |cand AS (SELECT DISTINCT q_id, n_id FROM rivf WHERE rnk <= 50),
+         |ref AS (SELECT c.q_id, c.n_id,
+         |    ${l2FoldSql("q.vd", "n.vd", 64)} AS dist
+         |  FROM cand c JOIN vr q ON c.q_id = q.vec_id
+         |              JOIN vr n ON c.n_id = n.vec_id),
+         |rref AS (SELECT q_id, n_id, dist,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY dist, n_id) AS rnk
+         |  FROM ref),
+         |top AS (SELECT q_id, rnk, n_id, dist FROM rref WHERE rnk <= 5),
+         |exact AS (SELECT q_id, n_id FROM (
+         |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      ${l2FoldSql("q.vd", "n.vd", 64)}, n.vec_id) AS rk
+         |  FROM (SELECT vec_id, vd FROM vr WHERE vec_id < 5) q CROSS JOIN vr n)
+         |  WHERE rk <= 5),
+         |rec AS (SELECT avg(r) AS recall FROM (
+         |  SELECT t.q_id, count(e.n_id) / 5.0 AS r
+         |  FROM top t LEFT JOIN exact e
+         |    ON t.q_id = e.q_id AND t.n_id = e.n_id
+         |  GROUP BY t.q_id))
+         |SELECT t.q_id, t.rnk, t.n_id, round(t.dist, 4) AS dist,
+         |  rec.recall >= 0.8 AS recall_ok
+         |FROM top t CROSS JOIN rec""".stripMargin,
 
     // identical result multiset by construction (layout change only)
     "q_sim_ivf_persisted" -> ivfTopKOracleSql,
