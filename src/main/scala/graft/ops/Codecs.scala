@@ -214,6 +214,104 @@ object Codecs {
     sum
   }
 
+  /** Difference hash (dHash) of a 24bpp BMP — the standard perceptual
+    * image fingerprint: sample a 9×8 grayscale grid (nearest-neighbor,
+    * px = ⌊gx·w/9⌋, py = ⌊gy·h/8⌋), then bit (gy·8 + gx) of the 64-bit
+    * hash is 1 iff gray(gx+1, gy) > gray(gx, gy). All-integer end to
+    * end (gray = 299·R + 587·G + 114·B, the ITU-601 luma weights scaled
+    * by 1000), so near-duplicate detection over it is exactly
+    * replayable: a 1-pixel perturbation flips at most the comparisons
+    * that sample that pixel. Walks the real file layout — pixel-array
+    * offset, 4-byte row stride, bottom-up (or top-down) row order —
+    * like [[bmpPixelSum]]. Returns null on parse failure / non-24bpp /
+    * truncation, so a corrupt payload drops out of the banded join
+    * instead of clustering with other corrupt payloads. */
+  def bmpDHash(bytes: Array[Byte]): java.lang.Long = {
+    val meta = parseBmp(bytes).orNull
+    if (meta == null || meta.bitsPerPixel != 24) return null
+    val offset = u32(bytes, 10).get.toInt
+    val rowSize = ((3 * meta.width + 3) / 4) * 4
+    if (offset < 54 || offset >= bytes.length) return null
+    if (offset + rowSize.toLong * meta.height > bytes.length) return null
+    val gray = Array.ofDim[Long](8, 9)
+    var gy = 0
+    while (gy < 8) {
+      val py = gy * meta.height / 8
+      val fileRow = if (meta.topDown) py else meta.height - 1 - py
+      val rowOff = offset + fileRow * rowSize
+      var gx = 0
+      while (gx < 9) {
+        val px = gx * meta.width / 9
+        val p = rowOff + 3 * px
+        gray(gy)(gx) = 114L * (bytes(p) & 0xFF) + 587L * (bytes(p + 1) & 0xFF) +
+          299L * (bytes(p + 2) & 0xFF)
+        gx += 1
+      }
+      gy += 1
+    }
+    var hash = 0L
+    gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        if (gray(gy)(gx + 1) > gray(gy)(gx)) hash |= 1L << (gy * 8 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    hash
+  }
+
+  /** Deterministic 18×16 24bpp bottom-up BMP with a plantable
+    * near-duplicate perturbation — [[synthBmp]]'s sibling for the
+    * perceptual-hash dedup pipeline (q_image_phash). Pixel bytes come
+    * from middle-square mixing of a compact pixel index:
+    *   i = s + 1000003·(x + 18y + 288k);  byte = (i² >> 20) mod 256
+    * (i < 2³⁰ so i² < 2⁶⁰ — a DuckDB twin replays it without overflow).
+    * The nonlinearity is load-bearing: any LINEAR mix (additive or
+    * Knuth-multiplicative) shifts every pixel of an image by the same
+    * constant as the seed increments, which preserves all grayscale
+    * comparisons — every seed then collapses to a handful of dHash
+    * values and the banded join degenerates toward a cross product
+    * (measured: 50 distinct hashes over 200 seeds multiplicative vs
+    * 200/200 middle-square, accidental hamming ≤ 3 pairs 13k vs 0).
+    * `pert` is added to the blue byte of pixel (0, 0) (mod 256) — the
+    * 1-pixel near-duplicate edit, which flips at most ONE dHash bit
+    * (pixel (0,0) is sampled only by grid cell (0,0), and only the
+    * gx 0↔1 comparison reads it). */
+  def synthBmpNear(seed: Long, pert: Int): Array[Byte] = {
+    val s = math.floorMod(seed, 1000000L)
+    val w = 18; val h = 16
+    val rowSize = ((3 * w + 3) / 4) * 4
+    val pixelArray = rowSize * h
+    val out = new java.io.ByteArrayOutputStream(54 + pixelArray)
+    putTag(out, "BM")
+    putU32(out, 54L + pixelArray); putU32(out, 0L); putU32(out, 54L)
+    putU32(out, 40L); putU32(out, w.toLong); putU32(out, h.toLong)
+    putU16(out, 1); putU16(out, 24); putU32(out, 0L); putU32(out, pixelArray.toLong)
+    putU32(out, 2835L); putU32(out, 2835L); putU32(out, 0L); putU32(out, 0L)
+    var fileRow = 0
+    while (fileRow < h) {
+      val y = h - 1 - fileRow // bottom-up
+      var x = 0
+      while (x < w) {
+        var k = 0
+        while (k < 3) {
+          val i = s + 1000003L * (x + 18 * y + 288 * k)
+          var v = ((i * i) >> 20) % 256
+          if (x == 0 && y == 0 && k == 0) v = (v + pert) % 256
+          out.write(v.toInt)
+          k += 1
+        }
+        x += 1
+      }
+      var pad = 3 * w
+      while (pad < rowSize) { out.write(0); pad += 1 }
+      fileRow += 1
+    }
+    out.toByteArray
+  }
+
   /** Deterministic 24bpp bottom-up BMP from a seed:
     *   width  = 1 + seed % 16, height = 1 + seed % 8
     *   byte k of pixel (x, y) = (seed + x·3 + y·7 + k) mod 256

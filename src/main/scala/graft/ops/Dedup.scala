@@ -344,20 +344,34 @@ object Dedup {
       docs: DataFrame, textCol: String, idCol: String,
       prefixBits: Int = 12, maxHamming: Int = 8,
       bands: Int = 4, maxBucket: Int = 1000): DataFrame = {
+    // ONE narrow kernel pass ([[graft.functions.SimhashKernel]]) computes
+    // the 64-bit signature per row — no explode, no 64-sum aggregation,
+    // no shuffle (bit-equality with that formulation is spec-enforced).
+    val sigs = Transforms.fanOut(docs.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"), simhash64(col(textCol)).as("sig"))
+    hammingNearDup(sigs, prefixBits, maxHamming, bands, maxBucket)
+  }
+
+  /** Hamming-banded near-duplicate pairs over ANY 64-bit signature table
+    * `(id, sig)` — the banding/cap/verify engine behind
+    * [[simhashNearDup]], reusable for every fingerprint whose distance
+    * is Hamming (SimHash over text, dHash/aHash over images). With
+    * `bands` = 64/prefixBits disjoint windows (e.g. 4 bands × 16 bits),
+    * pigeonhole guarantees any pair at Hamming < bands collides in at
+    * least one band — recall 1.0 up to `bands − 1` flipped bits.
+    * Output: (id_a, id_b, hamming) with id_a < id_b. */
+  def hammingNearDup(sigTable: DataFrame,
+      prefixBits: Int = 12, maxHamming: Int = 8,
+      bands: Int = 4, maxBucket: Int = 1000): DataFrame = {
     require(64 % bands == 0, s"bands must divide 64, got $bands")
     // prefixBits=0 would make shiftrightunsigned(rot, 64) a JVM no-op
     // (shift masked to 0 → bucket = full signature); >=64 misbehaves the
     // same way. Fail loudly instead of silently losing recall.
     require(prefixBits >= 1 && prefixBits <= 63,
       s"prefixBits must be in [1, 63], got $prefixBits")
-    // ONE narrow kernel pass ([[graft.functions.SimhashKernel]]) computes
-    // the 64-bit signature per row — no explode, no 64-sum aggregation,
-    // no shuffle (bit-equality with that formulation is spec-enforced).
     // The checkpoint stages the tiny (id, sig) table once for its three
     // consumers (bucketing + both verify sides).
-    val sigs = Transforms.fanOut(docs.select(col(idCol).as("id"), col(textCol)))
-      .select(col("id"), simhash64(col(textCol)).as("sig"))
-      .localCheckpoint()
+    val sigs = sigTable.localCheckpoint()
     val stride = 64 / bands
     val banded = sigs.select(col("id"),
       explode(array((0 until bands).map { b =>

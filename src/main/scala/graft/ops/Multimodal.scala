@@ -209,6 +209,19 @@ object Multimodal {
       .drop("dec")
   }
 
+  /** Perceptual 64-bit image fingerprint (dHash over REAL decoded
+    * pixels — [[Codecs.bmpDHash]]'s 9×8 integer-grayscale comparison
+    * grid) per media row: (id, sig), null sig for undecodable payloads.
+    * One narrow per-row pass, no shuffle; feed the result to
+    * [[Dedup.hammingNearDup]] for the banded near-duplicate join — the
+    * image column of the dedup × multimodal north star. */
+  def imageDHash(media: DataFrame, idCol: String = "media_id",
+      payloadCol: String = "payload"): DataFrame = {
+    val u = udf((payload: Array[Byte]) =>
+      Option(Codecs.bmpDHash(payload)).map(_.longValue))
+    media.select(col(idCol).as("id"), u(col(payloadCol)).as("sig"))
+  }
+
   /** Sample up to `n` frame indices per media row, evenly spaced over the
     * decoded frame count — one output row per sampled frame. */
   def sampleFrames(withMeta: DataFrame, n: Int): DataFrame =

@@ -1623,6 +1623,23 @@ object LlmQueries {
         .orderBy("width")
     }),
 
+    // IMAGE NEAR-DUP (r13): perceptual dHash over real decoded pixels
+    // ([[graft.ops.Codecs.bmpDHash]] — header parse, stride/bottom-up
+    // walk, integer ITU-601 grayscale, 9×8 comparison grid) + the
+    // Hamming-banded self-join ([[graft.ops.Dedup.hammingNearDup]],
+    // 4 × 16-bit bands: pigeonhole recall 1.0 at hamming ≤ 3). Corpus:
+    // up to 400 synthetic BMPs in planted pairs — (2i, 2i+1) share seed
+    // i, the odd sibling has one pixel byte perturbed, which flips at
+    // most ONE dHash bit, so every planted pair survives the verify;
+    // unrelated images sit at hamming ≈ 32 and die there.
+    "q_image_phash" -> ((s, d) => {
+      val bmpUdf = udf((id: Long) => Codecs.synthBmpNear(id / 2, (id % 2).toInt * 128))
+      val media = Tables.documents(s, d).filter(col("doc_id") < 400)
+        .select(col("doc_id").as("media_id"), bmpUdf(col("doc_id")).as("payload"))
+      Dedup.hammingNearDup(Multimodal.imageDHash(media),
+        prefixBits = 16, maxHamming = 3, bands = 4)
+    }),
+
     "q_multimodal_frames" -> ((s, d) => {
       val media = Tables.documents(s, d).filter(col("doc_id") < 200)
         .select(col("doc_id").as("media_id"),
@@ -3034,6 +3051,44 @@ object LlmQueries {
         | count(*)::BIGINT AS n_ok, sum(h)::BIGINT AS sum_height,
         | sum(psum)::BIGINT AS sum_pixels
         |FROM px GROUP BY w ORDER BY width""".stripMargin,
+
+    // replays synthBmpNear's multiplicative pixel formula (never parsing
+    // bytes): 18×16 image → grid sample px=2·gx, py=2·gy; integer luma;
+    // dHash bit idx = gy·8+gx compares gray(gx+1) > gray(gx); bands are
+    // 16-bit chunks of the bit index; candidates = band equality,
+    // verified at hamming ≤ 3 over the raw bit vectors
+    "q_image_phash" ->
+      """WITH im AS (SELECT doc_id, doc_id // 2 AS s, (doc_id % 2) * 128 AS pert
+        |  FROM documents WHERE doc_id < 400),
+        |ix AS (SELECT doc_id, pert, gy, gx,
+        |   s + 1000003*(2*gx + 36*gy) AS i0,
+        |   s + 1000003*(2*gx + 36*gy + 288) AS i1,
+        |   s + 1000003*(2*gx + 36*gy + 576) AS i2
+        |  FROM im, range(0, 8) t1(gy), range(0, 9) t2(gx)),
+        |g AS (SELECT doc_id, gy, gx,
+        |   299*(((i2*i2) // 1048576) % 256)
+        | + 587*(((i1*i1) // 1048576) % 256)
+        | + 114*((((i0*i0) // 1048576) % 256
+        |         + CASE WHEN gx = 0 AND gy = 0 THEN pert ELSE 0 END) % 256)
+        |   AS gray
+        |  FROM ix),
+        |bits AS (SELECT a.doc_id, a.gy*8 + a.gx AS idx, (b.gray > a.gray) AS bit
+        |  FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.gy = b.gy
+        |    AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8),
+        |bv AS (SELECT doc_id, idx // 16 AS band,
+        |   sum(CASE WHEN bit THEN (1::BIGINT << (idx % 16)) ELSE 0 END)::BIGINT
+        |     AS bval
+        |  FROM bits GROUP BY doc_id, band),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bv a JOIN bv b ON a.band = b.band AND a.bval = b.bval
+        |    AND a.doc_id < b.doc_id),
+        |ham AS (SELECT c.id_a, c.id_b,
+        |   sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)::INT AS hamming
+        |  FROM cand c JOIN bits x ON x.doc_id = c.id_a
+        |              JOIN bits y ON y.doc_id = c.id_b AND y.idx = x.idx
+        |  GROUP BY c.id_a, c.id_b)
+        |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3""".stripMargin,
 
     "q_multimodal_frames" ->
       """WITH b AS (

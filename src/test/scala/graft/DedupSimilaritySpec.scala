@@ -29,6 +29,34 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(below == 0)
   }
 
+  test("image near-dup: planted 1-pixel pairs land in a shared band; distinct images die in verify") {
+    import graft.ops.{Codecs, Multimodal}
+    import spark.implicits._
+    // 60 images in 30 planted pairs: (2i, 2i+1) share seed i, the odd
+    // sibling perturbed by one pixel byte — the q_image_phash corpus shape
+    val bmpUdf = udf((id: Long) => Codecs.synthBmpNear(id / 2, (id % 2).toInt * 128))
+    val media = (0L until 60L).toDF("media_id")
+      .select(col("media_id"), bmpUdf(col("media_id")).as("payload"))
+    val sigs = Multimodal.imageDHash(media)
+    val pairs = Dedup.hammingNearDup(sigs,
+        prefixBits = 16, maxHamming = 3, bands = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val planted = (0L until 30L).map(i => (2 * i, 2 * i + 1)).toSet
+    assert(planted.subsetOf(pairs),
+      s"missed planted pairs: ${(planted -- pairs).take(5)}")
+    // exact twin: ALL pairs at hamming <= 3 (pigeonhole: 4 bands never
+    // miss a <=3-bit pair), nothing else
+    val sv = sigs.as[(Long, Long)].collect()
+    val exact = (for {
+      (ia, sa) <- sv; (ib, sb) <- sv
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    assert(pairs == exact, "banded result must equal the exact hamming<=3 pair set")
+    // distinct-seed images are far apart — the verify kills every
+    // accidental band collision
+    assert(pairs == planted, "unrelated images must not pair at hamming<=3")
+  }
+
   test("simhash: near-identical docs collide, hamming is symmetric-free") {
     val pairs = Dedup.simhashNearDup(docs, "text", "doc_id",
       prefixBits = 4, maxHamming = 16)

@@ -92,6 +92,52 @@ class MultimodalSpec extends SparkSpec {
     assert(Codecs.parseWav(null) == None && Codecs.parseWav(Array[Byte]()) == None)
   }
 
+  test("Codecs.bmpDHash: formula replay, 1-pixel flip budget, row-order invariance, corruption") {
+    import graft.ops.Codecs
+    // replay the documented synthBmpNear → dHash formula (18×16 image,
+    // px = 2gx / py = 2gy sampling, integer ITU-601 luma)
+    def gray(s: Long, pert: Int, gx: Int, gy: Int): Long = {
+      def pix(k: Int): Long = {
+        val i = s + 1000003L * (2 * gx + 36 * gy + 288 * k)
+        val v = ((i * i) >> 20) % 256
+        if (gx == 0 && gy == 0 && k == 0) (v + pert) % 256 else v
+      }
+      114 * pix(0) + 587 * pix(1) + 299 * pix(2)
+    }
+    def refHash(s: Long, pert: Int): Long = {
+      var h = 0L
+      for (gy <- 0 until 8; gx <- 0 until 8)
+        if (gray(s, pert, gx + 1, gy) > gray(s, pert, gx, gy))
+          h |= 1L << (gy * 8 + gx)
+      h
+    }
+    for (seed <- Seq(0L, 7L, 42L, 199L)) {
+      assert(Codecs.bmpDHash(Codecs.synthBmpNear(seed, 0)) == refHash(seed, 0),
+        s"seed=$seed dHash formula replay")
+      val d = java.lang.Long.bitCount(
+        Codecs.bmpDHash(Codecs.synthBmpNear(seed, 128)) ^
+          Codecs.bmpDHash(Codecs.synthBmpNear(seed, 0)))
+      assert(d <= 1, s"seed=$seed: 1-pixel perturbation flipped $d dHash bits")
+    }
+    // the hash is a function of DISPLAY pixels, not file layout: the same
+    // image re-encoded top-down (negative height, rows in display order)
+    // must hash identically
+    val bu = Codecs.synthBmpNear(5, 0)
+    val td = bu.clone()
+    for (i <- 0 until 4) td(22 + i) = (((-16) >> (8 * i)) & 0xFF).toByte
+    val rowSize = 56
+    for (r <- 0 until 16; b <- 0 until rowSize)
+      td(54 + r * rowSize + b) = bu(54 + (15 - r) * rowSize + b)
+    assert(Codecs.bmpDHash(td) == Codecs.bmpDHash(bu),
+      "top-down re-encoding must produce the identical dHash")
+    // corruption → null, never a throw or a degenerate shared hash
+    assert(Codecs.bmpDHash(null) == null)
+    assert(Codecs.bmpDHash(bu.take(40)) == null, "truncated header")
+    assert(Codecs.bmpDHash(bu.dropRight(3)) == null, "truncated pixel array")
+    val badMagic = bu.clone(); badMagic(0) = 'X'.toByte
+    assert(Codecs.bmpDHash(badMagic) == null)
+  }
+
   test("Codecs.parseBmp: synth round-trip, stride padding excluded, top-down flag") {
     import graft.ops.Codecs
     for (seed <- Seq(0L, 1L, 3L, 7L, 15L, 100L)) {
