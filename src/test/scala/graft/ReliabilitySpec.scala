@@ -168,6 +168,65 @@ class ReliabilitySpec extends SparkSpec {
       s"replayed batch must not duplicate output: $vals")
   }
 
+  test("checkpoint restart: a NEW query on the same checkpoint resumes exactly-once") {
+    // The reference's at-least-once contract
+    // (/root/reference/types.go:49-58) under the failure it was designed
+    // for: stop a LIVE streaming query mid-stream after ≥1 committed
+    // batch, start a NEW query on the same checkpointLocation, drain,
+    // and assert exactly-once output across the restart. The stopped
+    // query's final batch is un-acked at the poller (the DSv2 commit
+    // lags one trigger), so it is REDELIVERED; the restarted query runs
+    // under the same persisted query id, so the IdempotentSink's marker
+    // makes the redelivery invisible downstream.
+    import graft.sources.{PolledSource, Poller}
+    val total = 400
+    // gate: phase 1 releases only 100 messages, so the first query is
+    // GUARANTEED to stop mid-stream (not just hopefully-raced)
+    val releasable = new AtomicInteger(100)
+    val delivered = new AtomicInteger(0)
+    val poller = new Poller {
+      def poll(max: Int): Seq[Message] = {
+        val start = delivered.get()
+        val n = math.min(max, releasable.get() - start)
+        if (n <= 0) Seq.empty
+        else {
+          delivered.addAndGet(n)
+          (start until start + n).map(i => Message.ofString(s"k$i", s"v$i", "t"))
+        }
+      }
+    }
+    val src = PolledSource(poller, batchSize = 20)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val child = new graft.core.Sink {
+      def writeBatch(df: org.apache.spark.sql.DataFrame): Unit =
+        df.collect().foreach(r =>
+          seen.add(new String(r.getAs[Array[Byte]]("value"), "UTF-8")))
+      def writeStream(df: org.apache.spark.sql.DataFrame,
+          trigger: Option[org.apache.spark.sql.streaming.Trigger],
+          checkpoint: Option[String]) =
+        sys.error("unused")
+    }
+    val sink = Sinks.IdempotentSink(child, tmpDir("restart-manifest"))
+    val pipe = Pipeline.from(src).withCheckpoint(tmpDir("restart-ckpt"))
+    val q1 = pipe.start(spark, sink)
+    q1.processAllAvailable() // drains exactly the 100 released messages
+    q1.stop(); q1.awaitTermination()
+    val afterStop = seen.size()
+    assert(afterStop == 100, s"first query must stop mid-stream at 100, saw $afterStop")
+    // release the rest and restart: NEW StreamingQuery, same checkpoint
+    releasable.set(total)
+    val q2 = pipe.start(spark, sink)
+    StreamingOps.runToCompletion(q2)
+    assert(q2.id == q1.id && q2.runId != q1.runId,
+      "a restart from the same checkpoint must keep the query id (new runId)")
+    val vals = seen.toArray(Array.empty[String]).toSeq
+    assert(vals.size == total,
+      s"exactly-once across restart: expected $total writes, saw ${vals.size}")
+    assert(vals.sorted == (0 until total).map(i => s"v$i").sorted,
+      "restart must resume from the committed offset: all messages, no dups")
+    src.close()
+  }
+
   test("IdempotentSink: a NEW query's batch 0 is not swallowed by an old marker") {
     // batchIds restart at 0 for a fresh checkpoint; markers are
     // namespaced by query id, so query B's batch 0 must write even when
