@@ -107,7 +107,15 @@ object Bench {
     "q_funnel_steps",     // ordered-step funnel (per-user step tables)
     "q_anomaly_burst",    // bucket counts + broadcast stats flag
     "q_hll_merge",        // mergeable HLL sketch rollup
-    "q_sql_tpch_q7"       // 6-table SQL join via the parser
+    "q_sql_tpch_q7",      // 6-table SQL join via the parser
+    // r12-new heavies (r13: the set was frozen at the r9 surface, so a
+    // regression in the operators most likely to regress was invisible
+    // to the driver gate — verdict item 5)
+    "q_fuzzy_link2",      // PassJoin τ=2 edit-distance entity resolution
+    "q_blocklist_hits",   // CSR Aho–Corasick sparse multi-pattern scan
+    "q_dedup_substring",  // sliding-window duplicated-substring spans
+    "q_dedup_cdc",        // one-pass CDC chunking kernel
+    "q_sim_ivfpq_refine"  // r13: end-to-end ANN serving (probe → refine)
   )
 
   def main(args: Array[String]): Unit = {

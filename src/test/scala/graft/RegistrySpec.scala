@@ -19,6 +19,23 @@ class RegistrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("SURVEY.md §2.4's stated registry counts match the code (no hand-typed drift)") {
+    // Two successive rounds shipped stale hand-maintained counts (r11:
+    // 272 vs 274; r12: 274 vs 278) — so the number is now asserted, not
+    // typed: parse the "<N> registered queries, <M> oracled" line out of
+    // SURVEY.md and compare BOTH to the live registry.
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val m = """(\d+) registered queries, (\d+) oracled""".r
+      .findFirstMatchIn(survey)
+    assert(m.isDefined, "SURVEY.md must state '<N> registered queries, <M> oracled'")
+    val (stated, statedOracled) = (m.get.group(1).toInt, m.get.group(2).toInt)
+    assert(stated == SparkEntry.queries.size,
+      s"SURVEY.md says $stated registered queries; code has ${SparkEntry.queries.size}")
+    assert(statedOracled == SparkEntry.oracleSql.size,
+      s"SURVEY.md says $statedOracled oracled; code has ${SparkEntry.oracleSql.size}")
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
       val n = fn(spark, sf).count()
