@@ -45,6 +45,16 @@ object Linkage {
     * both keys (r11 ADVICE). Pairs involving a shorter string are
     * therefore routed through a broadcast naive leg — the blocked legs
     * keep their plan, and recall is unconditional.
+    *
+    * DEGENERATE REGIME (r12 verdict): that naive leg
+    * broadcast-nested-loop-joins ALL strings below the split, so the
+    * blocked legs only earn their keep when MOST strings clear
+    * `headLen + tailLen`. A caller who picks head 16 / tail 2 on a
+    * corpus of ~12-char names gets the full cross product back —
+    * correct (LinkageSpec pins exactness on a mostly-short corpus) but
+    * with none of PassJoin's pruning. Pick a split most strings clear,
+    * or use [[editJoin]](τ = 1), whose naive leg is bounded at
+    * `length < τ + 1` (i.e. < 2 chars) regardless of parameters.
     */
   def editJoin1(dirty: DataFrame, dId: String, dStr: String,
       clean: DataFrame, cId: String, cStr: String,

@@ -78,6 +78,25 @@ class LinkageSpec extends SparkSpec {
     assert(naive.contains((10L, 1L)) && naive.contains((11L, 1L)))
   }
 
+  test("editJoin1: MOSTLY-short corpus (degenerate regime) stays exact — just unpruned") {
+    // the r12 verdict's documented degenerate regime: head 16 / tail 2
+    // on a corpus of ~12-char names sends (nearly) every string through
+    // the broadcast naive leg — the result must still be exact; the
+    // scaladoc routes callers to a clearing split or editJoin(τ=1)
+    val rnd = new scala.util.Random(7)
+    val names = (0 until 60).map(i =>
+      (i.toLong, f"name${rnd.nextInt(30)}%04d user")) // 13-char, all < 16+2
+    val clean = names.toDF("c_id", "c_s")
+    val dirty = names.map { case (id, s) =>
+      // perturb half: substitute one char
+      (id + 1000L, if (id % 2 == 0) s.updated(5, 'Z') else s)
+    }.toDF("d_id", "d_s")
+    val naive = naivePairs(dirty, clean)
+    val blocked = blockedPairs(dirty, clean, 16, 2)
+    assert(blocked == naive, "degenerate regime must stay exact")
+    assert(naive.nonEmpty)
+  }
+
   private def naivePairsTau(dirty: DataFrame, clean: DataFrame, tau: Int): Set[(Long, Long)] =
     dirty.crossJoin(clean)
       .filter(levenshtein(col("d_s"), col("c_s")) <= tau)
