@@ -41,6 +41,117 @@ final case class ScannerSource(path: String, delimiter: String = "\n")
     envelope(spark.readStream.option("lineSep", delimiter).text(path))
 }
 
+/** Localhost/remote TCP byte-stream poller — the syslog-daemon connector
+  * shape (S7; the reference's kawad listeners, README.md:149-298): a real
+  * network boundary wrapped as a [[Poller]], so delivery rides the O10
+  * micro-batch machinery and inherits its offset-commit ack
+  * (at-least-once) contract. The scanner's custom-delimiter splitting
+  * ([[ScannerSource]]) is applied to the raw byte stream: a token split
+  * across TCP segments is reassembled in the pending buffer, and the
+  * final unterminated token is flushed on EOF — the scanner's
+  * final-token rule (x/scanner/scanner.go:61-78).
+  *
+  * poll() never blocks beyond `probeTimeoutMs`: it drains whatever the
+  * kernel has buffered, then makes one timeout-bounded 1-byte probe read
+  * so peer close (EOF) is detected promptly. Connects lazily on first
+  * poll; ingest is driver-side (like every [[Poller]] — the single-daemon
+  * reader shape), with fan-out to executors happening in the micro-batch.
+  */
+final class TcpLinePoller(host: String, port: Int,
+    delimiter: String = "\n", probeTimeoutMs: Int = 5) extends Poller {
+  private val delim = delimiter.getBytes("UTF-8")
+  require(delim.nonEmpty, "delimiter must be non-empty")
+  @transient private var sock: java.net.Socket = _
+  @transient private var in: java.io.InputStream = _
+  @transient private var pending: scala.collection.mutable.ArrayBuffer[Byte] = _
+  @transient private var eof = false
+
+  private def attrs: Map[String, String] =
+    Map("source" -> s"tcp://$host:$port")
+
+  private def indexOfDelim(): Int = {
+    var i = 0
+    val n = pending.length - delim.length
+    while (i <= n) {
+      var j = 0
+      while (j < delim.length && pending(i + j) == delim(j)) j += 1
+      if (j == delim.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  def poll(max: Int): Seq[Message] = synchronized {
+    if (pending == null) pending = new scala.collection.mutable.ArrayBuffer[Byte]()
+    if (sock == null && !eof) {
+      sock = new java.net.Socket(host, port)
+      sock.setSoTimeout(probeTimeoutMs)
+      in = sock.getInputStream
+    }
+    if (!eof) {
+      val chunk = new Array[Byte](8192)
+      var n = 0
+      while (n >= 0 && in.available() > 0) {
+        n = in.read(chunk, 0, math.min(chunk.length, in.available()))
+        if (n > 0) pending ++= chunk.view.slice(0, n)
+      }
+      if (n < 0) eof = true
+      else {
+        // bounded probe: distinguishes "no data yet" from peer close
+        try {
+          val b = in.read()
+          if (b < 0) eof = true else pending += b.toByte
+        } catch { case _: java.net.SocketTimeoutException => () }
+      }
+      if (eof) sock.close()
+    }
+    val out = Vector.newBuilder[Message]
+    var produced = 0
+    var idx = indexOfDelim()
+    while (produced < max && idx >= 0) {
+      out += Message("", pending.view.slice(0, idx).toArray, "tcp", attrs)
+      pending.remove(0, idx + delim.length)
+      produced += 1
+      idx = indexOfDelim()
+    }
+    if (eof && produced < max && pending.nonEmpty && indexOfDelim() < 0) {
+      out += Message("", pending.toArray, "tcp", attrs) // final token rule
+      pending.clear()
+    }
+    out.result()
+  }
+
+  /** Peer closed and observed — poll() can still return buffered tokens
+    * after this turns true; drain until an empty poll. */
+  def isEof: Boolean = synchronized(eof)
+}
+
+/** Engine-facing TCP source: [[TcpLinePoller]] through [[PolledSource]]
+  * for streaming (micro-batch offsets = ack cursor); batch mode reads the
+  * socket to EOF eagerly — the degenerate finite pipeline, like
+  * [[ScannerSource.batch]]. */
+final case class TcpSocketSource(host: String, port: Int,
+    delimiter: String = "\n", batchSize: Int = 100) extends Source {
+  private val polled =
+    PolledSource(new TcpLinePoller(host, port, delimiter), batchSize)
+  def stream(spark: SparkSession): DataFrame = polled.stream(spark)
+  def batch(spark: SparkSession): DataFrame = {
+    val poller = new TcpLinePoller(host, port, delimiter, probeTimeoutMs = 50)
+    val all = scala.collection.mutable.ArrayBuffer[Message]()
+    var done = false
+    while (!done) { // each empty poll costs ≤ probeTimeoutMs, never spins hot
+      val got = poller.poll(batchSize)
+      all ++= got
+      done = poller.isEof && got.isEmpty
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(all.toSeq.map(m =>
+        org.apache.spark.sql.Row(m.key, m.value, m.topic, m.attributes))),
+      Message.schema)
+  }
+  def close(): Unit = polled.close()
+}
+
 /** In-memory source for tests — the reference's memory connector
   * (x/memory/memory.go:10-31) ≈ `MemoryStream[Message]`. */
 final class MemoryMessageSource(spark: SparkSession) extends Source {

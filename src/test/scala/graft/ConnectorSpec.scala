@@ -156,6 +156,66 @@ class ConnectorSpec extends SparkSpec {
     throw last
   }
 
+  test("tcp socket source (S7 syslog shape): chunked writes — all seen, no dups, final token flushed") {
+    // a REAL network boundary: a localhost server writes 40 '||'-delimited
+    // syslog-ish lines in random 1-37-byte chunks (tokens split across
+    // TCP segments), closes WITHOUT terminating the last token; the
+    // source must reassemble every token, deliver each exactly once into
+    // the micro-batch stream, and flush the final unterminated token on
+    // EOF (the scanner's final-token rule).
+    val server = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    val msgs = (0 until 40).map(i => s"<13>Aug 15 04:00:$i%02d app[$i]: event $i")
+    val payload = msgs.mkString("||").getBytes("UTF-8")
+    val writer = new Thread(() => {
+      val s = server.accept()
+      val out = s.getOutputStream
+      val rnd = new scala.util.Random(3)
+      var off = 0
+      while (off < payload.length) {
+        val n = math.min(1 + rnd.nextInt(37), payload.length - off)
+        out.write(payload, off, n); out.flush()
+        off += n
+        Thread.sleep(1)
+      }
+      s.close()
+    })
+    writer.start()
+    val src = graft.sources.TcpSocketSource("127.0.0.1", server.getLocalPort,
+      delimiter = "||", batchSize = 7)
+    val q = graft.core.Pipeline.from(src).start(spark, Sinks.MemorySink("tcp_out"))
+    try {
+      eventually(20000) {
+        assert(spark.table("tcp_out").count() == 40,
+          s"saw ${spark.table("tcp_out").count()} of 40")
+      }
+    } finally { q.stop(); q.awaitTermination(); writer.join(); server.close() }
+    val vals = spark.table("tcp_out").collect()
+      .map(r => new String(r.getAs[Array[Byte]]("value"), "UTF-8")).toSeq
+    assert(vals.sorted == msgs.sorted, "all-seen/no-dup with exact payloads")
+    assert(vals.contains(msgs.last), "final unterminated token must flush on EOF")
+    assert(spark.table("tcp_out").collect()
+      .forall(_.getAs[Map[String, String]]("attributes").get("source")
+        .exists(_.startsWith("tcp://127.0.0.1:"))), "provenance attribute")
+    src.close()
+  }
+
+  test("tcp socket source: batch mode drains to EOF (the degenerate finite pipeline)") {
+    val server = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    val writer = new Thread(() => {
+      val s = server.accept()
+      s.getOutputStream.write("a\nbb\nccc".getBytes("UTF-8"))
+      s.close()
+    })
+    writer.start()
+    val src = graft.sources.TcpSocketSource("127.0.0.1", server.getLocalPort)
+    val vals = src.batch(spark).collect()
+      .map(r => new String(r.getAs[Array[Byte]]("value"), "UTF-8")).toSeq
+    writer.join(); server.close()
+    assert(vals == Seq("a", "bb", "ccc"))
+  }
+
   test("poller source: 25 messages round-trip, ack coalesced per commit") {
     val rnd = new scala.util.Random(7)
     val payloads = Seq.tabulate(25)(i =>
