@@ -32,14 +32,22 @@ import java.util.concurrent.atomic.AtomicLong
   * partition of the batch scan, so 20 blocks parallelize the count across
   * the local cores where one 1M-row block ran it single-task (measured
   * sweep: 1M-chunk 0.45M/s, 250k 0.65M/s, 50k 0.83M/s, 6.25k 0.68M/s).
-  * Remaining ~2.6× vs the reference machine is the per-batch engine floor
-  * (~1 s StreamExecution plan+log cycle at n=1M).
+  * r12 added the steady-state phase below (1.0–1.09M msgs/s, ~2× gap).
+  * r13 measured the remaining swing candidates as engine-floor
+  * negatives — numPartitions re-split, async progress tracking,
+  * parallel feeders (see inline notes and SURVEY §6): the residual gap
+  * is the per-micro-batch replan + synchronous offset-log cycle
+  * (~45 ms × ~20 batches per 1M rows), the architecture cost of a
+  * micro-batch engine against a raw unbuffered channel.
   *
   * Usage: `sbt "runMain graft.StreamBench [nMessages] [reps]"` (default
   * 1M × 3). Prints one JSON line:
   * {"metric":"stream_throughput","value":<best msgs/s>,...}.
   */
 object StreamBench {
+  // (r13 negative result: asyncProgressTrackingEnabled — SPARK-39591,
+  // offset-log writes off the critical path — is rejected by the engine
+  // for ForeachBatchSink, so the per-batch log write stays synchronous.)
   private final class CountingSink extends Sink {
     val rows = new AtomicLong
     def writeBatch(df: DataFrame): Unit = { rows.addAndGet(df.count()); () }
@@ -69,7 +77,7 @@ object StreamBench {
       (f"payload-$i%02d-".padTo(20, 'x')).getBytes("UTF-8"))
     // 50k-row ingestion chunks: each addData block is one partition of
     // the micro-batch scan — measured optimum on local[8] (see Scaladoc)
-    val chunk = 50000
+    val chunk = sys.env.getOrElse("SPARK_GRAFT_STREAM_CHUNK", "50000").toInt
     val secs = (1 to reps).map { rep =>
       val src = new MemoryMessageSource(spark)
       val sink = new CountingSink
@@ -103,6 +111,13 @@ object StreamBench {
     // sink count — the compiled plan and the offset-log machinery are
     // reused across batches, which is the comparable figure.
     val steadySecs = {
+      // r13 negative result, kept for the record: MemoryStream's
+      // numPartitions knob (re-split all accumulated rows across k scan
+      // partitions) measured 0.90M → 0.40M msgs/s at every chunk size
+      // tried — at these micro-batch sizes the re-split only adds task-
+      // launch overhead (32 tasks of ~1.5k rows) and a driver-side
+      // re-slice; the one-block-one-partition default with chunked
+      // pipelined feeding remains the fastest shape.
       val src = new MemoryMessageSource(spark)
       val sink = new CountingSink
       // offset/commit logs are two fsynced files per micro-batch; a
@@ -116,6 +131,12 @@ object StreamBench {
       try {
         (1 to reps).map { rep =>
           val t0 = System.nanoTime()
+          // serial chunked feed. r13 negative result: a 4-thread feeder
+          // pool corrupts rows (SparkIllegalArgumentException, invalid
+          // UnsafeRow) — MemoryStream's encoder serializer is shared and
+          // NOT thread-safe, and there is no public pre-encoded-row
+          // ingestion API, so the ~0.2 s/1M driver-side Catalyst encode
+          // is structurally single-threaded.
           var added = 0
           while (added < n) {
             val sz = math.min(chunk, n - added)

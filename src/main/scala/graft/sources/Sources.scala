@@ -153,12 +153,19 @@ final case class TcpSocketSource(host: String, port: Int,
 }
 
 /** In-memory source for tests — the reference's memory connector
-  * (x/memory/memory.go:10-31) ≈ `MemoryStream[Message]`. */
-final class MemoryMessageSource(spark: SparkSession) extends Source {
+  * (x/memory/memory.go:10-31) ≈ `MemoryStream[Message]`.
+  *
+  * `numPartitions`: by default each `add` block becomes ONE input
+  * partition of the micro-batch scan (a single big block runs
+  * single-task); Some(k) makes the scan re-split ALL accumulated rows
+  * across k partitions instead — the bulk-ingest shape StreamBench
+  * measures (one driver-side encode pass, k-way parallel processing). */
+final class MemoryMessageSource(spark: SparkSession,
+    numPartitions: Option[Int] = None) extends Source {
   implicit private val enc: org.apache.spark.sql.Encoder[Message] =
     Encoders.product[Message]
   val stream0: MemoryStream[Message] =
-    new MemoryStream[Message](0, spark, None)
+    new MemoryStream[Message](0, spark, numPartitions)
   def add(ms: Seq[Message]): Unit = stream0.addData(ms)
   def batch(spark: SparkSession): DataFrame = stream0.toDF()
   def stream(spark: SparkSession): DataFrame = stream0.toDF()
