@@ -78,7 +78,13 @@ object PlanDump {
     "q_fuzzy_link2" ->
       "full τ+1-segment PassJoin: candidates from ONE equi-join on segment keys carrying IDS only, pair-distinct map-side-combined, banded threshold-levenshtein verify on survivors — the naive cross join never appears (the short-string leg's BroadcastNestedLoopJoin sees an empty filtered side)",
     "q_hybrid_rrf" ->
-      "sparse leg candidates come from the shingle inverted index (BroadcastHashJoin on the 8-byte shingle hash); its only cross join is the 10×21 broadcast j=0 filler — the document corpus is never cross-joined or array-shuffled (the dense leg keeps its contract-bounded broadcast-query brute-force pass)")
+      "sparse leg candidates come from the shingle inverted index (BroadcastHashJoin on the 8-byte shingle hash); its only cross join is the 10×21 broadcast j=0 filler — the document corpus is never cross-joined or array-shuffled (the dense leg keeps its contract-bounded broadcast-query brute-force pass)",
+    "q_image_phash" ->
+      "image near-dup: one narrow per-row decode+dHash pass (no corpus shuffle), banded equi-join on 16-bit signature chunks with the hot-bucket broadcast anti-join cap, hamming verify only on candidate pairs — never all-pairs",
+    "q_audio_fp" ->
+      "audio near-dup: same banded-hamming plan as q_image_phash over the PCM energy fingerprint — the three fingerprint modalities (text SimHash, image dHash, audio energy) share one join engine",
+    "q_sim_ivfpq_refine" ->
+      "end-to-end ANN serving: cell-bucketed inverted-file probe (corpus side Exchange-free), candidates carry ids only into the broadcast exact-refine join — one narrow corpus pass re-ranks k'=50 candidates per query to the final 5")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outPath) = args

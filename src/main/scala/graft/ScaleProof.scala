@@ -28,8 +28,20 @@ object ScaleProof {
     "q_hybrid_rrf", "q_dedup_cdc")
   val timedOnly: Seq[String] = Seq("q_bpe_train")
 
+  /** Queries whose equi-join STRATEGY is intentionally scale-adaptive:
+    * q_dedup_substring's first-occurrence election table (`firsts`)
+    * grows with the corpus's duplication mass, so AQE correctly
+    * broadcasts it at small SFs and flips to sort-merge once it
+    * outgrows the threshold (observed at the r13 sf10 point) — at
+    * 100 TB the broadcast would OOM, so the flip IS the desired plan.
+    * For these queries the signature normalizes join-strategy nodes
+    * (BroadcastHashJoin/SortMergeJoin/ShuffledHashJoin → EquiJoin) and
+    * drops their Exchange/Sort/BroadcastExchange artifacts, pinning the
+    * logical shape while leaving the strategy to the optimizer. */
+  val strategyAdaptive: Set[String] = Set("q_dedup_substring")
+
   /** Final physical plan as a normalized operator-sequence signature. */
-  def signature(df: DataFrame): String = {
+  def signature(df: DataFrame, joinStrategyFree: Boolean = false): String = {
     def finalPlan(p: SparkPlan): SparkPlan = p match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case other => other
@@ -40,10 +52,18 @@ object ScaleProof {
         .replaceAll("\\(\\d+\\)", "") // WholeStageCodegen (3) → stable
       name +: here.children.flatMap(c => walk(c))
     }
-    walk(df.queryExecution.executedPlan)
+    val nodes = walk(df.queryExecution.executedPlan)
       .filterNot(n => n == "ReusedExchange" || n == "InputAdapter" ||
         n == "AQEShuffleRead") // runtime artifacts, not plan strategy
-      .mkString(">")
+    val normalized = if (joinStrategyFree)
+      nodes.map {
+        case "BroadcastHashJoin" | "SortMergeJoin" | "ShuffledHashJoin" =>
+          "EquiJoin"
+        case n => n
+      }.filterNot(n => n == "BroadcastExchange" || n == "Exchange" ||
+        n == "Sort") // strategy artifacts, free when the join is
+    else nodes
+    normalized.mkString(">")
   }
 
   def main(args: Array[String]): Unit = {
@@ -56,7 +76,15 @@ object ScaleProof {
     spark.sparkContext.setLogLevel("WARN")
     val sigs = collection.mutable.Map[String, String]() // query → first-SF sig
     var planDiffs = 0
-    for (name <- pinned ++ timedOnly) {
+    // SPARK_GRAFT_SCALE_ONLY=q_a,q_b restricts the set (the r13 sf10
+    // points time only the four steepest curves); SPARK_GRAFT_SCALE_REPS
+    // and SPARK_GRAFT_SCALE_NOWARM=1 bound wall-clock at the big SFs
+    // (the query is already JIT-warm from the smaller dirs in the run).
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val nReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
+    val noWarm = sys.env.get("SPARK_GRAFT_SCALE_NOWARM").contains("1")
+    for (name <- (pinned ++ timedOnly).filter(n => only.forall(_.contains(n)))) {
       val fn = SparkEntry.queries(name)
       val times = dirs.map { d =>
         def rep(): Double = {
@@ -64,14 +92,15 @@ object ScaleProof {
           fn(spark, d).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         }
-        rep() // warmup (JIT + page cache at this SF)
-        val t = math.min(rep(), rep())
+        if (!noWarm) rep() // warmup (JIT + page cache at this SF)
+        val t = (1 to nReps).map(_ => rep()).min
         if (pinned.contains(name)) {
           // execute the SAME QueryExecution so AQE finalizes in place,
           // then read the final plan's signature off it
           val dfSig = fn(spark, d)
           dfSig.foreach(_ => ())
-          val sig = signature(dfSig)
+          val sig = signature(dfSig,
+            joinStrategyFree = strategyAdaptive.contains(name))
           sigs.get(name) match {
             case None => sigs(name) = sig
             case Some(base) if base == sig =>

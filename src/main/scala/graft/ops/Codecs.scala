@@ -158,6 +158,72 @@ object Codecs {
     out.toByteArray
   }
 
+  /** Energy-comparison audio fingerprint — the dHash idea on PCM
+    * (Haitsma–Kalker-style sign-of-energy-difference, collapsed to one
+    * band): decode the 16-bit samples via the real chunk-walking parser,
+    * split them into 65 equal windows (boundary ⌊w·n/65⌋), take the
+    * exact integer energy e(w) = Σ x², and set bit w of the 64-bit hash
+    * iff e(w+1) > e(w). Integer end to end, so near-duplicate detection
+    * over it ([[graft.ops.Dedup.hammingNearDup]]) is exactly replayable;
+    * a perturbation that preserves the energy ORDER of neighboring
+    * windows flips no bit, a 1-sample edit flips at most the one
+    * comparison its window participates in. Returns null on parse
+    * failure / non-16-bit / fewer than 65 samples (empty windows would
+    * make trailing bits degenerate). */
+  def wavFingerprint(bytes: Array[Byte]): java.lang.Long = {
+    val pcm = decodeWavPcm16(bytes)
+    if (pcm.length < 65) return null
+    val n = pcm.length
+    val e = new Array[Long](65)
+    var w = 0
+    while (w < 65) {
+      var i = w * n / 65
+      val end = (w + 1) * n / 65
+      var acc = 0L
+      while (i < end) { acc += pcm(i).toLong * pcm(i); i += 1 }
+      e(w) = acc
+      w += 1
+    }
+    var hash = 0L
+    var b = 0
+    while (b < 64) { if (e(b + 1) > e(b)) hash |= 1L << b; b += 1 }
+    hash
+  }
+
+  /** Deterministic mono 16-bit WAV with a plantable near-duplicate
+    * perturbation — [[synthWav]]'s sibling for the audio-fingerprint
+    * dedup pipeline (q_audio_fp), sized so the 65-window fingerprint is
+    * non-degenerate (2080 frames = 65 windows × 32 samples exactly).
+    * Samples come from the same middle-square mix the image synth uses
+    * (linear mixes collapse the fingerprint space — see
+    * [[synthBmpNear]]'s measured note):
+    *   i = s + 1000003·j;  sample j = (i² >> 20) mod 4096 − 2048
+    * (i < 2.1e9 so i² < 2⁶³ — a DuckDB twin replays it without
+    * overflow). `pert` is added to sample 0 inside the wrap
+    * ((v + 2048 + pert) mod 4096 − 2048) — a 1-sample edit that only
+    * window 0's energy sees, flipping at most dHash bit 0. */
+  def synthWavNear(seed: Long, pert: Int): Array[Byte] = {
+    val s = math.floorMod(seed, 1000000L)
+    val nf = 2080
+    val dataSize = nf * 2
+    val out = new java.io.ByteArrayOutputStream(44 + dataSize)
+    putTag(out, "RIFF"); putU32(out, 4 + 24 + 8 + dataSize)
+    putTag(out, "WAVE")
+    putTag(out, "fmt "); putU32(out, 16)
+    putU16(out, 1); putU16(out, 1); putU32(out, 16000L)
+    putU32(out, 16000L * 2); putU16(out, 2); putU16(out, 16)
+    putTag(out, "data"); putU32(out, dataSize)
+    var j = 0
+    while (j < nf) {
+      val i = s + 1000003L * j
+      var v = (((i * i) >> 20) % 4096 - 2048).toInt
+      if (j == 0) v = ((v + 2048 + pert) % 4096) - 2048
+      putU16(out, v & 0xFFFF)
+      j += 1
+    }
+    out.toByteArray
+  }
+
   // ================================ BMP ================================
 
   /** Parsed facts of a BMP file (BITMAPINFOHEADER, uncompressed).

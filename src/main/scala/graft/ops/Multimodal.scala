@@ -222,6 +222,17 @@ object Multimodal {
     media.select(col(idCol).as("id"), u(col(payloadCol)).as("sig"))
   }
 
+  /** Perceptual 64-bit audio fingerprint ([[Codecs.wavFingerprint]] —
+    * 65-window integer energy comparisons over real decoded PCM) per
+    * media row: (id, sig), null sig for undecodable payloads. The audio
+    * sibling of [[imageDHash]]; both feed [[Dedup.hammingNearDup]]. */
+  def audioFingerprint(media: DataFrame, idCol: String = "media_id",
+      payloadCol: String = "payload"): DataFrame = {
+    val u = udf((payload: Array[Byte]) =>
+      Option(Codecs.wavFingerprint(payload)).map(_.longValue))
+    media.select(col(idCol).as("id"), u(col(payloadCol)).as("sig"))
+  }
+
   /** Sample up to `n` frame indices per media row, evenly spaced over the
     * decoded frame count — one output row per sampled frame. */
   def sampleFrames(withMeta: DataFrame, n: Int): DataFrame =

@@ -1281,8 +1281,15 @@ object LlmQueries {
     // occurrences and their character mass
     "q_dedup_cdc" -> ((s, d) => {
       val ch = Dedup.cdcChunks(Tables.documents(s, d), "text", "doc_id")
-      ch.groupBy("chunk").agg(count(lit(1)).as("cnt"))
-        .select(col("cnt"), length(col("chunk")).as("len"))
+      // group by (xxhash64, length), NOT the chunk text: the chunk
+      // strings are consumed map-side and only 16-byte keys shuffle —
+      // the same hash-key discipline as every other dedup op here
+      // (grouping by text measured 12.5× for 10× data at the sf10
+      // point: the whole corpus was shuffling as strings). The DuckDB
+      // oracle keeps grouping by chunk text, so the hash-compare
+      // doubles as an xxh64-collision canary.
+      ch.select(xxhash64(col("chunk")).as("_h"), length(col("chunk")).as("len"))
+        .groupBy("_h", "len").agg(count(lit(1)).as("cnt"))
         .agg(sum("cnt").cast("long").as("n_chunks"),
           count(lit(1)).as("n_distinct"),
           sum(col("cnt") - 1).cast("long").as("dup_occ"),
@@ -1637,6 +1644,21 @@ object LlmQueries {
       val media = Tables.documents(s, d).filter(col("doc_id") < 400)
         .select(col("doc_id").as("media_id"), bmpUdf(col("doc_id")).as("payload"))
       Dedup.hammingNearDup(Multimodal.imageDHash(media),
+        prefixBits = 16, maxHamming = 3, bands = 4)
+    }),
+
+    // AUDIO NEAR-DUP (r13): energy-comparison fingerprint over real
+    // decoded PCM ([[graft.ops.Codecs.wavFingerprint]] — RIFF chunk
+    // walk, 16-bit LE decode, 65-window exact integer energies, 64
+    // neighbor comparisons) through the SAME Hamming-banded machinery
+    // as text SimHash and image dHash (`Dedup.hammingNearDup`). Corpus:
+    // up to 400 synthetic WAVs in planted pairs — (2i, 2i+1) share seed
+    // i, the odd sibling has ONE sample perturbed (flips at most bit 0).
+    "q_audio_fp" -> ((s, d) => {
+      val wavUdf = udf((id: Long) => Codecs.synthWavNear(id / 2, (id % 2).toInt * 1024))
+      val media = Tables.documents(s, d).filter(col("doc_id") < 400)
+        .select(col("doc_id").as("media_id"), wavUdf(col("doc_id")).as("payload"))
+      Dedup.hammingNearDup(Multimodal.audioFingerprint(media),
         prefixBits = 16, maxHamming = 3, bands = 4)
     }),
 
@@ -3076,6 +3098,40 @@ object LlmQueries {
         |  FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.gy = b.gy
         |    AND b.gx = a.gx + 1
         |  WHERE a.gx < 8),
+        |bv AS (SELECT doc_id, idx // 16 AS band,
+        |   sum(CASE WHEN bit THEN (1::BIGINT << (idx % 16)) ELSE 0 END)::BIGINT
+        |     AS bval
+        |  FROM bits GROUP BY doc_id, band),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bv a JOIN bv b ON a.band = b.band AND a.bval = b.bval
+        |    AND a.doc_id < b.doc_id),
+        |ham AS (SELECT c.id_a, c.id_b,
+        |   sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)::INT AS hamming
+        |  FROM cand c JOIN bits x ON x.doc_id = c.id_a
+        |              JOIN bits y ON y.doc_id = c.id_b AND y.idx = x.idx
+        |  GROUP BY c.id_a, c.id_b)
+        |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3""".stripMargin,
+
+    // replays synthWavNear's sample formula (never parsing bytes):
+    // 2080 mono samples → 65 windows of exactly 32 → integer energies →
+    // 64 comparison bits → 16-bit band equality → hamming ≤ 3 verify
+    "q_audio_fp" ->
+      """WITH im AS (SELECT doc_id, doc_id // 2 AS s, (doc_id % 2) * 1024 AS pert
+        |  FROM documents WHERE doc_id < 400),
+        |sm AS (SELECT doc_id, (32*w + k) // 32 AS w,
+        |   CASE WHEN 32*w + k = 0 THEN
+        |     ((((s + 1000003*(32*w + k)) * (s + 1000003*(32*w + k))) // 1048576)
+        |       % 4096 - 2048 + 2048 + pert) % 4096 - 2048
+        |   ELSE
+        |     (((s + 1000003*(32*w + k)) * (s + 1000003*(32*w + k))) // 1048576)
+        |       % 4096 - 2048
+        |   END AS x
+        |  FROM im, range(0, 65) t1(w), range(0, 32) t2(k)),
+        |en AS (SELECT doc_id, w, sum(x*x)::BIGINT AS e
+        |  FROM sm GROUP BY doc_id, w),
+        |bits AS (SELECT a.doc_id, a.w AS idx, (b.e > a.e) AS bit
+        |  FROM en a JOIN en b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+        |  WHERE a.w < 64),
         |bv AS (SELECT doc_id, idx // 16 AS band,
         |   sum(CASE WHEN bit THEN (1::BIGINT << (idx % 16)) ELSE 0 END)::BIGINT
         |     AS bval

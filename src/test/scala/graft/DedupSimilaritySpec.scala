@@ -57,6 +57,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs == planted, "unrelated images must not pair at hamming<=3")
   }
 
+  test("audio near-dup: planted 1-sample pairs found, banded result == exact hamming set") {
+    import graft.ops.{Codecs, Multimodal}
+    import spark.implicits._
+    val wavUdf = udf((id: Long) => Codecs.synthWavNear(id / 2, (id % 2).toInt * 1024))
+    val media = (0L until 60L).toDF("media_id")
+      .select(col("media_id"), wavUdf(col("media_id")).as("payload"))
+    val sigs = Multimodal.audioFingerprint(media)
+    val pairs = Dedup.hammingNearDup(sigs,
+        prefixBits = 16, maxHamming = 3, bands = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val planted = (0L until 30L).map(i => (2 * i, 2 * i + 1)).toSet
+    val sv = sigs.as[(Long, Long)].collect()
+    val exact = (for {
+      (ia, sa) <- sv; (ib, sb) <- sv
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    assert(pairs == exact && pairs == planted,
+      s"audio banded pairs must equal the exact hamming<=3 set (= planted): $pairs")
+  }
+
   test("simhash: near-identical docs collide, hamming is symmetric-free") {
     val pairs = Dedup.simhashNearDup(docs, "text", "doc_id",
       prefixBits = 4, maxHamming = 16)

@@ -138,6 +138,41 @@ class MultimodalSpec extends SparkSpec {
     assert(Codecs.bmpDHash(badMagic) == null)
   }
 
+  test("Codecs.wavFingerprint: formula replay, 1-sample flip budget, corruption") {
+    import graft.ops.Codecs
+    // replay the documented synthWavNear → fingerprint formula
+    def refFp(s: Long, pert: Int): Long = {
+      def sample(j: Int): Long = {
+        val i = s + 1000003L * j
+        val v = ((i * i) >> 20) % 4096 - 2048
+        if (j == 0) ((v + 2048 + pert) % 4096) - 2048 else v
+      }
+      val e = (0 until 65).map(w =>
+        (32 * w until 32 * w + 32).map(j => sample(j) * sample(j)).sum)
+      (0 until 64).foldLeft(0L)((h, b) =>
+        if (e(b + 1) > e(b)) h | (1L << b) else h)
+    }
+    for (seed <- Seq(0L, 7L, 42L, 199L)) {
+      assert(Codecs.wavFingerprint(Codecs.synthWavNear(seed, 0)) == refFp(seed, 0),
+        s"seed=$seed fingerprint formula replay")
+      val d = java.lang.Long.bitCount(
+        Codecs.wavFingerprint(Codecs.synthWavNear(seed, 1024)) ^
+          Codecs.wavFingerprint(Codecs.synthWavNear(seed, 0)))
+      assert(d <= 1, s"seed=$seed: 1-sample perturbation flipped $d bits")
+    }
+    // the fingerprint reads DECODED samples, so the LIST-chunk layout
+    // variant of the same PCM must hash identically: synthWav corpus
+    // files are too short (< 65 samples) and must return null instead
+    // of a degenerate shared hash
+    assert(Codecs.wavFingerprint(Codecs.synthWav(5)) == null,
+      "sub-65-sample files must be rejected, not degenerate")
+    assert(Codecs.wavFingerprint(null) == null)
+    val good = Codecs.synthWavNear(5, 0)
+    assert(Codecs.wavFingerprint(good.take(40)) == null, "truncated header")
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    assert(Codecs.wavFingerprint(badMagic) == null)
+  }
+
   test("Codecs.parseBmp: synth round-trip, stride padding excluded, top-down flag") {
     import graft.ops.Codecs
     for (seed <- Seq(0L, 1L, 3L, 7L, 15L, 100L)) {

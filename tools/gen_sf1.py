@@ -39,7 +39,15 @@ import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
 DST = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
-R = 10
+# --r N: replication factor (default 10 = sf1; 100 = sf10 for the r13
+# steep-curve points). Strides are safe for any R: event_id < 100000 and
+# doc_id < 5000 at sf0.1, so replica key spaces never collide. --r 100
+# implies 8.2 years of event history (the longer-history growth axis).
+R = int(sys.argv[sys.argv.index("--r") + 1]) if "--r" in sys.argv else 10
+# --skip-embeddings: the steep-curve set (bpe/substring/cdc/triangles)
+# reads only documents+events; embeddings are then copied verbatim from
+# sf0.1 so table loaders still resolve.
+SKIP_EMB = "--skip-embeddings" in sys.argv
 
 import os
 
@@ -106,41 +114,46 @@ print("documents", docs.num_rows)
 # --mog: deterministic mixture-of-Gaussians instead (r12; 8 centers,
 # sigma 0.25 — same recipe StructuredEmbeddingsSpec pins recall >=0.8
 # on), for scale runs where the index should see CLUSTERED geometry.
-t = pq.read_table(f"{SRC}/embeddings.parquet")
-vec_ids = t["vec_id"].to_pylist()
-embs = np.array(t["embedding"].to_pylist(), dtype=np.float32)
-labels = t["label"].to_pylist()
-MOG = "--mog" in sys.argv
-if MOG:
-    dim = embs.shape[1]
-    rng = np.random.RandomState(4242)
-    centers = rng.randn(8, dim)
-    n_total = len(vec_ids) * R
-    ids = list(range(n_total))
-    pts = centers[np.arange(n_total) % 8] + 0.25 * rng.randn(n_total, dim)
-    vecs = pts.astype(np.float32).tolist()
-    labs = [int(i % 8) for i in range(n_total)]
-else:
-    ids, vecs, labs = [], [], []
-    for r in range(R):
-        rng = np.random.RandomState(42 + r)
-        noise = (
-            np.zeros_like(embs)
-            if r == 0
-            else rng.normal(0, 0.05, embs.shape).astype(np.float32)
-        )
-        ids.extend(v + r * 2000 for v in vec_ids)
-        vecs.extend((embs + noise).tolist())
-        labs.extend(labels)
-emb = pa.table(
-    {
-        "vec_id": pa.array(ids, pa.int64()),
-        "embedding": pa.array(vecs, pa.list_(pa.float32())),
-        "label": pa.array(labs, pa.int32()),
-    }
-)
-pq.write_table(emb, f"{DST}/embeddings.parquet")
-print("embeddings", emb.num_rows)
+if SKIP_EMB:
+    import shutil as _sh
+    _sh.copy(f"{SRC}/embeddings.parquet", f"{DST}/embeddings.parquet")
+    print("embeddings copied (sf0.1 verbatim — --skip-embeddings)")
+if not SKIP_EMB:
+    t = pq.read_table(f"{SRC}/embeddings.parquet")
+    vec_ids = t["vec_id"].to_pylist()
+    embs = np.array(t["embedding"].to_pylist(), dtype=np.float32)
+    labels = t["label"].to_pylist()
+    MOG = "--mog" in sys.argv
+    if MOG:
+        dim = embs.shape[1]
+        rng = np.random.RandomState(4242)
+        centers = rng.randn(8, dim)
+        n_total = len(vec_ids) * R
+        ids = list(range(n_total))
+        pts = centers[np.arange(n_total) % 8] + 0.25 * rng.randn(n_total, dim)
+        vecs = pts.astype(np.float32).tolist()
+        labs = [int(i % 8) for i in range(n_total)]
+    else:
+        ids, vecs, labs = [], [], []
+        for r in range(R):
+            rng = np.random.RandomState(42 + r)
+            noise = (
+                np.zeros_like(embs)
+                if r == 0
+                else rng.normal(0, 0.05, embs.shape).astype(np.float32)
+            )
+            ids.extend(v + r * 2000 for v in vec_ids)
+            vecs.extend((embs + noise).tolist())
+            labs.extend(labels)
+    emb = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array(labs, pa.int32()),
+        }
+    )
+    pq.write_table(emb, f"{DST}/embeddings.parquet")
+    print("embeddings", emb.num_rows)
 
 # ---- small dims copied verbatim (loaders expect the files) ------------
 import shutil
