@@ -189,10 +189,10 @@ object Bench {
       (ext, ext <= loadThreshold)
     }
     // (seconds, quiet, externalCores) per rep; quiet requires the load
-    // check to pass BOTH before and after the timed run (load arriving
-    // mid-rep would otherwise leave a contaminated rep marked quiet and
-    // eligible for the headline min), and externalCores is the worse of
-    // the two samples.
+    // check to pass before the timed run AND at every ~300 ms watcher
+    // sample DURING it (r13: an endpoint-only check missed bursts that
+    // start and end inside the window), and externalCores is the worst
+    // sample observed.
     type Rep = (Double, Boolean, Double)
     val results: Seq[(String, Seq[Rep])] = selected.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
@@ -205,15 +205,41 @@ object Bench {
         catch { case _: Throwable => () }
         def rep(): Rep = {
           val (ext, quietAtStart) = gate()
+          // in-flight watcher: sample external load throughout the timed
+          // run (each externalBusyCores() call spans its own ~250 ms
+          // window, so back-to-back calls give continuous coverage) and
+          // keep the worst sample — a burst fully inside the rep now
+          // disqualifies it from the quiet subset
+          val worstDuring = new java.util.concurrent.atomic.AtomicLong(
+            java.lang.Double.doubleToLongBits(-1.0))
+          val running = new java.util.concurrent.atomic.AtomicBoolean(true)
+          val watcher = new Thread(() => {
+            while (running.get()) {
+              val e = LoadGate.externalBusyCores()
+              if (e >= 0) {
+                var done = false
+                while (!done) {
+                  val cur = worstDuring.get()
+                  val curD = java.lang.Double.longBitsToDouble(cur)
+                  done = e <= curD || worstDuring.compareAndSet(cur,
+                    java.lang.Double.doubleToLongBits(e))
+                }
+              }
+              Thread.sleep(50)
+            }
+          })
+          watcher.setDaemon(true)
+          watcher.start()
           val t0 = System.nanoTime()
           try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
           }
           val secs = (System.nanoTime() - t0) / 1e9
-          val extEnd = LoadGate.externalBusyCores()
-          val quietAtEnd = extEnd < 0 || extEnd <= loadThreshold
-          (secs, quietAtStart && quietAtEnd, math.max(ext, extEnd))
+          running.set(false); watcher.join(1000)
+          val extDuring = java.lang.Double.longBitsToDouble(worstDuring.get())
+          val quietDuring = extDuring < 0 || extDuring <= loadThreshold
+          (secs, quietAtStart && quietDuring, math.max(ext, extDuring))
         }
         var times = (1 to reps).map(_ => rep()).sortBy(_._1)
         def quietTimes = times.filter(_._2).map(_._1)

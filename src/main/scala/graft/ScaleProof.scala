@@ -40,29 +40,43 @@ object ScaleProof {
     * logical shape while leaving the strategy to the optimizer. */
   val strategyAdaptive: Set[String] = Set("q_dedup_substring")
 
-  /** Final physical plan as a normalized operator-sequence signature. */
+  /** Final physical plan as a normalized operator-sequence signature.
+    * With `joinStrategyFree`, equi-join strategy nodes collapse to
+    * "EquiJoin" and their OWN Sort/Exchange/BroadcastExchange artifacts
+    * (the contiguous artifact chain hanging off a join, through runtime
+    * wrappers) are dropped — but a Sort/Exchange elsewhere in the plan
+    * (a window sort, an aggregate shuffle) still diffs, so the pin keeps
+    * catching unrelated shuffle regressions. */
   def signature(df: DataFrame, joinStrategyFree: Boolean = false): String = {
     def finalPlan(p: SparkPlan): SparkPlan = p match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case other => other
     }
-    def walk(p: SparkPlan): Seq[String] = {
+    val joinNodes = Set("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    val strategyArtifacts = Set("Sort", "Exchange", "BroadcastExchange")
+    val runtimeArtifacts = Set("ReusedExchange", "InputAdapter", "AQEShuffleRead")
+    // (name, wasUnderJoinArtifactChain) per node, preorder
+    def walk(p: SparkPlan, underJoin: Boolean): Seq[(String, Boolean)] = {
       val here = finalPlan(p)
       val name = here.nodeName
         .replaceAll("\\(\\d+\\)", "") // WholeStageCodegen (3) → stable
-      name +: here.children.flatMap(c => walk(c))
+      val transparent = runtimeArtifacts.contains(name) ||
+        name.startsWith("WholeStageCodegen") || name.endsWith("QueryStage")
+      val childUnder =
+        if (joinNodes.contains(name)) true
+        else if (transparent) underJoin
+        else underJoin && strategyArtifacts.contains(name)
+      (name, underJoin) +: here.children.flatMap(c => walk(c, childUnder))
     }
-    val nodes = walk(df.queryExecution.executedPlan)
-      .filterNot(n => n == "ReusedExchange" || n == "InputAdapter" ||
-        n == "AQEShuffleRead") // runtime artifacts, not plan strategy
+    val nodes = walk(df.queryExecution.executedPlan, underJoin = false)
+      .filterNot { case (n, _) => runtimeArtifacts.contains(n) }
     val normalized = if (joinStrategyFree)
-      nodes.map {
-        case "BroadcastHashJoin" | "SortMergeJoin" | "ShuffledHashJoin" =>
-          "EquiJoin"
-        case n => n
-      }.filterNot(n => n == "BroadcastExchange" || n == "Exchange" ||
-        n == "Sort") // strategy artifacts, free when the join is
-    else nodes
+      nodes.flatMap { case (n, under) =>
+        if (joinNodes.contains(n)) Some("EquiJoin")
+        else if (under && strategyArtifacts.contains(n)) None
+        else Some(n)
+      }
+    else nodes.map(_._1)
     normalized.mkString(">")
   }
 

@@ -177,8 +177,10 @@ object Codecs {
     val e = new Array[Long](65)
     var w = 0
     while (w < 65) {
-      var i = w * n / 65
-      val end = (w + 1) * n / 65
+      // Long boundary math: w*n overflows Int for PCM beyond ~33.5M
+      // samples (a ~35-min 16 kHz mono file is a VALID input)
+      var i = (w.toLong * n / 65).toInt
+      val end = ((w + 1).toLong * n / 65).toInt
       var acc = 0L
       while (i < end) { acc += pcm(i).toLong * pcm(i); i += 1 }
       e(w) = acc

@@ -58,7 +58,8 @@ final case class ScannerSource(path: String, delimiter: String = "\n")
   * reader shape), with fan-out to executors happening in the micro-batch.
   */
 final class TcpLinePoller(host: String, port: Int,
-    delimiter: String = "\n", probeTimeoutMs: Int = 5) extends Poller {
+    delimiter: String = "\n", probeTimeoutMs: Int = 5,
+    connectTimeoutMs: Int = 10000) extends Poller {
   private val delim = delimiter.getBytes("UTF-8")
   require(delim.nonEmpty, "delimiter must be non-empty")
   @transient private var sock: java.net.Socket = _
@@ -69,8 +70,8 @@ final class TcpLinePoller(host: String, port: Int,
   private def attrs: Map[String, String] =
     Map("source" -> s"tcp://$host:$port")
 
-  private def indexOfDelim(): Int = {
-    var i = 0
+  private def indexOfDelim(from: Int): Int = {
+    var i = from
     val n = pending.length - delim.length
     while (i <= n) {
       var j = 0
@@ -84,37 +85,56 @@ final class TcpLinePoller(host: String, port: Int,
   def poll(max: Int): Seq[Message] = synchronized {
     if (pending == null) pending = new scala.collection.mutable.ArrayBuffer[Byte]()
     if (sock == null && !eof) {
-      sock = new java.net.Socket(host, port)
+      // explicit connect timeout: an unroutable/firewalled daemon must
+      // fail the first poll in bounded time, not block for the kernel's
+      // SYN-retry minutes (poll is synchronized — a hang here stalls
+      // every caller)
+      sock = new java.net.Socket()
+      sock.connect(new java.net.InetSocketAddress(host, port), connectTimeoutMs)
       sock.setSoTimeout(probeTimeoutMs)
       in = sock.getInputStream
     }
     if (!eof) {
-      val chunk = new Array[Byte](8192)
-      var n = 0
-      while (n >= 0 && in.available() > 0) {
-        n = in.read(chunk, 0, math.min(chunk.length, in.available()))
-        if (n > 0) pending ++= chunk.view.slice(0, n)
+      // an abrupt peer close (RST → SocketException/IOException from
+      // read/available) is EOF for a log stream, not a query-killing
+      // error: the connection is gone either way, and the final-token
+      // flush below must still happen for whatever was buffered
+      try {
+        val chunk = new Array[Byte](8192)
+        var n = 0
+        while (n >= 0 && in.available() > 0) {
+          n = in.read(chunk, 0, math.min(chunk.length, in.available()))
+          if (n > 0) pending ++= chunk.view.slice(0, n)
+        }
+        if (n < 0) eof = true
+        else {
+          // bounded probe: distinguishes "no data yet" from peer close
+          try {
+            val b = in.read()
+            if (b < 0) eof = true else pending += b.toByte
+          } catch { case _: java.net.SocketTimeoutException => () }
+        }
+      } catch {
+        case _: java.io.IOException => eof = true
       }
-      if (n < 0) eof = true
-      else {
-        // bounded probe: distinguishes "no data yet" from peer close
-        try {
-          val b = in.read()
-          if (b < 0) eof = true else pending += b.toByte
-        } catch { case _: java.net.SocketTimeoutException => () }
-      }
-      if (eof) sock.close()
+      if (eof) close()
     }
+    // single forward scan + ONE compaction: each delimiter search resumes
+    // where the last token ended, and the consumed prefix is removed once
+    // per poll — linear in bytes, where rescan-from-0 + per-token
+    // remove(0, n) is O(messages × bufferSize)
     val out = Vector.newBuilder[Message]
     var produced = 0
-    var idx = indexOfDelim()
+    var start = 0
+    var idx = indexOfDelim(start)
     while (produced < max && idx >= 0) {
-      out += Message("", pending.view.slice(0, idx).toArray, "tcp", attrs)
-      pending.remove(0, idx + delim.length)
+      out += Message("", pending.view.slice(start, idx).toArray, "tcp", attrs)
+      start = idx + delim.length
       produced += 1
-      idx = indexOfDelim()
+      idx = indexOfDelim(start)
     }
-    if (eof && produced < max && pending.nonEmpty && indexOfDelim() < 0) {
+    if (start > 0) pending.remove(0, start)
+    if (eof && produced < max && pending.nonEmpty && indexOfDelim(0) < 0) {
       out += Message("", pending.toArray, "tcp", attrs) // final token rule
       pending.clear()
     }
@@ -124,16 +144,27 @@ final class TcpLinePoller(host: String, port: Int,
   /** Peer closed and observed — poll() can still return buffered tokens
     * after this turns true; drain until an empty poll. */
   def isEof: Boolean = synchronized(eof)
+
+  /** Close the connection if open (idempotent) — called on peer EOF and
+    * by [[TcpSocketSource.close]], so a query stopped before the daemon
+    * closes does not leak the socket for the JVM lifetime. */
+  def close(): Unit = synchronized {
+    if (sock != null && !sock.isClosed)
+      try sock.close() catch { case _: java.io.IOException => () }
+  }
 }
 
 /** Engine-facing TCP source: [[TcpLinePoller]] through [[PolledSource]]
   * for streaming (micro-batch offsets = ack cursor); batch mode reads the
   * socket to EOF eagerly — the degenerate finite pipeline, like
-  * [[ScannerSource.batch]]. */
+  * [[ScannerSource.batch]]. stream and batch are ALTERNATIVE modes, not
+  * concurrent: each opens its own connection, and a TCP byte stream is
+  * consumed once — calling both on one source splits the daemon's
+  * output between two connections. */
 final case class TcpSocketSource(host: String, port: Int,
     delimiter: String = "\n", batchSize: Int = 100) extends Source {
-  private val polled =
-    PolledSource(new TcpLinePoller(host, port, delimiter), batchSize)
+  private val streamPoller = new TcpLinePoller(host, port, delimiter)
+  private val polled = PolledSource(streamPoller, batchSize)
   def stream(spark: SparkSession): DataFrame = polled.stream(spark)
   def batch(spark: SparkSession): DataFrame = {
     val poller = new TcpLinePoller(host, port, delimiter, probeTimeoutMs = 50)
@@ -149,23 +180,20 @@ final case class TcpSocketSource(host: String, port: Int,
         org.apache.spark.sql.Row(m.key, m.value, m.topic, m.attributes))),
       Message.schema)
   }
-  def close(): Unit = polled.close()
+  def close(): Unit = { streamPoller.close(); polled.close() }
 }
 
 /** In-memory source for tests — the reference's memory connector
-  * (x/memory/memory.go:10-31) ≈ `MemoryStream[Message]`.
-  *
-  * `numPartitions`: by default each `add` block becomes ONE input
-  * partition of the micro-batch scan (a single big block runs
-  * single-task); Some(k) makes the scan re-split ALL accumulated rows
-  * across k partitions instead — the bulk-ingest shape StreamBench
-  * measures (one driver-side encode pass, k-way parallel processing). */
-final class MemoryMessageSource(spark: SparkSession,
-    numPartitions: Option[Int] = None) extends Source {
+  * (x/memory/memory.go:10-31) ≈ `MemoryStream[Message]`. Each `add`
+  * block becomes ONE input partition of the micro-batch scan — chunk
+  * the feed for parallelism (MemoryStream's numPartitions re-split was
+  * measured 2× SLOWER at micro-batch sizes and is deliberately not
+  * exposed; see StreamBench's negative-result note). */
+final class MemoryMessageSource(spark: SparkSession) extends Source {
   implicit private val enc: org.apache.spark.sql.Encoder[Message] =
     Encoders.product[Message]
   val stream0: MemoryStream[Message] =
-    new MemoryStream[Message](0, spark, numPartitions)
+    new MemoryStream[Message](0, spark, None)
   def add(ms: Seq[Message]): Unit = stream0.addData(ms)
   def batch(spark: SparkSession): DataFrame = stream0.toDF()
   def stream(spark: SparkSession): DataFrame = stream0.toDF()

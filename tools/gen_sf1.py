@@ -38,12 +38,30 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
-DST = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+# DST is the first positional argument, with flags AND their values
+# skipped (a bare `--r 100` must neither write into "--r" nor "100")
+def _positional(argv):
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--r":
+            i += 2
+        elif argv[i].startswith("--"):
+            i += 1
+        else:
+            return argv[i]
+    return "/tmp/sf1"
+DST = _positional(sys.argv[1:])
 # --r N: replication factor (default 10 = sf1; 100 = sf10 for the r13
 # steep-curve points). Strides are safe for any R: event_id < 100000 and
 # doc_id < 5000 at sf0.1, so replica key spaces never collide. --r 100
 # implies 8.2 years of event history (the longer-history growth axis).
-R = int(sys.argv[sys.argv.index("--r") + 1]) if "--r" in sys.argv else 10
+if "--r" in sys.argv:
+    _i = sys.argv.index("--r")
+    if _i + 1 >= len(sys.argv) or not sys.argv[_i + 1].isdigit():
+        sys.exit("--r needs an integer value, e.g. --r 100")
+    R = int(sys.argv[_i + 1])
+else:
+    R = 10
 # --skip-embeddings: the steep-curve set (bpe/substring/cdc/triangles)
 # reads only documents+events; embeddings are then copied verbatim from
 # sf0.1 so table loaders still resolve.
