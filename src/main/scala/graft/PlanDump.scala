@@ -82,7 +82,9 @@ object PlanDump {
     "q_image_phash" ->
       "image near-dup: one narrow per-row decode+dHash pass (no corpus shuffle), banded equi-join on 16-bit signature chunks with the hot-bucket broadcast anti-join cap, hamming verify only on candidate pairs — never all-pairs",
     "q_audio_fp" ->
-      "audio near-dup: same banded-hamming plan as q_image_phash over the PCM energy fingerprint — the three fingerprint modalities (text SimHash, image dHash, audio energy) share one join engine",
+      "audio near-dup: same banded-hamming plan as q_image_phash over the PCM energy fingerprint — the fingerprint modalities (text SimHash, image dHash, audio energy, video keyframe) share one join engine",
+    "q_video_phash" ->
+      "video near-dup: keyframe dHash from the real AVI container walk, then the shared banded-hamming join — one narrow decode pass, candidates only, never all-pairs",
     "q_sim_ivfpq_refine" ->
       "end-to-end ANN serving: cell-bucketed inverted-file probe (corpus side Exchange-free), candidates carry ids only into the broadcast exact-refine join — one narrow corpus pass re-ranks k'=50 candidates per query to the final 5")
 

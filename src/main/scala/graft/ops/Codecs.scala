@@ -301,15 +301,23 @@ object Codecs {
     val rowSize = ((3 * meta.width + 3) / 4) * 4
     if (offset < 54 || offset >= bytes.length) return null
     if (offset + rowSize.toLong * meta.height > bytes.length) return null
+    dHashOfPixels(bytes, offset, meta.width, meta.height, rowSize, meta.topDown)
+  }
+
+  /** The dHash core over a raw BGR24 pixel block at `offset` — shared by
+    * [[bmpDHash]] and the AVI keyframe hash ([[aviKeyframeDHash]]);
+    * caller has bounds-checked `offset + rowSize·height ≤ length`. */
+  private def dHashOfPixels(bytes: Array[Byte], offset: Int, width: Int,
+      height: Int, rowSize: Int, topDown: Boolean): Long = {
     val gray = Array.ofDim[Long](8, 9)
     var gy = 0
     while (gy < 8) {
-      val py = gy * meta.height / 8
-      val fileRow = if (meta.topDown) py else meta.height - 1 - py
+      val py = gy * height / 8
+      val fileRow = if (topDown) py else height - 1 - py
       val rowOff = offset + fileRow * rowSize
       var gx = 0
       while (gx < 9) {
-        val px = gx * meta.width / 9
+        val px = gx * width / 9
         val p = rowOff + 3 * px
         gray(gy)(gx) = 114L * (bytes(p) & 0xFF) + 587L * (bytes(p + 1) & 0xFF) +
           299L * (bytes(p + 2) & 0xFF)
@@ -376,6 +384,169 @@ object Codecs {
       var pad = 3 * w
       while (pad < rowSize) { out.write(0); pad += 1 }
       fileRow += 1
+    }
+    out.toByteArray
+  }
+
+  // ================================ AVI ================================
+
+  /** Parsed facts of an uncompressed AVI: main-header fields plus the
+    * byte offset of each '00db' (uncompressed DIB) frame's pixel block. */
+  final case class AviMeta(width: Int, height: Int, nFrames: Int,
+      usPerFrame: Long, frameOffsets: Vector[Int])
+
+  /** Parse a RIFF/AVI container: verify the RIFF/'AVI ' magic, walk the
+    * top-level chunk list, read the 'avih' main header inside LIST
+    * 'hdrl' (µs/frame, total frames, width, height), and collect the
+    * offset of every '00db' uncompressed-frame chunk inside LIST 'movi'
+    * — the same word-aligned tag+size walk as [[parseWav]], one level
+    * deeper. None on bad magic, truncation, a missing header, or a
+    * frame-count/chunk-count mismatch. */
+  def parseAvi(bytes: Array[Byte]): Option[AviMeta] = {
+    if (bytes == null || bytes.length < 12) return None
+    if (!tag(bytes, 0).contains("RIFF") || !tag(bytes, 8).contains("AVI ")) return None
+    var off = 12
+    var hdr: Option[(Int, Int, Int, Long)] = None // (w, h, nFrames, usPerFrame)
+    val frames = Vector.newBuilder[Int]
+    var nDb = 0
+    while (off + 8 <= bytes.length) {
+      val t = tag(bytes, off).getOrElse(return None)
+      val sz = u32(bytes, off + 4).getOrElse(return None)
+      val body = off + 8
+      if (body + sz > bytes.length) return None // truncated chunk
+      if (t == "LIST" && sz >= 4) {
+        tag(bytes, body) match {
+          case Some("hdrl") =>
+            // sub-chunks after the 4-byte list type; we need 'avih'
+            var so = body + 4
+            while (so + 8 <= body + sz) {
+              val st = tag(bytes, so).getOrElse(return None)
+              val ssz = u32(bytes, so + 4).getOrElse(return None).toInt
+              if (so + 8 + ssz > bytes.length) return None
+              if (st == "avih") {
+                if (ssz < 40) return None
+                val us = u32(bytes, so + 8).get
+                val nf = u32(bytes, so + 8 + 16).get.toInt
+                val w = u32(bytes, so + 8 + 32).get.toInt
+                val h = u32(bytes, so + 8 + 36).get.toInt
+                if (w <= 0 || h <= 0 || nf < 0) return None
+                hdr = Some((w, h, nf, us))
+              }
+              so += 8 + ssz + (ssz & 1)
+            }
+          case Some("movi") =>
+            var so = body + 4
+            while (so + 8 <= body + sz) {
+              val st = tag(bytes, so).getOrElse(return None)
+              val ssz = u32(bytes, so + 4).getOrElse(return None).toInt
+              if (so + 8 + ssz > bytes.length) return None
+              if (st == "00db") { frames += (so + 8); nDb += 1 }
+              so += 8 + ssz + (ssz & 1)
+            }
+          case _ => ()
+        }
+      }
+      off = body + sz.toInt + (sz.toInt & 1)
+    }
+    hdr.flatMap { case (w, h, nf, us) =>
+      if (nDb != nf) None // header/payload mismatch = corrupt
+      else Some(AviMeta(w, h, nf, us, frames.result()))
+    }
+  }
+
+  private def aviRowSize(w: Int): Int = ((3 * w + 3) / 4) * 4
+
+  /** Sum of all pixel bytes over EVERY frame (padding excluded) — the
+    * video sibling of [[bmpPixelSum]]: exercises the container walk,
+    * per-frame offsets, and the BMP-style bottom-up padded-stride frame
+    * layout. -1 on parse failure or a frame overrunning the buffer. */
+  def aviPixelSum(bytes: Array[Byte]): Long = {
+    val meta = parseAvi(bytes).orNull
+    if (meta == null) return -1L
+    val rowSize = aviRowSize(meta.width)
+    var sum = 0L
+    for (fo <- meta.frameOffsets) {
+      if (fo + rowSize.toLong * meta.height > bytes.length) return -1L
+      var y = 0
+      while (y < meta.height) {
+        val rowOff = fo + y * rowSize
+        var x = 0
+        while (x < 3 * meta.width) { sum += bytes(rowOff + x) & 0xFF; x += 1 }
+        y += 1
+      }
+    }
+    sum
+  }
+
+  /** Perceptual keyframe fingerprint of an AVI: [[dHashOfPixels]] (the
+    * same 9×8 integer-grayscale grid as [[bmpDHash]]) over frame 0 —
+    * the thumbnail/keyframe near-dup technique. null on parse failure,
+    * zero frames, or a truncated frame. */
+  def aviKeyframeDHash(bytes: Array[Byte]): java.lang.Long = {
+    val meta = parseAvi(bytes).orNull
+    if (meta == null || meta.nFrames == 0) return null
+    val rowSize = aviRowSize(meta.width)
+    val fo = meta.frameOffsets.head
+    if (fo + rowSize.toLong * meta.height > bytes.length) return null
+    dHashOfPixels(bytes, fo, meta.width, meta.height, rowSize, topDown = false)
+  }
+
+  /** Deterministic 18×16 uncompressed AVI (RIFF 'AVI ' / LIST hdrl /
+    * avih / LIST movi / '00db' raw bottom-up BGR frames) with a
+    * plantable near-duplicate perturbation — the video sibling of
+    * [[synthBmpNear]]/[[synthWavNear]]:
+    *   nFrames    = 4 + seed mod 5,  µs/frame = 33333·(1 + seed mod 3)
+    *   byte k of pixel (x, y) of frame f =
+    *     ((i²) >> 20) mod 256,  i = s + 1000003·(x + 18y + 288k) + 7777777·f
+    * (i < 1e9 so i² < 2⁶³ — DuckDB-replayable), plus `pert` on the blue
+    * byte of pixel (0, 0) of frame 0 (mod 256) — a 1-pixel 1-frame edit
+    * that flips at most ONE keyframe-dHash bit. */
+  def synthAviNear(seed: Long, pert: Int): Array[Byte] = {
+    val s = math.floorMod(seed, 1000000L)
+    val w = 18; val h = 16
+    val nf = (4 + s % 5).toInt
+    val us = 33333L * (1 + s % 3)
+    val rowSize = aviRowSize(w)
+    val frameBytes = rowSize * h
+    val moviSize = 4 + nf * (8 + frameBytes)
+    val hdrlSize = 4 + 8 + 56
+    val out = new java.io.ByteArrayOutputStream(12 + 8 + hdrlSize + 8 + moviSize)
+    putTag(out, "RIFF")
+    putU32(out, 4L + 8 + hdrlSize + 8 + moviSize)
+    putTag(out, "AVI ")
+    putTag(out, "LIST"); putU32(out, hdrlSize.toLong); putTag(out, "hdrl")
+    putTag(out, "avih"); putU32(out, 56L)
+    putU32(out, us)                    // dwMicroSecPerFrame
+    putU32(out, 0L); putU32(out, 0L); putU32(out, 0L) // maxBytesPerSec/padding/flags
+    putU32(out, nf.toLong)             // dwTotalFrames
+    putU32(out, 0L); putU32(out, 1L)   // initialFrames / streams
+    putU32(out, frameBytes.toLong)     // suggestedBufferSize
+    putU32(out, w.toLong); putU32(out, h.toLong)
+    putU32(out, 0L); putU32(out, 0L); putU32(out, 0L); putU32(out, 0L) // reserved
+    putTag(out, "LIST"); putU32(out, moviSize.toLong); putTag(out, "movi")
+    var f = 0
+    while (f < nf) {
+      putTag(out, "00db"); putU32(out, frameBytes.toLong)
+      var fileRow = 0
+      while (fileRow < h) {
+        val y = h - 1 - fileRow // bottom-up, like the BMP frames
+        var x = 0
+        while (x < w) {
+          var k = 0
+          while (k < 3) {
+            val i = s + 1000003L * (x + 18 * y + 288 * k) + 7777777L * f
+            var v = ((i * i) >> 20) % 256
+            if (x == 0 && y == 0 && k == 0 && f == 0) v = (v + pert) % 256
+            out.write(v.toInt)
+            k += 1
+          }
+          x += 1
+        }
+        var pad = 3 * w
+        while (pad < rowSize) { out.write(0); pad += 1 }
+        fileRow += 1
+      }
+      f += 1
     }
     out.toByteArray
   }

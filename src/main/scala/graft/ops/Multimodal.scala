@@ -233,6 +233,45 @@ object Multimodal {
     media.select(col(idCol).as("id"), u(col(payloadCol)).as("sig"))
   }
 
+  /** Decode real AVI containers: adds `avi_meta` (width, height,
+    * n_frames, us_per_frame, ok) and `pixel_sum` (Σ of all B/G/R bytes
+    * over EVERY frame, -1 on parse failure) via
+    * [[Codecs.parseAvi]]/[[Codecs.aviPixelSum]] — RIFF list walk,
+    * per-frame '00db' offsets, padded-stride bottom-up frame layout. */
+  def decodeAviMeta(media: DataFrame): DataFrame = {
+    val u = udf((payload: Array[Byte]) => {
+      val m = Codecs.parseAvi(payload)
+      (m.map(_.width).getOrElse(0), m.map(_.height).getOrElse(0),
+        m.map(_.nFrames).getOrElse(0), m.map(_.usPerFrame).getOrElse(0L),
+        m.isDefined, Codecs.aviPixelSum(payload))
+    })
+    media
+      .withColumn("dec", u(col("payload")).cast(StructType(Seq(
+        StructField("width", IntegerType),
+        StructField("height", IntegerType),
+        StructField("n_frames", IntegerType),
+        StructField("us_per_frame", LongType),
+        StructField("ok", BooleanType),
+        StructField("pixel_sum", LongType)))))
+      .withColumn("avi_meta", struct(col("dec.width").as("width"),
+        col("dec.height").as("height"), col("dec.n_frames").as("n_frames"),
+        col("dec.us_per_frame").as("us_per_frame"), col("dec.ok").as("ok")))
+      .withColumn("pixel_sum", col("dec.pixel_sum"))
+      .drop("dec")
+  }
+
+  /** Perceptual 64-bit video fingerprint — [[Codecs.aviKeyframeDHash]]
+    * (frame-0 dHash, the thumbnail/keyframe near-dup technique) per
+    * media row: (id, sig), null for undecodable payloads. The video
+    * sibling of [[imageDHash]]/[[audioFingerprint]] — all three feed
+    * [[Dedup.hammingNearDup]]. */
+  def videoKeyframeDHash(media: DataFrame, idCol: String = "media_id",
+      payloadCol: String = "payload"): DataFrame = {
+    val u = udf((payload: Array[Byte]) =>
+      Option(Codecs.aviKeyframeDHash(payload)).map(_.longValue))
+    media.select(col(idCol).as("id"), u(col(payloadCol)).as("sig"))
+  }
+
   /** Sample up to `n` frame indices per media row, evenly spaced over the
     * decoded frame count — one output row per sampled frame. */
   def sampleFrames(withMeta: DataFrame, n: Int): DataFrame =

@@ -1647,6 +1647,41 @@ object LlmQueries {
         prefixBits = 16, maxHamming = 3, bands = 4)
     }),
 
+    // REAL-codec video pipeline (r13): seeded uncompressed AVIs (RIFF /
+    // LIST hdrl / avih / LIST movi / '00db' raw bottom-up BGR frames)
+    // decoded by the real two-level chunk walk + per-frame padded-stride
+    // pixel walk — the video column of the multimodal north star, all
+    // integer so the DuckDB twin replays decode(encode(seed)) exactly
+    "q_avi_decode" -> ((s, d) => {
+      val aviUdf = udf((seed: Long) => Codecs.synthAviNear(seed, 0))
+      val media = Tables.documents(s, d).filter(col("doc_id") < 300)
+        .select(col("doc_id").as("media_id"), aviUdf(col("doc_id")).as("payload"))
+      Multimodal.decodeAviMeta(media)
+        .groupBy(col("avi_meta.n_frames").cast("long").as("n_frames"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(when(col("avi_meta.ok"), 1L).otherwise(0L)).as("n_ok"),
+          sum(col("avi_meta.us_per_frame")).as("sum_us"),
+          sum(col("pixel_sum")).as("sum_pixels"))
+        .orderBy("n_frames")
+    }),
+
+    // VIDEO NEAR-DUP (r13): keyframe dHash over the decoded first frame
+    // ([[graft.ops.Codecs.aviKeyframeDHash]] — the thumbnail near-dup
+    // technique) through the same Hamming-banded machinery as text
+    // SimHash, image dHash, and audio energy. Corpus: up to 400
+    // synthetic AVIs in planted pairs — (2i, 2i+1) share seed i, the
+    // odd sibling has one pixel of frame 0 perturbed (≤ 1 bit flips);
+    // seeds offset by 500000 so the keyframes are NOT the q_image_phash
+    // bitmaps.
+    "q_video_phash" -> ((s, d) => {
+      val aviUdf = udf((id: Long) =>
+        Codecs.synthAviNear(id / 2 + 500000L, (id % 2).toInt * 128))
+      val media = Tables.documents(s, d).filter(col("doc_id") < 400)
+        .select(col("doc_id").as("media_id"), aviUdf(col("doc_id")).as("payload"))
+      Dedup.hammingNearDup(Multimodal.videoKeyframeDHash(media),
+        prefixBits = 16, maxHamming = 3, bands = 4)
+    }),
+
     // AUDIO NEAR-DUP (r13): energy-comparison fingerprint over real
     // decoded PCM ([[graft.ops.Codecs.wavFingerprint]] — RIFF chunk
     // walk, 16-bit LE decode, 65-window exact integer energies, 64
@@ -3081,6 +3116,62 @@ object LlmQueries {
     // verified at hamming ≤ 3 over the raw bit vectors
     "q_image_phash" ->
       """WITH im AS (SELECT doc_id, doc_id // 2 AS s, (doc_id % 2) * 128 AS pert
+        |  FROM documents WHERE doc_id < 400),
+        |ix AS (SELECT doc_id, pert, gy, gx,
+        |   s + 1000003*(2*gx + 36*gy) AS i0,
+        |   s + 1000003*(2*gx + 36*gy + 288) AS i1,
+        |   s + 1000003*(2*gx + 36*gy + 576) AS i2
+        |  FROM im, range(0, 8) t1(gy), range(0, 9) t2(gx)),
+        |g AS (SELECT doc_id, gy, gx,
+        |   299*(((i2*i2) // 1048576) % 256)
+        | + 587*(((i1*i1) // 1048576) % 256)
+        | + 114*((((i0*i0) // 1048576) % 256
+        |         + CASE WHEN gx = 0 AND gy = 0 THEN pert ELSE 0 END) % 256)
+        |   AS gray
+        |  FROM ix),
+        |bits AS (SELECT a.doc_id, a.gy*8 + a.gx AS idx, (b.gray > a.gray) AS bit
+        |  FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.gy = b.gy
+        |    AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8),
+        |bv AS (SELECT doc_id, idx // 16 AS band,
+        |   sum(CASE WHEN bit THEN (1::BIGINT << (idx % 16)) ELSE 0 END)::BIGINT
+        |     AS bval
+        |  FROM bits GROUP BY doc_id, band),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bv a JOIN bv b ON a.band = b.band AND a.bval = b.bval
+        |    AND a.doc_id < b.doc_id),
+        |ham AS (SELECT c.id_a, c.id_b,
+        |   sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)::INT AS hamming
+        |  FROM cand c JOIN bits x ON x.doc_id = c.id_a
+        |              JOIN bits y ON y.doc_id = c.id_b AND y.idx = x.idx
+        |  GROUP BY c.id_a, c.id_b)
+        |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3""".stripMargin,
+
+    // replays synthAviNear's formulas: nf = 4 + s%5, us = 33333·(1+s%3),
+    // per-frame pixel j → (f, x, y, k); padding bytes are not in the sum
+    "q_avi_decode" ->
+      """WITH p AS (SELECT doc_id AS s, 4 + doc_id % 5 AS nf,
+        |   33333 * (1 + doc_id % 3) AS us
+        |  FROM documents WHERE doc_id < 300),
+        |px AS (SELECT s, nf, us,
+        |  sum((((s + 1000003*(((j // 3) % 18) + 18*((j // 54) % 16)
+        |        + 288*(j % 3)) + 7777777*(j // 864))
+        |      * (s + 1000003*(((j // 3) % 18) + 18*((j // 54) % 16)
+        |        + 288*(j % 3)) + 7777777*(j // 864))) // 1048576) % 256)
+        |    ::BIGINT AS psum
+        | FROM p, range(0, 6912) t(j)
+        | WHERE j < nf * 864
+        | GROUP BY s, nf, us)
+        |SELECT nf::BIGINT AS n_frames, count(*) AS n_media,
+        | count(*)::BIGINT AS n_ok, sum(us)::BIGINT AS sum_us,
+        | sum(psum)::BIGINT AS sum_pixels
+        |FROM px GROUP BY nf ORDER BY n_frames""".stripMargin,
+
+    // keyframe (frame 0) twin of the q_image_phash replay with the
+    // video corpus's 500000-offset seeds
+    "q_video_phash" ->
+      """WITH im AS (SELECT doc_id, doc_id // 2 + 500000 AS s,
+        |   (doc_id % 2) * 128 AS pert
         |  FROM documents WHERE doc_id < 400),
         |ix AS (SELECT doc_id, pert, gy, gx,
         |   s + 1000003*(2*gx + 36*gy) AS i0,

@@ -138,6 +138,45 @@ class MultimodalSpec extends SparkSpec {
     assert(Codecs.bmpDHash(badMagic) == null)
   }
 
+  test("Codecs.parseAvi/aviPixelSum/aviKeyframeDHash: round-trip, formula replay, corruption") {
+    import graft.ops.Codecs
+    for (seed <- Seq(0L, 3L, 7L, 500042L)) {
+      val bytes = Codecs.synthAviNear(seed, 0)
+      val m = Codecs.parseAvi(bytes).get
+      val nf = (4 + seed % 5).toInt
+      assert(m.width == 18 && m.height == 16 && m.nFrames == nf
+        && m.usPerFrame == 33333L * (1 + seed % 3)
+        && m.frameOffsets.length == nf, s"seed=$seed header round-trip")
+      // pixel-sum formula replay (padding excluded, all frames)
+      val want = (for (f <- 0 until nf; y <- 0 until 16; x <- 0 until 18;
+                       k <- 0 until 3) yield {
+        val i = seed % 1000000 + 1000003L * (x + 18 * y + 288 * k) + 7777777L * f
+        ((i * i) >> 20) % 256
+      }).sum
+      assert(Codecs.aviPixelSum(bytes) == want, s"seed=$seed pixel sum")
+      // keyframe dHash: equals the BMP dHash of the same frame-0 pixels
+      assert(Codecs.aviKeyframeDHash(bytes) ==
+        Codecs.bmpDHash(Codecs.synthBmpNear(seed, 0)),
+        s"seed=$seed: frame 0 must hash like the equivalent bitmap")
+      val d = java.lang.Long.bitCount(
+        Codecs.aviKeyframeDHash(Codecs.synthAviNear(seed, 128)) ^
+          Codecs.aviKeyframeDHash(bytes))
+      assert(d <= 1, s"seed=$seed: 1-pixel frame-0 edit flipped $d bits")
+    }
+    // corruption → None/null/-1, never a throw
+    val good = Codecs.synthAviNear(9, 0)
+    val badMagic = good.clone(); badMagic(8) = 'X'.toByte
+    assert(Codecs.parseAvi(badMagic) == None)
+    assert(Codecs.parseAvi(good.take(40)) == None, "truncated container")
+    assert(Codecs.aviKeyframeDHash(null) == null)
+    assert(Codecs.aviPixelSum(good.dropRight(3)) == -1L, "truncated final frame")
+    // header/payload mismatch: lie about dwTotalFrames
+    val lied = good.clone()
+    // 12 RIFF hdr + 8 LIST tag/size + 4 'hdrl' + 8 'avih' tag/size + 16
+    lied(48) = 99.toByte // avih dwTotalFrames low byte
+    assert(Codecs.parseAvi(lied) == None, "frame-count mismatch must be rejected")
+  }
+
   test("Codecs.wavFingerprint: formula replay, 1-sample flip budget, corruption") {
     import graft.ops.Codecs
     // replay the documented synthWavNear → fingerprint formula
