@@ -388,6 +388,68 @@ object Codecs {
     out.toByteArray
   }
 
+  /** Integer box-filter downsample of a 24bpp BMP — the REAL resize
+    * step of the multimodal pipeline (thumbnail generation): output
+    * pixel (x, y) channel k = ⌊mean of the f×f input block⌋ (exact
+    * integer floor, so a SQL oracle replays it bit-for-bit), trailing
+    * rows/columns that do not fill a block are cropped (standard box
+    * behavior). The result is RE-ENCODED as a valid bottom-up 24bpp BMP
+    * — resize(decode(x)) feeds straight back into [[parseBmp]] /
+    * [[bmpDHash]] / [[bmpPixelSum]]. null on parse failure, non-24bpp,
+    * truncation, or an output dimension of zero. */
+  def resizeBmp24(bytes: Array[Byte], factor: Int): Array[Byte] = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val meta = parseBmp(bytes).orNull
+    if (meta == null || meta.bitsPerPixel != 24) return null
+    val offset = u32(bytes, 10).get.toInt
+    val rowSize = ((3 * meta.width + 3) / 4) * 4
+    if (offset < 54 || offset >= bytes.length) return null
+    if (offset + rowSize.toLong * meta.height > bytes.length) return null
+    val ow = meta.width / factor
+    val oh = meta.height / factor
+    if (ow == 0 || oh == 0) return null
+    val oRowSize = ((3 * ow + 3) / 4) * 4
+    val out = new java.io.ByteArrayOutputStream(54 + oRowSize * oh)
+    putTag(out, "BM")
+    putU32(out, 54L + oRowSize * oh); putU32(out, 0L); putU32(out, 54L)
+    putU32(out, 40L); putU32(out, ow.toLong); putU32(out, oh.toLong)
+    putU16(out, 1); putU16(out, 24); putU32(out, 0L)
+    putU32(out, (oRowSize * oh).toLong)
+    putU32(out, 2835L); putU32(out, 2835L); putU32(out, 0L); putU32(out, 0L)
+    // display-order pixel accessor over the input's real layout
+    def px(x: Int, y: Int, k: Int): Int = {
+      val fileRow = if (meta.topDown) y else meta.height - 1 - y
+      bytes(offset + fileRow * rowSize + 3 * x + k) & 0xFF
+    }
+    var fileRow = 0
+    while (fileRow < oh) {
+      val oy = oh - 1 - fileRow // bottom-up output
+      var ox = 0
+      while (ox < ow) {
+        var k = 0
+        while (k < 3) {
+          var acc = 0L
+          var dy = 0
+          while (dy < factor) {
+            var dx = 0
+            while (dx < factor) {
+              acc += px(ox * factor + dx, oy * factor + dy, k)
+              dx += 1
+            }
+            dy += 1
+          }
+          out.write((acc / (factor.toLong * factor)).toInt)
+          k += 1
+        }
+        ox += 1
+      }
+      var pad = 3 * ow
+      while (pad < oRowSize) { out.write(0); pad += 1 }
+      fileRow += 1
+    }
+    out.toByteArray
+  }
+
   // ================================ AVI ================================
 
   /** Parsed facts of an uncompressed AVI: main-header fields plus the

@@ -260,6 +260,17 @@ object Multimodal {
       .drop("dec")
   }
 
+  /** REAL image resize (r13 — replaces the stub for BMP payloads): adds
+    * `payload_resized`, a re-encoded 24bpp BMP downsampled by an exact
+    * integer box filter ([[Codecs.resizeBmp24]]); null for undecodable
+    * payloads. One narrow per-row pass; the output feeds every other
+    * BMP op unchanged (decode, dHash, pixel stats). */
+  def resizeImages(media: DataFrame, factor: Int,
+      payloadCol: String = "payload"): DataFrame = {
+    val u = udf((payload: Array[Byte]) => Codecs.resizeBmp24(payload, factor))
+    media.withColumn("payload_resized", u(col(payloadCol)))
+  }
+
   /** Perceptual 64-bit video fingerprint — [[Codecs.aviKeyframeDHash]]
     * (frame-0 dHash, the thumbnail/keyframe near-dup technique) per
     * media row: (id, sig), null for undecodable payloads. The video

@@ -1647,6 +1647,25 @@ object LlmQueries {
         prefixBits = 16, maxHamming = 3, bands = 4)
     }),
 
+    // REAL image resize (r13): decode → exact integer box-filter 2×
+    // downsample → RE-ENCODE as a valid BMP → decode AGAIN with the
+    // real parser ([[graft.ops.Codecs.resizeBmp24]]) — the
+    // resize-then-anything chain all on real bytes; the aggregate pins
+    // output dims and the exact box-mean pixel sums
+    "q_image_resize" -> ((s, d) => {
+      val bmpUdf = udf((seed: Long) => Codecs.synthBmpNear(seed, 0))
+      val media = Tables.documents(s, d).filter(col("doc_id") < 300)
+        .select(col("doc_id").as("media_id"), bmpUdf(col("doc_id")).as("payload"))
+      val resized = Multimodal.resizeImages(media, factor = 2)
+        .select(col("media_id"), col("payload_resized").as("payload"))
+      Multimodal.decodeBmpMeta(resized)
+        .agg(count(lit(1)).as("n_media"),
+          sum(when(col("bmp_meta.ok"), 1L).otherwise(0L)).as("n_ok"),
+          sum(col("bmp_meta.width").cast("long")).as("sum_w"),
+          sum(col("bmp_meta.height").cast("long")).as("sum_h"),
+          sum(col("pixel_sum")).as("sum_pixels"))
+    }),
+
     // REAL-codec video pipeline (r13): seeded uncompressed AVIs (RIFF /
     // LIST hdrl / avih / LIST movi / '00db' raw bottom-up BGR frames)
     // decoded by the real two-level chunk walk + per-frame padded-stride
@@ -3146,6 +3165,27 @@ object LlmQueries {
         |              JOIN bits y ON y.doc_id = c.id_b AND y.idx = x.idx
         |  GROUP BY c.id_a, c.id_b)
         |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3""".stripMargin,
+
+    // replays synthBmpNear's pixel formula + the integer box mean:
+    // output pixel (ox,oy,k) = floor(mean of the 2×2 input block)
+    "q_image_resize" ->
+      """WITH im AS (SELECT doc_id AS s FROM documents WHERE doc_id < 300),
+        |cell AS (SELECT s,
+        |   ( ((i00*i00) // 1048576) % 256 + ((i10*i10) // 1048576) % 256
+        |   + ((i01*i01) // 1048576) % 256 + ((i11*i11) // 1048576) % 256 ) // 4
+        |     AS m
+        |  FROM (SELECT s,
+        |     s + 1000003*((2*ox)   + 18*(2*oy)   + 288*k) AS i00,
+        |     s + 1000003*((2*ox+1) + 18*(2*oy)   + 288*k) AS i10,
+        |     s + 1000003*((2*ox)   + 18*(2*oy+1) + 288*k) AS i01,
+        |     s + 1000003*((2*ox+1) + 18*(2*oy+1) + 288*k) AS i11
+        |    FROM im, range(0, 9) a(ox), range(0, 8) b(oy), range(0, 3) c(k)))
+        |SELECT count(DISTINCT s) AS n_media,
+        | count(DISTINCT s)::BIGINT AS n_ok,
+        | (count(DISTINCT s) * 9)::BIGINT AS sum_w,
+        | (count(DISTINCT s) * 8)::BIGINT AS sum_h,
+        | sum(m)::BIGINT AS sum_pixels
+        |FROM cell""".stripMargin,
 
     // replays synthAviNear's formulas: nf = 4 + s%5, us = 33333·(1+s%3),
     // per-frame pixel j → (f, x, y, k); padding bytes are not in the sum

@@ -138,6 +138,40 @@ class MultimodalSpec extends SparkSpec {
     assert(Codecs.bmpDHash(badMagic) == null)
   }
 
+  test("Codecs.resizeBmp24: exact box means, re-encode round-trip, crop, top-down, corruption") {
+    import graft.ops.Codecs
+    val src = Codecs.synthBmpNear(7, 0) // 18×16
+    def pix(x: Int, y: Int, k: Int): Long = {
+      val i = 7 + 1000003L * (x + 18 * y + 288 * k)
+      ((i * i) >> 20) % 256
+    }
+    val half = Codecs.resizeBmp24(src, 2)
+    val m = Codecs.parseBmp(half).get
+    assert(m.width == 9 && m.height == 8 && m.bitsPerPixel == 24)
+    // exact box means: pixel sum of the output equals the formula replay
+    val want = (for (oy <- 0 until 8; ox <- 0 until 9; k <- 0 until 3) yield
+      (pix(2 * ox, 2 * oy, k) + pix(2 * ox + 1, 2 * oy, k) +
+        pix(2 * ox, 2 * oy + 1, k) + pix(2 * ox + 1, 2 * oy + 1, k)) / 4).sum
+    assert(Codecs.bmpPixelSum(half) == want, "box-mean pixel sum")
+    // the re-encoded output is a first-class BMP: the dHash chain works
+    assert(Codecs.bmpDHash(half) != null)
+    // non-dividing factor crops the remainder (18/4 = 4, 16/4 = 4)
+    val q = Codecs.parseBmp(Codecs.resizeBmp24(src, 4)).get
+    assert(q.width == 4 && q.height == 4)
+    // a top-down source resizes to the same image as its bottom-up twin
+    val td = src.clone()
+    for (i <- 0 until 4) td(22 + i) = (((-16) >> (8 * i)) & 0xFF).toByte
+    val rowSize = 56
+    for (r <- 0 until 16; b <- 0 until rowSize)
+      td(54 + r * rowSize + b) = src(54 + (15 - r) * rowSize + b)
+    assert(java.util.Arrays.equals(Codecs.resizeBmp24(td, 2), half),
+      "top-down input must resize to the identical output")
+    // corruption / degenerate output
+    assert(Codecs.resizeBmp24(null, 2) == null)
+    assert(Codecs.resizeBmp24(src.take(40), 2) == null)
+    assert(Codecs.resizeBmp24(src, 32) == null, "zero output dims must be rejected")
+  }
+
   test("Codecs.parseAvi/aviPixelSum/aviKeyframeDHash: round-trip, formula replay, corruption") {
     import graft.ops.Codecs
     for (seed <- Seq(0L, 3L, 7L, 500042L)) {
