@@ -304,12 +304,13 @@ object Codecs {
     dHashOfPixels(bytes, offset, meta.width, meta.height, rowSize, meta.topDown)
   }
 
-  /** The dHash core over a raw BGR24 pixel block at `offset` — shared by
-    * [[bmpDHash]] and the AVI keyframe hash ([[aviKeyframeDHash]]);
-    * caller has bounds-checked `offset + rowSize·height ≤ length`. */
-  private def dHashOfPixels(bytes: Array[Byte], offset: Int, width: Int,
-      height: Int, rowSize: Int, topDown: Boolean): Long = {
-    val gray = Array.ofDim[Long](8, 9)
+  /** The shared 9×8 integer-grayscale sample grid over a raw BGR24
+    * pixel block (gy-major, 72 values) — the common core of the dHash
+    * and the image FEATURE vector; caller has bounds-checked
+    * `offset + rowSize·height ≤ length`. */
+  private def grayGrid(bytes: Array[Byte], offset: Int, width: Int,
+      height: Int, rowSize: Int, topDown: Boolean): Array[Long] = {
+    val gray = new Array[Long](72)
     var gy = 0
     while (gy < 8) {
       val py = gy * height / 8
@@ -319,23 +320,48 @@ object Codecs {
       while (gx < 9) {
         val px = gx * width / 9
         val p = rowOff + 3 * px
-        gray(gy)(gx) = 114L * (bytes(p) & 0xFF) + 587L * (bytes(p + 1) & 0xFF) +
-          299L * (bytes(p + 2) & 0xFF)
+        gray(gy * 9 + gx) = 114L * (bytes(p) & 0xFF) +
+          587L * (bytes(p + 1) & 0xFF) + 299L * (bytes(p + 2) & 0xFF)
         gx += 1
       }
       gy += 1
     }
+    gray
+  }
+
+  /** The dHash core over a raw BGR24 pixel block at `offset` — shared by
+    * [[bmpDHash]] and the AVI keyframe hash ([[aviKeyframeDHash]]). */
+  private def dHashOfPixels(bytes: Array[Byte], offset: Int, width: Int,
+      height: Int, rowSize: Int, topDown: Boolean): Long = {
+    val gray = grayGrid(bytes, offset, width, height, rowSize, topDown)
     var hash = 0L
-    gy = 0
+    var gy = 0
     while (gy < 8) {
       var gx = 0
       while (gx < 8) {
-        if (gray(gy)(gx + 1) > gray(gy)(gx)) hash |= 1L << (gy * 8 + gx)
+        if (gray(gy * 9 + gx + 1) > gray(gy * 9 + gx)) hash |= 1L << (gy * 8 + gx)
         gx += 1
       }
       gy += 1
     }
     hash
+  }
+
+  /** REAL image feature extraction: the 9×8 integer-grayscale sample
+    * grid as a 72-dim vector (gy-major; values are exact integers ≤
+    * 255,000, exactly representable as doubles, so similarity math over
+    * them is bit-replayable in SQL). Feeds [[graft.ops.Similarity]]'s
+    * vector ops unchanged — decode → feature-extract → kNN/ANN is the
+    * multimodal retrieval chain. null on parse failure / non-24bpp. */
+  def bmpGrayFeatures(bytes: Array[Byte]): Array[Double] = {
+    val meta = parseBmp(bytes).orNull
+    if (meta == null || meta.bitsPerPixel != 24) return null
+    val offset = u32(bytes, 10).get.toInt
+    val rowSize = ((3 * meta.width + 3) / 4) * 4
+    if (offset < 54 || offset >= bytes.length) return null
+    if (offset + rowSize.toLong * meta.height > bytes.length) return null
+    grayGrid(bytes, offset, meta.width, meta.height, rowSize, meta.topDown)
+      .map(_.toDouble)
   }
 
   /** Deterministic 18×16 24bpp bottom-up BMP with a plantable

@@ -271,6 +271,18 @@ object Multimodal {
     media.withColumn("payload_resized", u(col(payloadCol)))
   }
 
+  /** REAL image feature extraction (r13 — replaces the stub for BMP
+    * payloads): (id, features) with the 72-dim integer-exact grayscale
+    * grid ([[Codecs.bmpGrayFeatures]]); null features for undecodable
+    * payloads. The output feeds [[Similarity]]'s vector ops unchanged —
+    * decode → feature-extract → kNN/ANN on real bytes. */
+  def imageFeatures(media: DataFrame, idCol: String = "media_id",
+      payloadCol: String = "payload"): DataFrame = {
+    val u = udf((payload: Array[Byte]) =>
+      Option(Codecs.bmpGrayFeatures(payload)).map(_.toSeq))
+    media.select(col(idCol).as("id"), u(col(payloadCol)).as("features"))
+  }
+
   /** Perceptual 64-bit video fingerprint — [[Codecs.aviKeyframeDHash]]
     * (frame-0 dHash, the thumbnail/keyframe near-dup technique) per
     * media row: (id, sig), null for undecodable payloads. The video

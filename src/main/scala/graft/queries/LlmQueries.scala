@@ -1647,6 +1647,24 @@ object LlmQueries {
         prefixBits = 16, maxHamming = 3, bands = 4)
     }),
 
+    // REAL multimodal retrieval chain (r13): decode → feature-extract
+    // (the 72-dim integer-exact grayscale grid,
+    // [[graft.ops.Codecs.bmpGrayFeatures]]) → cosine kNN over the
+    // feature vectors with the SAME Similarity op the embedding table
+    // uses. Planted near-dup siblings rank as each query's top
+    // neighbor; features are exact integers so the dot products are
+    // bit-replayable in the oracle.
+    "q_image_knn" -> ((s, d) => {
+      val bmpUdf = udf((id: Long) => Codecs.synthBmpNear(id / 2, (id % 2).toInt * 128))
+      val media = Tables.documents(s, d).filter(col("doc_id") < 400)
+        .select(col("doc_id").as("media_id"), bmpUdf(col("doc_id")).as("payload"))
+      val feats = Multimodal.imageFeatures(media)
+      Similarity.bruteForceTopK(feats.filter(col("id") < 10), feats,
+          "id", "features", k = 3)
+        .select(col("q_id"), col("rnk"), col("n_id"),
+          round(col("sim"), 4).as("sim"))
+    }),
+
     // REAL image resize (r13): decode → exact integer box-filter 2×
     // downsample → RE-ENCODE as a valid BMP → decode AGAIN with the
     // real parser ([[graft.ops.Codecs.resizeBmp24]]) — the
@@ -3165,6 +3183,37 @@ object LlmQueries {
         |              JOIN bits y ON y.doc_id = c.id_b AND y.idx = x.idx
         |  GROUP BY c.id_a, c.id_b)
         |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3""".stripMargin,
+
+    // replays the pixel formula → grayscale grid → exact-integer cosine
+    // (dot products of 72 ints ≤ 255k stay < 2^53 — no float drift
+    // before the final sqrt/divide, which round identically)
+    "q_image_knn" ->
+      """WITH im AS (SELECT doc_id, doc_id // 2 AS s, (doc_id % 2) * 128 AS pert
+        |  FROM documents WHERE doc_id < 400),
+        |ix AS (SELECT doc_id, pert, gy, gx,
+        |   s + 1000003*(2*gx + 36*gy) AS i0,
+        |   s + 1000003*(2*gx + 36*gy + 288) AS i1,
+        |   s + 1000003*(2*gx + 36*gy + 576) AS i2
+        |  FROM im, range(0, 8) t1(gy), range(0, 9) t2(gx)),
+        |g AS (SELECT doc_id, gy, gx,
+        |   299*(((i2*i2) // 1048576) % 256)
+        | + 587*(((i1*i1) // 1048576) % 256)
+        | + 114*((((i0*i0) // 1048576) % 256
+        |         + CASE WHEN gx = 0 AND gy = 0 THEN pert ELSE 0 END) % 256)
+        |   AS gray
+        |  FROM ix),
+        |v AS (SELECT doc_id, list(gray::DOUBLE ORDER BY gy, gx) AS vd
+        |  FROM g GROUP BY doc_id),
+        |q AS (SELECT doc_id AS q_id, vd AS qv FROM v WHERE doc_id < 10),
+        |sc AS (SELECT q_id, b.doc_id AS n_id,
+        |   list_dot_product(qv, b.vd)
+        |    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(b.vd, b.vd)))
+        |     AS sim
+        |  FROM q CROSS JOIN v b WHERE q_id <> b.doc_id)
+        |SELECT q_id, rnk, n_id, round(sim, 4) AS sim FROM (
+        |  SELECT q_id, n_id, sim, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY sim DESC, n_id) AS rnk FROM sc)
+        |WHERE rnk <= 3""".stripMargin,
 
     // replays synthBmpNear's pixel formula + the integer box mean:
     // output pixel (ox,oy,k) = floor(mean of the 2×2 input block)
