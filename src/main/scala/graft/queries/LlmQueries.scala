@@ -1050,7 +1050,11 @@ object LlmQueries {
     // [[clusteredEmbeddings]]): mixture-of-Gaussians geometry like
     // StructuredEmbeddingsSpec's, but exactly replayable in DuckDB.
     "q_sim_ivfpq_refine" -> ((s, d) => {
-      val e = clusteredEmbeddings(s, d)
+      // localCheckpoint: ~15 jobs (Lloyd's iterations, PQ training,
+      // index build, probe, refine, recall) otherwise each re-scan the
+      // parquet and re-derive the transform; the staged table is
+      // embeddings-sized (bounded)
+      val e = clusteredEmbeddings(s, d).localCheckpoint()
       val coarse = Similarity.kmeansFit(e, "vec_id", "embedding",
         k = 10, iters = 3, cosine = false)
       val tbl = "graft_ivfpqref_idx_" + s.sparkContext.applicationId
