@@ -37,8 +37,12 @@ object ScaleProof {
     * For these queries the signature normalizes join-strategy nodes
     * (BroadcastHashJoin/SortMergeJoin/ShuffledHashJoin → EquiJoin) and
     * drops their Exchange/Sort/BroadcastExchange artifacts, pinning the
-    * logical shape while leaving the strategy to the optimizer. */
-  val strategyAdaptive: Set[String] = Set("q_dedup_substring")
+    * logical shape while leaving the strategy to the optimizer.
+    * q_dedup_minhash's verify stage rejoins the (id, sig) table onto the
+    * candidate pairs — both grow with the corpus, so the same broadcast
+    * → sort-merge adaptation fires at sf10 (three joins flip). */
+  val strategyAdaptive: Set[String] =
+    Set("q_dedup_substring", "q_dedup_minhash")
 
   /** Final physical plan as a normalized operator-sequence signature.
     * With `joinStrategyFree`, equi-join strategy nodes collapse to
