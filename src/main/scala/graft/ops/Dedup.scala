@@ -49,10 +49,30 @@ object Dedup {
     * lifecycle ([[Similarity.lshIndexBuild]]). */
   def dedupIndexBuild(docs: DataFrame, textCol: String, idCol: String,
       tableName: String, tableBuckets: Int = 32): Unit =
-    Bucketing.writeBucketed(
+    fingerprintIndexBuild(
       docs.select(fingerprint(col(textCol)).as("fp"),
-          col(idCol).cast("long").as("first_id"))
-        .groupBy("fp").agg(min("first_id").as("first_id")),
+        col(idCol).cast("long").as("first_id")),
+      tableName, tableBuckets)
+
+  /** Modality-agnostic persisted fingerprint index from ANY
+    * (fp, first_id) table — text fingerprints ([[dedupIndexBuild]]),
+    * image dHashes, audio energy fingerprints, video keyframe hashes
+    * all share this one bucketed-index lifecycle; `fp` may be any
+    * equi-joinable type. */
+  def fingerprintIndexBuild(fps: DataFrame, tableName: String,
+      tableBuckets: Int = 32): Unit =
+    Bucketing.writeBucketed(
+      fps.groupBy("fp").agg(min("first_id").as("first_id")),
+      tableName, "fp", tableBuckets)
+
+  /** Delta append of NOVEL fingerprints to a [[fingerprintIndexBuild]]
+    * table (eager localCheckpoint for the same self-referential-write
+    * reason as [[dedupIndexAppend]]). */
+  def fingerprintIndexAppend(novelFps: DataFrame, tableName: String,
+      tableBuckets: Int = 32): Unit =
+    Bucketing.appendBucketed(
+      novelFps.groupBy("fp").agg(min("first_id").as("first_id"))
+        .localCheckpoint(true),
       tableName, "fp", tableBuckets)
 
   /** Rows of `batch` that are NOVEL against a [[dedupIndexBuild]] table:

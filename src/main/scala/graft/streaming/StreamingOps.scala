@@ -176,12 +176,26 @@ object StreamingOps {
       tableName: String): DataFrame = {
     val withFp = stream.withColumn("_fp",
       graft.functions.TextFunctions.fingerprint(col(textCol)))
-    withFp
-      .join(spark.table(tableName), col("_fp") === col("fp"), "left_anti")
-      .withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark("_fp")
+    fingerprintIngestStream(withFp, "_fp", tsCol, watermark, spark, tableName)
       .drop("_fp")
   }
+
+  /** The modality-agnostic core of [[dedupIngestStream]]: dedup-at-ingest
+    * over an ALREADY-COMPUTED fingerprint column against a
+    * [[graft.ops.Dedup.fingerprintIndexBuild]] table — text fingerprints,
+    * image dHashes ([[graft.ops.Multimodal.imageDHash]]), audio energy
+    * fingerprints, and video keyframe hashes all stream through this one
+    * shape: stream-static LEFT ANTI join (stateless; the static side
+    * re-resolves per micro-batch, so an index append takes effect
+    * without restart) + first-holder election within the watermark
+    * horizon (the only state, watermark-bounded). */
+  def fingerprintIngestStream(stream: DataFrame, fpCol: String,
+      tsCol: String, watermark: String, spark: SparkSession,
+      tableName: String): DataFrame =
+    stream
+      .join(spark.table(tableName), col(fpCol) === col("fp"), "left_anti")
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(fpCol)
 
   /** Streaming NEAR-dedup as a Pipeline.via one-liner: key each document
     * by the minimum of its winnowing fingerprints

@@ -483,6 +483,51 @@ class StreamingSpec extends SparkSpec {
     assert(after1.nonEmpty && want2.nonEmpty, "fixture must exercise both batches")
   }
 
+  test("image dedup-at-ingest: dHash fingerprints through the generic streaming index shape") {
+    // streaming × multimodal: the SAME incremental-corpus lifecycle the
+    // text pipeline uses (persisted fp index → stream-static anti-join →
+    // watermark first-holder election), driven by image dHashes — the
+    // generic fingerprintIngestStream/fingerprintIndexBuild core.
+    import graft.ops.{Codecs, Dedup, Multimodal}
+    val bmp = udf((s: Long) => Codecs.synthBmpNear(s, 0))
+    val dhash = udf((p: Array[Byte]) =>
+      Option(Codecs.bmpDHash(p)).map(_.longValue))
+    // historical index: images with seeds 0..9
+    val hist = spark.range(10).toDF("media_id")
+      .select(col("media_id"), bmp(col("media_id")).as("payload"))
+    Dedup.fingerprintIndexBuild(
+      Multimodal.imageDHash(hist)
+        .select(col("sig").as("fp"), col("id").as("first_id")),
+      "graft_spec_img_idx", tableBuckets = 4)
+    val ms = new MemoryStream[(Long, Timestamp)](31, spark, None)
+    val df = ms.toDF().toDF("media_id", "ts")
+      .withColumn("payload", bmp(col("media_id") % 15))
+      .withColumn("sig", dhash(col("payload")))
+    val out = StreamingOps.fingerprintIngestStream(df, "sig", "ts",
+      watermark = "10 minutes", spark, "graft_spec_img_idx")
+    val q = out.writeStream.format("memory").queryName("img_ingest_out")
+      .outputMode("append").start()
+    // batch 1: ids 0..19 → seeds id%15: 0..9 are index hits, 10..14 novel
+    // (each novel seed arrives TWICE — ids s and s+15 — the in-stream dup)
+    ms.addData((0L until 20L).map(id => (id, ts(0))))
+    q.processAllAvailable()
+    val b1 = spark.table("img_ingest_out")
+      .select((col("media_id") % 15).as("seed")).as[Long].collect().toSeq
+    assert(b1.sorted == Seq(10L, 11L, 12L, 13L, 14L),
+      s"batch-1 survivors must be exactly one holder per novel seed: $b1")
+    // append the survivors' fingerprints; the static side re-resolves
+    // per micro-batch, so batch 2 (every seed 0..14) must fully dedup
+    Dedup.fingerprintIndexAppend(
+      spark.table("img_ingest_out")
+        .select(col("sig").as("fp"), col("media_id").as("first_id")),
+      "graft_spec_img_idx", tableBuckets = 4)
+    ms.addData((20L until 40L).map(id => (id, ts(5))))
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    val all = spark.table("img_ingest_out").count()
+    assert(all == 5, s"batch 2 must be fully deduplicated, total=$all")
+  }
+
   test("tumbling window streaming agg matches the batch q_time_bucket shape") {
     val ms = new MemoryStream[(Long, Timestamp)](13, spark, None)
     val df = ms.toDF().toDF("v", "ts")
