@@ -248,6 +248,11 @@ object Codecs {
     } yield BmpMeta(w, math.abs(hRaw), bpp, topDown = hRaw < 0)
   }
 
+  // Long: a crafted header width near Int.MaxValue must not overflow the
+  // stride (the negative-stride bounds guards below would pass); after a
+  // Long bounds check against bytes.length the stride always fits Int
+  private def bmpRowSize(w: Int): Long = (3L * w + 3) / 4 * 4
+
   /** Sum of all pixel bytes (B+G+R over every pixel) of a 24bpp BMP —
     * exercises the genuine layout rules: pixel-array offset from the
     * file header, 4-byte row padding excluded, bottom-up (or top-down)
@@ -259,13 +264,14 @@ object Codecs {
     val meta = parseBmp(bytes).orNull
     if (meta == null || meta.bitsPerPixel != 24) return -1L
     val offset = u32(bytes, 10).get.toInt
-    val rowSize = ((3 * meta.width + 3) / 4) * 4
+    val rowSizeL = bmpRowSize(meta.width)
     // lower bound too: a corrupted offset that is negative (u32 wrapped
     // by toInt) or points inside the 54-byte headers would pass the
     // upper-bound check and either AIOOBE or silently sum header bytes —
     // both break the documented "-1 on parse failure" contract
     if (offset < 54 || offset >= bytes.length) return -1L
-    if (offset + rowSize.toLong * meta.height > bytes.length) return -1L
+    if (offset + rowSizeL * meta.height > bytes.length) return -1L
+    val rowSize = rowSizeL.toInt
     var sum = 0L
     var y = 0
     while (y < meta.height) {
@@ -298,10 +304,11 @@ object Codecs {
     val meta = parseBmp(bytes).orNull
     if (meta == null || meta.bitsPerPixel != 24) return null
     val offset = u32(bytes, 10).get.toInt
-    val rowSize = ((3 * meta.width + 3) / 4) * 4
+    val rowSizeL = bmpRowSize(meta.width)
     if (offset < 54 || offset >= bytes.length) return null
-    if (offset + rowSize.toLong * meta.height > bytes.length) return null
-    dHashOfPixels(bytes, offset, meta.width, meta.height, rowSize, meta.topDown)
+    if (offset + rowSizeL * meta.height > bytes.length) return null
+    dHashOfPixels(bytes, offset, meta.width, meta.height, rowSizeL.toInt,
+      meta.topDown)
   }
 
   /** The shared 9×8 integer-grayscale sample grid over a raw BGR24
@@ -313,12 +320,12 @@ object Codecs {
     val gray = new Array[Long](72)
     var gy = 0
     while (gy < 8) {
-      val py = gy * height / 8
+      val py = (gy.toLong * height / 8).toInt
       val fileRow = if (topDown) py else height - 1 - py
       val rowOff = offset + fileRow * rowSize
       var gx = 0
       while (gx < 9) {
-        val px = gx * width / 9
+        val px = (gx.toLong * width / 9).toInt
         val p = rowOff + 3 * px
         gray(gy * 9 + gx) = 114L * (bytes(p) & 0xFF) +
           587L * (bytes(p + 1) & 0xFF) + 299L * (bytes(p + 2) & 0xFF)
@@ -357,10 +364,11 @@ object Codecs {
     val meta = parseBmp(bytes).orNull
     if (meta == null || meta.bitsPerPixel != 24) return null
     val offset = u32(bytes, 10).get.toInt
-    val rowSize = ((3 * meta.width + 3) / 4) * 4
+    val rowSizeL = bmpRowSize(meta.width)
     if (offset < 54 || offset >= bytes.length) return null
-    if (offset + rowSize.toLong * meta.height > bytes.length) return null
-    grayGrid(bytes, offset, meta.width, meta.height, rowSize, meta.topDown)
+    if (offset + rowSizeL * meta.height > bytes.length) return null
+    grayGrid(bytes, offset, meta.width, meta.height, rowSizeL.toInt,
+        meta.topDown)
       .map(_.toDouble)
   }
 
@@ -428,9 +436,10 @@ object Codecs {
     val meta = parseBmp(bytes).orNull
     if (meta == null || meta.bitsPerPixel != 24) return null
     val offset = u32(bytes, 10).get.toInt
-    val rowSize = ((3 * meta.width + 3) / 4) * 4
+    val rowSizeL = bmpRowSize(meta.width)
     if (offset < 54 || offset >= bytes.length) return null
-    if (offset + rowSize.toLong * meta.height > bytes.length) return null
+    if (offset + rowSizeL * meta.height > bytes.length) return null
+    val rowSize = rowSizeL.toInt
     val ow = meta.width / factor
     val oh = meta.height / factor
     if (ow == 0 || oh == 0) return null
@@ -509,8 +518,12 @@ object Codecs {
             var so = body + 4
             while (so + 8 <= body + sz) {
               val st = tag(bytes, so).getOrElse(return None)
-              val ssz = u32(bytes, so + 4).getOrElse(return None).toInt
-              if (so + 8 + ssz > bytes.length) return None
+              // size stays Long until bounds-checked: a crafted u32 like
+              // 0xFFFFFFF8 truncated to Int would pass the guard and
+              // either spin the walk forever or wrap `so` negative
+              val sszL = u32(bytes, so + 4).getOrElse(return None)
+              if (so + 8 + sszL > bytes.length) return None
+              val ssz = sszL.toInt
               if (st == "avih") {
                 if (ssz < 40) return None
                 val us = u32(bytes, so + 8).get
@@ -526,8 +539,9 @@ object Codecs {
             var so = body + 4
             while (so + 8 <= body + sz) {
               val st = tag(bytes, so).getOrElse(return None)
-              val ssz = u32(bytes, so + 4).getOrElse(return None).toInt
-              if (so + 8 + ssz > bytes.length) return None
+              val sszL = u32(bytes, so + 4).getOrElse(return None)
+              if (so + 8 + sszL > bytes.length) return None
+              val ssz = sszL.toInt
               if (st == "00db") { frames += (so + 8); nDb += 1 }
               so += 8 + ssz + (ssz & 1)
             }
@@ -542,7 +556,10 @@ object Codecs {
     }
   }
 
-  private def aviRowSize(w: Int): Int = ((3 * w + 3) / 4) * 4
+  // Long: a crafted header width near Int.MaxValue must not overflow the
+  // stride (a negative stride passes the frame bounds guard and indexes
+  // out of range); after the Long bounds check a stride always fits Int
+  private def aviRowSize(w: Int): Long = (3L * w + 3) / 4 * 4
 
   /** Sum of all pixel bytes over EVERY frame (padding excluded) — the
     * video sibling of [[bmpPixelSum]]: exercises the container walk,
@@ -551,10 +568,19 @@ object Codecs {
   def aviPixelSum(bytes: Array[Byte]): Long = {
     val meta = parseAvi(bytes).orNull
     if (meta == null) return -1L
-    val rowSize = aviRowSize(meta.width)
+    aviPixelSum(bytes, meta)
+  }
+
+  /** [[aviPixelSum]] over an ALREADY-PARSED container — callers that
+    * also need the header ([[Multimodal.decodeAviMeta]]) walk the
+    * two-level chunk list once, not twice. */
+  def aviPixelSum(bytes: Array[Byte], meta: AviMeta): Long = {
+    val rowSizeL = aviRowSize(meta.width)
     var sum = 0L
     for (fo <- meta.frameOffsets) {
-      if (fo + rowSize.toLong * meta.height > bytes.length) return -1L
+      if (fo + rowSizeL * meta.height > bytes.length) return -1L
+      // the Long bounds check passed, so the stride and 3·width fit Int
+      val rowSize = rowSizeL.toInt
       var y = 0
       while (y < meta.height) {
         val rowOff = fo + y * rowSize
@@ -573,10 +599,11 @@ object Codecs {
   def aviKeyframeDHash(bytes: Array[Byte]): java.lang.Long = {
     val meta = parseAvi(bytes).orNull
     if (meta == null || meta.nFrames == 0) return null
-    val rowSize = aviRowSize(meta.width)
+    val rowSizeL = aviRowSize(meta.width)
     val fo = meta.frameOffsets.head
-    if (fo + rowSize.toLong * meta.height > bytes.length) return null
-    dHashOfPixels(bytes, fo, meta.width, meta.height, rowSize, topDown = false)
+    if (fo + rowSizeL * meta.height > bytes.length) return null
+    dHashOfPixels(bytes, fo, meta.width, meta.height, rowSizeL.toInt,
+      topDown = false)
   }
 
   /** Deterministic 18×16 uncompressed AVI (RIFF 'AVI ' / LIST hdrl /
@@ -594,7 +621,7 @@ object Codecs {
     val w = 18; val h = 16
     val nf = (4 + s % 5).toInt
     val us = 33333L * (1 + s % 3)
-    val rowSize = aviRowSize(w)
+    val rowSize = aviRowSize(w).toInt // w = 18, no overflow possible
     val frameBytes = rowSize * h
     val moviSize = 4 + nf * (8 + frameBytes)
     val hdrlSize = 4 + 8 + 56

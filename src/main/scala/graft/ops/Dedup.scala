@@ -111,12 +111,10 @@ object Dedup {
   def dedupIndexAppend(spark: SparkSession, tableName: String,
       novel: DataFrame, textCol: String, idCol: String,
       tableBuckets: Int = 32): Unit =
-    Bucketing.appendBucketed(
+    fingerprintIndexAppend(
       novel.select(fingerprint(col(textCol)).as("fp"),
-          col(idCol).cast("long").as("first_id"))
-        .groupBy("fp").agg(min("first_id").as("first_id"))
-        .localCheckpoint(true),
-      tableName, "fp", tableBuckets)
+        col(idCol).cast("long").as("first_id")),
+      tableName, tableBuckets)
 
   /** Corpus-wide exact SPAN dedup — the distributed, windowed variant of
     * duplicated-substring removal (Lee et al. 2022, "Deduplicating

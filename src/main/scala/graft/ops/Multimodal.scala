@@ -240,10 +240,11 @@ object Multimodal {
     * per-frame '00db' offsets, padded-stride bottom-up frame layout. */
   def decodeAviMeta(media: DataFrame): DataFrame = {
     val u = udf((payload: Array[Byte]) => {
-      val m = Codecs.parseAvi(payload)
+      val m = Codecs.parseAvi(payload) // ONE container walk per row
       (m.map(_.width).getOrElse(0), m.map(_.height).getOrElse(0),
         m.map(_.nFrames).getOrElse(0), m.map(_.usPerFrame).getOrElse(0L),
-        m.isDefined, Codecs.aviPixelSum(payload))
+        m.isDefined,
+        m.map(Codecs.aviPixelSum(payload, _)).getOrElse(-1L))
     })
     media
       .withColumn("dec", u(col("payload")).cast(StructType(Seq(

@@ -26,14 +26,18 @@ class RegistrySpec extends SparkSpec {
     // SURVEY.md and compare BOTH to the live registry.
     val survey = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
-    val m = """(\d+) registered queries, (\d+) oracled""".r
-      .findFirstMatchIn(survey)
-    assert(m.isDefined, "SURVEY.md must state '<N> registered queries, <M> oracled'")
-    val (stated, statedOracled) = (m.get.group(1).toInt, m.get.group(2).toInt)
-    assert(stated == SparkEntry.queries.size,
-      s"SURVEY.md says $stated registered queries; code has ${SparkEntry.queries.size}")
-    assert(statedOracled == SparkEntry.oracleSql.size,
-      s"SURVEY.md says $statedOracled oracled; code has ${SparkEntry.oracleSql.size}")
+    val ms = """(\d+) registered queries, (\d+) oracled""".r
+      .findAllMatchIn(survey).toSeq
+    assert(ms.nonEmpty, "SURVEY.md must state '<N> registered queries, <M> oracled'")
+    // EVERY occurrence (§2.4 and any state paragraph repeating it) must
+    // match — the first-match-only check let a second stale line drift
+    ms.foreach { m =>
+      val (stated, statedOracled) = (m.group(1).toInt, m.group(2).toInt)
+      assert(stated == SparkEntry.queries.size,
+        s"SURVEY.md says $stated registered queries; code has ${SparkEntry.queries.size}")
+      assert(statedOracled == SparkEntry.oracleSql.size,
+        s"SURVEY.md says $statedOracled oracled; code has ${SparkEntry.oracleSql.size}")
+    }
   }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -507,9 +507,10 @@ class StreamingSpec extends SparkSpec {
       watermark = "10 minutes", spark, "graft_spec_img_idx")
     val q = out.writeStream.format("memory").queryName("img_ingest_out")
       .outputMode("append").start()
-    // batch 1: ids 0..19 → seeds id%15: 0..9 are index hits, 10..14 novel
-    // (each novel seed arrives TWICE — ids s and s+15 — the in-stream dup)
-    ms.addData((0L until 20L).map(id => (id, ts(0))))
+    // batch 1: ids 0..29 → seeds id%15: 0..9 are index hits, 10..14
+    // novel, and each novel seed arrives TWICE (ids s and s+15) — the
+    // in-stream duplicate the watermark election must collapse
+    ms.addData((0L until 30L).map(id => (id, ts(0))))
     q.processAllAvailable()
     val b1 = spark.table("img_ingest_out")
       .select((col("media_id") % 15).as("seed")).as[Long].collect().toSeq
@@ -521,7 +522,7 @@ class StreamingSpec extends SparkSpec {
       spark.table("img_ingest_out")
         .select(col("sig").as("fp"), col("media_id").as("first_id")),
       "graft_spec_img_idx", tableBuckets = 4)
-    ms.addData((20L until 40L).map(id => (id, ts(5))))
+    ms.addData((30L until 50L).map(id => (id, ts(5))))
     q.processAllAvailable()
     q.stop(); q.awaitTermination()
     val all = spark.table("img_ingest_out").count()
