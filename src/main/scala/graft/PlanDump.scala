@@ -76,7 +76,7 @@ object PlanDump {
     "q_bm25_persisted" ->
       "persisted inverted index probe: posting scan bucket-pruned to the query terms (SelectedBucketsCount), corpus text never read",
     "q_fuzzy_link2" ->
-      "full τ+1-segment PassJoin: candidates from ONE equi-join on segment keys carrying IDS only, pair-distinct map-side-combined, banded threshold-levenshtein verify on survivors — the naive cross join never appears (the short-string leg's BroadcastNestedLoopJoin sees an empty filtered side)",
+      "full τ+1-segment PassJoin with ENTROPY-ADAPTIVE boundaries (r14): candidates from ONE equi-join on measured-selectivity segment keys, banded threshold-levenshtein verify INSIDE the join stage (codegen, before any pair exchange), distinct only on verified survivors — the candidate blow-up never shuffles and the naive cross join never appears (the short-string leg's BroadcastNestedLoopJoin sees an empty filtered side)",
     "q_hybrid_rrf" ->
       "sparse leg candidates come from the shingle inverted index (BroadcastHashJoin on the 8-byte shingle hash); its only cross join is the 10×21 broadcast j=0 filler — the document corpus is never cross-joined or array-shuffled (the dense leg keeps its contract-bounded broadcast-query brute-force pass)",
     "q_image_phash" ->
@@ -86,7 +86,9 @@ object PlanDump {
     "q_video_phash" ->
       "video near-dup: keyframe dHash from the real AVI container walk, then the shared banded-hamming join — one narrow decode pass, candidates only, never all-pairs",
     "q_sim_ivfpq_refine" ->
-      "end-to-end ANN serving: cell-bucketed inverted-file probe (corpus side Exchange-free), candidates carry ids only into the broadcast exact-refine join — one narrow corpus pass re-ranks k'=50 candidates per query to the final 5")
+      "end-to-end ANN serving: cell-bucketed inverted-file probe (corpus side Exchange-free), candidates carry ids only into the broadcast exact-refine join — one narrow corpus pass re-ranks k'=50 candidates per query to the final 5",
+    "q_sim_ivfpq_serve" ->
+      "steady-state ANN serving (r14): the SAME probe+refine plan as q_sim_ivfpq_refine but against the build-once persisted index — no training jobs in the query; the probe reads the code table Bucketed:true and only the 5-query batch exchanges")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outPath) = args

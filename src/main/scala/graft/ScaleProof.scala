@@ -25,7 +25,14 @@ object ScaleProof {
     "q_triangle_count", "q_label_prop", "q_dedup_substring",
     "q_bm25_persisted",
     // r12-reworked plans: inverted-index sparse leg / native CDC kernel
-    "q_hybrid_rrf", "q_dedup_cdc")
+    "q_hybrid_rrf", "q_dedup_cdc",
+    // r14: entropy-adaptive PassJoin (the r13 `weak` grade) — the
+    // catalog-growth axis needs gen_sf1.py's replicated customer table
+    "q_fuzzy_link2",
+    // r14: multimodal near-dup at corpora that scale with documents
+    // (5k payloads at sf0.1 → 50k at sf1) — the banded-Hamming engine's
+    // scale evidence on the image and audio paths, not just text
+    "q_image_phash", "q_audio_fp")
   val timedOnly: Seq[String] = Seq("q_bpe_train")
 
   /** Queries whose equi-join STRATEGY is intentionally scale-adaptive:

@@ -174,17 +174,87 @@ object StreamBench {
         }
       }
     }
+    // POLLED-SOURCE steady-state phase (r14, verdict item 6): the r13
+    // negatives established MemoryStream.addData's driver-side
+    // single-threaded Catalyst encode as the ingestion bottleneck; the
+    // engine's own DataSource V2 [[graft.sources.PolledSource]] skips
+    // the encoder entirely — the driver only buffers Message objects
+    // (poll at the trigger admission point), and row materialization
+    // (UTF8String/InternalRow) happens in the PARTITION READERS on
+    // executor cores. Same counting sink, same /dev/shm checkpoint,
+    // one long-lived query.
+    val polledSecs = {
+      val pollChunk =
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_POLL_CHUNK", "100000").toInt
+      final class BenchPoller extends graft.sources.Poller {
+        @volatile var target = 0L // raised by n per rep
+        private var emitted = 0L
+        def poll(max: Int): Seq[Message] = synchronized {
+          val k = math.min(max.toLong, target - emitted).toInt
+          if (k <= 0) Nil
+          else {
+            val out = new Array[Message](k)
+            var i = 0
+            while (i < k) {
+              val j = emitted + i
+              out(i) = Message(key = (j % 25).toString,
+                value = payloads((j % 25).toInt), topic = "bench",
+                attributes = Map.empty)
+              i += 1
+            }
+            emitted += k
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+          }
+        }
+      }
+      val poller = new BenchPoller
+      val src = graft.sources.PolledSource(poller, batchSize = pollChunk)
+      val sink = new CountingSink
+      val ckpt = Option(new java.io.File("/dev/shm"))
+        .filter(f => f.isDirectory && f.canWrite)
+        .map(_ => s"/dev/shm/graft-streambench-poll-${System.nanoTime()}")
+      val p0 = Pipeline.from(src).triggerEvery(0)
+      val q = ckpt.fold(p0)(p0.withCheckpoint).start(spark, sink)
+      try {
+        (1 to reps).map { rep =>
+          val t0 = System.nanoTime()
+          poller.target += n
+          val want = rep.toLong * n
+          while (sink.rows.get() < want) {
+            q.exception.foreach(e => throw e)
+            require(q.isActive, s"query stopped at ${sink.rows.get()}/$want rows")
+            Thread.sleep(1)
+          }
+          val s = (System.nanoTime() - t0) / 1e9
+          System.err.println(
+            f"[streambench] polled rep $rep/$reps: $s%.3f s (${n / s}%.0f msgs/s)")
+          s
+        }
+      } finally {
+        q.stop(); q.awaitTermination()
+        src.close()
+        ckpt.foreach { dir =>
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(new java.io.File(dir))
+        }
+      }
+    }
+    val polledBest = polledSecs.min
+    val polledTput = n / polledBest
     val steadyBest = steadySecs.min
     val steadyTput = n / steadyBest
     val best = secs.min
     val tput = n / best
     System.err.println(
-      f"[streambench] best fresh-query ${tput}%.0f, steady-state $steadyTput%.0f " +
-        f"msgs/s vs reference BenchmarkMem $ReferenceMsgsPerSec%.0f msgs/s " +
+      f"[streambench] best fresh-query ${tput}%.0f, steady-state $steadyTput%.0f, " +
+        f"polled-source $polledTput%.0f msgs/s vs reference BenchmarkMem " +
+        f"$ReferenceMsgsPerSec%.0f msgs/s " +
         "(bench.txt, darwin/arm64 — different hardware, and a raw unbuffered " +
         "channel handoff vs this micro-batch pipeline): " +
-        f"${ReferenceMsgsPerSec / steadyTput}%.1fx gap steady-state")
-    println(f"""{"metric":"stream_throughput","value":$steadyTput%.0f,"unit":"msgs/sec","n":$n,"reps":$reps,"steady_best_s":$steadyBest%.3f,"steady_all_s":${steadySecs.map(s => f"$s%.3f").mkString("[", ",", "]")},"fresh_query_msgs_per_sec":$tput%.0f,"fresh_all_s":${secs.map(s => f"$s%.3f").mkString("[", ",", "]")},"ref_msgs_per_sec":${ReferenceMsgsPerSec}%.0f,"ref_source":"/root/reference/test/bench.txt:1-14 (darwin/arm64)"}""")
+        f"${ReferenceMsgsPerSec / math.max(steadyTput, polledTput)}%.1fx gap best")
+    println(f"""{"metric":"stream_throughput","value":${math.max(steadyTput, polledTput)}%.0f,"unit":"msgs/sec","n":$n,"reps":$reps,"steady_best_s":$steadyBest%.3f,"steady_all_s":${steadySecs.map(s => f"$s%.3f").mkString("[", ",", "]")},"polled_msgs_per_sec":$polledTput%.0f,"polled_all_s":${polledSecs.map(s => f"$s%.3f").mkString("[", ",", "]")},"fresh_query_msgs_per_sec":$tput%.0f,"fresh_all_s":${secs.map(s => f"$s%.3f").mkString("[", ",", "]")},"ref_msgs_per_sec":${ReferenceMsgsPerSec}%.0f,"ref_source":"/root/reference/test/bench.txt:1-14 (darwin/arm64)"}""")
     spark.stop()
   }
 }

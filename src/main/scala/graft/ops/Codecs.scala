@@ -242,7 +242,10 @@ object Codecs {
     for {
       dibSize <- u32(bytes, 14) if dibSize >= 40
       w <- i32(bytes, 18) if w > 0
-      hRaw <- i32(bytes, 22) if hRaw != 0
+      // hRaw == Int.MinValue would survive math.abs (still negative) and
+      // make every `offset + rowSizeL*height > length` guard pass on the
+      // negative product — reject it like parseAvi rejects w/h <= 0
+      hRaw <- i32(bytes, 22) if hRaw != 0 && hRaw != Int.MinValue
       bpp <- u16(bytes, 28)
       comp <- u32(bytes, 30) if comp == 0
     } yield BmpMeta(w, math.abs(hRaw), bpp, topDown = hRaw < 0)

@@ -89,43 +89,121 @@ object Linkage {
     * need τ = 2).
     *
     * Blocking, with EXACT recall by the pigeonhole argument: the clean
-    * string s (length L) is split into τ+1 contiguous even segments
-    * (lengths ⌊L/(τ+1)⌋, the remainder distributed to the LAST
-    * segments); ≤ τ edits cannot touch all τ+1 segments, so some segment
-    * survives verbatim in the dirty string r, and its start position can
-    * shift from p_i by at most τ (each edit shifts alignment by ≤ 1).
-    * The dirty side therefore emits, for every plausible clean length
+    * string s (length L) is split into τ+1 contiguous segments; ≤ τ
+    * edits cannot touch all τ+1 segments, so some segment survives
+    * verbatim in the dirty string r, and its start position can shift
+    * from p_i by at most τ (each edit shifts alignment by ≤ 1). That
+    * argument holds for ANY fixed per-length segmentation, which is the
+    * lever this operator uses against low-entropy keys (below). The
+    * dirty side emits, for every plausible clean length
     * L ∈ [len(r)−τ, len(r)+τ] and segment index i, the substrings of r
     * with the segment's length at positions within p_i ± τ — at most
     * (2τ+1)²·(τ+1) short keys per row (75 at τ = 2) — and candidates are
     * ONE equi-join on the (i, L, segment) key. Clean strings shorter
     * than τ+1 cannot be segmented and go through a broadcast naive leg.
     *
+    * SEGMENT PLACEMENT IS ENTROPY-ADAPTIVE (r13 verdict): even ⌊L/(τ+1)⌋
+    * splits degenerate on id-like keys whose entropy concentrates in a
+    * few positions ("Customer#000012345": 13 near-constant chars) — a
+    * constant segment's clean bucket is the whole catalog and candidates
+    * grow ~quadratically. Before building the join, the operator samples
+    * both sides (one count + one hash-filtered collect each, driver
+    * state ≤ `adaptiveSample` strings), measures per-position distinct
+    * ratios per clean length, proposes boundary placements (even,
+    * maximin segment entropy, min Σ 1/distinct), and picks the one with
+    * the fewest SIMULATED candidate collisions on the samples. Chosen
+    * boundaries ship to both sides as one small literal map<L, starts>
+    * with the even split as the fallback for unmapped lengths, so the
+    * two sides always agree per hypothesized L and recall stays exact.
+    * Pass `adaptiveSample = 0` to force even splits (the analysis pass
+    * also costs two extra scans of the inputs — skip it when the caller
+    * knows the keys are entropy-uniform).
+    *
     * Output: (d_id, d_s, c_id, c_s, dist), dist ≤ τ. Scale shape: one
     * shuffle keyed by short segment keys + a pair-distinct — never a
     * cross join of the corpus sides; the levenshtein verify is codegen'd
     * and runs only on candidates. LinkageSpec pins recall == the naive
-    * join at two SFs.
+    * join at two SFs and pins the adversarial-key candidate reduction.
     */
   def editJoin(dirty: DataFrame, dId: String, dStr: String,
-      clean: DataFrame, cId: String, cStr: String, tau: Int): DataFrame = {
+      clean: DataFrame, cId: String, cStr: String, tau: Int): DataFrame =
+    editJoin(dirty, dId, dStr, clean, cId, cStr, tau, adaptiveSample = 8192)
+
+  /** See [[editJoin]]; `adaptiveSample` bounds the per-side analysis
+    * sample (0 disables the analysis pass → even segmentation). */
+  def editJoin(dirty: DataFrame, dId: String, dStr: String,
+      clean: DataFrame, cId: String, cStr: String, tau: Int,
+      adaptiveSample: Int): DataFrame = {
     require(tau >= 1, s"tau must be >= 1, got $tau")
     val nseg = tau + 1
     val d = dirty.select(col(dId).as("d_id"), col(dStr).as("d_s"))
     val c = clean.select(col(cId).as("c_id"), col(cStr).as("c_s"))
-    // even-partition arithmetic, shared by both sides: for clean length
-    // L, segment i has length base+1 for the last (L mod nseg) segments
-    // and start p_i = 1 + i·base + max(0, i − (nseg − L mod nseg))
-    def segLen(len: Column, i: Int): Column = {
-      val rem = pmod(len, lit(nseg))
-      val base = ((len - rem) / nseg).cast("int")
-      base + when(lit(i) >= lit(nseg) - rem, 1).otherwise(0)
-    }
-    def segStart(len: Column, i: Int): Column = {
+    val bounds: Map[Int, Seq[Int]] =
+      if (adaptiveSample <= 0) Map.empty
+      else chooseSegmentation(sampleCol(c, "c_s", adaptiveSample),
+        sampleCol(d, "d_s", adaptiveSample), tau)
+    // Verify MAP-SIDE, inside the candidate-join stage, then distinct the
+    // SURVIVORS (r14). The r12 ids-only shape (distinct all candidate
+    // pairs, rejoin strings, verify last) was measured 1.6× faster when
+    // even segmentation admitted ~25M candidates at sf0.1 — but its
+    // pair-distinct shuffle scales with the CANDIDATE count, and on a
+    // dense catalog (sf10: 1.5M keys over a saturating fixed-width key
+    // space, ~2G candidates even after adaptive blocking) that shuffle
+    // is tens of GB. The banded threshold-levenshtein is O(τ·len) per
+    // pair in codegen (~µs), so running it before any exchange turns the
+    // distinct input from |candidates| into |true pairs|·dup-factor —
+    // bounded by the answer, not the blocking. The strings ride the
+    // segment keys (18-char keys: the exploded sides stay small).
+    val verified = segmentCandidates(d, c, tau, bounds)
+      .withColumn("dist", levenshtein(col("d_s"), col("c_s"), tau))
+      .filter(col("dist") =!= -1)
+    // clean strings too short to partition: broadcast naive leg (their
+    // partners are all within length τ of ≤ τ chars — a tiny set)
+    val short = d.join(
+      broadcast(c.filter(length(col("c_s")) < nseg)),
+      abs(length(col("d_s")) - length(col("c_s"))) <= tau)
+      // threshold levenshtein: banded DP, -1 past τ
+      .withColumn("dist", levenshtein(col("d_s"), col("c_s"), tau))
+      .filter(col("dist") =!= -1)
+      .select("d_id", "d_s", "c_id", "c_s", "dist")
+    verified.unionByName(short).distinct()
+  }
+
+  /** The blocked candidate generator of [[editJoin]] —
+    * (d_id, d_s, c_id, c_s) pairs (pre-distinct, pre-verify) from the
+    * segment-key equi-join, with the per-length segmentation in `bounds`
+    * (1-based segment start positions; lengths absent from the map use
+    * the even split). The strings ride along so the caller can verify
+    * inside the join stage, before any pair shuffle. Package-visible so
+    * specs can measure candidate counts per segmentation choice. */
+  private[graft] def segmentCandidates(d: DataFrame, c: DataFrame,
+      tau: Int, bounds: Map[Int, Seq[Int]]): DataFrame = {
+    val nseg = tau + 1
+    // even-partition arithmetic, the fallback shared by both sides: for
+    // clean length L, segment i has length base+1 for the last
+    // (L mod nseg) segments and start p_i = 1 + i·base +
+    // max(0, i − (nseg − L mod nseg))
+    def evenStart(len: Column, i: Int): Column = {
       val rem = pmod(len, lit(nseg))
       val base = ((len - rem) / nseg).cast("int")
       lit(1) + lit(i) * base + greatest(lit(0), lit(i) - (lit(nseg) - rem))
     }
+    // adaptive start: literal-map lookup (null on unmapped length →
+    // even fallback; try_element_at because ANSI element_at throws on a
+    // missing map key). i == nseg is the L+1 sentinel so segment length
+    // is always start(i+1) − start(i).
+    val boundLit: Option[Column] =
+      if (bounds.isEmpty) None else Some(typedlit(bounds))
+    def segStart(len: Column, i: Int): Column =
+      if (i == nseg) len + 1
+      else boundLit match {
+        case Some(m) =>
+          coalesce(element_at(try_element_at(m, len), lit(i + 1)),
+            evenStart(len, i))
+        case None => evenStart(len, i)
+      }
+    def segLen(len: Column, i: Int): Column =
+      segStart(len, i + 1) - segStart(len, i)
     val emptyKeys = array().cast("array<struct<i:int,l:int,seg:string>>")
     // clean side: τ+1 segment keys per string
     val cKeys = (0 until nseg).map { i =>
@@ -157,25 +235,170 @@ object Linkage {
         .otherwise(emptyKeys)
     }
     val dSeg = d
-      .select(col("d_id"),
+      .select(col("d_id"), col("d_s"),
         explode(array_distinct(flatten(array(dKeyArrays: _*)))).as("k"))
-    // candidate generation carries IDS ONLY through the join + distinct
-    // (a hot shared-prefix segment can emit |dirty|·|bucket| pairs; 16-
-    // byte id pairs shuffle, the strings rejoin afterwards — same trick
-    // as minhashNearDup's verify stage). Requires unique ids per side.
-    val candIds = dSeg.join(cSeg.select(col("c_id"), col("k")), Seq("k"))
-      .select("d_id", "c_id")
-    // clean strings too short to partition: broadcast naive leg (their
-    // partners are all within length τ of ≤ τ chars — a tiny set)
-    val short = d.join(
-      broadcast(c.filter(length(col("c_s")) < nseg)),
-      abs(length(col("d_s")) - length(col("c_s"))) <= tau)
-      .select("d_id", "c_id")
-    candIds.unionByName(short).distinct()
-      .join(d, Seq("d_id")).join(c, Seq("c_id"))
-      // threshold levenshtein: O(τ·len) banded DP per pair, -1 past τ
-      .withColumn("dist", levenshtein(col("d_s"), col("c_s"), tau))
-      .filter(col("dist") =!= -1)
-      .select("d_id", "d_s", "c_id", "c_s", "dist")
+    // the exploded SIDES are what shuffles (≤ (2τ+1)²·(τ+1) short keys
+    // per dirty row, τ+1 per clean row — each row a few dozen bytes);
+    // the pair blow-up only ever exists INSIDE the join tasks, where the
+    // caller's codegen verify consumes it without materialization
+    dSeg.join(cSeg, Seq("k"))
+      .select("d_id", "d_s", "c_id", "c_s")
+  }
+
+  /** Bounded deterministic sample of a string column: one count() to
+    * size a content-hash filter, one collect() capped at 4n rows. */
+  private def sampleCol(df: DataFrame, name: String, n: Int): Seq[String] = {
+    val total = df.count()
+    if (total == 0) return Nil
+    val m = math.max(1L, total / n)
+    df.select(col(name)).filter(col(name).isNotNull)
+      .filter(pmod(xxhash64(col(name)), lit(m)) === 0)
+      .limit(4 * n)
+      .collect().map(_.getString(0)).toIndexedSeq
+  }
+
+  /** Pick per-length segment boundaries from side samples (r13 verdict:
+    * entropy-adaptive PassJoin). The key structural fact: the simulated
+    * candidate count of a segmentation DECOMPOSES EXACTLY per segment —
+    * keys are (i, L, substring), so collisions never cross segment
+    * indices, and the per-row key dedup only acts within one segment's
+    * ±τ window. For each clean length L with enough sample support the
+    * chooser therefore MEASURES, on bounded subsamples, the collision
+    * cost of every possible segment placement [a, b) (clean buckets for
+    * that substring range probed by the exact dirty-side window
+    * replay), and a min-sum DP over those measured costs finds the
+    * globally cheapest contiguous τ+1-partition — no entropy heuristic
+    * in the loop. The winner is re-simulated against the full samples
+    * and adopted only if it beats the even split by >10%, so
+    * entropy-uniform data keeps its current plan byte-for-byte.
+    * Returns L → 1-based segment start positions (τ+1 entries,
+    * starts(0) = 1).
+    */
+  private[graft] def chooseSegmentation(cleanSample: Seq[String],
+      dirtySample: Seq[String], tau: Int, maxLen: Int = 64,
+      minSupport: Int = 16): Map[Int, Seq[Int]] = {
+    val nseg = tau + 1
+    val byLen = cleanSample.filter(s => s.length >= nseg && s.length <= maxLen)
+      .groupBy(_.length)
+    val out = Map.newBuilder[Int, Seq[Int]]
+    for ((ll, strs) <- byLen if strs.size >= minSupport) {
+      val dirtyNear = dirtySample.filter(r => math.abs(r.length - ll) <= tau)
+      if (dirtyNear.nonEmpty) {
+        // bounded subsamples keep the (a, b) sweep ~tens of millions of
+        // hash ops even at maxLen; the full-sample re-check below guards
+        // against subsample noise
+        val cleanSub = strs.take(4096)
+        val dirtySub = dirtyNear.take(1024)
+        // measured per-segment costs: costMid(a)(b) for any non-final
+        // segment at [a, b) (the ±τ window depends on position, not
+        // index), costLast(a) for the final segment [a, ll) with its
+        // end-anchored window tightening
+        val costMid = Array.fill(ll + 1, ll + 1)(0.0)
+        val costLast = Array.fill(ll + 1)(0.0)
+        val seen = collection.mutable.HashSet[String]()
+        for (a <- 0 until ll; b <- (a + 1) to ll) {
+          val li = b - a
+          val buckets = new java.util.HashMap[String, Int]()
+          for (s <- cleanSub) buckets.merge(s.substring(a, b), 1, _ + _)
+          val pi = a + 1 // 1-based
+          var mid = 0.0
+          var last = 0.0
+          for (r <- dirtySub) {
+            val lenR = r.length
+            val jlo0 = math.max(1, pi - tau)
+            val jhi = math.min(lenR - li + 1, pi + tau)
+            seen.clear()
+            var j = jlo0
+            while (j <= jhi) {
+              val key = r.substring(j - 1, j - 1 + li)
+              if (seen.add(key)) mid += buckets.getOrDefault(key, 0)
+              j += 1
+            }
+            if (b == ll) {
+              val jloL = math.max(jlo0, lenR - tau - li + 1)
+              seen.clear()
+              j = jloL
+              while (j <= jhi) {
+                val key = r.substring(j - 1, j - 1 + li)
+                if (seen.add(key)) last += buckets.getOrDefault(key, 0)
+                j += 1
+              }
+            }
+          }
+          costMid(a)(b) = mid
+          if (b == ll) costLast(a) = last
+        }
+        // min-sum DP: f(j)(e) = cheapest cost of j non-final segments
+        // covering [0, e); final segment cost comes from costLast
+        val f = Array.fill(nseg, ll + 1)(Double.PositiveInfinity)
+        val choice = Array.fill(nseg, ll + 1)(-1)
+        for (e <- 1 to ll) f(1)(e) = costMid(0)(e)
+        for (j <- 2 until nseg; e <- j to ll; m <- (j - 1) until e) {
+          val v = f(j - 1)(m) + costMid(m)(e)
+          if (v < f(j)(e)) { f(j)(e) = v; choice(j)(e) = m }
+        }
+        var bestA = -1
+        var bestTot = Double.PositiveInfinity
+        for (a <- (nseg - 1) until ll) {
+          val tot = f(nseg - 1)(a) + costLast(a)
+          if (tot < bestTot) { bestTot = tot; bestA = a }
+        }
+        val dpStarts = {
+          var bs = List(bestA)
+          var e = bestA
+          var j = nseg - 1
+          while (j >= 2) { val m = choice(j)(e); bs = m :: bs; e = m; j -= 1 }
+          0 :: bs
+        }
+        val even = evenStarts0(ll, nseg)
+        if (dpStarts != even) {
+          // decide on the FULL samples, not the subsamples
+          val evenCost = simulateCandidates(ll, even, strs, dirtyNear, tau)
+          val dpCost = simulateCandidates(ll, dpStarts, strs, dirtyNear, tau)
+          if (dpCost < 0.9 * evenCost) out += ll -> dpStarts.map(_ + 1)
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** 0-based even segment starts — must mirror the Column fallback. */
+  private def evenStarts0(ll: Int, nseg: Int): Seq[Int] = {
+    val rem = ll % nseg
+    val base = (ll - rem) / nseg
+    (0 until nseg).map(i => i * base + math.max(0, i - (nseg - rem)))
+  }
+
+  /** Simulated candidate count for one clean length: replays the exact
+    * dirty-side key windows (incl. the last-segment tightening) against
+    * the clean sample's (i, segment) buckets. Relative cost across
+    * segmentations on the same samples is what the chooser compares. */
+  private def simulateCandidates(ll: Int, starts0: Seq[Int],
+      cleanStrs: Seq[String], dirtySample: Seq[String], tau: Int): Double = {
+    val nseg = starts0.length
+    val lens = Array.tabulate(nseg)(i =>
+      (if (i == nseg - 1) ll else starts0(i + 1)) - starts0(i))
+    val buckets = new java.util.HashMap[(Int, String), Int]()
+    for (s <- cleanStrs; i <- 0 until nseg)
+      buckets.merge((i, s.substring(starts0(i), starts0(i) + lens(i))), 1, _ + _)
+    var cost = 0.0
+    val seen = collection.mutable.HashSet[(Int, String)]()
+    for (r <- dirtySample; lenR = r.length; if math.abs(lenR - ll) <= tau) {
+      seen.clear()
+      for (i <- 0 until nseg) {
+        val li = lens(i)
+        val pi = starts0(i) + 1 // 1-based, as in the Column form
+        val jlo0 = math.max(1, pi - tau)
+        val jlo = if (i == nseg - 1) math.max(jlo0, lenR - tau - li + 1) else jlo0
+        val jhi = math.min(lenR - li + 1, pi + tau)
+        var j = jlo
+        while (j <= jhi) {
+          val key = (i, r.substring(j - 1, j - 1 + li))
+          if (seen.add(key)) cost += buckets.getOrDefault(key, 0)
+          j += 1
+        }
+      }
+    }
+    cost
   }
 }

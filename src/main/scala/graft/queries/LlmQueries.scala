@@ -55,6 +55,30 @@ object LlmQueries {
           + x.cast("double")).as("embedding"),
       col("label"))
 
+  /** Build-once state for q_sim_ivfpq_serve (r14, verdict item 3): the
+    * serving-deployment shape, where the residual-PQ index + codebooks
+    * exist BEFORE the first query arrives. Keyed by (session, sf dir);
+    * holds the bucketed code-table name, the trained codebooks/coarse
+    * centroids (bounded driver state — m·k·subdim + k·dim doubles), and
+    * the checkpointed clustered corpus the refine stage re-ranks
+    * against. The composite that PAYS the training cost every run stays
+    * registered as q_sim_ivfpq_refine; this cache is what turns the
+    * serve query into probe+refine only. */
+  private val servedRefineIdx = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Array[Array[Seq[Double]]], Array[Seq[Double]], DataFrame)]()
+  private def servedRefineIndex(s: SparkSession, d: String)
+      : (String, Array[Array[Seq[Double]]], Array[Seq[Double]], DataFrame) =
+    servedRefineIdx.computeIfAbsent(s.sparkContext.applicationId + "|" + d, _ => {
+      val e = clusteredEmbeddings(s, d).localCheckpoint()
+      val coarse = Similarity.kmeansFit(e, "vec_id", "embedding",
+        k = 10, iters = 3, cosine = false)
+      val tbl = ("graft_ivfpqserve_idx_" + s.sparkContext.applicationId +
+        "_" + d).replaceAll("[^A-Za-z0-9_]", "_")
+      val cb = Similarity.ivfPqResidualIndexBuild(e, "vec_id", "embedding",
+        coarse, m = 16, k = 32, iters = 3, tableName = tbl, tableBuckets = 8)
+      (tbl, cb, coarse, e)
+    })
+
   // DuckDB twin of TextFunctions.tokens — keep in sync.
   private val sqlToks =
     "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
@@ -267,17 +291,20 @@ object LlmQueries {
     // loss diverges the hash). Same report shape as q_fuzzy_link.
     //
     // Candidate-prune note: these synthetic keys are PassJoin's
-    // adversarial case — all entropy sits in 5 of 18 chars, so the
-    // prefix segments are single-valued and their clean buckets are the
-    // whole catalog (~25M candidates from a 32M cross space). Even so,
-    // measured at sf0.1: blocked Spark 33.3 s vs DuckDB's naive
-    // levenshtein join 37.8 s — ids-only pairs with map-side partial
-    // distinct + banded threshold verify beat the naive single-node
-    // engine on its best case (a verify-before-distinct variant
-    // measured 1.6× WORSE: the compact-pair dedup is the win). On
-    // natural name data every segment carries entropy and the prune is
-    // ~100×, as editJoin1's measured. Exact recall forbids dropping hot
-    // segments; the hot bucket is a skew-join AQE handles.
+    // adversarial case — all entropy sits in 5 of 18 chars, so EVEN
+    // ⌊L/3⌋ segments are single-valued and their clean buckets are the
+    // whole catalog (~32M candidates from a 32M cross space — no prune
+    // at all, r13's `weak` grade). r14: editJoin's segment boundaries
+    // are now chosen by measured per-segment collision costs on side
+    // samples (Linkage.chooseSegmentation — min-sum DP over exact
+    // subsample simulations), which on this data places the boundaries
+    // inside the entropy run: candidates drop 32.1M → 0.75M (43×
+    // prune) and the query 24-27 s → ~3.3 s at sf0.1, vs DuckDB's
+    // naive levenshtein join at 37.8 s. Exact recall is unconditional
+    // — the pigeonhole argument holds for ANY fixed per-length
+    // segmentation, and LinkageSpec's recall==naive pins cover the
+    // adaptive path at τ∈{1,2,3}. ScaleProof pins the plan through
+    // sf1/sf10 on gen_sf1.py's replicated-catalog axis.
     "q_fuzzy_link2" -> ((s, d) => {
       val cust = Tables.customer(s, d)
       val p = (lit(10) + col("c_custkey") % 9).cast("int")
@@ -1091,6 +1118,41 @@ object LlmQueries {
           (col("_recall") >= 0.8).as("recall_ok"))
     }),
 
+    // PERSISTED ANN SERVING (r14, verdict item 3): q_sim_ivfpq_refine is
+    // train+build+probe+refine in ONE query (~15 jobs — the composite a
+    // pipeline pays once per corpus); the number a retrieval user cares
+    // about is the STEADY-STATE serve — probe+refine against an index
+    // that already exists. This query runs against the build-once cached
+    // index ([[servedRefineIndex]]): a bucketed inverted-file probe with
+    // zero corpus-side Exchange, then the exact re-rank — identical
+    // output to q_sim_ivfpq_refine by training determinism (shared
+    // oracle), with the bench line recording the serve latency.
+    "q_sim_ivfpq_serve" -> ((s, d) => {
+      val (tbl, cb, coarse, e) = servedRefineIndex(s, d)
+      val queries = e.filter(col("vec_id") < 5)
+      val cands = Similarity.ivfPqResidualProbe(s, tbl, queries,
+        "vec_id", "embedding", cb, coarse, k = 50, nprobe = 4)
+      val refined = Similarity.refineTopK(cands, queries, e,
+        "vec_id", "embedding", k = 5)
+      val qv = queries.select(col("vec_id").as("q_id"), col("embedding").as("_qv"))
+      val wx = Window.partitionBy("q_id").orderBy(col("_d").asc, col("n_id"))
+      val exact = broadcast(qv)
+        .crossJoin(e.select(col("vec_id").as("n_id"), col("embedding").as("_nv")))
+        .withColumn("_d", l2sqN(col("_qv"), col("_nv")))
+        .withColumn("_rnk", row_number().over(wx))
+        .filter(col("_rnk") <= 5)
+        .select(col("q_id"), col("n_id"), lit(1).as("_hit"))
+      val recall = refined.select("q_id", "n_id")
+        .join(exact, Seq("q_id", "n_id"), "left")
+        .groupBy("q_id")
+        .agg((sum(coalesce(col("_hit"), lit(0))) / 5.0).as("_r"))
+        .agg(avg("_r").as("_recall"))
+      refined.crossJoin(broadcast(recall))
+        .select(col("q_id"), col("rnk"), col("n_id"),
+          round(col("dist"), 4).as("dist"),
+          (col("_recall") >= 0.8).as("recall_ok"))
+    }),
+
     "q_token_bpe" -> ((s, d) =>
       Tables.documents(s, d)
         .groupBy("lang")
@@ -1639,13 +1701,16 @@ object LlmQueries {
     // walk, integer ITU-601 grayscale, 9×8 comparison grid) + the
     // Hamming-banded self-join ([[graft.ops.Dedup.hammingNearDup]],
     // 4 × 16-bit bands: pigeonhole recall 1.0 at hamming ≤ 3). Corpus:
-    // up to 400 synthetic BMPs in planted pairs — (2i, 2i+1) share seed
-    // i, the odd sibling has one pixel byte perturbed, which flips at
-    // most ONE dHash bit, so every planted pair survives the verify;
-    // unrelated images sit at hamming ≈ 32 and die there.
+    // one synthetic BMP per DOCUMENT row (r14: the cap of 400 is gone —
+    // the corpus scales with the table, 5k payloads at sf0.1 / 50k at
+    // sf1, so the banded join earns real bench + ScaleProof signal) in
+    // planted pairs — (2i, 2i+1) share seed i, the odd sibling has one
+    // pixel byte perturbed, which flips at most ONE dHash bit, so every
+    // planted pair survives the verify; unrelated images sit at
+    // hamming ≈ 32 and die there.
     "q_image_phash" -> ((s, d) => {
       val bmpUdf = udf((id: Long) => Codecs.synthBmpNear(id / 2, (id % 2).toInt * 128))
-      val media = Tables.documents(s, d).filter(col("doc_id") < 400)
+      val media = Tables.documents(s, d)
         .select(col("doc_id").as("media_id"), bmpUdf(col("doc_id")).as("payload"))
       Dedup.hammingNearDup(Multimodal.imageDHash(media),
         prefixBits = 16, maxHamming = 3, bands = 4)
@@ -1660,7 +1725,7 @@ object LlmQueries {
     // bit-replayable in the oracle.
     "q_image_knn" -> ((s, d) => {
       val bmpUdf = udf((id: Long) => Codecs.synthBmpNear(id / 2, (id % 2).toInt * 128))
-      val media = Tables.documents(s, d).filter(col("doc_id") < 400)
+      val media = Tables.documents(s, d) // r14: corpus scales with the table
         .select(col("doc_id").as("media_id"), bmpUdf(col("doc_id")).as("payload"))
       val feats = Multimodal.imageFeatures(media)
       Similarity.bruteForceTopK(feats.filter(col("id") < 10), feats,
@@ -1709,15 +1774,15 @@ object LlmQueries {
     // VIDEO NEAR-DUP (r13): keyframe dHash over the decoded first frame
     // ([[graft.ops.Codecs.aviKeyframeDHash]] — the thumbnail near-dup
     // technique) through the same Hamming-banded machinery as text
-    // SimHash, image dHash, and audio energy. Corpus: up to 400
-    // synthetic AVIs in planted pairs — (2i, 2i+1) share seed i, the
-    // odd sibling has one pixel of frame 0 perturbed (≤ 1 bit flips);
-    // seeds offset by 500000 so the keyframes are NOT the q_image_phash
-    // bitmaps.
+    // SimHash, image dHash, and audio energy. Corpus: one synthetic AVI
+    // per document row (r14: scales with the table) in planted pairs —
+    // (2i, 2i+1) share seed i, the odd sibling has one pixel of frame 0
+    // perturbed (≤ 1 bit flips); seeds offset by 500000 so the
+    // keyframes are NOT the q_image_phash bitmaps.
     "q_video_phash" -> ((s, d) => {
       val aviUdf = udf((id: Long) =>
         Codecs.synthAviNear(id / 2 + 500000L, (id % 2).toInt * 128))
-      val media = Tables.documents(s, d).filter(col("doc_id") < 400)
+      val media = Tables.documents(s, d)
         .select(col("doc_id").as("media_id"), aviUdf(col("doc_id")).as("payload"))
       Dedup.hammingNearDup(Multimodal.videoKeyframeDHash(media),
         prefixBits = 16, maxHamming = 3, bands = 4)
@@ -1728,11 +1793,12 @@ object LlmQueries {
     // walk, 16-bit LE decode, 65-window exact integer energies, 64
     // neighbor comparisons) through the SAME Hamming-banded machinery
     // as text SimHash and image dHash (`Dedup.hammingNearDup`). Corpus:
-    // up to 400 synthetic WAVs in planted pairs — (2i, 2i+1) share seed
-    // i, the odd sibling has ONE sample perturbed (flips at most bit 0).
+    // one synthetic WAV per document row (r14: scales with the table)
+    // in planted pairs — (2i, 2i+1) share seed i, the odd sibling has
+    // ONE sample perturbed (flips at most bit 0).
     "q_audio_fp" -> ((s, d) => {
       val wavUdf = udf((id: Long) => Codecs.synthWavNear(id / 2, (id % 2).toInt * 1024))
-      val media = Tables.documents(s, d).filter(col("doc_id") < 400)
+      val media = Tables.documents(s, d)
         .select(col("doc_id").as("media_id"), wavUdf(col("doc_id")).as("payload"))
       Dedup.hammingNearDup(Multimodal.audioFingerprint(media),
         prefixBits = 16, maxHamming = 3, bands = 4)
@@ -2109,7 +2175,7 @@ object LlmQueries {
     }.mkString("(", "+", ")")
   }
 
-  val oracle: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
     "q_text_stats" ->
       s"""SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS chars,
          | sum(len($sqlToks))::BIGINT AS n_tokens
@@ -3157,7 +3223,7 @@ object LlmQueries {
     // verified at hamming ≤ 3 over the raw bit vectors
     "q_image_phash" ->
       """WITH im AS (SELECT doc_id, doc_id // 2 AS s, (doc_id % 2) * 128 AS pert
-        |  FROM documents WHERE doc_id < 400),
+        |  FROM documents),
         |ix AS (SELECT doc_id, pert, gy, gx,
         |   s + 1000003*(2*gx + 36*gy) AS i0,
         |   s + 1000003*(2*gx + 36*gy + 288) AS i1,
@@ -3193,7 +3259,7 @@ object LlmQueries {
     // before the final sqrt/divide, which round identically)
     "q_image_knn" ->
       """WITH im AS (SELECT doc_id, doc_id // 2 AS s, (doc_id % 2) * 128 AS pert
-        |  FROM documents WHERE doc_id < 400),
+        |  FROM documents),
         |ix AS (SELECT doc_id, pert, gy, gx,
         |   s + 1000003*(2*gx + 36*gy) AS i0,
         |   s + 1000003*(2*gx + 36*gy + 288) AS i1,
@@ -3265,7 +3331,7 @@ object LlmQueries {
     "q_video_phash" ->
       """WITH im AS (SELECT doc_id, doc_id // 2 + 500000 AS s,
         |   (doc_id % 2) * 128 AS pert
-        |  FROM documents WHERE doc_id < 400),
+        |  FROM documents),
         |ix AS (SELECT doc_id, pert, gy, gx,
         |   s + 1000003*(2*gx + 36*gy) AS i0,
         |   s + 1000003*(2*gx + 36*gy + 288) AS i1,
@@ -3301,7 +3367,7 @@ object LlmQueries {
     // 64 comparison bits → 16-bit band equality → hamming ≤ 3 verify
     "q_audio_fp" ->
       """WITH im AS (SELECT doc_id, doc_id // 2 AS s, (doc_id % 2) * 1024 AS pert
-        |  FROM documents WHERE doc_id < 400),
+        |  FROM documents),
         |sm AS (SELECT doc_id, (32*w + k) // 32 AS w,
         |   CASE WHEN 32*w + k = 0 THEN
         |     ((((s + 1000003*(32*w + k)) * (s + 1000003*(32*w + k))) // 1048576)
@@ -3782,4 +3848,11 @@ object LlmQueries {
          |WHERE n_toks BETWEEN 10 AND 1000 AND mean_len < 12.0 AND sw_ratio < 0.5
          |GROUP BY lang""".stripMargin
   )
+
+  /** q_sim_ivfpq_serve probes the SAME deterministic training chain
+    * against the pre-built index, so its result multiset is
+    * q_sim_ivfpq_refine's by construction — the oracle is shared, the
+    * way q_sim_lsh_persisted shares lshTopKOracleSql. */
+  val oracle: Map[String, String] =
+    oracleBase + ("q_sim_ivfpq_serve" -> oracleBase("q_sim_ivfpq_refine"))
 }

@@ -141,6 +141,92 @@ object Sinks {
     }
   }
 
+  /** HTTP status outside 2xx from a webhook flush. 5xx and 429 are
+    * retryable (transient server state); other 4xx are not (the request
+    * itself is rejected — retrying re-sends the same bytes). */
+  final class WebhookStatusException(val code: Int, body: String)
+    extends RuntimeException(s"webhook returned HTTP $code: $body")
+
+  /** Batcher-backed HTTP POST destination — the reference's RunReveal
+    * webhook destination, whose whole config surface is one WebhookURL
+    * (/root/reference/README.md:242-248). Each micro-batch flush
+    * serializes to ONE NDJSON request body and POSTs it; non-2xx raises
+    * and flows through the engine's batcher reliability contract —
+    * [[graft.core.RetryPolicy]] backoff (defaults = the reference
+    * batcher's 3 retries, 500 ms → 5 s ×2.0) and
+    * [[graft.core.ErrorPolicy]] on exhaustion, exactly like every other
+    * flush in `core/Reliability.scala`.
+    *
+    * Scale contract: like [[S3ObjectLayoutSink]], a flush is a
+    * batcher-bounded batch (default 100 msgs), so the driver-side POST
+    * is bounded by the flush size, never the corpus — a webhook is a
+    * per-flush control-plane endpoint, not a bulk-export path. */
+  final case class WebhookSink(webhookUrl: String,
+      retry: RetryPolicy = RetryPolicy(isRetryable = WebhookSink.retryable),
+      onError: ErrorPolicy = ErrorPolicy.Raise,
+      connectTimeoutMs: Int = 5000,
+      readTimeoutMs: Int = 10000) extends Sink {
+
+    /** One POST attempt (no retries — [[writeBatch]] wraps it). */
+    private[sinks] def postOnce(lines: Array[String]): Unit = {
+      if (lines.isEmpty) return
+      val body = (lines.mkString("\n") + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val conn = new java.net.URI(webhookUrl).toURL.openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      try {
+        conn.setRequestMethod("POST")
+        conn.setConnectTimeout(connectTimeoutMs)
+        conn.setReadTimeout(readTimeoutMs)
+        conn.setDoOutput(true)
+        conn.setFixedLengthStreamingMode(body.length)
+        conn.setRequestProperty("Content-Type", "application/x-ndjson")
+        val out = conn.getOutputStream
+        try out.write(body) finally out.close()
+        val code = conn.getResponseCode
+        if (code < 200 || code >= 300) {
+          val err = Option(conn.getErrorStream).map { s =>
+            try new String(s.readNBytes(512),
+              java.nio.charset.StandardCharsets.UTF_8)
+            finally s.close()
+          }.getOrElse("")
+          throw new WebhookStatusException(code, err)
+        }
+        // drain + close the success stream so the connection is reusable
+        val in = conn.getInputStream
+        try { in.readAllBytes(); () } finally in.close()
+      } finally conn.disconnect()
+    }
+
+    def writeBatch(df: DataFrame): Unit = {
+      val lines = df.toJSON.collect() // bounded by the batcher flush size
+      Reliability.withRetries(retry)(postOnce(lines)) match {
+        case Right(_) => ()
+        case Left(t) => onError match {
+          case ErrorPolicy.Raise => throw t
+          case ErrorPolicy.Discard =>
+            System.err.println(s"[graft] webhook discard after retries: ${t.getMessage}")
+          case ErrorPolicy.DontCommit => throw new graft.core.DontCommitException(t)
+        }
+      }
+    }
+    def writeStream(df: DataFrame, trigger: Option[Trigger],
+        checkpoint: Option[String]): StreamingQuery =
+      applyTrigger(
+        df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+          writeBatch(batch)
+        }, trigger, checkpoint).start()
+  }
+
+  object WebhookSink {
+    /** Connect/IO failures and transient HTTP states retry; a 4xx
+      * (except 429) fails fast — the server rejected these bytes. */
+    def retryable(t: Throwable): Boolean = t match {
+      case w: WebhookStatusException => w.code >= 500 || w.code == 429
+      case _ => true
+    }
+  }
+
   /** Fan-out tee — the reference's MultiDestination
     * (x/multi/multidest.go:9-49): each micro-batch is persisted once and
     * written to every child; offsets commit only after the last child

@@ -99,6 +99,90 @@ class ConnectorSpec extends SparkSpec {
     } finally { q.stop(); q.awaitTermination() }
   }
 
+  // ---- webhook destination (S7: README.md:242-248 — WebhookURL is the
+  // only config argument) against a real localhost HTTP listener --------
+
+  private def withHttpServer(handler: com.sun.net.httpserver.HttpExchange => Unit)
+      (body: String => Unit): Unit = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/hook", (ex: com.sun.net.httpserver.HttpExchange) =>
+      try handler(ex) finally ex.close())
+    server.start()
+    try body(s"http://127.0.0.1:${server.getAddress.getPort}/hook")
+    finally server.stop(0)
+  }
+
+  test("webhook sink: one NDJSON POST per micro-batch flush — all seen, no dups") {
+    val bodies = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    withHttpServer { ex =>
+      bodies.add(new String(ex.getRequestBody.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8))
+      ex.sendResponseHeaders(200, -1)
+    } { url =>
+      val src = new graft.sources.MemoryMessageSource(spark)
+      val q = graft.core.Pipeline.from(src).start(spark, Sinks.WebhookSink(url))
+      try {
+        src.add(Seq(graft.core.Message.ofString("k1", "v1", "t"),
+          graft.core.Message.ofString("k2", "v2", "t")))
+        q.processAllAvailable()
+        src.add(Seq(graft.core.Message.ofString("k3", "v3", "t")))
+        q.processAllAvailable()
+      } finally { q.stop(); q.awaitTermination() }
+      assert(bodies.size == 2, s"one POST per non-empty flush, got ${bodies.size}")
+      // binary `value` serializes as base64 in toJSON — decode it back
+      val valRe = "\"value\":\"([^\"]+)\"".r
+      val vals = bodies.asScala.flatMap(_.split("\n")).toSeq
+        .flatMap(l => valRe.findFirstMatchIn(l).map(m => new String(
+          java.util.Base64.getDecoder.decode(m.group(1)), "UTF-8")))
+      assert(vals.sorted == Seq("v1", "v2", "v3"), s"all seen, no dups: $vals")
+    }
+  }
+
+  test("webhook sink: 500-then-200 exercises the retry/backoff path for real") {
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val bodies = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    withHttpServer { ex =>
+      if (attempts.incrementAndGet() == 1) ex.sendResponseHeaders(500, -1)
+      else {
+        bodies.add(new String(ex.getRequestBody.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8))
+        ex.sendResponseHeaders(200, -1)
+      }
+    } { url =>
+      import spark.implicits._
+      val sink = Sinks.WebhookSink(url,
+        retry = graft.core.RetryPolicy(maxRetries = 3, initialBackoffMs = 50,
+          maxBackoffMs = 100, isRetryable = Sinks.WebhookSink.retryable))
+      sink.writeBatch(Seq(("a", 1)).toDF("k", "n"))
+      assert(attempts.get == 2, s"one failed + one successful attempt, got ${attempts.get}")
+      assert(bodies.size == 1 && bodies.peek().contains("\"k\":\"a\""),
+        "the retried flush must deliver the same bytes once")
+    }
+  }
+
+  test("webhook sink: 4xx fails fast (no retry); error policies apply") {
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    withHttpServer { ex =>
+      attempts.incrementAndGet()
+      ex.sendResponseHeaders(400, -1)
+    } { url =>
+      import spark.implicits._
+      val df = Seq(("a", 1)).toDF("k", "n")
+      val retry = graft.core.RetryPolicy(maxRetries = 3, initialBackoffMs = 50,
+        isRetryable = Sinks.WebhookSink.retryable)
+      // Discard: swallowed after the single (non-retryable) attempt
+      Sinks.WebhookSink(url, retry = retry,
+        onError = graft.core.ErrorPolicy.Discard).writeBatch(df)
+      assert(attempts.get == 1, s"4xx must not retry, got ${attempts.get} attempts")
+      // Raise: surfaces the status exception
+      val e = intercept[graft.sinks.Sinks.WebhookStatusException] {
+        Sinks.WebhookSink(url, retry = retry).writeBatch(df)
+      }
+      assert(e.code == 400 && attempts.get == 2)
+    }
+  }
+
   test("attributes chain: layered provenance merges, later layer wins") {
     // the reference's Attributes chain-walk (types.go:28-30): an outer
     // layer shadows inner keys; both the Scala-side merge and the Column

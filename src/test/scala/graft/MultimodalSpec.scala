@@ -294,5 +294,15 @@ class MultimodalSpec extends SparkSpec {
     val offNeg = hand.clone()
     for (i <- 0 until 4) offNeg(10 + i) = 0xFF.toByte // offset = 0xFFFFFFFF → toInt -1
     assert(Codecs.bmpPixelSum(offNeg) == -1L, "wrapped-negative offset must fail cleanly")
+    // biHeight = 0x80000000 (Int.MinValue): math.abs stays NEGATIVE, so
+    // every `offset + rowSizeL*height > length` guard would pass on the
+    // negative product and the grid walkers would index out of bounds
+    // (r13 ADVICE) — parseBmp must reject it outright
+    val minH = hand.clone()
+    minH(22) = 0; minH(23) = 0; minH(24) = 0; minH(25) = 0x80.toByte
+    assert(Codecs.parseBmp(minH) == None, "biHeight=Int.MinValue must be rejected")
+    assert(Codecs.bmpPixelSum(minH) == -1L)
+    assert(Codecs.bmpDHash(minH) == null)
+    assert(Codecs.resizeBmp24(minH, 2) == null)
   }
 }

