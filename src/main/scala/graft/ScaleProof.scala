@@ -47,9 +47,13 @@ object ScaleProof {
     * logical shape while leaving the strategy to the optimizer.
     * q_dedup_minhash's verify stage rejoins the (id, sig) table onto the
     * candidate pairs — both grow with the corpus, so the same broadcast
-    * → sort-merge adaptation fires at sf10 (three joins flip). */
+    * → sort-merge adaptation fires at sf10 (three joins flip).
+    * q_fuzzy_link2's final report join (dirty ⋈ per-record link counts)
+    * flips the same way: `per` is dirty-sized, so broadcasting it is
+    * only correct while the dirty side is small (r14 — the candidate
+    * join itself is repartition-pinned SMJ at every scale). */
   val strategyAdaptive: Set[String] =
-    Set("q_dedup_substring", "q_dedup_minhash")
+    Set("q_dedup_substring", "q_dedup_minhash", "q_fuzzy_link2")
 
   /** Final physical plan as a normalized operator-sequence signature.
     * With `joinStrategyFree`, equi-join strategy nodes collapse to

@@ -237,11 +237,21 @@ object Linkage {
     val dSeg = d
       .select(col("d_id"), col("d_s"),
         explode(array_distinct(flatten(array(dKeyArrays: _*)))).as("k"))
-    // the exploded SIDES are what shuffles (≤ (2τ+1)²·(τ+1) short keys
+    // The exploded SIDES are what shuffles (≤ (2τ+1)²·(τ+1) short keys
     // per dirty row, τ+1 per clean row — each row a few dozen bytes);
     // the pair blow-up only ever exists INSIDE the join tasks, where the
-    // caller's codegen verify consumes it without materialization
-    dSeg.join(cSeg, Seq("k"))
+    // caller's codegen verify consumes it without materialization. This
+    // join is OUTPUT-heavy: its input shuffle blocks are small (AQE will
+    // neither skew-split nor avoid coalescing them — it only sees input
+    // bytes) while each task's join PRODUCT can reach ~10⁸ pairs on a
+    // dense catalog. Partition the key space 8× finer than the core
+    // count explicitly (REPARTITION_BY_NUM is exempt from AQE
+    // coalescing; the SMJ reuses the partitioning, so there is no extra
+    // exchange) and pin the merge strategy so the plan is identical at
+    // every scale.
+    val parts = d.sparkSession.sparkContext.defaultParallelism * 8
+    dSeg.repartition(parts, col("k")).hint("shuffle_merge")
+      .join(cSeg.repartition(parts, col("k")), Seq("k"))
       .select("d_id", "d_s", "c_id", "c_s")
   }
 
