@@ -64,6 +64,25 @@ object StreamBench {
   /** ≈ bench.txt mean: 470 ms / 1M msgs on darwin/arm64. */
   val ReferenceMsgsPerSec: Double = 1e6 / 0.470
 
+  /** RAM-backed checkpoint dir for a steady-state phase (offset/commit
+    * logs are two fsynced files per micro-batch; the Go twin has no
+    * durability at all, so this is still conservative), deleted after
+    * `body` — a leaked tmpfs file is exactly the background pressure
+    * LoadGate exists to keep out of bench records. None when /dev/shm is
+    * unavailable (the phase then runs checkpoint-free). */
+  private def withShmCheckpoint[A](prefix: String)(body: Option[String] => A): A = {
+    val ckpt = Option(new java.io.File("/dev/shm"))
+      .filter(f => f.isDirectory && f.canWrite)
+      .map(_ => s"/dev/shm/$prefix-${System.nanoTime()}")
+    try body(ckpt)
+    finally ckpt.foreach { dir =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(1000000)
     val reps = args.lift(1).map(_.toInt).getOrElse(3)
@@ -120,12 +139,7 @@ object StreamBench {
       // pipelined feeding remains the fastest shape.
       val src = new MemoryMessageSource(spark)
       val sink = new CountingSink
-      // offset/commit logs are two fsynced files per micro-batch; a
-      // memory-backed checkpoint keeps the cycle compute-bound (the Go
-      // twin has no durability at all, so this is still conservative)
-      val ckpt = Option(new java.io.File("/dev/shm"))
-        .filter(f => f.isDirectory && f.canWrite)
-        .map(_ => s"/dev/shm/graft-streambench-${System.nanoTime()}")
+      withShmCheckpoint("graft-streambench") { ckpt =>
       val p0 = Pipeline.from(src).triggerEvery(0)
       val q = ckpt.fold(p0)(p0.withCheckpoint).start(spark, sink)
       try {
@@ -163,15 +177,7 @@ object StreamBench {
         }
       } finally {
         q.stop(); q.awaitTermination()
-        // the RAM-backed checkpoint must not outlive the run — leaked
-        // tmpfs files are exactly the background pressure LoadGate exists
-        // to keep out of bench records
-        ckpt.foreach { dir =>
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-          }
-          rm(new java.io.File(dir))
-        }
+      }
       }
     }
     // POLLED-SOURCE steady-state phase (r14, verdict item 6): the r13
@@ -210,9 +216,7 @@ object StreamBench {
       val poller = new BenchPoller
       val src = graft.sources.PolledSource(poller, batchSize = pollChunk)
       val sink = new CountingSink
-      val ckpt = Option(new java.io.File("/dev/shm"))
-        .filter(f => f.isDirectory && f.canWrite)
-        .map(_ => s"/dev/shm/graft-streambench-poll-${System.nanoTime()}")
+      withShmCheckpoint("graft-streambench-poll") { ckpt =>
       val p0 = Pipeline.from(src).triggerEvery(0)
       val q = ckpt.fold(p0)(p0.withCheckpoint).start(spark, sink)
       try {
@@ -233,12 +237,7 @@ object StreamBench {
       } finally {
         q.stop(); q.awaitTermination()
         src.close()
-        ckpt.foreach { dir =>
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-          }
-          rm(new java.io.File(dir))
-        }
+      }
       }
     }
     val polledBest = polledSecs.min

@@ -64,20 +64,62 @@ object LlmQueries {
     * against. The composite that PAYS the training cost every run stays
     * registered as q_sim_ivfpq_refine; this cache is what turns the
     * serve query into probe+refine only. */
-  private val servedRefineIdx = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, Array[Array[Seq[Double]]], Array[Seq[Double]], DataFrame)]()
-  private def servedRefineIndex(s: SparkSession, d: String)
-      : (String, Array[Array[Seq[Double]]], Array[Seq[Double]], DataFrame) =
-    servedRefineIdx.computeIfAbsent(s.sparkContext.applicationId + "|" + d, _ => {
-      val e = clusteredEmbeddings(s, d).localCheckpoint()
-      val coarse = Similarity.kmeansFit(e, "vec_id", "embedding",
-        k = 10, iters = 3, cosine = false)
-      val tbl = ("graft_ivfpqserve_idx_" + s.sparkContext.applicationId +
-        "_" + d).replaceAll("[^A-Za-z0-9_]", "_")
-      val cb = Similarity.ivfPqResidualIndexBuild(e, "vec_id", "embedding",
-        coarse, m = 16, k = 32, iters = 3, tableName = tbl, tableBuckets = 8)
-      (tbl, cb, coarse, e)
-    })
+  private type ServedIdx =
+    (String, Array[Array[Seq[Double]]], Array[Seq[Double]], DataFrame)
+  // Bounded LRU (2 entries — a warmup SF + the active SF): each entry
+  // pins a localCheckpoint'd corpus in block-manager memory, so a sweep
+  // over many sf dirs must not accumulate them; an evicted entry's
+  // checkpoint blocks are freed by the ContextCleaner once unreferenced
+  // (the bucketed code TABLE is disk-resident and stays).
+  private val servedRefineIdx =
+    new java.util.LinkedHashMap[String, ServedIdx](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, ServedIdx]): Boolean = size() > 2
+    }
+  private def servedRefineIndex(s: SparkSession, d: String): ServedIdx =
+    servedRefineIdx.synchronized {
+      val key = s.sparkContext.applicationId + "|" + d
+      val hit = servedRefineIdx.get(key)
+      if (hit != null) hit
+      else {
+        val e = clusteredEmbeddings(s, d).localCheckpoint()
+        val coarse = Similarity.kmeansFit(e, "vec_id", "embedding",
+          k = 10, iters = 3, cosine = false)
+        val tbl = ("graft_ivfpqserve_idx_" + s.sparkContext.applicationId +
+          "_" + d).replaceAll("[^A-Za-z0-9_]", "_")
+        val cb = Similarity.ivfPqResidualIndexBuild(e, "vec_id", "embedding",
+          coarse, m = 16, k = 32, iters = 3, tableName = tbl, tableBuckets = 8)
+        val v = (tbl, cb, coarse, e)
+        servedRefineIdx.put(key, v)
+        v
+      }
+    }
+
+  /** Shared report tail of q_sim_ivfpq_refine and q_sim_ivfpq_serve:
+    * exact L2 top-5 baseline (self-pairs kept — the probe keeps them),
+    * macro recall@5 of `refined` against it, and the final
+    * (q_id, rnk, n_id, dist, recall_ok ≥ 0.8) shape. ONE implementation
+    * so the two queries cannot drift from their shared oracle. */
+  private def refineRecallReport(queries: DataFrame, refined: DataFrame,
+      e: DataFrame): DataFrame = {
+    val qv = queries.select(col("vec_id").as("q_id"), col("embedding").as("_qv"))
+    val wx = Window.partitionBy("q_id").orderBy(col("_d").asc, col("n_id"))
+    val exact = broadcast(qv)
+      .crossJoin(e.select(col("vec_id").as("n_id"), col("embedding").as("_nv")))
+      .withColumn("_d", l2sqN(col("_qv"), col("_nv")))
+      .withColumn("_rnk", row_number().over(wx))
+      .filter(col("_rnk") <= 5)
+      .select(col("q_id"), col("n_id"), lit(1).as("_hit"))
+    val recall = refined.select("q_id", "n_id")
+      .join(exact, Seq("q_id", "n_id"), "left")
+      .groupBy("q_id")
+      .agg((sum(coalesce(col("_hit"), lit(0))) / 5.0).as("_r"))
+      .agg(avg("_r").as("_recall"))
+    refined.crossJoin(broadcast(recall))
+      .select(col("q_id"), col("rnk"), col("n_id"),
+        round(col("dist"), 4).as("dist"),
+        (col("_recall") >= 0.8).as("recall_ok"))
+  }
 
   // DuckDB twin of TextFunctions.tokens — keep in sync.
   private val sqlToks =
@@ -1098,24 +1140,7 @@ object LlmQueries {
         "vec_id", "embedding", cb, coarse, k = 50, nprobe = 4)
       val refined = Similarity.refineTopK(cands, queries, e,
         "vec_id", "embedding", k = 5)
-      // exact L2 top-5 baseline (self-pairs kept — the probe keeps them)
-      val qv = queries.select(col("vec_id").as("q_id"), col("embedding").as("_qv"))
-      val wx = Window.partitionBy("q_id").orderBy(col("_d").asc, col("n_id"))
-      val exact = broadcast(qv)
-        .crossJoin(e.select(col("vec_id").as("n_id"), col("embedding").as("_nv")))
-        .withColumn("_d", l2sqN(col("_qv"), col("_nv")))
-        .withColumn("_rnk", row_number().over(wx))
-        .filter(col("_rnk") <= 5)
-        .select(col("q_id"), col("n_id"), lit(1).as("_hit"))
-      val recall = refined.select("q_id", "n_id")
-        .join(exact, Seq("q_id", "n_id"), "left")
-        .groupBy("q_id")
-        .agg((sum(coalesce(col("_hit"), lit(0))) / 5.0).as("_r"))
-        .agg(avg("_r").as("_recall"))
-      refined.crossJoin(broadcast(recall))
-        .select(col("q_id"), col("rnk"), col("n_id"),
-          round(col("dist"), 4).as("dist"),
-          (col("_recall") >= 0.8).as("recall_ok"))
+      refineRecallReport(queries, refined, e)
     }),
 
     // PERSISTED ANN SERVING (r14, verdict item 3): q_sim_ivfpq_refine is
@@ -1134,23 +1159,7 @@ object LlmQueries {
         "vec_id", "embedding", cb, coarse, k = 50, nprobe = 4)
       val refined = Similarity.refineTopK(cands, queries, e,
         "vec_id", "embedding", k = 5)
-      val qv = queries.select(col("vec_id").as("q_id"), col("embedding").as("_qv"))
-      val wx = Window.partitionBy("q_id").orderBy(col("_d").asc, col("n_id"))
-      val exact = broadcast(qv)
-        .crossJoin(e.select(col("vec_id").as("n_id"), col("embedding").as("_nv")))
-        .withColumn("_d", l2sqN(col("_qv"), col("_nv")))
-        .withColumn("_rnk", row_number().over(wx))
-        .filter(col("_rnk") <= 5)
-        .select(col("q_id"), col("n_id"), lit(1).as("_hit"))
-      val recall = refined.select("q_id", "n_id")
-        .join(exact, Seq("q_id", "n_id"), "left")
-        .groupBy("q_id")
-        .agg((sum(coalesce(col("_hit"), lit(0))) / 5.0).as("_r"))
-        .agg(avg("_r").as("_recall"))
-      refined.crossJoin(broadcast(recall))
-        .select(col("q_id"), col("rnk"), col("n_id"),
-          round(col("dist"), 4).as("dist"),
-          (col("_recall") >= 0.8).as("recall_ok"))
+      refineRecallReport(queries, refined, e)
     }),
 
     "q_token_bpe" -> ((s, d) =>

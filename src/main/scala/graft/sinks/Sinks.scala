@@ -200,15 +200,10 @@ object Sinks {
 
     def writeBatch(df: DataFrame): Unit = {
       val lines = df.toJSON.collect() // bounded by the batcher flush size
-      Reliability.withRetries(retry)(postOnce(lines)) match {
-        case Right(_) => ()
-        case Left(t) => onError match {
-          case ErrorPolicy.Raise => throw t
-          case ErrorPolicy.Discard =>
-            System.err.println(s"[graft] webhook discard after retries: ${t.getMessage}")
-          case ErrorPolicy.DontCommit => throw new graft.core.DontCommitException(t)
-        }
-      }
+      // serialize once, then delegate retry + error-policy dispatch to
+      // the one batcher reliability implementation
+      Reliability.retryingBatchWriter((_, _) => postOnce(lines),
+        retry, onError)(df, 0L)
     }
     def writeStream(df: DataFrame, trigger: Option[Trigger],
         checkpoint: Option[String]): StreamingQuery =
@@ -220,9 +215,14 @@ object Sinks {
 
   object WebhookSink {
     /** Connect/IO failures and transient HTTP states retry; a 4xx
-      * (except 429) fails fast — the server rejected these bytes. */
+      * (except 429) fails fast — the server rejected these bytes — and
+      * so do deterministic configuration errors (a malformed URL can
+      * never succeed; without this, every batch burns the full backoff
+      * budget re-parsing the same bad config). */
     def retryable(t: Throwable): Boolean = t match {
       case w: WebhookStatusException => w.code >= 500 || w.code == 429
+      case _: java.net.URISyntaxException | _: java.net.MalformedURLException |
+           _: IllegalArgumentException => false
       case _ => true
     }
   }

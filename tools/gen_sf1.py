@@ -42,7 +42,7 @@ SRC = "/root/testdata/sf0.1"
 # other --flag is an error — a typo like `--R 100` or a silently-consumed
 # `--r=100` would otherwise generate wrong-scale data with no warning
 # (r13 ADVICE).
-_KNOWN_FLAGS = {"--r", "--skip-embeddings"}
+_KNOWN_FLAGS = {"--r", "--skip-embeddings", "--mog"}
 for _a in sys.argv[1:]:
     if _a.startswith("--") and _a != "--r" and not _a.startswith("--r=") \
             and _a not in _KNOWN_FLAGS:
