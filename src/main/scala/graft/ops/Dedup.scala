@@ -378,20 +378,14 @@ object Dedup {
     * pigeonhole guarantees any pair at Hamming < bands collides in at
     * least one band — recall 1.0 up to `bands − 1` flipped bits.
     * Output: (id_a, id_b, hamming) with id_a < id_b. */
-  def hammingNearDup(sigTable: DataFrame,
-      prefixBits: Int = 12, maxHamming: Int = 8,
-      bands: Int = 4, maxBucket: Int = 1000): DataFrame = {
-    require(64 % bands == 0, s"bands must divide 64, got $bands")
-    // prefixBits=0 would make shiftrightunsigned(rot, 64) a JVM no-op
-    // (shift masked to 0 → bucket = full signature); >=64 misbehaves the
-    // same way. Fail loudly instead of silently losing recall.
-    require(prefixBits >= 1 && prefixBits <= 63,
-      s"prefixBits must be in [1, 63], got $prefixBits")
-    // The checkpoint stages the tiny (id, sig) table once for its three
-    // consumers (bucketing + both verify sides).
-    val sigs = sigTable.localCheckpoint()
+  /** The rotated-prefix band buckets shared by [[hammingNearDup]] and
+    * [[hammingNearDupAcross]]: band b's bucket is the top `prefixBits`
+    * of the signature rotated left by b·(64/bands) — `bands` disjoint
+    * windows when prefixBits = 64/bands. Output: (id, band, bh). */
+  private def bandBuckets(sigs: DataFrame, bands: Int,
+      prefixBits: Int): DataFrame = {
     val stride = 64 / bands
-    val banded = sigs.select(col("id"),
+    sigs.select(col("id"),
       explode(array((0 until bands).map { b =>
         val r = b * stride
         val rot = if (r == 0) col("sig")
@@ -401,6 +395,25 @@ object Dedup {
           shiftrightunsigned(rot, 64 - prefixBits).as("bh"))
       }: _*)).as("bucket"))
       .select(col("id"), col("bucket.band"), col("bucket.bh"))
+  }
+
+  private def requireBandParams(bands: Int, prefixBits: Int): Unit = {
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    // prefixBits=0 would make shiftrightunsigned(rot, 64) a JVM no-op
+    // (shift masked to 0 → bucket = full signature); >=64 misbehaves the
+    // same way. Fail loudly instead of silently losing recall.
+    require(prefixBits >= 1 && prefixBits <= 63,
+      s"prefixBits must be in [1, 63], got $prefixBits")
+  }
+
+  def hammingNearDup(sigTable: DataFrame,
+      prefixBits: Int = 12, maxHamming: Int = 8,
+      bands: Int = 4, maxBucket: Int = 1000): DataFrame = {
+    requireBandParams(bands, prefixBits)
+    // The checkpoint stages the tiny (id, sig) table once for its three
+    // consumers (bucketing + both verify sides).
+    val sigs = sigTable.localCheckpoint()
+    val banded = bandBuckets(sigs, bands, prefixBits)
     // degenerate-bucket cap: same broadcast anti-join as minhashNearDup
     val oversized = banded.groupBy("band", "bh")
       .agg(count(lit(1)).as("bsz"))
@@ -416,6 +429,44 @@ object Dedup {
     val sigA = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
     val sigB = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
     cand.join(sigA, "id_a").join(sigB, "id_b")
+      .withColumn("hamming", hamming64(col("sig_a"), col("sig_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Cross-TABLE Hamming-banded near-dup (r14): pairs (left.id,
+    * right.id) with Hamming(sig_l, sig_r) ≤ maxHamming between two
+    * DIFFERENT signature tables — the cross-modal dedup shape (e.g.
+    * image dHash vs video keyframe dHash: which stills appear as video
+    * thumbnails; or one corpus snapshot vs another). Same rotated-band
+    * buckets, degenerate-bucket cap (combined bucket population), and
+    * verify as [[hammingNearDup]]; recall 1.0 up to bands−1 flipped
+    * bits by the same pigeonhole, no a<b filter because the id spaces
+    * are distinct tables. Output: (id_a, id_b, hamming) with id_a from
+    * `left`, id_b from `right`. */
+  def hammingNearDupAcross(left: DataFrame, right: DataFrame,
+      prefixBits: Int = 12, maxHamming: Int = 8,
+      bands: Int = 4, maxBucket: Int = 1000): DataFrame = {
+    requireBandParams(bands, prefixBits)
+    val l = left.localCheckpoint()
+    val r = right.localCheckpoint()
+    val lb = bandBuckets(l, bands, prefixBits)
+    val rb = bandBuckets(r, bands, prefixBits)
+    val oversized = lb.select("band", "bh")
+      .unionByName(rb.select("band", "bh"))
+      .groupBy("band", "bh").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > maxBucket)
+      .select("band", "bh")
+    val lk = lb.join(broadcast(oversized), Seq("band", "bh"), "left_anti")
+    val rk = rb.join(broadcast(oversized), Seq("band", "bh"), "left_anti")
+    val cand = lk.select(col("band"), col("bh"), col("id").as("id_a"))
+      .join(rk.select(col("band"), col("bh"), col("id").as("id_b")),
+        Seq("band", "bh"))
+      .select("id_a", "id_b")
+      .distinct()
+    cand
+      .join(l.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(r.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .withColumn("hamming", hamming64(col("sig_a"), col("sig_b")))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")

@@ -1813,6 +1813,31 @@ object LlmQueries {
         prefixBits = 16, maxHamming = 3, bands = 4)
     }),
 
+    // CROSS-MODAL near-dup (r14): which IMAGES appear as VIDEO keyframes
+    // — thumbnail-reuse detection, the cross-modality cell of the dedup
+    // north star. Two DIFFERENT codec chains (BMP header/stride decode →
+    // dHash; AVI two-level RIFF walk → keyframe dHash) meet in ONE
+    // banded-Hamming join ([[graft.ops.Dedup.hammingNearDupAcross]] —
+    // no self-join id ordering, distinct id spaces). Planted: every
+    // doc_id % 3 == 0 video reuses image doc_id's pixels as frame 0
+    // (odd ids with a 1-pixel edit → ≤ 1 flipped bit); all other videos
+    // draw from a disjoint seed range [500000, 700000) and must not
+    // match (image seeds stay < 500000 through sf10).
+    "q_crossmodal_dup" -> ((s, d) => {
+      val bmpUdf = udf((id: Long) => Codecs.synthBmpNear(id, 0))
+      val aviUdf = udf((id: Long) => Codecs.synthAviNear(
+        if (id % 3 == 0) id else 500000L + id % 200000L, (id % 2).toInt * 128))
+      val docs = Tables.documents(s, d)
+      val images = docs
+        .select(col("doc_id").as("media_id"), bmpUdf(col("doc_id")).as("payload"))
+      val videos = docs
+        .select(col("doc_id").as("media_id"), aviUdf(col("doc_id")).as("payload"))
+      Dedup.hammingNearDupAcross(
+        Multimodal.imageDHash(images),
+        Multimodal.videoKeyframeDHash(videos),
+        prefixBits = 16, maxHamming = 3, bands = 4)
+    }),
+
     "q_multimodal_frames" -> ((s, d) => {
       val media = Tables.documents(s, d).filter(col("doc_id") < 200)
         .select(col("doc_id").as("media_id"),
@@ -3260,6 +3285,62 @@ object LlmQueries {
         |   sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)::INT AS hamming
         |  FROM cand c JOIN bits x ON x.doc_id = c.id_a
         |              JOIN bits y ON y.doc_id = c.id_b AND y.idx = x.idx
+        |  GROUP BY c.id_a, c.id_b)
+        |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3""".stripMargin,
+
+    // cross-modal twin: the image chain (seed doc_id, no pert) and the
+    // video-keyframe chain (planted/disjoint seed mapping + 1-pixel
+    // pert) replayed side by side, banded on 16-bit chunks, joined
+    // ACROSS the two bit tables (no a<b — distinct id spaces), hamming
+    // ≤ 3 verify
+    "q_crossmodal_dup" ->
+      """WITH gi AS (SELECT doc_id, gy, gx,
+        |   299*(((i2*i2) // 1048576) % 256)
+        | + 587*(((i1*i1) // 1048576) % 256)
+        | + 114*(((i0*i0) // 1048576) % 256)
+        |   AS gray
+        |  FROM (SELECT doc_id, gy, gx,
+        |     (doc_id % 1000000) + 1000003*(2*gx + 36*gy) AS i0,
+        |     (doc_id % 1000000) + 1000003*(2*gx + 36*gy + 288) AS i1,
+        |     (doc_id % 1000000) + 1000003*(2*gx + 36*gy + 576) AS i2
+        |    FROM documents, range(0, 8) t1(gy), range(0, 9) t2(gx))),
+        |bitsi AS (SELECT a.doc_id, a.gy*8 + a.gx AS idx, (b.gray > a.gray) AS bit
+        |  FROM gi a JOIN gi b ON a.doc_id = b.doc_id AND a.gy = b.gy
+        |    AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8),
+        |bvi AS (SELECT doc_id, idx // 16 AS band,
+        |   sum(CASE WHEN bit THEN (1::BIGINT << (idx % 16)) ELSE 0 END)::BIGINT
+        |     AS bval
+        |  FROM bitsi GROUP BY doc_id, band),
+        |vm AS (SELECT doc_id,
+        |   (CASE WHEN doc_id % 3 = 0 THEN doc_id
+        |         ELSE 500000 + doc_id % 200000 END) % 1000000 AS s,
+        |   (doc_id % 2) * 128 AS pert FROM documents),
+        |gv AS (SELECT doc_id, gy, gx,
+        |   299*(((i2*i2) // 1048576) % 256)
+        | + 587*(((i1*i1) // 1048576) % 256)
+        | + 114*((((i0*i0) // 1048576) % 256
+        |         + CASE WHEN gx = 0 AND gy = 0 THEN pert ELSE 0 END) % 256)
+        |   AS gray
+        |  FROM (SELECT doc_id, pert, gy, gx,
+        |     s + 1000003*(2*gx + 36*gy) AS i0,
+        |     s + 1000003*(2*gx + 36*gy + 288) AS i1,
+        |     s + 1000003*(2*gx + 36*gy + 576) AS i2
+        |    FROM vm, range(0, 8) t1(gy), range(0, 9) t2(gx))),
+        |bitsv AS (SELECT a.doc_id, a.gy*8 + a.gx AS idx, (b.gray > a.gray) AS bit
+        |  FROM gv a JOIN gv b ON a.doc_id = b.doc_id AND a.gy = b.gy
+        |    AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8),
+        |bvv AS (SELECT doc_id, idx // 16 AS band,
+        |   sum(CASE WHEN bit THEN (1::BIGINT << (idx % 16)) ELSE 0 END)::BIGINT
+        |     AS bval
+        |  FROM bitsv GROUP BY doc_id, band),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bvi a JOIN bvv b ON a.band = b.band AND a.bval = b.bval),
+        |ham AS (SELECT c.id_a, c.id_b,
+        |   sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)::INT AS hamming
+        |  FROM cand c JOIN bitsi x ON x.doc_id = c.id_a
+        |              JOIN bitsv y ON y.doc_id = c.id_b AND y.idx = x.idx
         |  GROUP BY c.id_a, c.id_b)
         |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3""".stripMargin,
 

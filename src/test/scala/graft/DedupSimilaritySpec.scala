@@ -57,6 +57,37 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs == planted, "unrelated images must not pair at hamming<=3")
   }
 
+  test("hammingNearDupAcross: cross-modal planted pairs found, banded result == exact cross hamming set") {
+    import graft.ops.{Codecs, Multimodal}
+    import spark.implicits._
+    // the q_crossmodal_dup shape at unit scale: 60 images (seed = id),
+    // 60 videos — id % 3 == 0 reuses image id's pixels as frame 0 (odd
+    // ids with a 1-pixel edit), others draw from a disjoint seed range
+    val bmpUdf = udf((id: Long) => Codecs.synthBmpNear(id, 0))
+    val aviUdf = udf((id: Long) => Codecs.synthAviNear(
+      if (id % 3 == 0) id else 500000L + id % 200000L, (id % 2).toInt * 128))
+    val ids = (0L until 60L).toDF("media_id")
+    val iSigs = Multimodal.imageDHash(
+      ids.select(col("media_id"), bmpUdf(col("media_id")).as("payload")))
+    val vSigs = Multimodal.videoKeyframeDHash(
+      ids.select(col("media_id"), aviUdf(col("media_id")).as("payload")))
+    val pairs = Dedup.hammingNearDupAcross(iSigs, vSigs,
+        prefixBits = 16, maxHamming = 3, bands = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val planted = (0L until 60L).filter(_ % 3 == 0).map(i => (i, i)).toSet
+    assert(planted.subsetOf(pairs),
+      s"missed planted cross-modal pairs: ${(planted -- pairs).take(5)}")
+    // exact twin over the CROSS product (no a<b — distinct id spaces)
+    val iv = iSigs.as[(Long, Long)].collect()
+    val vv = vSigs.as[(Long, Long)].collect()
+    val exact = (for {
+      (ia, sa) <- iv; (ib, sb) <- vv
+      if java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    assert(pairs == exact, "banded cross result must equal the exact hamming<=3 set")
+    assert(pairs == planted, "disjoint-seed videos must not pair with any image")
+  }
+
   test("audio near-dup: planted 1-sample pairs found, banded result == exact hamming set") {
     import graft.ops.{Codecs, Multimodal}
     import spark.implicits._
