@@ -122,7 +122,9 @@ object Bench {
     "q_image_phash",      // BMP decode → dHash → banded Hamming near-dup
     "q_audio_fp",         // WAV decode → energy fingerprint near-dup
     "q_video_phash",      // AVI keyframe dHash near-dup
-    "q_image_knn"         // decode → grid features → cosine kNN
+    "q_image_knn",        // decode → grid features → cosine kNN
+    "q_crossmodal_dup",   // image↔video-keyframe cross-modal near-dup
+    "q_fuzzy_link_serve"  // linkage probe vs the build-once catalog index
   )
 
   def main(args: Array[String]): Unit = {

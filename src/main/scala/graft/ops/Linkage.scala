@@ -169,29 +169,22 @@ object Linkage {
     verified.unionByName(short).distinct()
   }
 
-  /** The blocked candidate generator of [[editJoin]] —
-    * (d_id, d_s, c_id, c_s) pairs (pre-distinct, pre-verify) from the
-    * segment-key equi-join, with the per-length segmentation in `bounds`
-    * (1-based segment start positions; lengths absent from the map use
-    * the even split). The strings ride along so the caller can verify
-    * inside the join stage, before any pair shuffle. Package-visible so
-    * specs can measure candidate counts per segmentation choice. */
-  private[graft] def segmentCandidates(d: DataFrame, c: DataFrame,
-      tau: Int, bounds: Map[Int, Seq[Int]]): DataFrame = {
-    val nseg = tau + 1
-    // even-partition arithmetic, the fallback shared by both sides: for
-    // clean length L, segment i has length base+1 for the last
-    // (L mod nseg) segments and start p_i = 1 + i·base +
-    // max(0, i − (nseg − L mod nseg))
+  /** The shared segment-geometry Columns for a given bounds map: returns
+    * (segStart, segLen) as functions of (len, i). Even-partition
+    * arithmetic is the fallback shared by both sides: for clean length
+    * L, segment i has length base+1 for the last (L mod nseg) segments
+    * and start p_i = 1 + i·base + max(0, i − (nseg − L mod nseg)).
+    * Adaptive starts are a literal-map lookup (null on unmapped length →
+    * even fallback; try_element_at because ANSI element_at throws on a
+    * missing map key); i == nseg is the L+1 sentinel so segment length
+    * is always start(i+1) − start(i). */
+  private def segGeometry(nseg: Int, bounds: Map[Int, Seq[Int]])
+      : ((Column, Int) => Column, (Column, Int) => Column) = {
     def evenStart(len: Column, i: Int): Column = {
       val rem = pmod(len, lit(nseg))
       val base = ((len - rem) / nseg).cast("int")
       lit(1) + lit(i) * base + greatest(lit(0), lit(i) - (lit(nseg) - rem))
     }
-    // adaptive start: literal-map lookup (null on unmapped length →
-    // even fallback; try_element_at because ANSI element_at throws on a
-    // missing map key). i == nseg is the L+1 sentinel so segment length
-    // is always start(i+1) − start(i).
     val boundLit: Option[Column] =
       if (bounds.isEmpty) None else Some(typedlit(bounds))
     def segStart(len: Column, i: Int): Column =
@@ -204,27 +197,42 @@ object Linkage {
       }
     def segLen(len: Column, i: Int): Column =
       segStart(len, i + 1) - segStart(len, i)
-    val emptyKeys = array().cast("array<struct<i:int,l:int,seg:string>>")
-    // clean side: τ+1 segment keys per string
+    (segStart, segLen)
+  }
+
+  /** Clean-side segment keys: one (i, L, segment) struct per segment of
+    * each string of length ≥ τ+1, with the string riding along.
+    * Output: (c_id, c_s, k). */
+  private[graft] def cleanSegKeys(c: DataFrame, tau: Int,
+      bounds: Map[Int, Seq[Int]]): DataFrame = {
+    val nseg = tau + 1
+    val (segStart, segLen) = segGeometry(nseg, bounds)
     val cKeys = (0 until nseg).map { i =>
       val len = length(col("c_s"))
       struct(lit(i).as("i"), len.as("l"),
         col("c_s").substr(segStart(len, i), segLen(len, i)).as("seg"))
     }
-    val cSeg = c.filter(length(col("c_s")) >= nseg)
+    c.filter(length(col("c_s")) >= nseg)
       .select(col("c_id"), col("c_s"), explode(array(cKeys: _*)).as("k"))
-    // dirty side: candidate substrings for every plausible clean length
-    // and segment, within the ±τ position window
+  }
+
+  /** Dirty-side candidate keys: for every plausible clean length
+    * L ∈ [len(r)−τ, len(r)+τ] and segment index, the substrings of r
+    * with that segment's length at positions within the ±τ window
+    * (tightened at the last segment: it has nothing after it in s, so
+    * its match must END within τ of the end of r; the first segment
+    * needs no extra clause — p_0 = 1 makes the generic bounds already
+    * [1, 1+τ]). Output: (d_id, d_s, k), keys row-distinct. */
+  private[graft] def dirtySegKeys(d: DataFrame, tau: Int,
+      bounds: Map[Int, Seq[Int]]): DataFrame = {
+    val nseg = tau + 1
+    val (segStart, segLen) = segGeometry(nseg, bounds)
+    val emptyKeys = array().cast("array<struct<i:int,l:int,seg:string>>")
     val dKeyArrays = for (delta <- -tau to tau; i <- 0 until nseg) yield {
       val lenR = length(col("d_s"))
       val lenS = lenR + delta
       val li = segLen(lenS, i)
       val pi = segStart(lenS, i)
-      // ±τ window, tightened at the last segment: it has nothing after
-      // it in s, so its match must END within τ of the end of r. (The
-      // first segment needs no extra clause — p_0 = 1 makes the generic
-      // bounds already [1, 1+τ]: nothing before it can be deleted, and
-      // only insertions can push it right.)
       val jlo0 = greatest(lit(1), pi - tau)
       val jlo = if (i == nseg - 1) greatest(jlo0, lenR - tau - li + 1) else jlo0
       val jhi = least(lenR - li + 1, pi + tau)
@@ -234,9 +242,21 @@ object Linkage {
             col("d_s").substr(j, li).as("seg"))))
         .otherwise(emptyKeys)
     }
-    val dSeg = d
-      .select(col("d_id"), col("d_s"),
-        explode(array_distinct(flatten(array(dKeyArrays: _*)))).as("k"))
+    d.select(col("d_id"), col("d_s"),
+      explode(array_distinct(flatten(array(dKeyArrays: _*)))).as("k"))
+  }
+
+  /** The blocked candidate generator of [[editJoin]] —
+    * (d_id, d_s, c_id, c_s) pairs (pre-distinct, pre-verify) from the
+    * segment-key equi-join, with the per-length segmentation in `bounds`
+    * (1-based segment start positions; lengths absent from the map use
+    * the even split). The strings ride along so the caller can verify
+    * inside the join stage, before any pair shuffle. Package-visible so
+    * specs can measure candidate counts per segmentation choice. */
+  private[graft] def segmentCandidates(d: DataFrame, c: DataFrame,
+      tau: Int, bounds: Map[Int, Seq[Int]]): DataFrame = {
+    val cSeg = cleanSegKeys(c, tau, bounds)
+    val dSeg = dirtySegKeys(d, tau, bounds)
     // The exploded SIDES are what shuffles (≤ (2τ+1)²·(τ+1) short keys
     // per dirty row, τ+1 per clean row — each row a few dozen bytes);
     // the pair blow-up only ever exists INSIDE the join tasks, where the
@@ -253,6 +273,88 @@ object Linkage {
     dSeg.repartition(parts, col("k")).hint("shuffle_merge")
       .join(cSeg.repartition(parts, col("k")), Seq("k"))
       .select("d_id", "d_s", "c_id", "c_s")
+  }
+
+  /** PERSISTED entity-resolution catalog index (r14) — the serving
+    * variant of [[editJoin]], completing the persisted-index family
+    * (LSH / IVF / IVFADC / fingerprints / BM25 / trigram): the CLEAN
+    * catalog is segmented ONCE (boundaries chosen by the same measured
+    * chooser; pass `probeExemplar` — a sample of the dirty traffic the
+    * index will serve, e.g. yesterday's batch — so the chooser measures
+    * collision costs against REAL probe keys. Without one the catalog
+    * samples as its own proxy, which stays exact but can misplace
+    * boundaries badly when probe strings differ systematically from
+    * catalog strings: on q_fuzzy_link2's derivation the self-proxy
+    * admits 7.1M candidates where the exemplar-informed choice admits
+    * 0.75M, because only the exemplar reveals that the substituted
+    * prefix region never matches) and written as a bucketed table keyed
+    * by the 64-bit hash of the
+    * (segment idx, len, segment) key; repeated dirty batches then probe
+    * it with ZERO catalog-side Exchange. Short catalog strings
+    * (length ≤ τ, unsegmentable) are stored in the same table flagged
+    * `short` and join through the broadcast naive leg at probe time.
+    * Returns the boundary map the probe needs (tiny — persist it next
+    * to the table name in application config).
+    *
+    * A 64-bit key-hash collision can only ADD a candidate pair, and the
+    * probe's banded threshold-levenshtein verify removes it — recall
+    * and precision are both unaffected. */
+  def editIndexBuild(clean: DataFrame, cId: String, cStr: String,
+      tau: Int, tableName: String, tableBuckets: Int = 32,
+      adaptiveSample: Int = 8192,
+      probeExemplar: Option[(DataFrame, String)] = None): Map[Int, Seq[Int]] = {
+    require(tau >= 1, s"tau must be >= 1, got $tau")
+    val nseg = tau + 1
+    val c = clean.select(col(cId).as("c_id"), col(cStr).as("c_s"))
+    val bounds: Map[Int, Seq[Int]] =
+      if (adaptiveSample <= 0) Map.empty
+      else {
+        val probeSample = probeExemplar match {
+          case Some((df, strCol)) =>
+            sampleCol(df.select(col(strCol).as("d_s")), "d_s", adaptiveSample)
+          case None => sampleCol(c, "c_s", adaptiveSample)
+        }
+        chooseSegmentation(sampleCol(c, "c_s", adaptiveSample),
+          probeSample, tau)
+      }
+    val segRows = cleanSegKeys(c, tau, bounds)
+      .select(xxhash64(col("k.i"), col("k.l"), col("k.seg")).as("kh"),
+        col("c_id"), col("c_s"), lit(false).as("short"))
+    val shortRows = c.filter(length(col("c_s")) < nseg)
+      .select(lit(null).cast("long").as("kh"),
+        col("c_id"), col("c_s"), lit(true).as("short"))
+    Bucketing.writeBucketed(segRows.unionByName(shortRows),
+      tableName, "kh", tableBuckets)
+    bounds
+  }
+
+  /** Probe a catalog index from [[editIndexBuild]] with a dirty batch:
+    * same output contract as [[editJoin]] — every (d_id, d_s, c_id,
+    * c_s, dist) with Levenshtein ≤ τ, exact recall. The dirty side's
+    * candidate keys hash to the index's bucket key, so only the (small)
+    * dirty batch shuffles; the catalog scan is Bucketed: true. */
+  def editIndexProbe(spark: org.apache.spark.sql.SparkSession,
+      tableName: String, bounds: Map[Int, Seq[Int]],
+      dirty: DataFrame, dId: String, dStr: String, tau: Int): DataFrame = {
+    require(tau >= 1, s"tau must be >= 1, got $tau")
+    val d = dirty.select(col(dId).as("d_id"), col(dStr).as("d_s"))
+    val idx = spark.table(tableName)
+    val dSeg = dirtySegKeys(d, tau, bounds)
+      .select(col("d_id"), col("d_s"),
+        xxhash64(col("k.i"), col("k.l"), col("k.seg")).as("kh"))
+    val verified = dSeg
+      .join(idx.filter(!col("short")).select(col("kh"), col("c_id"), col("c_s")),
+        Seq("kh"))
+      .withColumn("dist", levenshtein(col("d_s"), col("c_s"), tau))
+      .filter(col("dist") =!= -1)
+      .select("d_id", "d_s", "c_id", "c_s", "dist")
+    val short = d.join(
+      broadcast(idx.filter(col("short")).select(col("c_id"), col("c_s"))),
+      abs(length(col("d_s")) - length(col("c_s"))) <= tau)
+      .withColumn("dist", levenshtein(col("d_s"), col("c_s"), tau))
+      .filter(col("dist") =!= -1)
+      .select("d_id", "d_s", "c_id", "c_s", "dist")
+    verified.unionByName(short).distinct()
   }
 
   /** Bounded deterministic sample of a string column: one count() to

@@ -175,6 +175,43 @@ class LinkageSpec extends SparkSpec {
       s"adaptive must prune >4x on adversarial keys: even=$evenCnt adaptive=$adapCnt")
   }
 
+  test("editIndexBuild/Probe: persisted catalog index == editJoin on the q_fuzzy_link2 derivation") {
+    val cust = Tables.customer(spark, "/root/testdata/sf0.001")
+    val p = (lit(10) + col("c_custkey") % 9).cast("int")
+    val del = concat(substr(col("c_name"), lit(1), p - 1),
+      substr(col("c_name"), p + 1, lit(18) - p))
+    val q = (lit(3) + col("c_custkey") % 5).cast("int")
+    val dirty = cust.filter(col("c_custkey") % 7 === 3)
+      .select(col("c_custkey").as("d_id"),
+        concat(substr(del, lit(1), q - 1), lit("x"),
+          substr(del, q + 1, length(del) - q)).as("d_s"))
+    val tbl = "graft_editidx_spec_" + System.nanoTime()
+    val bounds = Linkage.editIndexBuild(cust, "c_custkey", "c_name",
+      tau = 2, tableName = tbl, tableBuckets = 4)
+    try {
+      val probed = Linkage.editIndexProbe(spark, tbl, bounds,
+          dirty, "d_id", "d_s", tau = 2)
+        .select("d_id", "c_id", "dist").as[(Long, Long, Int)].collect().toSet
+      val direct = Linkage.editJoin(dirty, "d_id", "d_s",
+          cust, "c_custkey", "c_name", tau = 2)
+        .select("d_id", "c_id", "dist").as[(Long, Long, Int)].collect().toSet
+      assert(probed == direct,
+        s"index probe must equal the direct join: |probed|=${probed.size} |direct|=${direct.size}")
+      // the short-string naive leg survives the round-trip too
+      val shortClean = Seq((9001L, "ab"), (9002L, "x")).toDF("c_id", "c_s")
+      val tbl2 = "graft_editidx_spec2_" + System.nanoTime()
+      val b2 = Linkage.editIndexBuild(shortClean, "c_id", "c_s",
+        tau = 2, tableName = tbl2, tableBuckets = 2)
+      try {
+        val got = Linkage.editIndexProbe(spark, tbl2, b2,
+            Seq((1L, "ba"), (2L, "zzzz")).toDF("d_id", "d_s"), "d_id", "d_s", 2)
+          .select("d_id", "c_id").as[(Long, Long)].collect().toSet
+        assert(got == Set((1L, 9001L), (1L, 9002L)),
+          s"short-string catalog rows must link through the flagged leg: $got")
+      } finally spark.sql(s"DROP TABLE IF EXISTS `$tbl2`")
+    } finally spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+  }
+
   test("chooseSegmentation: entropy-uniform keys keep the even split (empty map)") {
     val rnd = new scala.util.Random(11)
     def randKey() = (0 until 18).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
