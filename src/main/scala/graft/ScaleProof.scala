@@ -32,7 +32,10 @@ object ScaleProof {
     // r14: multimodal near-dup at corpora that scale with documents
     // (5k payloads at sf0.1 → 50k at sf1) — the banded-Hamming engine's
     // scale evidence on the image and audio paths, not just text
-    "q_image_phash", "q_audio_fp")
+    "q_image_phash", "q_audio_fp",
+    // r14 late additions: cross-modal near-dup and the persisted
+    // entity-resolution catalog probe
+    "q_crossmodal_dup", "q_fuzzy_link_serve")
   val timedOnly: Seq[String] = Seq("q_bpe_train")
 
   /** Queries whose equi-join STRATEGY is intentionally scale-adaptive:
@@ -75,6 +78,11 @@ object ScaleProof {
       val here = finalPlan(p)
       val name = here.nodeName
         .replaceAll("\\(\\d+\\)", "") // WholeStageCodegen (3) → stable
+        // scans of per-(session, dir) persisted index tables carry the
+        // table identifier in the node name — the PLAN SHAPE is what the
+        // pin protects, not the table identity (r14: q_fuzzy_link_serve's
+        // per-dir index names diffed otherwise)
+        .replaceAll("Scan parquet \\S+", "Scan parquet")
       val transparent = runtimeArtifacts.contains(name) ||
         name.startsWith("WholeStageCodegen") || name.endsWith("QueryStage")
       val childUnder =
