@@ -54,9 +54,18 @@ object ScaleProof {
     * q_fuzzy_link2's final report join (dirty ⋈ per-record link counts)
     * flips the same way: `per` is dirty-sized, so broadcasting it is
     * only correct while the dirty side is small (r14 — the candidate
-    * join itself is repartition-pinned SMJ at every scale). */
+    * join itself is repartition-pinned SMJ at every scale);
+    * q_fuzzy_link_serve shares that report tail AND its probe join's
+    * build side (the dirty batch's exploded keys) grows with the batch,
+    * so both its joins adapt identically. The Hamming near-dup family
+    * (q_image_phash / q_audio_fp / q_crossmodal_dup) adapts exactly like
+    * q_dedup_minhash: the banded candidate join and both sig-verify
+    * rejoins are corpus-sized, so their broadcasts correctly flip to
+    * sort-merge at the sf10 corpus (500k signatures). */
   val strategyAdaptive: Set[String] =
-    Set("q_dedup_substring", "q_dedup_minhash", "q_fuzzy_link2")
+    Set("q_dedup_substring", "q_dedup_minhash", "q_fuzzy_link2",
+      "q_fuzzy_link_serve", "q_image_phash", "q_audio_fp",
+      "q_crossmodal_dup")
 
   /** Final physical plan as a normalized operator-sequence signature.
     * With `joinStrategyFree`, equi-join strategy nodes collapse to

@@ -370,14 +370,6 @@ object Dedup {
     hammingNearDup(sigs, prefixBits, maxHamming, bands, maxBucket)
   }
 
-  /** Hamming-banded near-duplicate pairs over ANY 64-bit signature table
-    * `(id, sig)` — the banding/cap/verify engine behind
-    * [[simhashNearDup]], reusable for every fingerprint whose distance
-    * is Hamming (SimHash over text, dHash/aHash over images). With
-    * `bands` = 64/prefixBits disjoint windows (e.g. 4 bands × 16 bits),
-    * pigeonhole guarantees any pair at Hamming < bands collides in at
-    * least one band — recall 1.0 up to `bands − 1` flipped bits.
-    * Output: (id_a, id_b, hamming) with id_a < id_b. */
   /** The rotated-prefix band buckets shared by [[hammingNearDup]] and
     * [[hammingNearDupAcross]]: band b's bucket is the top `prefixBits`
     * of the signature rotated left by b·(64/bands) — `bands` disjoint
@@ -406,6 +398,14 @@ object Dedup {
       s"prefixBits must be in [1, 63], got $prefixBits")
   }
 
+  /** Hamming-banded near-duplicate pairs over ANY 64-bit signature table
+    * `(id, sig)` — the banding/cap/verify engine behind
+    * [[simhashNearDup]], reusable for every fingerprint whose distance
+    * is Hamming (SimHash over text, dHash/aHash over images). With
+    * `bands` = 64/prefixBits disjoint windows (e.g. 4 bands × 16 bits),
+    * pigeonhole guarantees any pair at Hamming < bands collides in at
+    * least one band — recall 1.0 up to `bands − 1` flipped bits.
+    * Output: (id_a, id_b, hamming) with id_a < id_b. */
   def hammingNearDup(sigTable: DataFrame,
       prefixBits: Int = 12, maxHamming: Int = 8,
       bands: Int = 4, maxBucket: Int = 1000): DataFrame = {

@@ -121,6 +121,23 @@ object LlmQueries {
         (col("_recall") >= 0.8).as("recall_ok"))
   }
 
+  /** The fuzzy-link family's dirty derivation — ONE implementation
+    * shared by q_fuzzy_link2, q_fuzzy_link_serve, and the serve index's
+    * probe exemplar (the three must agree or the serve query drifts
+    * from its shared oracle and the index tunes against the wrong
+    * traffic): each record carries a deletion at position 10+key%9 plus
+    * an 'x' substitution at position 3+key%5. Output: (src_key, d_s). */
+  private def dirtyCustomers(cust: DataFrame): DataFrame = {
+    val p = (lit(10) + col("c_custkey") % 9).cast("int")
+    val del = concat(substr(col("c_name"), lit(1), p - 1),
+      substr(col("c_name"), p + 1, lit(18) - p))
+    val q = (lit(3) + col("c_custkey") % 5).cast("int")
+    cust.filter(col("c_custkey") % 7 === 3)
+      .select(col("c_custkey").as("src_key"),
+        concat(substr(del, lit(1), q - 1), lit("x"),
+          substr(del, q + 1, length(del) - q)).as("d_s"))
+  }
+
   /** Shared report tail of the fuzzy-link family: per-dirty-record link
     * counts (m) and true-link hits (t), rolled up to the
     * (n_dirty, n_linked, n_ambiguous, n_pairs, n_true) summary. `dirty`
@@ -154,13 +171,7 @@ object LlmQueries {
       // probe exemplar = the dirty traffic this index serves (the
       // q_fuzzy_link2 derivation — "yesterday's batch"); without it the
       // catalog-self proxy admits ~9× the candidates (Linkage scaladoc)
-      val p = (lit(10) + col("c_custkey") % 9).cast("int")
-      val del = concat(substr(col("c_name"), lit(1), p - 1),
-        substr(col("c_name"), p + 1, lit(18) - p))
-      val q = (lit(3) + col("c_custkey") % 5).cast("int")
-      val exemplar = cust.filter(col("c_custkey") % 7 === 3)
-        .select(concat(substr(del, lit(1), q - 1), lit("x"),
-          substr(del, q + 1, length(del) - q)).as("d_s"))
+      val exemplar = dirtyCustomers(cust)
       val bounds = graft.ops.Linkage.editIndexBuild(cust,
         "c_custkey", "c_name", tau = 2, tableName = tbl, tableBuckets = 16,
         probeExemplar = Some((exemplar, "d_s")))
@@ -387,14 +398,7 @@ object LlmQueries {
     // sf1/sf10 on gen_sf1.py's replicated-catalog axis.
     "q_fuzzy_link2" -> ((s, d) => {
       val cust = Tables.customer(s, d)
-      val p = (lit(10) + col("c_custkey") % 9).cast("int")
-      val del = concat(substr(col("c_name"), lit(1), p - 1),
-        substr(col("c_name"), p + 1, lit(18) - p))
-      val q = (lit(3) + col("c_custkey") % 5).cast("int")
-      val dirty = cust.filter(col("c_custkey") % 7 === 3)
-        .select(col("c_custkey").as("src_key"),
-          concat(substr(del, lit(1), q - 1), lit("x"),
-            substr(del, q + 1, length(del) - q)).as("d_s"))
+      val dirty = dirtyCustomers(cust)
       val pairs = graft.ops.Linkage.editJoin(
         dirty, "src_key", "d_s", cust, "c_custkey", "c_name", tau = 2)
       fuzzyLinkReport(dirty, pairs)
@@ -411,15 +415,7 @@ object LlmQueries {
     // oracle is shared.
     "q_fuzzy_link_serve" -> ((s, d) => {
       val (tbl, bounds) = servedEditIndex(s, d)
-      val cust = Tables.customer(s, d)
-      val p = (lit(10) + col("c_custkey") % 9).cast("int")
-      val del = concat(substr(col("c_name"), lit(1), p - 1),
-        substr(col("c_name"), p + 1, lit(18) - p))
-      val q = (lit(3) + col("c_custkey") % 5).cast("int")
-      val dirty = cust.filter(col("c_custkey") % 7 === 3)
-        .select(col("c_custkey").as("src_key"),
-          concat(substr(del, lit(1), q - 1), lit("x"),
-            substr(del, q + 1, length(del) - q)).as("d_s"))
+      val dirty = dirtyCustomers(Tables.customer(s, d))
       val pairs = graft.ops.Linkage.editIndexProbe(s, tbl, bounds,
         dirty, "src_key", "d_s", tau = 2)
       fuzzyLinkReport(dirty, pairs)

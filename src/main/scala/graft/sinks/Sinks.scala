@@ -198,18 +198,20 @@ object Sinks {
       } finally conn.disconnect()
     }
 
-    def writeBatch(df: DataFrame): Unit = {
+    /** Serialize once, then delegate retry + error-policy dispatch to
+      * the one batcher reliability implementation; the real micro-batch
+      * id flows into the Discard log line. */
+    private def flush(df: DataFrame, batchId: Long): Unit = {
       val lines = df.toJSON.collect() // bounded by the batcher flush size
-      // serialize once, then delegate retry + error-policy dispatch to
-      // the one batcher reliability implementation
       Reliability.retryingBatchWriter((_, _) => postOnce(lines),
-        retry, onError)(df, 0L)
+        retry, onError)(df, batchId)
     }
+    def writeBatch(df: DataFrame): Unit = flush(df, 0L)
     def writeStream(df: DataFrame, trigger: Option[Trigger],
         checkpoint: Option[String]): StreamingQuery =
       applyTrigger(
-        df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-          writeBatch(batch)
+        df.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+          flush(batch, batchId)
         }, trigger, checkpoint).start()
   }
 
