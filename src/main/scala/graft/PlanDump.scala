@@ -88,7 +88,11 @@ object PlanDump {
     "q_sim_ivfpq_refine" ->
       "end-to-end ANN serving: cell-bucketed inverted-file probe (corpus side Exchange-free), candidates carry ids only into the broadcast exact-refine join — one narrow corpus pass re-ranks k'=50 candidates per query to the final 5",
     "q_sim_ivfpq_serve" ->
-      "steady-state ANN serving (r14): the SAME probe+refine plan as q_sim_ivfpq_refine but against the build-once persisted index — no training jobs in the query; the probe reads the code table Bucketed:true and only the 5-query batch exchanges")
+      "steady-state ANN serving (r14): the SAME probe+refine plan as q_sim_ivfpq_refine but against the build-once persisted index — no training jobs in the query; the probe reads the code table Bucketed:true and only the 5-query batch exchanges",
+    "q_fuzzy_link_serve" ->
+      "persisted entity-resolution serving (r14): the dirty batch's exploded segment keys BROADCAST to the bucketed catalog scan (the catalog streams, zero catalog-side Exchange), verify inside the join, survivors distinct — no per-query sampling/analysis jobs",
+    "q_crossmodal_dup" ->
+      "cross-modal near-dup (r14): two independent narrow decode+fingerprint passes (BMP dHash, AVI keyframe dHash), banded cross-table equi-join with the combined-population bucket cap, hamming verify on candidates only — modalities meet in ONE join, never all-pairs")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outPath) = args

@@ -328,6 +328,30 @@ object Linkage {
     bounds
   }
 
+  /** Append NEW catalog rows to an [[editIndexBuild]] table — index
+    * maintenance for a growing reference catalog (the
+    * fingerprintIndexAppend shape). The appended rows are segmented
+    * with the INDEX'S boundary map (pass the build's return value), so
+    * existing probe plans keep matching them; the segmentation choice
+    * is not re-optimized on append — rebuild when the catalog's key
+    * distribution shifts enough that the stored boundaries stop
+    * pruning (the probe stays exact either way). */
+  def editIndexAppend(newClean: DataFrame, cId: String, cStr: String,
+      tau: Int, tableName: String, bounds: Map[Int, Seq[Int]],
+      tableBuckets: Int = 32): Unit = {
+    require(tau >= 1, s"tau must be >= 1, got $tau")
+    val nseg = tau + 1
+    val c = newClean.select(col(cId).as("c_id"), col(cStr).as("c_s"))
+    val segRows = cleanSegKeys(c, tau, bounds)
+      .select(xxhash64(col("k.i"), col("k.l"), col("k.seg")).as("kh"),
+        col("c_id"), col("c_s"), lit(false).as("short"))
+    val shortRows = c.filter(length(col("c_s")) < nseg)
+      .select(lit(null).cast("long").as("kh"),
+        col("c_id"), col("c_s"), lit(true).as("short"))
+    Bucketing.appendBucketed(segRows.unionByName(shortRows),
+      tableName, "kh", tableBuckets)
+  }
+
   /** Probe a catalog index from [[editIndexBuild]] with a dirty batch:
     * same output contract as [[editJoin]] — every (d_id, d_s, c_id,
     * c_s, dist) with Levenshtein ≤ τ, exact recall. The dirty side's

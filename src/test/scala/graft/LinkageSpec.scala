@@ -197,6 +197,22 @@ class LinkageSpec extends SparkSpec {
         .select("d_id", "c_id", "dist").as[(Long, Long, Int)].collect().toSet
       assert(probed == direct,
         s"index probe must equal the direct join: |probed|=${probed.size} |direct|=${direct.size}")
+      // index maintenance: append the second half of the catalog and
+      // probe again — still == the direct join over the FULL catalog
+      val half = cust.filter(col("c_custkey") % 2 === 0)
+      val rest = cust.filter(col("c_custkey") % 2 =!= 0)
+      val tbl3 = "graft_editidx_spec3_" + System.nanoTime()
+      val b3 = Linkage.editIndexBuild(half, "c_custkey", "c_name",
+        tau = 2, tableName = tbl3, tableBuckets = 4)
+      try {
+        Linkage.editIndexAppend(rest, "c_custkey", "c_name",
+          tau = 2, tableName = tbl3, bounds = b3, tableBuckets = 4)
+        val probedApp = Linkage.editIndexProbe(spark, tbl3, b3,
+            dirty, "d_id", "d_s", tau = 2)
+          .select("d_id", "c_id", "dist").as[(Long, Long, Int)].collect().toSet
+        assert(probedApp == direct,
+          s"append must extend the index exactly: |probed|=${probedApp.size} |direct|=${direct.size}")
+      } finally spark.sql(s"DROP TABLE IF EXISTS `$tbl3`")
       // the short-string naive leg survives the round-trip too
       val shortClean = Seq((9001L, "ab"), (9002L, "x")).toDF("c_id", "c_s")
       val tbl2 = "graft_editidx_spec2_" + System.nanoTime()
