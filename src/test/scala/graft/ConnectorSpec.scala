@@ -161,6 +161,43 @@ class ConnectorSpec extends SparkSpec {
     }
   }
 
+  test("webhook sink streaming: a mid-stream 500 retries inside the micro-batch, offsets stay exactly-once") {
+    // the full pipeline shape: the retry must happen INSIDE the
+    // foreachBatch flush (so the micro-batch commits only after the
+    // POST lands) — the batch is neither lost nor duplicated
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val bodies = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    withHttpServer { ex =>
+      // fail the SECOND flush's first attempt only
+      if (attempts.incrementAndGet() == 2) ex.sendResponseHeaders(500, -1)
+      else {
+        bodies.add(new String(ex.getRequestBody.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8))
+        ex.sendResponseHeaders(200, -1)
+      }
+    } { url =>
+      val src = new graft.sources.MemoryMessageSource(spark)
+      val q = graft.core.Pipeline.from(src).start(spark,
+        Sinks.WebhookSink(url, retry = graft.core.RetryPolicy(
+          maxRetries = 3, initialBackoffMs = 50, maxBackoffMs = 100,
+          isRetryable = Sinks.WebhookSink.retryable)))
+      try {
+        src.add(Seq(graft.core.Message.ofString("k1", "v1", "t")))
+        q.processAllAvailable()
+        src.add(Seq(graft.core.Message.ofString("k2", "v2", "t")))
+        q.processAllAvailable()
+      } finally { q.stop(); q.awaitTermination() }
+      assert(attempts.get == 3,
+        s"flush1 + failed flush2 + retried flush2 = 3 attempts, got ${attempts.get}")
+      val valRe = "\"value\":\"([^\"]+)\"".r
+      val vals = bodies.asScala.flatMap(_.split("\n")).toSeq
+        .flatMap(l => valRe.findFirstMatchIn(l).map(m => new String(
+          java.util.Base64.getDecoder.decode(m.group(1)), "UTF-8")))
+      assert(vals.sorted == Seq("v1", "v2"),
+        s"retried batch delivers exactly once: $vals")
+    }
+  }
+
   test("webhook sink: 4xx fails fast (no retry); error policies apply") {
     val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
     withHttpServer { ex =>
