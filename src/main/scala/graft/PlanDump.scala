@@ -92,7 +92,11 @@ object PlanDump {
     "q_fuzzy_link_serve" ->
       "persisted entity-resolution serving (r14): the dirty batch's exploded segment keys BROADCAST to the bucketed catalog scan (the catalog streams, zero catalog-side Exchange), verify inside the join, survivors distinct — no per-query sampling/analysis jobs",
     "q_crossmodal_dup" ->
-      "cross-modal near-dup (r14): two independent narrow decode+fingerprint passes (BMP dHash, AVI keyframe dHash), banded cross-table equi-join with the combined-population bucket cap, hamming verify on candidates only — modalities meet in ONE join, never all-pairs")
+      "cross-modal near-dup (r14): two independent narrow decode+fingerprint passes (BMP dHash, AVI keyframe dHash), banded cross-table equi-join with the combined-population bucket cap, hamming verify on candidates only — modalities meet in ONE join, never all-pairs",
+    "q_crossmodal_frames" ->
+      "multi-frame cross-modal near-dup (r15): ONE container walk per video yields a dHash per frame (narrow posexplode — the corpus never shuffles to be fingerprinted), then the same banded cross-table join as q_crossmodal_dup over (media, frame) struct ids — reuse at any frame offset, still candidates-only",
+    "q_dedup_tombstone" ->
+      "persisted-index retraction (r15): the probe anti-joins a BROADCAST tombstone side table between the bucketed index scan and the batch anti-join — the index keeps its zero-Exchange probe shape (Bucketed:true, only the batch shuffles) and is never rewritten per delete")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outPath) = args

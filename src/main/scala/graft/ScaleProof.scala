@@ -35,7 +35,10 @@ object ScaleProof {
     "q_image_phash", "q_audio_fp",
     // r14 late additions: cross-modal near-dup and the persisted
     // entity-resolution catalog probe
-    "q_crossmodal_dup", "q_fuzzy_link_serve")
+    "q_crossmodal_dup", "q_fuzzy_link_serve",
+    // r15: multi-frame cross-modal (~6 signatures per video — the
+    // heaviest multimodal axis) and the tombstone-aware index probe
+    "q_crossmodal_frames", "q_dedup_tombstone")
   val timedOnly: Seq[String] = Seq("q_bpe_train")
 
   /** Queries whose equi-join STRATEGY is intentionally scale-adaptive:
@@ -65,7 +68,7 @@ object ScaleProof {
   val strategyAdaptive: Set[String] =
     Set("q_dedup_substring", "q_dedup_minhash", "q_fuzzy_link2",
       "q_fuzzy_link_serve", "q_image_phash", "q_audio_fp",
-      "q_crossmodal_dup")
+      "q_crossmodal_dup", "q_crossmodal_frames")
 
   /** Final physical plan as a normalized operator-sequence signature.
     * With `joinStrategyFree`, equi-join strategy nodes collapse to

@@ -609,6 +609,30 @@ object Codecs {
       topDown = false)
   }
 
+  /** Per-frame dHashes of an uncompressed AVI — the multi-frame
+    * generalization of [[aviKeyframeDHash]] (r15): one 64-bit dHash per
+    * '00db' frame, in movi-list order (index = frame_idx), over the
+    * SAME 9×8 integer-grayscale grid. Real thumbnail-reuse detection
+    * bands over ALL frames, not just frame 0 — a still reused at any
+    * offset in the video is caught. null on parse failure or any frame
+    * overrunning the buffer (a corrupt container yields no partial
+    * signature set). */
+  def aviFrameDHashes(bytes: Array[Byte]): Array[Long] = {
+    val meta = parseAvi(bytes).orNull
+    if (meta == null) return null
+    val rowSizeL = aviRowSize(meta.width)
+    val out = new Array[Long](meta.frameOffsets.length)
+    var i = 0
+    while (i < out.length) {
+      val fo = meta.frameOffsets(i)
+      if (fo + rowSizeL * meta.height > bytes.length) return null
+      out(i) = dHashOfPixels(bytes, fo, meta.width, meta.height,
+        rowSizeL.toInt, topDown = false)
+      i += 1
+    }
+    out
+  }
+
   /** Deterministic 18×16 uncompressed AVI (RIFF 'AVI ' / LIST hdrl /
     * avih / LIST movi / '00db' raw bottom-up BGR frames) with a
     * plantable near-duplicate perturbation — the video sibling of
@@ -621,9 +645,43 @@ object Codecs {
     * that flips at most ONE keyframe-dHash bit. */
   def synthAviNear(seed: Long, pert: Int): Array[Byte] = {
     val s = math.floorMod(seed, 1000000L)
-    val w = 18; val h = 16
     val nf = (4 + s % 5).toInt
-    val us = 33333L * (1 + s % 3)
+    writeAvi(nf, 33333L * (1 + s % 3), (f, x, y, k) => {
+      val i = s + 1000003L * (x + 18 * y + 288 * k) + 7777777L * f
+      var v = ((i * i) >> 20) % 256
+      if (x == 0 && y == 0 && k == 0 && f == 0) v = (v + pert) % 256
+      v.toInt
+    })
+  }
+
+  /** [[synthAviNear]]'s sibling with the BMP-matching plane at an
+    * ARBITRARY frame — the multi-frame reuse fixture (r15): frame
+    * `reuseFrame mod nf` carries exactly [[synthBmpNear]](seed, pert)'s
+    * pixels (its frame term drops, and the 1-pixel perturbation moves
+    * to it); every other frame f uses the 7777777·(f+1) term, so NO
+    * other frame — frame 0 included — matches any image plane. Same
+    * container layout, dimensions, nFrames and µs/frame as
+    * [[synthAviNear]]. */
+  def synthAviNearAt(seed: Long, pert: Int, reuseFrame: Int): Array[Byte] = {
+    val s = math.floorMod(seed, 1000000L)
+    val nf = (4 + s % 5).toInt
+    val rf = math.floorMod(reuseFrame.toLong, nf.toLong).toInt
+    writeAvi(nf, 33333L * (1 + s % 3), (f, x, y, k) => {
+      val ft = if (f == rf) 0L else 7777777L * (f + 1)
+      val i = s + 1000003L * (x + 18 * y + 288 * k) + ft
+      var v = ((i * i) >> 20) % 256
+      if (x == 0 && y == 0 && k == 0 && f == rf) v = (v + pert) % 256
+      v.toInt
+    })
+  }
+
+  /** The shared 18×16 RIFF/AVI writer behind [[synthAviNear]] and
+    * [[synthAviNearAt]]: container layout is fixed, `pixel(f, x, y, k)`
+    * supplies each byte (y in display order; rows are written
+    * bottom-up, padded to the 4-byte stride). */
+  private def writeAvi(nf: Int, us: Long,
+      pixel: (Int, Int, Int, Int) => Int): Array[Byte] = {
+    val w = 18; val h = 16
     val rowSize = aviRowSize(w).toInt // w = 18, no overflow possible
     val frameBytes = rowSize * h
     val moviSize = 4 + nf * (8 + frameBytes)
@@ -652,10 +710,7 @@ object Codecs {
         while (x < w) {
           var k = 0
           while (k < 3) {
-            val i = s + 1000003L * (x + 18 * y + 288 * k) + 7777777L * f
-            var v = ((i * i) >> 20) % 256
-            if (x == 0 && y == 0 && k == 0 && f == 0) v = (v + pert) % 256
-            out.write(v.toInt)
+            out.write(pixel(f, x, y, k))
             k += 1
           }
           x += 1

@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.core.Transforms
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale corpus curation
@@ -21,6 +21,32 @@ import org.apache.spark.sql.functions._
   *     cap), so candidate generation is also a bounded equi-join.
   */
 object Dedup {
+
+  /** Observed-metric name prefix for degenerate-bucket drops — see
+    * [[observeDroppedBuckets]]. Bench and specs match on this prefix. */
+  val DroppedBucketsMetricPrefix = "graft_dropped_buckets/"
+
+  private val dropObsId = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Make a capped run VISIBLY distinguishable from an exact one (r14
+    * ADVICE): the oversized-bucket side of every maxBucket drop carries
+    * an `observe` node, so any action on the final DataFrame reports
+    * (n_dropped_buckets, n_dropped_rows) through
+    * `QueryExecution.observedMetrics` — a zero (or, once AQE's
+    * empty-relation propagation prunes the empty oversized side, an
+    * absent) metric means the run was exact, and any drop ALWAYS
+    * reports (a non-empty side is never pruned); the DuckDB oracles
+    * model no cap, so at scales the oracle
+    * never checks (the hash gate runs at sf0.1) this metric is the
+    * evidence a skewed band value silently crossed the cap. Bench
+    * aggregates the metric per query into the detail record; unique
+    * per-call names keep composed plans legal (observe names must not
+    * collide within one query). */
+  private def observeDroppedBuckets(oversized: DataFrame): DataFrame =
+    oversized.observe(
+      DroppedBucketsMetricPrefix + dropObsId.incrementAndGet(),
+      count(lit(1)).as("n_dropped_buckets"),
+      coalesce(sum("bsz"), lit(0L)).as("n_dropped_rows"))
 
   /** Exact duplicate groups by normalized-text fingerprint.
     * Returns (fingerprint, n_dups, min_doc_id = canonical representative).
@@ -60,10 +86,13 @@ object Dedup {
     * all share this one bucketed-index lifecycle; `fp` may be any
     * equi-joinable type. */
   def fingerprintIndexBuild(fps: DataFrame, tableName: String,
-      tableBuckets: Int = 32): Unit =
+      tableBuckets: Int = 32): Unit = {
+    // a REBUILD must not inherit a previous index's tombstones
+    fps.sparkSession.sql(s"DROP TABLE IF EXISTS `${tableName}_del`")
     Bucketing.writeBucketed(
       fps.groupBy("fp").agg(min("first_id").as("first_id")),
       tableName, "fp", tableBuckets)
+  }
 
   /** Delta append of NOVEL fingerprints to a [[fingerprintIndexBuild]]
     * table (eager localCheckpoint for the same self-referential-write
@@ -75,6 +104,66 @@ object Dedup {
         .localCheckpoint(true),
       tableName, "fp", tableBuckets)
 
+  /** Tombstone RETRACTION for a [[fingerprintIndexBuild]] table (r15 —
+    * the index family was append-only; nothing could remove a retracted
+    * document). Deletes accumulate in a SMALL side table
+    * `<tableName>_del` of fingerprints: probes anti-join it
+    * ([[liveFingerprintIndex]] — broadcast, so the bucketed base scan
+    * keeps its zero-Exchange shape), and [[fingerprintIndexCompact]]
+    * folds it into the base — the index is never rewritten per delete,
+    * the same delta discipline as appends. Semantics are
+    * per-FINGERPRINT: deleting a fingerprint retracts it entirely (a
+    * later batch re-inserts it as novel), so
+    * probe(build(A) ∪ append(B) − delete(D)) ≡ probe(build(A∪B−D)) with
+    * −D removing every doc holding a deleted fingerprint — spec-pinned
+    * in DedupSimilaritySpec, oracled by q_dedup_tombstone. */
+  def fingerprintIndexDelete(delFps: DataFrame, tableName: String): Unit = {
+    val spark = delFps.sparkSession
+    // eager: the caller may derive the delete set from the index itself
+    val del = delFps.select("fp").distinct().localCheckpoint(true)
+    if (spark.catalog.tableExists(tableName + "_del"))
+      del.write.mode(SaveMode.Append).format("parquet")
+        .saveAsTable(tableName + "_del")
+    else Bucketing.writeTable(del, tableName + "_del")
+  }
+
+  /** Text-level convenience for [[fingerprintIndexDelete]]: retract the
+    * normalized-text fingerprints of `retracted` from a
+    * [[dedupIndexBuild]] table. */
+  def dedupIndexDelete(spark: SparkSession, tableName: String,
+      retracted: DataFrame, textCol: String): Unit =
+    fingerprintIndexDelete(
+      retracted.select(fingerprint(col(textCol)).as("fp")), tableName)
+
+  /** The LIVE rows of a fingerprint index: base minus tombstones. The
+    * tombstone side is broadcast (deletes are a small delta by contract
+    * — fold them with [[fingerprintIndexCompact]] before they grow);
+    * the broadcast anti-join preserves the base scan's bucketed
+    * partitioning, so downstream probe joins stay index-Exchange-free.
+    * Indexes with no delete table read through unchanged (identical
+    * plan). */
+  def liveFingerprintIndex(spark: SparkSession, tableName: String): DataFrame = {
+    val base = spark.table(tableName)
+    if (!spark.catalog.tableExists(tableName + "_del")) base
+    else base.join(broadcast(spark.table(tableName + "_del")),
+      Seq("fp"), "left_anti")
+  }
+
+  /** Fold tombstones into the base: rewrite the index to its live rows
+    * (one file per bucket, the [[Bucketing.compactBucketed]] layout
+    * contract) and drop the tombstone table. Probe results are
+    * unchanged by construction — the probe already read the live view.
+    * Returns the live row count. */
+  def fingerprintIndexCompact(spark: SparkSession, tableName: String,
+      tableBuckets: Int = 32): Long = {
+    val live = liveFingerprintIndex(spark, tableName).localCheckpoint(true)
+    val n = live.count()
+    Bucketing.writeBucketed(
+      live.repartition(tableBuckets, col("fp")), tableName, "fp", tableBuckets)
+    spark.sql(s"DROP TABLE IF EXISTS `${tableName}_del`")
+    n
+  }
+
   /** Rows of `batch` that are NOVEL against a [[dedupIndexBuild]] table:
     * fingerprint unseen by the index AND first (min-id) within the batch.
     * The anti-join streams the bucketed index with no Exchange (only the
@@ -84,7 +173,8 @@ object Dedup {
       batch: DataFrame, textCol: String, idCol: String): DataFrame = {
     val withFp = batch.withColumn("_fp", fingerprint(col(textCol)))
     val unseen = withFp.hint("shuffle_merge")
-      .join(spark.table(tableName), col("_fp") === col("fp"), "left_anti")
+      .join(liveFingerprintIndex(spark, tableName),
+        col("_fp") === col("fp"), "left_anti")
     val winners = unseen // aliased group key: no self-join exprId clash
       .groupBy(col("_fp").as("_wfp"))
       .agg(min(col(idCol).cast("long")).as("_wid"))
@@ -317,9 +407,10 @@ object Dedup {
     // construction), so this is a broadcast anti-join — NOT a window
     // count, which would hash+sort the entire banded table just to
     // discover the few hot buckets.
-    val oversized = banded.groupBy("band", "bh")
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") > maxBucket)
+    val oversized = observeDroppedBuckets(
+      banded.groupBy("band", "bh")
+        .agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") > maxBucket))
       .select("band", "bh")
     val kept = banded.join(broadcast(oversized), Seq("band", "bh"), "left_anti")
     val l = kept.select(col("band"), col("bh"), col("id").as("id_a"))
@@ -415,9 +506,10 @@ object Dedup {
     val sigs = sigTable.localCheckpoint()
     val banded = bandBuckets(sigs, bands, prefixBits)
     // degenerate-bucket cap: same broadcast anti-join as minhashNearDup
-    val oversized = banded.groupBy("band", "bh")
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") > maxBucket)
+    val oversized = observeDroppedBuckets(
+      banded.groupBy("band", "bh")
+        .agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") > maxBucket))
       .select("band", "bh")
     val kept = banded.join(broadcast(oversized), Seq("band", "bh"), "left_anti")
     val l = kept.select(col("band"), col("bh"), col("id").as("id_a"))
@@ -452,10 +544,11 @@ object Dedup {
     val r = right.localCheckpoint()
     val lb = bandBuckets(l, bands, prefixBits)
     val rb = bandBuckets(r, bands, prefixBits)
-    val oversized = lb.select("band", "bh")
-      .unionByName(rb.select("band", "bh"))
-      .groupBy("band", "bh").agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") > maxBucket)
+    val oversized = observeDroppedBuckets(
+      lb.select("band", "bh")
+        .unionByName(rb.select("band", "bh"))
+        .groupBy("band", "bh").agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") > maxBucket))
       .select("band", "bh")
     val lk = lb.join(broadcast(oversized), Seq("band", "bh"), "left_anti")
     val rk = rb.join(broadcast(oversized), Seq("band", "bh"), "left_anti")

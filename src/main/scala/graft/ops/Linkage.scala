@@ -222,9 +222,11 @@ object Linkage {
     * (tightened at the last segment: it has nothing after it in s, so
     * its match must END within τ of the end of r; the first segment
     * needs no extra clause — p_0 = 1 makes the generic bounds already
-    * [1, 1+τ]). Output: (d_id, d_s, k), keys row-distinct. */
+    * [1, 1+τ]). Output: (d_id, d_s, keep…, k), keys row-distinct;
+    * `keep` columns (e.g. an event-time column for the streaming probe)
+    * ride the explode unchanged. */
   private[graft] def dirtySegKeys(d: DataFrame, tau: Int,
-      bounds: Map[Int, Seq[Int]]): DataFrame = {
+      bounds: Map[Int, Seq[Int]], keep: Seq[String] = Nil): DataFrame = {
     val nseg = tau + 1
     val (segStart, segLen) = segGeometry(nseg, bounds)
     val emptyKeys = array().cast("array<struct<i:int,l:int,seg:string>>")
@@ -242,8 +244,8 @@ object Linkage {
             col("d_s").substr(j, li).as("seg"))))
         .otherwise(emptyKeys)
     }
-    d.select(col("d_id"), col("d_s"),
-      explode(array_distinct(flatten(array(dKeyArrays: _*)))).as("k"))
+    d.select(col("d_id") +: col("d_s") +: keep.map(col) :+
+      explode(array_distinct(flatten(array(dKeyArrays: _*)))).as("k"): _*)
   }
 
   /** The blocked candidate generator of [[editJoin]] —
@@ -293,8 +295,15 @@ object Linkage {
     * it with ZERO catalog-side Exchange. Short catalog strings
     * (length ≤ τ, unsegmentable) are stored in the same table flagged
     * `short` and join through the broadcast naive leg at probe time.
-    * Returns the boundary map the probe needs (tiny — persist it next
-    * to the table name in application config).
+    *
+    * The boundary map and τ are PERSISTED WITH THE INDEX (side table
+    * `<tableName>_meta` — r14 ADVICE): if probe keys hashed under a
+    * DIFFERENT segmentation than the catalog rows were built with (a
+    * rebuild with fresh samples, a stale copy of the map), the probe
+    * would silently return a subset — exact recall lost with no error.
+    * [[editIndexProbe]] and [[editIndexAppend]] therefore READ the
+    * stored map instead of accepting one from the caller; the map is
+    * also returned here for inspection.
     *
     * A 64-bit key-hash collision can only ADD a candidate pair, and the
     * probe's banded threshold-levenshtein verify removes it — recall
@@ -325,21 +334,51 @@ object Linkage {
         col("c_id"), col("c_s"), lit(true).as("short"))
     Bucketing.writeBucketed(segRows.unionByName(shortRows),
       tableName, "kh", tableBuckets)
+    writeEditIndexMeta(clean.sparkSession, tableName, tau, bounds)
     bounds
+  }
+
+  /** Persist (τ, boundary map) next to the index as `<tableName>_meta`:
+    * one sentinel row (len = −1, starts = [], the τ carrier — present
+    * even when the map is empty) plus one row per mapped length. The
+    * table is a handful of rows; probes collect it once at plan time. */
+  private def writeEditIndexMeta(spark: org.apache.spark.sql.SparkSession,
+      tableName: String, tau: Int, bounds: Map[Int, Seq[Int]]): Unit = {
+    import spark.implicits._
+    val rows = (-1, Seq.empty[Int], tau) +:
+      bounds.toSeq.sortBy(_._1).map { case (l, st) => (l, st, tau) }
+    Bucketing.writeTable(rows.toDF("len", "starts", "tau"),
+      tableName + "_meta")
+  }
+
+  /** Read the persisted (τ, boundary map) of an [[editIndexBuild]]
+    * table. Package-visible so specs can pin the round-trip. */
+  private[graft] def readEditIndexMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String): (Int, Map[Int, Seq[Int]]) = {
+    val rows = spark.table(tableName + "_meta").collect()
+    require(rows.nonEmpty, s"$tableName${"_meta"} is empty — not an editIndexBuild table")
+    val tau = rows.head.getAs[Int]("tau")
+    val bounds = rows.iterator
+      .filter(_.getAs[Int]("len") >= 0)
+      .map(r => r.getAs[Int]("len") ->
+        r.getSeq[Int](r.fieldIndex("starts")).toIndexedSeq.asInstanceOf[Seq[Int]])
+      .toMap
+    (tau, bounds)
   }
 
   /** Append NEW catalog rows to an [[editIndexBuild]] table — index
     * maintenance for a growing reference catalog (the
     * fingerprintIndexAppend shape). The appended rows are segmented
-    * with the INDEX'S boundary map (pass the build's return value), so
-    * existing probe plans keep matching them; the segmentation choice
-    * is not re-optimized on append — rebuild when the catalog's key
-    * distribution shifts enough that the stored boundaries stop
-    * pruning (the probe stays exact either way). */
+    * with the INDEX'S persisted boundary map and τ (read from
+    * `<tableName>_meta` — never caller-supplied, so appended rows can
+    * never hash under a different segmentation than the probe uses);
+    * the segmentation choice is not re-optimized on append — rebuild
+    * when the catalog's key distribution shifts enough that the stored
+    * boundaries stop pruning (the probe stays exact either way). */
   def editIndexAppend(newClean: DataFrame, cId: String, cStr: String,
-      tau: Int, tableName: String, bounds: Map[Int, Seq[Int]],
-      tableBuckets: Int = 32): Unit = {
-    require(tau >= 1, s"tau must be >= 1, got $tau")
+      tableName: String, tableBuckets: Int = 32): Unit = {
+    val (tau, bounds) = readEditIndexMeta(newClean.sparkSession, tableName)
     val nseg = tau + 1
     val c = newClean.select(col(cId).as("c_id"), col(cStr).as("c_s"))
     val segRows = cleanSegKeys(c, tau, bounds)
@@ -354,13 +393,17 @@ object Linkage {
 
   /** Probe a catalog index from [[editIndexBuild]] with a dirty batch:
     * same output contract as [[editJoin]] — every (d_id, d_s, c_id,
-    * c_s, dist) with Levenshtein ≤ τ, exact recall. The dirty side's
-    * candidate keys hash to the index's bucket key, so only the (small)
-    * dirty batch shuffles; the catalog scan is Bucketed: true. */
+    * c_s, dist) with Levenshtein ≤ τ, exact recall. τ and the boundary
+    * map come from the index's own meta table (r14 ADVICE: a
+    * caller-supplied map that differed from the build's would hash
+    * dirty keys under one segmentation and catalog rows under another —
+    * a silently-partial result). The dirty side's candidate keys hash
+    * to the index's bucket key, so only the (small) dirty batch
+    * shuffles; the catalog scan is Bucketed: true. */
   def editIndexProbe(spark: org.apache.spark.sql.SparkSession,
-      tableName: String, bounds: Map[Int, Seq[Int]],
-      dirty: DataFrame, dId: String, dStr: String, tau: Int): DataFrame = {
-    require(tau >= 1, s"tau must be >= 1, got $tau")
+      tableName: String,
+      dirty: DataFrame, dId: String, dStr: String): DataFrame = {
+    val (tau, bounds) = readEditIndexMeta(spark, tableName)
     val d = dirty.select(col(dId).as("d_id"), col(dStr).as("d_s"))
     val idx = spark.table(tableName)
     val dSeg = dirtySegKeys(d, tau, bounds)
@@ -379,6 +422,54 @@ object Linkage {
       .filter(col("dist") =!= -1)
       .select("d_id", "d_s", "c_id", "c_s", "dist")
     verified.unionByName(short).distinct()
+  }
+
+  /** Streaming linkage-at-ingest (r15) — the streaming probe twin of
+    * [[editIndexProbe]], completing the persisted-index family's
+    * streaming surface (annMatchStream / ivfPqMatchStream /
+    * dedupIngestStream all have one; the edit-distance catalog was the
+    * last without). Each dirty record in the stream links against the
+    * persisted catalog per micro-batch: candidate segment keys are
+    * computed narrowly on the stream side ([[dirtySegKeys]] — a
+    * flatMap, no state), stream-static equi-joined on the index's
+    * bucketed key hash (STATELESS — the static side re-resolves per
+    * micro-batch, so an [[editIndexAppend]] between batches is picked
+    * up without restart; appends segment under the same persisted
+    * boundary map, so probe keys keep matching), verified with the
+    * banded threshold-levenshtein, and short catalog strings join
+    * through the same broadcast naive leg. The only state is the
+    * watermark-bounded (d_id, c_id) dedup collapsing multi-segment
+    * collisions of the same pair (the batch twin's `.distinct()`).
+    * Exact recall per micro-batch for the catalog as of that batch, by
+    * the same pigeonhole argument as [[editJoin]].
+    * Output: (d_id, d_s, ts, c_id, c_s, dist), append mode. */
+  def editIndexMatchStream(stream: DataFrame, dId: String, dStr: String,
+      tsCol: String, watermark: String,
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String): DataFrame = {
+    val (tau, bounds) = readEditIndexMeta(spark, tableName)
+    // watermark BEFORE the branch so both legs carry it into the union
+    val d = stream
+      .select(col(dId).as("d_id"), col(dStr).as("d_s"), col(tsCol).as("ts"))
+      .withWatermark("ts", watermark)
+    val idx = spark.table(tableName)
+    val dSeg = dirtySegKeys(d, tau, bounds, keep = Seq("ts"))
+      .select(col("d_id"), col("d_s"), col("ts"),
+        xxhash64(col("k.i"), col("k.l"), col("k.seg")).as("kh"))
+    val verified = dSeg
+      .join(idx.filter(!col("short")).select(col("kh"), col("c_id"), col("c_s")),
+        Seq("kh"))
+      .withColumn("dist", levenshtein(col("d_s"), col("c_s"), tau))
+      .filter(col("dist") =!= -1)
+      .select("d_id", "d_s", "ts", "c_id", "c_s", "dist")
+    val short = d.join(
+      broadcast(idx.filter(col("short")).select(col("c_id"), col("c_s"))),
+      abs(length(col("d_s")) - length(col("c_s"))) <= tau)
+      .withColumn("dist", levenshtein(col("d_s"), col("c_s"), tau))
+      .filter(col("dist") =!= -1)
+      .select("d_id", "d_s", "ts", "c_id", "c_s", "dist")
+    verified.unionByName(short)
+      .dropDuplicatesWithinWatermark("d_id", "c_id")
   }
 
   /** Bounded deterministic sample of a string column: one count() to
@@ -412,14 +503,27 @@ object Linkage {
     */
   private[graft] def chooseSegmentation(cleanSample: Seq[String],
       dirtySample: Seq[String], tau: Int, maxLen: Int = 64,
-      minSupport: Int = 16): Map[Int, Seq[Int]] = {
+      minSupport: Int = 16, workBudget: Double = 2e8): Map[Int, Seq[Int]] = {
     val nseg = tau + 1
     val byLen = cleanSample.filter(s => s.length >= nseg && s.length <= maxLen)
       .groupBy(_.length)
     val out = Map.newBuilder[Int, Seq[Int]]
-    for ((ll, strs) <- byLen if strs.size >= minSupport) {
+    // TOTAL driver work is bounded ACROSS length classes (r14 ADVICE:
+    // one class's sweep is ~ll²/2·(|cleanSub| + |dirtySub|·(2τ+1)) —
+    // ~19M substring+hash ops at L=64 — and natural data can pass
+    // minSupport for dozens of classes, approaching ~10⁹ ops with no
+    // per-class cap exceeded). Classes are processed in descending
+    // sample mass (ties: shorter first — cheaper per unit of coverage);
+    // once the budget is spent, remaining classes keep the even split,
+    // which costs pruning on minority lengths, never recall.
+    var workSpent = 0.0
+    val ordered = byLen.toSeq.sortBy { case (ll, strs) => (-strs.size, ll) }
+    for ((ll, strs) <- ordered if strs.size >= minSupport) {
       val dirtyNear = dirtySample.filter(r => math.abs(r.length - ll) <= tau)
-      if (dirtyNear.nonEmpty) {
+      val classWork = ll.toDouble * ll / 2.0 *
+        (math.min(strs.size, 4096) + math.min(dirtyNear.size, 1024) * (2 * tau + 1))
+      if (dirtyNear.nonEmpty && workSpent + classWork <= workBudget) {
+        workSpent += classWork
         // bounded subsamples keep the (a, b) sweep ~tens of millions of
         // hash ops even at maxLen; the full-sample re-check below guards
         // against subsample noise

@@ -296,6 +296,22 @@ object Multimodal {
     media.select(col(idCol).as("id"), u(col(payloadCol)).as("sig"))
   }
 
+  /** Per-frame dHash signatures — [[videoKeyframeDHash]] generalized to
+    * EVERY decoded frame (r15): one row per (media, frame), so banding
+    * over the result catches a still reused at ANY frame offset, not
+    * just the thumbnail. One decode per media row (the per-frame
+    * offsets come from a single container walk —
+    * [[Codecs.aviFrameDHashes]]), then a narrow posexplode; the corpus
+    * never shuffles to be fingerprinted. Output: (id, frame_idx, sig).
+    */
+  def videoFrameDHashes(media: DataFrame, idCol: String = "media_id",
+      payloadCol: String = "payload"): DataFrame = {
+    val u = udf((payload: Array[Byte]) =>
+      Option(Codecs.aviFrameDHashes(payload)))
+    media.select(col(idCol).as("id"), u(col(payloadCol)).as("sigs"))
+      .select(col("id"), posexplode(col("sigs")).as(Seq("frame_idx", "sig")))
+  }
+
   /** Sample up to `n` frame indices per media row, evenly spaced over the
     * decoded frame count — one output row per sampled frame. */
   def sampleFrames(withMeta: DataFrame, n: Int): DataFrame =

@@ -117,6 +117,8 @@ object Similarity {
     val sig = corpus.select(Seq(col(idCol).as("n_id"), col(vecCol).as("nv"),
       explode(lshBuckets(col(vecCol), bits, dim, tables, 0, seed))
         .as("bucket")) ++ metaCols.map(col): _*)
+    // a REBUILD must not inherit a previous index's tombstones
+    corpus.sparkSession.sql(s"DROP TABLE IF EXISTS `${tableName}_del`")
     Bucketing.writeBucketed(sig, tableName, "bucket", tableBuckets)
   }
 
@@ -134,6 +136,52 @@ object Similarity {
       explode(lshBuckets(col(vecCol), bits, dim, tables, 0, seed))
         .as("bucket")) ++ metaCols.map(col): _*)
     Bucketing.appendBucketed(sig, tableName, "bucket", tableBuckets)
+  }
+
+  /** Tombstone RETRACTION for a [[lshIndexBuild]] table (r15): vector
+    * ids to retract accumulate in a small `<tableName>_del` side table;
+    * probes anti-join it ([[liveLshIndex]]) and [[lshIndexCompact]]
+    * folds it into the base — no per-delete index rewrite, mirroring
+    * [[Dedup.fingerprintIndexDelete]]. A deleted id's signatures vanish
+    * from every band table at probe time:
+    * probe(build(A) ∪ append(B) − delete(D)) ≡ probe(build(A∪B−D)),
+    * spec-pinned in DedupSimilaritySpec. */
+  def lshIndexDelete(delIds: DataFrame, idCol: String,
+      tableName: String): Unit = {
+    val spark = delIds.sparkSession
+    val del = delIds.select(col(idCol).as("n_id")).distinct()
+      .localCheckpoint(true) // the delete set may derive from the index
+    if (spark.catalog.tableExists(tableName + "_del"))
+      del.write.mode(org.apache.spark.sql.SaveMode.Append).format("parquet")
+        .saveAsTable(tableName + "_del")
+    else Bucketing.writeTable(del, tableName + "_del")
+  }
+
+  /** The LIVE rows of an LSH index: base minus tombstoned vector ids.
+    * The tombstone side is broadcast (a small delta by contract — fold
+    * with [[lshIndexCompact]] before it grows), and a broadcast
+    * anti-join preserves the base scan's bucket partitioning, so probes
+    * keep their zero-corpus-Exchange shape. No delete table → the base
+    * reads through unchanged (identical plan). */
+  def liveLshIndex(spark: SparkSession, tableName: String): DataFrame = {
+    val base = spark.table(tableName)
+    if (!spark.catalog.tableExists(tableName + "_del")) base
+    else base.join(broadcast(spark.table(tableName + "_del")),
+      Seq("n_id"), "left_anti")
+  }
+
+  /** Fold tombstones into the base: rewrite the index to its live rows
+    * (one file per bucket) and drop the delete table. Probe results
+    * unchanged by construction. Returns the live signature-row count. */
+  def lshIndexCompact(spark: SparkSession, tableName: String,
+      tableBuckets: Int = 32): Long = {
+    val live = liveLshIndex(spark, tableName).localCheckpoint(true)
+    val n = live.count()
+    Bucketing.writeBucketed(
+      live.repartition(tableBuckets, col("bucket")),
+      tableName, "bucket", tableBuckets)
+    spark.sql(s"DROP TABLE IF EXISTS `${tableName}_del`")
+    n
   }
 
   /** Probe a [[lshIndexBuild]] table: bucket the query batch with the
@@ -155,7 +203,8 @@ object Similarity {
     // filter-after-rank does. Identical to probing an index built over
     // the pre-filtered corpus (bucketing is per-row — DedupSimilaritySpec
     // pins it).
-    val c = corpusFilter.foldLeft(spark.table(tableName))((t, f) => t.filter(f))
+    val c = corpusFilter.foldLeft(liveLshIndex(spark, tableName))(
+      (t, f) => t.filter(f))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"),
       explode(lshBuckets(col(vecCol), bits, dim, tables, probes, seed)).as("bucket"))
     lshRerank(c.join(q.hint("shuffle_merge"), "bucket"), k)

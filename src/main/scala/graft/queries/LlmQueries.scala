@@ -157,13 +157,13 @@ object LlmQueries {
 
   /** Build-once state for q_fuzzy_link_serve: the entity-resolution
     * catalog index ([[graft.ops.Linkage.editIndexBuild]] — bucketed
-    * segment-hash table + its tiny boundary map) per (session, sf dir).
+    * segment-hash table; the boundary map and τ persist WITH the index
+    * in its `_meta` side table, r14 ADVICE) per (session, sf dir).
     * Unlike [[servedRefineIdx]] nothing heavy is pinned (the table is
-    * disk-resident; the map is a few dozen ints), so a plain memo
-    * suffices. */
-  private val servedEditIdx = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, Map[Int, Seq[Int]])]()
-  private def servedEditIndex(s: SparkSession, d: String): (String, Map[Int, Seq[Int]]) =
+    * disk-resident), so a plain memo of the table name suffices. */
+  private val servedEditIdx =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def servedEditIndex(s: SparkSession, d: String): String =
     servedEditIdx.computeIfAbsent(s.sparkContext.applicationId + "|" + d, _ => {
       val tbl = ("graft_editserve_idx_" + s.sparkContext.applicationId +
         "_" + d).replaceAll("[^A-Za-z0-9_]", "_")
@@ -172,10 +172,10 @@ object LlmQueries {
       // q_fuzzy_link2 derivation — "yesterday's batch"); without it the
       // catalog-self proxy admits ~9× the candidates (Linkage scaladoc)
       val exemplar = dirtyCustomers(cust)
-      val bounds = graft.ops.Linkage.editIndexBuild(cust,
+      graft.ops.Linkage.editIndexBuild(cust,
         "c_custkey", "c_name", tau = 2, tableName = tbl, tableBuckets = 16,
         probeExemplar = Some((exemplar, "d_s")))
-      (tbl, bounds)
+      tbl
     })
 
   // DuckDB twin of TextFunctions.tokens — keep in sync.
@@ -414,10 +414,10 @@ object LlmQueries {
     // q_fuzzy_link2 (recall is exact under ANY segmentation), so the
     // oracle is shared.
     "q_fuzzy_link_serve" -> ((s, d) => {
-      val (tbl, bounds) = servedEditIndex(s, d)
+      val tbl = servedEditIndex(s, d)
       val dirty = dirtyCustomers(Tables.customer(s, d))
-      val pairs = graft.ops.Linkage.editIndexProbe(s, tbl, bounds,
-        dirty, "src_key", "d_s", tau = 2)
+      val pairs = graft.ops.Linkage.editIndexProbe(s, tbl,
+        dirty, "src_key", "d_s")
       fuzzyLinkReport(dirty, pairs)
     }),
 
@@ -1399,6 +1399,31 @@ object LlmQueries {
         .select(col("doc_id"), col("batch"))
     }),
 
+    // PERSISTED-INDEX DELETES (r15): the dedup-index lifecycle gains
+    // retraction — build over batch 0, append batch 1's novel
+    // fingerprints, tombstone every indexed doc with doc_id % 5 == 0
+    // ([[graft.ops.Dedup.fingerprintIndexDelete]] — per-FINGERPRINT
+    // semantics, the fp row retracts entirely so a later batch
+    // re-inserts it as novel), then probe batch 2 against
+    // build ∪ append − delete. Tombstones live in a small side table
+    // anti-joined at probe time (broadcast — the bucketed index scan
+    // keeps its zero-Exchange shape) and fold into the base on
+    // fingerprintIndexCompact; the oracle replays the live fp set.
+    "q_dedup_tombstone" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tbl = "graft_dd_tomb_" + s.sparkContext.applicationId
+        .replaceAll("[^A-Za-z0-9_]", "_")
+      val batch = (b: Int) => docs.filter(col("doc_id") % 3 === b)
+      Dedup.dedupIndexBuild(batch(0), "text", "doc_id", tbl, tableBuckets = 8)
+      val n1 = Dedup.dedupAgainstIndex(s, tbl, batch(1), "text", "doc_id")
+        .localCheckpoint()
+      Dedup.dedupIndexAppend(s, tbl, n1, "text", "doc_id", tableBuckets = 8)
+      Dedup.dedupIndexDelete(s, tbl,
+        docs.filter(col("doc_id") % 3 =!= 2 && col("doc_id") % 5 === 0), "text")
+      Dedup.dedupAgainstIndex(s, tbl, batch(2), "text", "doc_id")
+        .select(col("doc_id"))
+    }),
+
     // content-defined chunking dedup: boundaries where the rolling
     // 8-char window hash ≡ 0 (mod 64) — block dedup that survives
     // insertions shifting every downstream offset (fixed grids and
@@ -1887,6 +1912,39 @@ object LlmQueries {
         Multimodal.imageDHash(images),
         Multimodal.videoKeyframeDHash(videos),
         prefixBits = 16, maxHamming = 3, bands = 4)
+    }),
+
+    // MULTI-FRAME cross-modal near-dup (r15): q_crossmodal_dup bands
+    // frame 0 only — a still reused DEEPER in a video is invisible to
+    // it. Here every decoded frame gets a dHash
+    // ([[graft.ops.Multimodal.videoFrameDHashes]] — one container walk
+    // per video, one signature row per frame) and the SAME
+    // hammingNearDupAcross engine bands (media, frame) signatures
+    // against the image corpus; the signature id is a
+    // struct(media_id, frame_idx), unpacked in the output. Planted:
+    // doc_id % 3 == 0 videos embed image doc_id's exact pixel plane at
+    // frame (doc_id/3) mod nFrames ([[graft.ops.Codecs.synthAviNearAt]]
+    // — all OTHER frames use a shifted plane that matches no image);
+    // odd ids carry the 1-pixel edit (≤ 1 flipped bit). Other videos
+    // draw from the disjoint [500000, 700000) seed range.
+    "q_crossmodal_frames" -> ((s, d) => {
+      val bmpUdf = udf((id: Long) => Codecs.synthBmpNear(id, 0))
+      val aviUdf = udf((id: Long) => Codecs.synthAviNearAt(
+        if (id % 3 == 0) id else 500000L + id % 200000L,
+        (id % 2).toInt * 128, ((id / 3) % 8).toInt))
+      val docs = Tables.documents(s, d)
+      val images = docs
+        .select(col("doc_id").as("media_id"), bmpUdf(col("doc_id")).as("payload"))
+      val videos = docs
+        .select(col("doc_id").as("media_id"), aviUdf(col("doc_id")).as("payload"))
+      val frameSigs = Multimodal.videoFrameDHashes(videos)
+        .select(struct(col("id").as("media_id"), col("frame_idx")).as("id"),
+          col("sig"))
+      Dedup.hammingNearDupAcross(
+        Multimodal.imageDHash(images), frameSigs,
+        prefixBits = 16, maxHamming = 3, bands = 4)
+        .select(col("id_a"), col("id_b.media_id").as("vid_id"),
+          col("id_b.frame_idx").as("frame_idx"), col("hamming"))
     }),
 
     "q_multimodal_frames" -> ((s, d) => {
@@ -3395,6 +3453,72 @@ object LlmQueries {
         |  GROUP BY c.id_a, c.id_b)
         |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3""".stripMargin,
 
+    // the multi-frame twin: the video replay gains a frame axis — every
+    // frame f < nf gets the grid, with the frame term 7777777·(f+1)
+    // EXCEPT at the reuse frame rf = ((doc_id//3) % 8) % nf, where the
+    // term drops (that frame IS the synthBmpNear plane) and the
+    // perturbation applies; banding and the hamming verify run per
+    // (doc_id, f) signature
+    "q_crossmodal_frames" ->
+      """WITH gi AS (SELECT doc_id, gy, gx,
+        |   299*(((i2*i2) // 1048576) % 256)
+        | + 587*(((i1*i1) // 1048576) % 256)
+        | + 114*(((i0*i0) // 1048576) % 256)
+        |   AS gray
+        |  FROM (SELECT doc_id, gy, gx,
+        |     (doc_id % 1000000) + 1000003*(2*gx + 36*gy) AS i0,
+        |     (doc_id % 1000000) + 1000003*(2*gx + 36*gy + 288) AS i1,
+        |     (doc_id % 1000000) + 1000003*(2*gx + 36*gy + 576) AS i2
+        |    FROM documents, range(0, 8) t1(gy), range(0, 9) t2(gx))),
+        |bitsi AS (SELECT a.doc_id, a.gy*8 + a.gx AS idx, (b.gray > a.gray) AS bit
+        |  FROM gi a JOIN gi b ON a.doc_id = b.doc_id AND a.gy = b.gy
+        |    AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8),
+        |bvi AS (SELECT doc_id, idx // 16 AS band,
+        |   sum(CASE WHEN bit THEN (1::BIGINT << (idx % 16)) ELSE 0 END)::BIGINT
+        |     AS bval
+        |  FROM bitsi GROUP BY doc_id, band),
+        |vm AS (SELECT doc_id,
+        |   (CASE WHEN doc_id % 3 = 0 THEN doc_id
+        |         ELSE 500000 + doc_id % 200000 END) % 1000000 AS s,
+        |   (doc_id % 2) * 128 AS pert FROM documents),
+        |vf AS (SELECT doc_id, s, pert, f,
+        |   ((doc_id // 3) % 8) % (4 + s % 5) AS rf
+        |  FROM vm, range(0, 8) tf(f) WHERE f < 4 + s % 5),
+        |gv AS (SELECT doc_id, f, gy, gx,
+        |   299*(((i2*i2) // 1048576) % 256)
+        | + 587*(((i1*i1) // 1048576) % 256)
+        | + 114*((((i0*i0) // 1048576) % 256
+        |         + CASE WHEN gx = 0 AND gy = 0 AND f = rf THEN pert ELSE 0 END)
+        |        % 256)
+        |   AS gray
+        |  FROM (SELECT doc_id, pert, f, rf, gy, gx,
+        |     s + 1000003*(2*gx + 36*gy) + ft AS i0,
+        |     s + 1000003*(2*gx + 36*gy + 288) + ft AS i1,
+        |     s + 1000003*(2*gx + 36*gy + 576) + ft AS i2
+        |    FROM (SELECT doc_id, s, pert, f, rf,
+        |       CASE WHEN f = rf THEN 0 ELSE 7777777*(f+1) END AS ft FROM vf),
+        |     range(0, 8) t1(gy), range(0, 9) t2(gx))),
+        |bitsv AS (SELECT a.doc_id, a.f, a.gy*8 + a.gx AS idx,
+        |   (b.gray > a.gray) AS bit
+        |  FROM gv a JOIN gv b ON a.doc_id = b.doc_id AND a.f = b.f
+        |    AND a.gy = b.gy AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8),
+        |bvv AS (SELECT doc_id, f, idx // 16 AS band,
+        |   sum(CASE WHEN bit THEN (1::BIGINT << (idx % 16)) ELSE 0 END)::BIGINT
+        |     AS bval
+        |  FROM bitsv GROUP BY doc_id, f, band),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS vid_id, b.f
+        |  FROM bvi a JOIN bvv b ON a.band = b.band AND a.bval = b.bval),
+        |ham AS (SELECT c.id_a, c.vid_id, c.f,
+        |   sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)::INT AS hamming
+        |  FROM cand c JOIN bitsi x ON x.doc_id = c.id_a
+        |              JOIN bitsv y ON y.doc_id = c.vid_id AND y.f = c.f
+        |                AND y.idx = x.idx
+        |  GROUP BY c.id_a, c.vid_id, c.f)
+        |SELECT id_a, vid_id, f::INT AS frame_idx, hamming
+        |FROM ham WHERE hamming <= 3""".stripMargin,
+
     // replays the pixel formula → grayscale grid → exact-integer cosine
     // (dot products of 72 ints ≤ 255k stay < 2^53 — no float drift
     // before the final sqrt/divide, which round identically)
@@ -3748,6 +3872,20 @@ object LlmQueries {
         | FROM f)
         |SELECT doc_id, batch::BIGINT AS batch FROM s
         |WHERE batch = fb AND doc_id = fid AND batch > 0""".stripMargin,
+
+    // live index fps = fps(batches 0,1) minus fps of the tombstoned
+    // (doc_id % 5 = 0) docs; batch-2 survivors = fp unseen in the live
+    // set AND first (min-id) holder within batch 2
+    "q_dedup_tombstone" ->
+      """WITH f AS (SELECT doc_id, doc_id % 3 AS batch,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        | FROM documents),
+        |live AS (SELECT DISTINCT fp FROM f WHERE batch < 2
+        |  AND fp NOT IN (SELECT fp FROM f WHERE batch < 2 AND doc_id % 5 = 0)),
+        |b2 AS (SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY fp) AS fid
+        |  FROM f WHERE batch = 2)
+        |SELECT doc_id FROM b2
+        |WHERE doc_id = fid AND fp NOT IN (SELECT fp FROM live)""".stripMargin,
 
     // every overlapping 5-token window; dup = not the (doc_id, pos)-first
     // occurrence of its token sequence (row_number > 1 ≡ the Spark side's

@@ -5,6 +5,8 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
+
 /** Sink connectors (SURVEY §2.2). Offset commit after a successful
   * micro-batch is the engine's ack (strictly stronger than the
   * reference's at-least-once — SURVEY §1.4→§1.5).
@@ -81,14 +83,21 @@ object Sinks {
     *
     * Scale contract: this sink mirrors the reference's BATCHER semantics
     * — a flush is a bounded batch (default 100 msgs, x/batcher/
-    * batcher.go:180-189), so serializing one flush through the driver is
-    * bounded by the flush size, never the corpus. For bulk exports use
+    * batcher.go:180-189). That bound is ENFORCED, not assumed (r14
+    * verdict): the batch is drained through a local iterator in
+    * `flushLength`-line chunks, one gzip object per chunk — exactly the
+    * reference's one-object-per-flush layout — so a batch pipeline
+    * pointed at this sink never collects the corpus onto the driver
+    * (at most one partition is resident at a time). For bulk exports use
     * [[NdjsonGzipSink]] (partitioned, fully distributed); this one
-    * exists for byte-level layout fidelity on streaming flushes. */
-  final case class S3ObjectLayoutSink(path: String) extends Sink {
+    * exists for byte-level layout fidelity on flush-sized objects. */
+  final case class S3ObjectLayoutSink(path: String,
+      flushLength: Int = 100) extends Sink {
     def writeBatch(df: DataFrame): Unit = {
-      val lines = df.toJSON.collect() // bounded by the batcher flush size
-      if (lines.nonEmpty) writeObject(lines)
+      require(flushLength > 0, s"flushLength must be > 0, got $flushLength")
+      df.toJSON.toLocalIterator().asScala
+        .grouped(flushLength)
+        .foreach(chunk => writeObject(chunk.toArray))
     }
     private def writeObject(lines: Array[String]): Unit = {
       val now = java.time.Instant.now()
@@ -158,14 +167,20 @@ object Sinks {
     * flush in `core/Reliability.scala`.
     *
     * Scale contract: like [[S3ObjectLayoutSink]], a flush is a
-    * batcher-bounded batch (default 100 msgs), so the driver-side POST
-    * is bounded by the flush size, never the corpus — a webhook is a
-    * per-flush control-plane endpoint, not a bulk-export path. */
+    * batcher-bounded batch (default 100 msgs) — ENFORCED (r14 verdict):
+    * the batch drains through a local iterator in `flushLength`-line
+    * chunks, one POST per chunk (the reference batcher's
+    * one-request-per-flush shape), each chunk under its own
+    * retry/error-policy dispatch. A batch pipeline pointed at a webhook
+    * therefore never collects the corpus onto the driver, and never
+    * POSTs it as one request — a webhook is a per-flush control-plane
+    * endpoint, not a bulk-export path. */
   final case class WebhookSink(webhookUrl: String,
       retry: RetryPolicy = RetryPolicy(isRetryable = WebhookSink.retryable),
       onError: ErrorPolicy = ErrorPolicy.Raise,
       connectTimeoutMs: Int = 5000,
-      readTimeoutMs: Int = 10000) extends Sink {
+      readTimeoutMs: Int = 10000,
+      flushLength: Int = 100) extends Sink {
 
     /** One POST attempt (no retries — [[writeBatch]] wraps it). */
     private[sinks] def postOnce(lines: Array[String]): Unit = {
@@ -198,13 +213,21 @@ object Sinks {
       } finally conn.disconnect()
     }
 
-    /** Serialize once, then delegate retry + error-policy dispatch to
-      * the one batcher reliability implementation; the real micro-batch
-      * id flows into the Discard log line. */
+    /** Drain the batch in flush-sized chunks, each POSTed under the one
+      * batcher reliability implementation's retry + error-policy
+      * dispatch; the real micro-batch id flows into the Discard log
+      * line. An ErrorPolicy that swallows a failed chunk (Discard)
+      * drops only that chunk, matching the reference batcher's
+      * per-flush error surface. */
     private def flush(df: DataFrame, batchId: Long): Unit = {
-      val lines = df.toJSON.collect() // bounded by the batcher flush size
-      Reliability.retryingBatchWriter((_, _) => postOnce(lines),
-        retry, onError)(df, batchId)
+      require(flushLength > 0, s"flushLength must be > 0, got $flushLength")
+      df.toJSON.toLocalIterator().asScala
+        .grouped(flushLength)
+        .foreach { chunk =>
+          val lines = chunk.toArray
+          Reliability.retryingBatchWriter((_, _) => postOnce(lines),
+            retry, onError)(df, batchId)
+        }
     }
     def writeBatch(df: DataFrame): Unit = flush(df, 0L)
     def writeStream(df: DataFrame, trigger: Option[Trigger],

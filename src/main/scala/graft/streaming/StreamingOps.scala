@@ -123,7 +123,7 @@ object StreamingOps {
     }
     val q = stream.select(col(idCol).as("q_id"), col(tsCol).as("ts"),
       col(vecCol).as("qv"), explode(buckets).as("bucket"))
-    q.join(spark.table(tableName), "bucket")
+    q.join(graft.ops.Similarity.liveLshIndex(spark, tableName), "bucket")
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("sim", cosineN(col("qv"), col("nv")))
       .filter(col("sim") >= threshold)
@@ -148,6 +148,29 @@ object StreamingOps {
       maxDist: Double, nprobe: Int = 3): DataFrame =
     graft.ops.Similarity.ivfPqMatchStream(stream, idCol, vecCol, tsCol,
       spark, tableName, codebooks, coarseCents, maxDist, nprobe)
+
+  /** Streaming linkage-at-ingest (r15) against a PERSISTED
+    * entity-resolution catalog index
+    * ([[graft.ops.Linkage.editIndexBuild]]) — entity resolution is an
+    * ingest-time operation in production: each dirty record links
+    * against the reference catalog the moment it arrives. Stream-static
+    * equi-join on the index's bucketed segment-key hash (stateless —
+    * the static side re-resolves per micro-batch, so an
+    * [[graft.ops.Linkage.editIndexAppend]] between batches is picked up
+    * without restart; appends segment under the index's PERSISTED
+    * boundary map, so probe keys keep matching), banded
+    * threshold-levenshtein verify, broadcast naive leg for
+    * unsegmentable short catalog strings, and a watermark-bounded
+    * (d_id, c_id) dedup as the only state. Batch twin:
+    * [[graft.ops.Linkage.editIndexProbe]] (StreamingSpec pins the match
+    * sets against it across an append). Output: (d_id, d_s, ts, c_id,
+    * c_s, dist), append mode — exact recall vs the catalog as of each
+    * micro-batch. */
+  def linkIngestStream(stream: DataFrame, idCol: String, strCol: String,
+      tsCol: String, watermark: String, spark: SparkSession,
+      tableName: String): DataFrame =
+    graft.ops.Linkage.editIndexMatchStream(stream, idCol, strCol, tsCol,
+      watermark, spark, tableName)
 
   /** Exact streaming dedup within the watermark horizon — at-least-once
     * input → effectively-once output (≈ the conformance suite's no-dup
@@ -193,7 +216,8 @@ object StreamingOps {
       tsCol: String, watermark: String, spark: SparkSession,
       tableName: String): DataFrame =
     stream
-      .join(spark.table(tableName), col(fpCol) === col("fp"), "left_anti")
+      .join(graft.ops.Dedup.liveFingerprintIndex(spark, tableName),
+        col(fpCol) === col("fp"), "left_anti")
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(fpCol)
 

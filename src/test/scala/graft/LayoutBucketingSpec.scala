@@ -366,4 +366,100 @@ class LayoutBucketingSpec extends SparkSpec {
       (4L, 4L, 10L), (5L, 5L, 15L), (6L, 6L, 15L)),
       s"NULL must contribute 0 to the running sum (sum-over-window semantics): $got")
   }
+
+  test("fingerprint index tombstones: probe(build∪append−delete) ≡ probe(build(A∪B−D)); compact folds") {
+    // r14 verdict item 2: the persisted-index family gains retraction.
+    import graft.ops.Dedup
+    import spark.implicits._
+    val fpOf = graft.functions.TextFunctions.fingerprint(col("text"))
+    val base = Tables.documents(spark, sf)
+      .select("doc_id", "text").filter(col("doc_id") < 200).cache()
+    val a = base.filter(col("doc_id") < 100)
+    val b = base.filter(col("doc_id") >= 100)
+    val tbl = "graft_spec_dd_tomb"
+    Dedup.dedupIndexBuild(a, "text", "doc_id", tbl, tableBuckets = 4)
+    val n1 = Dedup.dedupAgainstIndex(spark, tbl, b, "text", "doc_id")
+      .localCheckpoint()
+    Dedup.dedupIndexAppend(spark, tbl, n1, "text", "doc_id", tableBuckets = 4)
+    // retract every tenth A-doc, then probe EXACT COPIES of A (shifted
+    // ids): without the delete, every copy is an index hit and drops;
+    // with it, exactly the retracted texts re-enter — deletion is
+    // load-bearing for the assertion, not incidental
+    val retracted = a.filter(col("doc_id") % 10 === 0)
+    Dedup.dedupIndexDelete(spark, tbl, retracted, "text")
+    val probeBatch = a.select((col("doc_id") + 1000).as("doc_id"), col("text"))
+    val probed = Dedup.dedupAgainstIndex(spark, tbl, probeBatch, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    // scratch twin: build over (A∪B) minus every doc holding a deleted fp
+    val delFps = retracted.select(fpOf.as("dfp")).distinct()
+    val tbl2 = "graft_spec_dd_tomb2"
+    Dedup.dedupIndexBuild(
+      base.join(delFps, fpOf === col("dfp"), "left_anti"),
+      "text", "doc_id", tbl2, tableBuckets = 4)
+    val want = Dedup.dedupAgainstIndex(spark, tbl2, probeBatch, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(probed == want,
+      s"delete must equal a rebuild without the deleted docs: " +
+        s"extra=${(probed -- want).take(5)} missing=${(want -- probed).take(5)}")
+    assert(probed.nonEmpty, "retracted fingerprints must re-enter as novel")
+    // the live (fp, first_id) sets agree too
+    val liveSet = Dedup.liveFingerprintIndex(spark, tbl)
+      .select("fp", "first_id").as[(String, Long)].collect().toSet
+    val wantSet = spark.table(tbl2)
+      .select("fp", "first_id").as[(String, Long)].collect().toSet
+    assert(liveSet == wantSet, "live view must equal the scratch rebuild")
+    // compact folds the tombstones into the base and drops the side table
+    Dedup.fingerprintIndexCompact(spark, tbl, tableBuckets = 4)
+    assert(!spark.catalog.tableExists(tbl + "_del"),
+      "compact must drop the tombstone table")
+    val afterCompact = Dedup.dedupAgainstIndex(spark, tbl, probeBatch,
+      "text", "doc_id").select("doc_id").as[Long].collect().toSet
+    assert(afterCompact == probed, "compaction must not change probe results")
+    val baseSet = spark.table(tbl)
+      .select("fp", "first_id").as[(String, Long)].collect().toSet
+    assert(baseSet == wantSet, "compacted base must equal the scratch rebuild")
+    spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    spark.sql(s"DROP TABLE IF EXISTS `$tbl2`")
+  }
+
+  test("lsh index tombstones: probe(build−delete) ≡ lshTopK over the corpus without deleted ids; compact folds") {
+    import graft.ops.Similarity
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 10)
+    val tbl = "graft_spec_lsh_tomb"
+    Similarity.lshIndexBuild(e, "vec_id", "embedding", dim = 64,
+      tableName = tbl, tableBuckets = 4, bits = 6, tables = 4)
+    Similarity.lshIndexDelete(
+      e.filter(col("vec_id") % 7 === 0).select("vec_id"), "vec_id", tbl)
+    def probe() = Similarity.lshIndexProbe(spark, tbl, q, "vec_id",
+      "embedding", dim = 64, k = 5, bits = 6, tables = 4, probes = 2)
+    // materialized: `probed` is compared again AFTER the compact below
+    // rewrites the base table and drops _del — the lazy plan would read
+    // deleted files
+    val probed = probe().localCheckpoint()
+    val direct = Similarity.lshTopK(q, e.filter(col("vec_id") % 7 =!= 0),
+      "vec_id", "embedding", dim = 64, k = 5, bits = 6, tables = 4, probes = 2)
+    assert(probed.exceptAll(direct).isEmpty && direct.exceptAll(probed).isEmpty,
+      "tombstoned probe must equal the direct result over the live corpus")
+    // deletion is load-bearing: the full-corpus result differs
+    val full = Similarity.lshTopK(q, e, "vec_id", "embedding",
+      dim = 64, k = 5, bits = 6, tables = 4, probes = 2)
+    assert(full.exceptAll(probed).count() > 0,
+      "fixture must delete vectors that appeared in some top-k")
+    // compact folds; the bucketed zero-corpus-Exchange probe shape holds
+    Similarity.lshIndexCompact(spark, tbl, tableBuckets = 4)
+    assert(!spark.catalog.tableExists(tbl + "_del"),
+      "compact must drop the tombstone table")
+    val after = probe()
+    assert(after.exceptAll(probed).isEmpty && probed.exceptAll(after).isEmpty,
+      "compaction must not change probe results")
+    after.collect()
+    val p = after.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("Bucketed: true"),
+      "compacted index must keep the bucketed layout:\n" + p.take(900))
+    assert("Exchange hashpartitioning\\(bucket".r.findAllIn(p).length == 1,
+      "probe after compact must still not shuffle the corpus:\n" + p.take(900))
+    spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+  }
 }

@@ -175,6 +175,32 @@ class LinkageSpec extends SparkSpec {
       s"adaptive must prune >4x on adversarial keys: even=$evenCnt adaptive=$adapCnt")
   }
 
+  test("chooseSegmentation: cross-class work budget — zero budget skips all, one-class budget goes to the top-mass class") {
+    // r14 ADVICE: the (a,b) sweep is driver-side work PER length class;
+    // the total must be bounded across classes. Two adversarial classes
+    // (entropy in the last 5 chars) at lengths 18 and 24 — outside each
+    // other's ±τ dirty window, so their samples don't mix.
+    def key(i: Int, len: Int) = "Customer#" + "0" * (len - 14) + f"$i%05d"
+    val big = (0 until 300).map(key(_, 18))
+    val small = (0 until 60).map(key(_, 24))
+    def dirtied(s: Seq[String]) =
+      s.zipWithIndex.map { case (k, i) => k.updated(3 + i % 5, 'x') }
+    val dirty = dirtied(big) ++ dirtied(small)
+    val full = Linkage.chooseSegmentation(big ++ small, dirty, tau = 2)
+    assert(full.contains(18) && full.contains(24),
+      s"default budget must adapt both classes: ${full.keySet}")
+    assert(Linkage.chooseSegmentation(big ++ small, dirty, tau = 2,
+      workBudget = 0.0).isEmpty,
+      "zero budget must fall back to even splits everywhere")
+    // budget affording exactly the length-18 sweep: classWork =
+    // ll²/2 · (|clean| + |dirty|·(2τ+1)) = 162 · (300 + 300·5)
+    val oneClass = 18.0 * 18 / 2 * (300 + 300 * 5) + 1
+    val capped = Linkage.chooseSegmentation(big ++ small, dirty, tau = 2,
+      workBudget = oneClass)
+    assert(capped.contains(18) && !capped.contains(24),
+      s"one-class budget must be spent on the higher-mass class: ${capped.keySet}")
+  }
+
   test("editIndexBuild/Probe: persisted catalog index == editJoin on the q_fuzzy_link2 derivation") {
     val cust = Tables.customer(spark, "/root/testdata/sf0.001")
     val p = (lit(10) + col("c_custkey") % 9).cast("int")
@@ -189,8 +215,12 @@ class LinkageSpec extends SparkSpec {
     val bounds = Linkage.editIndexBuild(cust, "c_custkey", "c_name",
       tau = 2, tableName = tbl, tableBuckets = 4)
     try {
-      val probed = Linkage.editIndexProbe(spark, tbl, bounds,
-          dirty, "d_id", "d_s", tau = 2)
+      // bounds/tau come from the persisted _meta side table (r14 ADVICE)
+      val (metaTau, metaBounds) = Linkage.readEditIndexMeta(spark, tbl)
+      assert(metaTau == 2 && metaBounds == bounds,
+        s"meta round-trip must return the build's map: $metaTau $metaBounds vs $bounds")
+      val probed = Linkage.editIndexProbe(spark, tbl,
+          dirty, "d_id", "d_s")
         .select("d_id", "c_id", "dist").as[(Long, Long, Int)].collect().toSet
       val direct = Linkage.editJoin(dirty, "d_id", "d_s",
           cust, "c_custkey", "c_name", tau = 2)
@@ -202,13 +232,13 @@ class LinkageSpec extends SparkSpec {
       val half = cust.filter(col("c_custkey") % 2 === 0)
       val rest = cust.filter(col("c_custkey") % 2 =!= 0)
       val tbl3 = "graft_editidx_spec3_" + System.nanoTime()
-      val b3 = Linkage.editIndexBuild(half, "c_custkey", "c_name",
+      Linkage.editIndexBuild(half, "c_custkey", "c_name",
         tau = 2, tableName = tbl3, tableBuckets = 4)
       try {
         Linkage.editIndexAppend(rest, "c_custkey", "c_name",
-          tau = 2, tableName = tbl3, bounds = b3, tableBuckets = 4)
-        val probedApp = Linkage.editIndexProbe(spark, tbl3, b3,
-            dirty, "d_id", "d_s", tau = 2)
+          tableName = tbl3, tableBuckets = 4)
+        val probedApp = Linkage.editIndexProbe(spark, tbl3,
+            dirty, "d_id", "d_s")
           .select("d_id", "c_id", "dist").as[(Long, Long, Int)].collect().toSet
         assert(probedApp == direct,
           s"append must extend the index exactly: |probed|=${probedApp.size} |direct|=${direct.size}")
@@ -216,11 +246,11 @@ class LinkageSpec extends SparkSpec {
       // the short-string naive leg survives the round-trip too
       val shortClean = Seq((9001L, "ab"), (9002L, "x")).toDF("c_id", "c_s")
       val tbl2 = "graft_editidx_spec2_" + System.nanoTime()
-      val b2 = Linkage.editIndexBuild(shortClean, "c_id", "c_s",
+      Linkage.editIndexBuild(shortClean, "c_id", "c_s",
         tau = 2, tableName = tbl2, tableBuckets = 2)
       try {
-        val got = Linkage.editIndexProbe(spark, tbl2, b2,
-            Seq((1L, "ba"), (2L, "zzzz")).toDF("d_id", "d_s"), "d_id", "d_s", 2)
+        val got = Linkage.editIndexProbe(spark, tbl2,
+            Seq((1L, "ba"), (2L, "zzzz")).toDF("d_id", "d_s"), "d_id", "d_s")
           .select("d_id", "c_id").as[(Long, Long)].collect().toSet
         assert(got == Set((1L, 9001L), (1L, 9002L)),
           s"short-string catalog rows must link through the flagged leg: $got")

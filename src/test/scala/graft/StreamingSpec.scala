@@ -538,6 +538,74 @@ class StreamingSpec extends SparkSpec {
     assert(after1.nonEmpty && want2.nonEmpty, "fixture must exercise both batches")
   }
 
+  test("linkIngestStream: per-batch matches == batch editIndexProbe twin; editIndexAppend picked up mid-stream") {
+    // r15 (r14 verdict item 1): the edit-distance catalog index gets its
+    // streaming probe twin — dirty records link at ingest, and a catalog
+    // append between micro-batches takes effect WITHOUT restart (the
+    // static side re-resolves per micro-batch; appends segment under the
+    // index's persisted boundary map, so probe keys keep matching).
+    import graft.ops.Linkage
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_name")).cache()
+    val half = cust.filter(col("c_custkey") % 2 === 0)
+    val rest = cust.filter(col("c_custkey") % 2 =!= 0)
+    val tbl = "graft_spec_link_stream"
+    Linkage.editIndexBuild(half, "c_custkey", "c_name",
+      tau = 2, tableName = tbl, tableBuckets = 4)
+    // dirty records: one substitution at a key-dependent position — within
+    // τ=2 of their own catalog row (the LinkageSpec derivation, small)
+    def dirtied(df: org.apache.spark.sql.DataFrame) = {
+      val p = (lit(3) + col("c_custkey") % 9).cast("int")
+      df.select(col("c_custkey").as("d_id"),
+        concat(substr(col("c_name"), lit(1), p - 1), lit("x"),
+          substr(col("c_name"), p + 1, length(col("c_name")) - p)).as("d_s"))
+    }
+    val b1 = dirtied(cust.filter(col("c_custkey") % 5 === 1))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val b2 = dirtied(cust.filter(col("c_custkey") % 5 === 2))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val ms = new MemoryStream[(Long, String, Timestamp)](37, spark, None)
+    val df = ms.toDF().toDF("d_id", "d_s", "ts")
+    val out = StreamingOps.linkIngestStream(df, "d_id", "d_s", "ts",
+      watermark = "10 minutes", spark, tbl)
+    val q = out.writeStream.format("memory").queryName("link_stream_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(b1.map { case (id, s) => (id, s, ts(0)) }.toSeq)
+      q.processAllAvailable()
+      val got1 = spark.table("link_stream_out")
+        .select("d_id", "c_id", "dist").as[(Long, Long, Int)].collect().toSet
+      val want1 = Linkage.editIndexProbe(spark, tbl,
+          b1.toSeq.toDF("d_id", "d_s"), "d_id", "d_s")
+        .select("d_id", "c_id", "dist").as[(Long, Long, Int)].collect().toSet
+      assert(got1 == want1,
+        s"batch-1 stream matches must equal the batch probe twin: " +
+          s"extra=${(got1 -- want1).take(5)} missing=${(want1 -- got1).take(5)}")
+      // append the odd half of the catalog mid-stream, then batch 2
+      Linkage.editIndexAppend(rest, "c_custkey", "c_name",
+        tableName = tbl, tableBuckets = 4)
+      ms.addData(b2.map { case (id, s) => (id, s, ts(5)) }.toSeq)
+      q.processAllAvailable()
+      val all = spark.table("link_stream_out")
+        .select("d_id", "c_id", "dist").as[(Long, Long, Int)].collect().toSet
+      val want2 = Linkage.editIndexProbe(spark, tbl,
+          b2.toSeq.toDF("d_id", "d_s"), "d_id", "d_s")
+        .select("d_id", "c_id", "dist").as[(Long, Long, Int)].collect().toSet
+      assert((all -- got1) == want2,
+        "batch-2 stream matches must equal the probe twin over the APPENDED catalog")
+      // the append must be load-bearing: batch-2 dirty ids are % 5 === 2,
+      // whose own catalog rows (odd custkeys among them) arrived only via
+      // the append — without restart those links must still appear
+      assert(want2.exists { case (_, cId, _) => cId % 2 == 1 },
+        "fixture must contain links reachable only through the appended half")
+      assert(got1.nonEmpty && want2.nonEmpty, "both batches must link")
+    } finally {
+      q.stop(); q.awaitTermination()
+      spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+      spark.sql(s"DROP TABLE IF EXISTS `${tbl}_meta`")
+    }
+  }
+
   test("image dedup-at-ingest: dHash fingerprints through the generic streaming index shape") {
     // streaming × multimodal: the SAME incremental-corpus lifecycle the
     // text pipeline uses (persisted fp index → stream-static anti-join →
