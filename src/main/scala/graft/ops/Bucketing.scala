@@ -97,6 +97,104 @@ object Bucketing {
     n
   }
 
+  // ---- tombstone lifecycle (r15) ------------------------------------
+  // Shared by every persisted index that supports retraction (the
+  // fingerprint dedup index keyed by `fp`, the LSH index keyed by
+  // `n_id`): deletes accumulate in a SMALL `<table>_del` side table,
+  // probes anti-join it ([[liveView]] — broadcast, so the bucketed base
+  // scan keeps its partitioning), appends CLEAR re-inserted keys
+  // ([[clearTombstones]] — without it a deleted-then-re-inserted key
+  // would be suppressed forever), and [[tombstoneCompact]] folds the
+  // deletes into the base. The index is never rewritten per delete.
+
+  /** Create an EMPTY tombstone table alongside a fresh index build.
+    * Always materializing it (rather than creating lazily on the first
+    * delete) is load-bearing for STREAMING probes: a stream plans the
+    * [[liveView]] anti-join at definition time, so the `_del` table must
+    * exist then for a later mid-stream delete to take effect — appends
+    * to an existing static table re-resolve per micro-batch, a table
+    * that appears mid-stream does not. Also discards any stale
+    * tombstones of a previous same-name index. */
+  def initTombstones(keySchema: DataFrame, keyCol: String,
+      tableName: String): Unit =
+    // eager: [[tombstoneCompact]] truncates by passing the _del table
+    // itself as the schema source — materialize the empty result before
+    // writeTable drops the table the plan reads
+    writeTable(keySchema.select(keyCol).limit(0).localCheckpoint(true),
+      tableName + "_del")
+
+  /** Append retracted keys to the tombstone table (created if a legacy
+    * index predates [[initTombstones]]). */
+  def tombstoneAppend(delKeys: DataFrame, keyCol: String,
+      tableName: String): Unit = {
+    val spark = delKeys.sparkSession
+    // eager: the caller may derive the delete set from the index itself
+    val del = delKeys.select(keyCol).distinct().localCheckpoint(true)
+    if (spark.catalog.tableExists(tableName + "_del"))
+      del.write.mode(SaveMode.Append).format("parquet")
+        .saveAsTable(tableName + "_del")
+    else writeTable(del, tableName + "_del")
+  }
+
+  /** Remove re-inserted keys from the tombstone table — called by index
+    * APPENDS: a key that was deleted and later re-enters the index must
+    * stop being anti-joined away, or the re-inserted row is suppressed
+    * forever (and a dedup gate would report it novel on every
+    * subsequent batch). The tombstone table is small by contract, so
+    * the rewrite is cheap.
+    *
+    * The rewrite only happens when a key is actually cleared: an append
+    * with nothing tombstoned (the overwhelmingly common case) must NOT
+    * touch the table's files — a RUNNING streaming probe has the
+    * current file listing planned in, and a drop+recreate under it
+    * fails the stream with FILE_NOT_EXIST. When a clear does rewrite,
+    * treat it like [[compactBucketed]]: a maintenance op to run without
+    * a live stream over the same index. */
+  def clearTombstones(reinsertedKeys: DataFrame, keyCol: String,
+      tableName: String): Unit = {
+    val spark = reinsertedKeys.sparkSession
+    if (!spark.catalog.tableExists(tableName + "_del")) return
+    val del = spark.table(tableName + "_del")
+    val remaining = del
+      .join(reinsertedKeys.select(keyCol), Seq(keyCol), "left_anti")
+      .localCheckpoint(true) // materialize before overwriting the table it reads
+    if (remaining.count() < del.count()) writeTable(remaining, tableName + "_del")
+  }
+
+  /** The LIVE rows of a tombstoned index: base minus deleted keys. The
+    * tombstone side is broadcast (small by contract — fold with
+    * [[tombstoneCompact]] before it grows); a broadcast anti-join
+    * preserves the base scan's bucketed partitioning, so probes keep
+    * their zero-index-Exchange shape, and AQE's empty-relation
+    * propagation removes the join entirely when nothing is deleted.
+    * Indexes with no tombstone table read through unchanged. */
+  def liveView(spark: SparkSession, tableName: String,
+      keyCol: String): DataFrame = {
+    val base = spark.table(tableName)
+    if (!spark.catalog.tableExists(tableName + "_del")) base
+    else base.join(
+      org.apache.spark.sql.functions.broadcast(spark.table(tableName + "_del")),
+      Seq(keyCol), "left_anti")
+  }
+
+  /** Fold tombstones into the base: rewrite the index to its live rows
+    * (one file per bucket, the [[compactBucketed]] layout contract) and
+    * truncate the tombstone table — truncate, NOT drop, so streams that
+    * planned the [[liveView]] anti-join keep a valid (empty) table to
+    * re-resolve. Probe results are unchanged by construction. Returns
+    * the live row count. */
+  def tombstoneCompact(spark: SparkSession, tableName: String,
+      keyCol: String, bucketKey: String, buckets: Int): Long = {
+    val live = liveView(spark, tableName, keyCol).localCheckpoint(true)
+    val n = live.count()
+    writeBucketed(
+      live.repartition(buckets, org.apache.spark.sql.functions.col(bucketKey)),
+      tableName, bucketKey, buckets)
+    if (spark.catalog.tableExists(tableName + "_del"))
+      initTombstones(spark.table(tableName + "_del"), keyCol, tableName)
+    n
+  }
+
   /** Bucket both inputs by the join key, then inner-join the bucketed
     * tables. The join itself is shuffle-free (zero Exchange — pinned in
     * PlanShapeSpec); with `sortBy` it is merge-ready too. Result multiset

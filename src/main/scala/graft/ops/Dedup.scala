@@ -87,8 +87,11 @@ object Dedup {
     * equi-joinable type. */
   def fingerprintIndexBuild(fps: DataFrame, tableName: String,
       tableBuckets: Int = 32): Unit = {
-    // a REBUILD must not inherit a previous index's tombstones
-    fps.sparkSession.sql(s"DROP TABLE IF EXISTS `${tableName}_del`")
+    // empty tombstone table up front: discards a previous same-name
+    // index's deletes AND makes mid-stream deletes visible to streaming
+    // probes (they plan the live-view anti-join at stream definition —
+    // see Bucketing.initTombstones)
+    Bucketing.initTombstones(fps, "fp", tableName)
     Bucketing.writeBucketed(
       fps.groupBy("fp").agg(min("first_id").as("first_id")),
       tableName, "fp", tableBuckets)
@@ -98,11 +101,15 @@ object Dedup {
     * table (eager localCheckpoint for the same self-referential-write
     * reason as [[dedupIndexAppend]]). */
   def fingerprintIndexAppend(novelFps: DataFrame, tableName: String,
-      tableBuckets: Int = 32): Unit =
-    Bucketing.appendBucketed(
-      novelFps.groupBy("fp").agg(min("first_id").as("first_id"))
-        .localCheckpoint(true),
-      tableName, "fp", tableBuckets)
+      tableBuckets: Int = 32): Unit = {
+    val delta = novelFps.groupBy("fp").agg(min("first_id").as("first_id"))
+      .localCheckpoint(true)
+    Bucketing.appendBucketed(delta, tableName, "fp", tableBuckets)
+    // a deleted-then-re-inserted fingerprint must stop being tombstoned,
+    // or the live view suppresses the fresh row forever and every later
+    // batch keeps re-reporting it novel
+    Bucketing.clearTombstones(delta, "fp", tableName)
+  }
 
   /** Tombstone RETRACTION for a [[fingerprintIndexBuild]] table (r15 —
     * the index family was append-only; nothing could remove a retracted
@@ -117,15 +124,8 @@ object Dedup {
     * probe(build(A) ∪ append(B) − delete(D)) ≡ probe(build(A∪B−D)) with
     * −D removing every doc holding a deleted fingerprint — spec-pinned
     * in DedupSimilaritySpec, oracled by q_dedup_tombstone. */
-  def fingerprintIndexDelete(delFps: DataFrame, tableName: String): Unit = {
-    val spark = delFps.sparkSession
-    // eager: the caller may derive the delete set from the index itself
-    val del = delFps.select("fp").distinct().localCheckpoint(true)
-    if (spark.catalog.tableExists(tableName + "_del"))
-      del.write.mode(SaveMode.Append).format("parquet")
-        .saveAsTable(tableName + "_del")
-    else Bucketing.writeTable(del, tableName + "_del")
-  }
+  def fingerprintIndexDelete(delFps: DataFrame, tableName: String): Unit =
+    Bucketing.tombstoneAppend(delFps, "fp", tableName)
 
   /** Text-level convenience for [[fingerprintIndexDelete]]: retract the
     * normalized-text fingerprints of `retracted` from a
@@ -142,12 +142,8 @@ object Dedup {
     * partitioning, so downstream probe joins stay index-Exchange-free.
     * Indexes with no delete table read through unchanged (identical
     * plan). */
-  def liveFingerprintIndex(spark: SparkSession, tableName: String): DataFrame = {
-    val base = spark.table(tableName)
-    if (!spark.catalog.tableExists(tableName + "_del")) base
-    else base.join(broadcast(spark.table(tableName + "_del")),
-      Seq("fp"), "left_anti")
-  }
+  def liveFingerprintIndex(spark: SparkSession, tableName: String): DataFrame =
+    Bucketing.liveView(spark, tableName, "fp")
 
   /** Fold tombstones into the base: rewrite the index to its live rows
     * (one file per bucket, the [[Bucketing.compactBucketed]] layout
@@ -155,14 +151,8 @@ object Dedup {
     * unchanged by construction — the probe already read the live view.
     * Returns the live row count. */
   def fingerprintIndexCompact(spark: SparkSession, tableName: String,
-      tableBuckets: Int = 32): Long = {
-    val live = liveFingerprintIndex(spark, tableName).localCheckpoint(true)
-    val n = live.count()
-    Bucketing.writeBucketed(
-      live.repartition(tableBuckets, col("fp")), tableName, "fp", tableBuckets)
-    spark.sql(s"DROP TABLE IF EXISTS `${tableName}_del`")
-    n
-  }
+      tableBuckets: Int = 32): Long =
+    Bucketing.tombstoneCompact(spark, tableName, "fp", "fp", tableBuckets)
 
   /** Rows of `batch` that are NOVEL against a [[dedupIndexBuild]] table:
     * fingerprint unseen by the index AND first (min-id) within the batch.

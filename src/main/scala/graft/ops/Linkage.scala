@@ -332,6 +332,12 @@ object Linkage {
     val shortRows = c.filter(length(col("c_s")) < nseg)
       .select(lit(null).cast("long").as("kh"),
         col("c_id"), col("c_s"), lit(true).as("short"))
+    // drop the old meta BEFORE the base write: a rebuild that dies
+    // between the two writes must fail LOUDLY at the next probe
+    // (readEditIndexMeta's require) — leaving the previous boundary map
+    // paired with freshly-segmented rows would be exactly the
+    // silent-recall-loss the meta table exists to prevent
+    clean.sparkSession.sql(s"DROP TABLE IF EXISTS `${tableName}_meta`")
     Bucketing.writeBucketed(segRows.unionByName(shortRows),
       tableName, "kh", tableBuckets)
     writeEditIndexMeta(clean.sparkSession, tableName, tau, bounds)

@@ -117,8 +117,10 @@ object Similarity {
     val sig = corpus.select(Seq(col(idCol).as("n_id"), col(vecCol).as("nv"),
       explode(lshBuckets(col(vecCol), bits, dim, tables, 0, seed))
         .as("bucket")) ++ metaCols.map(col): _*)
-    // a REBUILD must not inherit a previous index's tombstones
-    corpus.sparkSession.sql(s"DROP TABLE IF EXISTS `${tableName}_del`")
+    // empty tombstone table up front: discards a previous same-name
+    // index's deletes and makes mid-stream deletes visible to streaming
+    // probes (Bucketing.initTombstones)
+    Bucketing.initTombstones(sig, "n_id", tableName)
     Bucketing.writeBucketed(sig, tableName, "bucket", tableBuckets)
   }
 
@@ -136,6 +138,9 @@ object Similarity {
       explode(lshBuckets(col(vecCol), bits, dim, tables, 0, seed))
         .as("bucket")) ++ metaCols.map(col): _*)
     Bucketing.appendBucketed(sig, tableName, "bucket", tableBuckets)
+    // a deleted-then-re-appended vector id must stop being tombstoned
+    Bucketing.clearTombstones(newCorpus.select(col(idCol).as("n_id")),
+      "n_id", tableName)
   }
 
   /** Tombstone RETRACTION for a [[lshIndexBuild]] table (r15): vector
@@ -147,42 +152,23 @@ object Similarity {
     * probe(build(A) ∪ append(B) − delete(D)) ≡ probe(build(A∪B−D)),
     * spec-pinned in DedupSimilaritySpec. */
   def lshIndexDelete(delIds: DataFrame, idCol: String,
-      tableName: String): Unit = {
-    val spark = delIds.sparkSession
-    val del = delIds.select(col(idCol).as("n_id")).distinct()
-      .localCheckpoint(true) // the delete set may derive from the index
-    if (spark.catalog.tableExists(tableName + "_del"))
-      del.write.mode(org.apache.spark.sql.SaveMode.Append).format("parquet")
-        .saveAsTable(tableName + "_del")
-    else Bucketing.writeTable(del, tableName + "_del")
-  }
+      tableName: String): Unit =
+    Bucketing.tombstoneAppend(delIds.select(col(idCol).as("n_id")),
+      "n_id", tableName)
 
-  /** The LIVE rows of an LSH index: base minus tombstoned vector ids.
-    * The tombstone side is broadcast (a small delta by contract — fold
-    * with [[lshIndexCompact]] before it grows), and a broadcast
-    * anti-join preserves the base scan's bucket partitioning, so probes
-    * keep their zero-corpus-Exchange shape. No delete table → the base
-    * reads through unchanged (identical plan). */
-  def liveLshIndex(spark: SparkSession, tableName: String): DataFrame = {
-    val base = spark.table(tableName)
-    if (!spark.catalog.tableExists(tableName + "_del")) base
-    else base.join(broadcast(spark.table(tableName + "_del")),
-      Seq("n_id"), "left_anti")
-  }
+  /** The LIVE rows of an LSH index: base minus tombstoned vector ids —
+    * [[Bucketing.liveView]] keyed by `n_id` (the vector id, so one
+    * delete removes the id's signature row in every band table). */
+  def liveLshIndex(spark: SparkSession, tableName: String): DataFrame =
+    Bucketing.liveView(spark, tableName, "n_id")
 
   /** Fold tombstones into the base: rewrite the index to its live rows
-    * (one file per bucket) and drop the delete table. Probe results
+    * (one file per bucket) and truncate the delete table. Probe results
     * unchanged by construction. Returns the live signature-row count. */
   def lshIndexCompact(spark: SparkSession, tableName: String,
-      tableBuckets: Int = 32): Long = {
-    val live = liveLshIndex(spark, tableName).localCheckpoint(true)
-    val n = live.count()
-    Bucketing.writeBucketed(
-      live.repartition(tableBuckets, col("bucket")),
-      tableName, "bucket", tableBuckets)
-    spark.sql(s"DROP TABLE IF EXISTS `${tableName}_del`")
-    n
-  }
+      tableBuckets: Int = 32): Long =
+    Bucketing.tombstoneCompact(spark, tableName, "n_id", "bucket",
+      tableBuckets)
 
   /** Probe a [[lshIndexBuild]] table: bucket the query batch with the
     * SAME (bits, tables, seed) plus multi-probes, equi-join on bucket,

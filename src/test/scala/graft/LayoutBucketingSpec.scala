@@ -408,16 +408,31 @@ class LayoutBucketingSpec extends SparkSpec {
     val wantSet = spark.table(tbl2)
       .select("fp", "first_id").as[(String, Long)].collect().toSet
     assert(liveSet == wantSet, "live view must equal the scratch rebuild")
-    // compact folds the tombstones into the base and drops the side table
+    // compact folds the tombstones into the base and TRUNCATES the side
+    // table (truncate, not drop — streams plan the anti-join against it)
     Dedup.fingerprintIndexCompact(spark, tbl, tableBuckets = 4)
-    assert(!spark.catalog.tableExists(tbl + "_del"),
-      "compact must drop the tombstone table")
+    assert(spark.table(tbl + "_del").isEmpty,
+      "compact must truncate the tombstone table")
     val afterCompact = Dedup.dedupAgainstIndex(spark, tbl, probeBatch,
       "text", "doc_id").select("doc_id").as[Long].collect().toSet
     assert(afterCompact == probed, "compaction must not change probe results")
     val baseSet = spark.table(tbl)
       .select("fp", "first_id").as[(String, Long)].collect().toSet
     assert(baseSet == wantSet, "compacted base must equal the scratch rebuild")
+    // delete → re-insert → suppress again: the APPEND clears the fp's
+    // tombstone; without that, the re-inserted row stays anti-joined
+    // away and every later duplicate keeps passing the gate (r15 review)
+    val doc10 = base.filter(col("doc_id") === 10)
+    Dedup.dedupIndexDelete(spark, tbl, doc10, "text")
+    val reinsert = doc10.select((col("doc_id") + 5000).as("doc_id"), col("text"))
+    val novel2 = Dedup.dedupAgainstIndex(spark, tbl, reinsert, "text", "doc_id")
+      .localCheckpoint()
+    assert(novel2.count() == 1, "retracted fingerprint must re-enter as novel")
+    Dedup.dedupIndexAppend(spark, tbl, novel2, "text", "doc_id", tableBuckets = 4)
+    val third = doc10.select((col("doc_id") + 6000).as("doc_id"), col("text"))
+    assert(Dedup.dedupAgainstIndex(spark, tbl, third, "text", "doc_id").isEmpty,
+      "a re-inserted fingerprint must suppress later duplicates " +
+        "(append clears its tombstone)")
     spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
     spark.sql(s"DROP TABLE IF EXISTS `$tbl2`")
   }
@@ -448,8 +463,16 @@ class LayoutBucketingSpec extends SparkSpec {
       "fixture must delete vectors that appeared in some top-k")
     // compact folds; the bucketed zero-corpus-Exchange probe shape holds
     Similarity.lshIndexCompact(spark, tbl, tableBuckets = 4)
-    assert(!spark.catalog.tableExists(tbl + "_del"),
-      "compact must drop the tombstone table")
+    assert(spark.table(tbl + "_del").isEmpty,
+      "compact must truncate the tombstone table")
+    // delete → re-append clears the vector id's tombstone
+    Similarity.lshIndexDelete(
+      e.filter(col("vec_id") === 1).select("vec_id"), "vec_id", tbl)
+    Similarity.lshIndexAppend(e.filter(col("vec_id") === 1),
+      "vec_id", "embedding", dim = 64, tableName = tbl, tableBuckets = 4,
+      bits = 6, tables = 4)
+    assert(spark.table(tbl + "_del").isEmpty,
+      "re-appending a deleted id must clear its tombstone")
     val after = probe()
     assert(after.exceptAll(probed).isEmpty && probed.exceptAll(after).isEmpty,
       "compaction must not change probe results")

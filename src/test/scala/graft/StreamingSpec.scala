@@ -606,6 +606,47 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("dedupIngestStream: a mid-stream index DELETE takes effect without restart") {
+    // r15: builds create the tombstone table EMPTY, so the stream's plan
+    // carries the live-view anti-join from the start — a delete that
+    // lands between micro-batches is picked up by static-side
+    // re-resolution, exactly like an append (review finding: a _del
+    // table that first appears mid-stream would be invisible).
+    import graft.ops.Dedup
+    val docs = spark.range(5).select(col("id").as("doc_id"),
+      concat(lit("tombstone stream fixture text "), col("id")).as("text"))
+    val tbl = "graft_spec_del_stream"
+    Dedup.dedupIndexBuild(docs, "text", "doc_id", tbl, tableBuckets = 4)
+    val ms = new MemoryStream[(Long, String, Timestamp)](41, spark, None)
+    val df = ms.toDF().toDF("doc_id", "text", "ts")
+    val out = StreamingOps.dedupIngestStream(df, "text", "doc_id", "ts",
+      watermark = "10 minutes", spark, tbl)
+    val q = out.writeStream.format("memory").queryName("del_stream_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: doc 2's text is indexed (drops); one novel text passes
+      ms.addData(Seq(
+        (100L, "tombstone stream fixture text 2", ts(0)),
+        (101L, "a wholly novel text", ts(0))))
+      q.processAllAvailable()
+      val got1 = spark.table("del_stream_out").select("doc_id")
+        .as[Long].collect().toSet
+      assert(got1 == Set(101L), s"indexed text must drop pre-delete: $got1")
+      // retract doc 2's fingerprint MID-STREAM, then send the text again
+      Dedup.dedupIndexDelete(spark, tbl, docs.filter(col("doc_id") === 2), "text")
+      ms.addData(Seq((102L, "tombstone stream fixture text 2", ts(5))))
+      q.processAllAvailable()
+      val got2 = spark.table("del_stream_out").select("doc_id")
+        .as[Long].collect().toSet
+      assert(got2 == Set(101L, 102L),
+        s"the retracted fingerprint must re-enter without a restart: $got2")
+    } finally {
+      q.stop(); q.awaitTermination()
+      spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+      spark.sql(s"DROP TABLE IF EXISTS `${tbl}_del`")
+    }
+  }
+
   test("image dedup-at-ingest: dHash fingerprints through the generic streaming index shape") {
     // streaming × multimodal: the SAME incremental-corpus lifecycle the
     // text pipeline uses (persisted fp index → stream-static anti-join →
