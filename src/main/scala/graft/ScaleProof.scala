@@ -68,7 +68,12 @@ object ScaleProof {
   val strategyAdaptive: Set[String] =
     Set("q_dedup_substring", "q_dedup_minhash", "q_fuzzy_link2",
       "q_fuzzy_link_serve", "q_image_phash", "q_audio_fp",
-      "q_crossmodal_dup", "q_crossmodal_frames")
+      "q_crossmodal_dup", "q_crossmodal_frames",
+      // the probe's within-batch winner election semi-join: `winners` is
+      // novel-delta-sized (grows with the corpus), so its broadcast
+      // correctly flips to SMJ at the sf10 batch — the q_dedup_minhash
+      // adaptation; the index side's zero-Exchange pin is unaffected
+      "q_dedup_tombstone")
 
   /** Final physical plan as a normalized operator-sequence signature.
     * With `joinStrategyFree`, equi-join strategy nodes collapse to

@@ -258,6 +258,85 @@ class LinkageSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
   }
 
+  test("fastss vs segment blocking: 2-deletion-neighborhood candidate measurement (r14 verdict stretch)") {
+    // The documented n·√n residual of τ=2 segment blocking on
+    // fixed-width numeric keys comes from the substituted segment going
+    // structurally dead; FastSS (Bocek et al. 2007: lev(a,b) ≤ k ⟹ the
+    // k-deletion neighborhoods intersect) is the known alternative with
+    // exact recall. This test MEASURES both blockings' enumeration cost
+    // on the q_fuzzy_link2 derivation and pins FastSS's recall, so the
+    // SURVEY verdict on the hybrid rests on recorded numbers, not
+    // intuition. Enumeration cost = join OUTPUT rows (what the sf10
+    // wall-clock is made of), exploded keys = shuffle cost proxy.
+    val cust = Tables.customer(spark, "/root/testdata/sf0.01")
+    val p = (lit(10) + col("c_custkey") % 9).cast("int")
+    val del = concat(substr(col("c_name"), lit(1), p - 1),
+      substr(col("c_name"), p + 1, lit(18) - p))
+    val q = (lit(3) + col("c_custkey") % 5).cast("int")
+    val dirtyDf = cust.filter(col("c_custkey") % 7 === 3)
+      .select(col("c_custkey").as("d_id"),
+        concat(substr(del, lit(1), q - 1), lit("x"),
+          substr(del, q + 1, length(del) - q)).as("d_s"))
+    val cleanDf = cust.select(col("c_custkey").as("c_id"), col("c_name").as("c_s"))
+    val cleanS = cleanDf.select("c_s").collect().map(_.getString(0)).toIndexedSeq
+    val dirtyS = dirtyDf.select("d_s").collect().map(_.getString(0)).toIndexedSeq
+    // current segment blocking (adaptive DP bounds, as q_fuzzy_link2 runs)
+    val bounds = Linkage.chooseSegmentation(cleanS, dirtyS, tau = 2)
+    val segEnum = Linkage.segmentCandidates(dirtyDf, cleanDf, 2, bounds).count()
+    // FastSS: k-deletion neighborhoods, exact-recall candidate join
+    def dels(s: String, k: Int): Set[String] = {
+      var cur = Set(s); var all = Set(s)
+      for (_ <- 1 to k) {
+        cur = cur.flatMap(t => (0 until t.length)
+          .map(i => t.substring(0, i) + t.substring(i + 1)))
+        all ++= cur
+      }
+      all
+    }
+    val buckets = new scala.collection.mutable.HashMap[String,
+      scala.collection.mutable.ArrayBuffer[Int]]()
+    for ((c, ci) <- cleanS.zipWithIndex; v <- dels(c, 2))
+      buckets.getOrElseUpdate(v, scala.collection.mutable.ArrayBuffer()) += ci
+    var fastssEnum = 0L
+    val pairBits = new java.util.BitSet(cleanS.size)
+    var fastssPairs = 0L
+    val fastssPairSet = scala.collection.mutable.HashSet[(Int, Int)]()
+    for ((d, di) <- dirtyS.zipWithIndex) {
+      pairBits.clear()
+      for (v <- dels(d, 2); hits <- buckets.get(v)) {
+        fastssEnum += hits.size
+        hits.foreach(pairBits.set)
+      }
+      fastssPairs += pairBits.cardinality()
+      var i = pairBits.nextSetBit(0)
+      while (i >= 0) { fastssPairSet += ((di, i)); i = pairBits.nextSetBit(i + 1) }
+    }
+    // FastSS recall is exact: every true lev<=2 pair is a candidate
+    val truePairs = (for ((d, di) <- dirtyS.zipWithIndex;
+        (c, ci) <- cleanS.zipWithIndex
+        if levenshteinRef(d, c) <= 2) yield (di, ci)).toSet
+    assert(truePairs.subsetOf(fastssPairSet),
+      s"FastSS must have exact recall: missing ${(truePairs -- fastssPairSet).take(3)}")
+    val segKeysPerSide = dirtyS.size.toLong * 75 + cleanS.size.toLong * 3
+    val fastssKeys = (dirtyS.map(dels(_, 2).size.toLong).sum
+      + cleanS.map(dels(_, 2).size.toLong).sum)
+    info(f"segment blocking: enumerated $segEnum pairs, ~$segKeysPerSide exploded keys")
+    info(f"fastss 2-deletion: enumerated $fastssEnum bucket hits, " +
+      f"$fastssPairs distinct pairs, $fastssKeys exploded keys")
+    assert(segEnum > 0 && fastssPairs > 0)
+  }
+
+  /** Reference Levenshtein for the FastSS recall pin (small inputs). */
+  private def levenshteinRef(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+        dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    dp(a.length)(b.length)
+  }
+
   test("chooseSegmentation: entropy-uniform keys keep the even split (empty map)") {
     val rnd = new scala.util.Random(11)
     def randKey() = (0 until 18).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
