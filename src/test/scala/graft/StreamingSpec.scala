@@ -441,6 +441,50 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty, "threshold 0.3 should produce at least one match")
   }
 
+  test("annMatchStream: a mid-stream LSH index DELETE takes effect without restart") {
+    // the LSH twin of the fingerprint mid-stream-delete pin: builds
+    // create the tombstone table empty, the stream plans the live-view
+    // anti-join from the start, and a tombstoned vector id stops
+    // matching from the next micro-batch on
+    import graft.ops.Similarity
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).cache()
+    val tbl = "graft_spec_ann_del_stream"
+    Similarity.lshIndexBuild(e, "vec_id", "embedding", dim = 64,
+      tableName = tbl, tableBuckets = 4, bits = 6, tables = 4)
+    val q0 = e.filter(col("vec_id") === 3)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).head
+    val ms = new MemoryStream[(Long, Array[Float], Timestamp)](43, spark, None)
+    val df = ms.toDF().toDF("vec_id", "embedding", "ts")
+    val out = StreamingOps.annMatchStream(df, "vec_id", "embedding", "ts",
+      watermark = "10 minutes", spark, tbl,
+      dim = 64, threshold = 0.3, bits = 6, tables = 4, probes = 2)
+    val q = out.writeStream.format("memory").queryName("ann_del_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(Seq((1000L, q0._2, ts(0)))) // probe BEFORE the delete
+      q.processAllAvailable()
+      val before = spark.table("ann_del_out").select("n_id")
+        .as[Long].collect().toSet
+      assert(before.nonEmpty, "the probe must match someone pre-delete")
+      // retract every pre-delete neighbor MID-STREAM, re-probe with a
+      // fresh query id (the watermark pair-dedup is keyed (q_id, n_id))
+      Similarity.lshIndexDelete(
+        before.toSeq.toDF("vec_id"), "vec_id", tbl)
+      ms.addData(Seq((2000L, q0._2, ts(5))))
+      q.processAllAvailable()
+      val after = spark.table("ann_del_out")
+        .filter(col("q_id") === 2000L).select("n_id")
+        .as[Long].collect().toSet
+      assert(after.intersect(before).isEmpty,
+        s"tombstoned ids must stop matching mid-stream: $after still contains ${after.intersect(before)}")
+    } finally {
+      q.stop(); q.awaitTermination()
+      spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+      spark.sql(s"DROP TABLE IF EXISTS `${tbl}_del`")
+    }
+  }
+
   test("ivfPqMatchStream: stream probes the IVFADC index; matches the batch twin across an append") {
     import graft.ops.Similarity
     val e = Tables.embeddings(spark, sf)
