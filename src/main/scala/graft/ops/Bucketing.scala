@@ -97,20 +97,65 @@ object Bucketing {
     n
   }
 
-  // ---- tombstone lifecycle (r15) ------------------------------------
+  // ---- tombstone lifecycle (r15; generation-stamped r16) -------------
   // Shared by every persisted index that supports retraction (the
-  // fingerprint dedup index keyed by `fp`, the LSH index keyed by
-  // `n_id`): deletes accumulate in a SMALL `<table>_del` side table,
-  // probes anti-join it ([[liveView]] — broadcast, so the bucketed base
-  // scan keeps its partitioning), appends CLEAR re-inserted keys
-  // ([[clearTombstones]] — without it a deleted-then-re-inserted key
-  // would be suppressed forever), and [[tombstoneCompact]] folds the
-  // deletes into the base. The index is never rewritten per delete.
+  // fingerprint dedup index keyed by `fp`, the LSH/IVFADC indexes keyed
+  // by `n_id`, the entity-resolution catalog keyed by `c_id`, the BM25
+  // posting index keyed by `doc_id`): deletes accumulate as
+  // (key, seq) rows in a SMALL append-only `<table>_del` side table,
+  // index rows carry the [[GenCol]] generation they were written under,
+  // and a row is LIVE iff its generation is at least the key's latest
+  // delete sequence ([[liveView]]). Every lifecycle operation except
+  // [[tombstoneCompact]] is a pure file APPEND — nothing ever rewrites
+  // a table a running streaming probe may have planned in (the r15
+  // clearTombstones rewrite-under-a-live-stream hazard is gone: a
+  // re-insert is just an append at a generation past the delete, so no
+  // "clear" operation exists at all). The per-row generation also keeps
+  // delete → re-insert exact: the STALE pre-delete rows of a
+  // re-inserted key stay suppressed (their generation predates the
+  // delete), so the live view holds exactly the post-delete state — a
+  // latest-op-wins key log would resurrect them alongside the fresh
+  // row (r15 ADVICE).
+
+  /** The generation column stamped onto tombstone-capable index rows —
+    * see [[withGen]] / [[currentGen]]. [[liveView]] consumes and drops
+    * it, so probe schemas never see it. */
+  val GenCol = "_gen"
+
+  /** Observed-metric name prefix for tombstone visibility: every
+    * [[liveView]] probe against a non-empty delete table reports its
+    * tombstoned-key count (`n_tombstoned_keys`), so an uncompacted
+    * delete set growing toward broadcast pain is visible long before
+    * the SFs any oracle checks (the maxBucket-drop pattern). Absent ==
+    * zero: AQE's empty-relation propagation prunes the observe node
+    * with the empty broadcast side. Bench aggregates per query. */
+  val TombstoneMetricPrefix = "graft_tombstone_keys/"
+
+  private val tombObsId = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Stamp `df` with the generation its rows are written under: 0 at
+    * build time, [[currentGen]] at append time (an append's rows must
+    * outlive every delete issued before the append — and no delete
+    * issued after it, which [[tombstoneAppend]] guarantees by stamping
+    * deletes one PAST the current generation). */
+  def withGen(df: DataFrame, gen: Long): DataFrame =
+    df.withColumn(GenCol, org.apache.spark.sql.functions.lit(gen))
+
+  /** The index's current generation = latest delete sequence in its
+    * `_del` table (0 when nothing was ever deleted). One tiny aggregate
+    * over the small-by-contract delete table; index APPENDS read it to
+    * stamp their rows. */
+  def currentGen(spark: SparkSession, tableName: String): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit, max}
+    if (!spark.catalog.tableExists(tableName + "_del")) 0L
+    else spark.table(tableName + "_del")
+      .agg(coalesce(max("seq"), lit(0L))).first().getLong(0)
+  }
 
   /** Create an EMPTY tombstone table alongside a fresh index build.
     * Always materializing it (rather than creating lazily on the first
     * delete) is load-bearing for STREAMING probes: a stream plans the
-    * [[liveView]] anti-join at definition time, so the `_del` table must
+    * [[liveView]] join at definition time, so the `_del` table must
     * exist then for a later mid-stream delete to take effect — appends
     * to an existing static table re-resolve per micro-batch, a table
     * that appears mid-stream does not. Also discards any stale
@@ -120,75 +165,85 @@ object Bucketing {
     // eager: [[tombstoneCompact]] truncates by passing the _del table
     // itself as the schema source — materialize the empty result before
     // writeTable drops the table the plan reads
-    writeTable(keySchema.select(keyCol).limit(0).localCheckpoint(true),
+    writeTable(
+      keySchema.select(keyCol).limit(0)
+        .withColumn("seq", org.apache.spark.sql.functions.lit(0L))
+        .localCheckpoint(true),
       tableName + "_del")
 
-  /** Append retracted keys to the tombstone table (created if a legacy
-    * index predates [[initTombstones]]). */
+  /** Append retracted keys to the tombstone table at the NEXT delete
+    * sequence (created if a legacy index predates [[initTombstones]] —
+    * such an index's rows have no [[GenCol]] and read as generation 0,
+    * i.e. every delete suppresses them, the r15 anti-join semantics).
+    * Within-batch duplicates are collapsed; re-deleting an
+    * already-tombstoned key appends one fresh (key, seq) row — the
+    * delete table stays delete-volume-sized and [[liveView]] folds to
+    * one broadcast key either way. */
   def tombstoneAppend(delKeys: DataFrame, keyCol: String,
       tableName: String): Unit = {
+    import org.apache.spark.sql.functions.lit
     val spark = delKeys.sparkSession
+    val seq = currentGen(spark, tableName) + 1L
     // eager: the caller may derive the delete set from the index itself
-    val del = delKeys.select(keyCol).distinct().localCheckpoint(true)
+    val del = delKeys.select(keyCol).distinct()
+      .withColumn("seq", lit(seq)).localCheckpoint(true)
     if (spark.catalog.tableExists(tableName + "_del"))
       del.write.mode(SaveMode.Append).format("parquet")
         .saveAsTable(tableName + "_del")
     else writeTable(del, tableName + "_del")
   }
 
-  /** Remove re-inserted keys from the tombstone table — called by index
-    * APPENDS: a key that was deleted and later re-enters the index must
-    * stop being anti-joined away, or the re-inserted row is suppressed
-    * forever (and a dedup gate would report it novel on every
-    * subsequent batch). The tombstone table is small by contract, so
-    * the rewrite is cheap.
-    *
-    * The rewrite only happens when a key is actually cleared: an append
-    * with nothing tombstoned (the overwhelmingly common case) must NOT
-    * touch the table's files — a RUNNING streaming probe has the
-    * current file listing planned in, and a drop+recreate under it
-    * fails the stream with FILE_NOT_EXIST. When a clear does rewrite,
-    * treat it like [[compactBucketed]]: a maintenance op to run without
-    * a live stream over the same index. */
-  def clearTombstones(reinsertedKeys: DataFrame, keyCol: String,
-      tableName: String): Unit = {
-    val spark = reinsertedKeys.sparkSession
-    if (!spark.catalog.tableExists(tableName + "_del")) return
-    val del = spark.table(tableName + "_del")
-    val remaining = del
-      .join(reinsertedKeys.select(keyCol), Seq(keyCol), "left_anti")
-      .localCheckpoint(true) // materialize before overwriting the table it reads
-    if (remaining.count() < del.count()) writeTable(remaining, tableName + "_del")
-  }
-
-  /** The LIVE rows of a tombstoned index: base minus deleted keys. The
-    * tombstone side is broadcast (small by contract — fold with
-    * [[tombstoneCompact]] before it grows); a broadcast anti-join
-    * preserves the base scan's bucketed partitioning, so probes keep
-    * their zero-index-Exchange shape, and AQE's empty-relation
-    * propagation removes the join entirely when nothing is deleted.
-    * Indexes with no tombstone table read through unchanged. */
+  /** The LIVE rows of a tombstoned index: base rows whose generation is
+    * at least their key's latest delete sequence (rows of never-deleted
+    * keys pass through). The delete side is broadcast (small by
+    * contract — fold with [[tombstoneCompact]] before it grows, and
+    * watch the [[TombstoneMetricPrefix]] observed metric); a broadcast
+    * left join preserves the base scan's bucketed partitioning, so
+    * probes keep their zero-index-Exchange shape, and AQE's
+    * empty-relation propagation removes the join entirely when nothing
+    * is deleted. Indexes with no tombstone table read through
+    * unchanged. The [[GenCol]] bookkeeping column is dropped either
+    * way — downstream probe schemas are generation-free. */
   def liveView(spark: SparkSession, tableName: String,
+      keyCol: String): DataFrame =
+    liveViewOf(spark.table(tableName), spark, tableName + "_del", keyCol)
+
+  /** [[liveView]] for a base DataFrame that is not `spark.table(name)`
+    * of the delete table's own index — side tables sharing the index's
+    * `_del` (e.g. the BM25 `_docs` doc-length table) filter through the
+    * same tombstones. */
+  def liveViewOf(base: DataFrame, spark: SparkSession, delTable: String,
       keyCol: String): DataFrame = {
-    val base = spark.table(tableName)
-    if (!spark.catalog.tableExists(tableName + "_del")) base
-    else base.join(
-      org.apache.spark.sql.functions.broadcast(spark.table(tableName + "_del")),
-      Seq(keyCol), "left_anti")
+    import org.apache.spark.sql.functions._
+    if (!spark.catalog.tableExists(delTable)) base.drop(GenCol)
+    else {
+      val del = spark.table(delTable)
+        .groupBy(keyCol).agg(max("seq").as("_del_seq"))
+        .observe(TombstoneMetricPrefix + tombObsId.incrementAndGet(),
+          count(lit(1)).as("n_tombstoned_keys"))
+      val gen = if (base.columns.contains(GenCol)) col(GenCol) else lit(0L)
+      base.join(broadcast(del), Seq(keyCol), "left")
+        .filter(col("_del_seq").isNull || gen >= col("_del_seq"))
+        .drop("_del_seq").drop(GenCol)
+    }
   }
 
   /** Fold tombstones into the base: rewrite the index to its live rows
-    * (one file per bucket, the [[compactBucketed]] layout contract) and
-    * truncate the tombstone table — truncate, NOT drop, so streams that
-    * planned the [[liveView]] anti-join keep a valid (empty) table to
-    * re-resolve. Probe results are unchanged by construction. Returns
-    * the live row count. */
+    * at generation 0 (one file per bucket, the [[compactBucketed]]
+    * layout contract) and truncate the tombstone table — truncate, NOT
+    * drop, so streams that planned the [[liveView]] join keep a valid
+    * (empty) table to re-resolve; generation and sequence reset
+    * together, so liveness is unchanged by construction. The ONLY
+    * lifecycle op that rewrites files — run it without a live stream
+    * over the same index (the [[compactBucketed]] rule). Returns the
+    * live row count. */
   def tombstoneCompact(spark: SparkSession, tableName: String,
       keyCol: String, bucketKey: String, buckets: Int): Long = {
     val live = liveView(spark, tableName, keyCol).localCheckpoint(true)
     val n = live.count()
     writeBucketed(
-      live.repartition(buckets, org.apache.spark.sql.functions.col(bucketKey)),
+      withGen(live, 0L)
+        .repartition(buckets, org.apache.spark.sql.functions.col(bucketKey)),
       tableName, bucketKey, buckets)
     if (spark.catalog.tableExists(tableName + "_del"))
       initTombstones(spark.table(tableName + "_del"), keyCol, tableName)

@@ -89,41 +89,48 @@ object Dedup {
       tableBuckets: Int = 32): Unit = {
     // empty tombstone table up front: discards a previous same-name
     // index's deletes AND makes mid-stream deletes visible to streaming
-    // probes (they plan the live-view anti-join at stream definition —
+    // probes (they plan the live-view join at stream definition —
     // see Bucketing.initTombstones)
     Bucketing.initTombstones(fps, "fp", tableName)
     Bucketing.writeBucketed(
-      fps.groupBy("fp").agg(min("first_id").as("first_id")),
+      Bucketing.withGen(
+        fps.groupBy("fp").agg(min("first_id").as("first_id")), 0L),
       tableName, "fp", tableBuckets)
   }
 
   /** Delta append of NOVEL fingerprints to a [[fingerprintIndexBuild]]
     * table (eager localCheckpoint for the same self-referential-write
-    * reason as [[dedupIndexAppend]]). */
+    * reason as [[dedupIndexAppend]]). Rows are stamped with the index's
+    * current generation, so a deleted-then-re-inserted fingerprint is
+    * live again from this append on — while its STALE pre-delete row
+    * stays suppressed (its generation predates the delete), keeping the
+    * live view one-row-per-fingerprint. Pure file append: safe under a
+    * running streaming probe. */
   def fingerprintIndexAppend(novelFps: DataFrame, tableName: String,
       tableBuckets: Int = 32): Unit = {
-    val delta = novelFps.groupBy("fp").agg(min("first_id").as("first_id"))
+    val spark = novelFps.sparkSession
+    val delta = Bucketing.withGen(
+        novelFps.groupBy("fp").agg(min("first_id").as("first_id")),
+        Bucketing.currentGen(spark, tableName))
       .localCheckpoint(true)
     Bucketing.appendBucketed(delta, tableName, "fp", tableBuckets)
-    // a deleted-then-re-inserted fingerprint must stop being tombstoned,
-    // or the live view suppresses the fresh row forever and every later
-    // batch keeps re-reporting it novel
-    Bucketing.clearTombstones(delta, "fp", tableName)
   }
 
   /** Tombstone RETRACTION for a [[fingerprintIndexBuild]] table (r15 —
     * the index family was append-only; nothing could remove a retracted
-    * document). Deletes accumulate in a SMALL side table
-    * `<tableName>_del` of fingerprints: probes anti-join it
-    * ([[liveFingerprintIndex]] — broadcast, so the bucketed base scan
-    * keeps its zero-Exchange shape), and [[fingerprintIndexCompact]]
-    * folds it into the base — the index is never rewritten per delete,
-    * the same delta discipline as appends. Semantics are
-    * per-FINGERPRINT: deleting a fingerprint retracts it entirely (a
-    * later batch re-inserts it as novel), so
+    * document). Deletes accumulate in a SMALL append-only side table
+    * `<tableName>_del` of (fingerprint, seq) rows: probes filter
+    * through it ([[liveFingerprintIndex]] — broadcast, so the bucketed
+    * base scan keeps its zero-Exchange shape), and
+    * [[fingerprintIndexCompact]] folds it into the base — the index is
+    * never rewritten per delete, the same delta discipline as appends,
+    * and no lifecycle op outside compact rewrites any file (safe under
+    * live streams). Semantics are per-FINGERPRINT: deleting a
+    * fingerprint retracts its rows written so far (a later batch
+    * re-inserts it as novel at a newer generation), so
     * probe(build(A) ∪ append(B) − delete(D)) ≡ probe(build(A∪B−D)) with
     * −D removing every doc holding a deleted fingerprint — spec-pinned
-    * in DedupSimilaritySpec, oracled by q_dedup_tombstone. */
+    * in LayoutBucketingSpec, oracled by q_dedup_tombstone. */
   def fingerprintIndexDelete(delFps: DataFrame, tableName: String): Unit =
     Bucketing.tombstoneAppend(delFps, "fp", tableName)
 
@@ -135,19 +142,20 @@ object Dedup {
     fingerprintIndexDelete(
       retracted.select(fingerprint(col(textCol)).as("fp")), tableName)
 
-  /** The LIVE rows of a fingerprint index: base minus tombstones. The
-    * tombstone side is broadcast (deletes are a small delta by contract
-    * — fold them with [[fingerprintIndexCompact]] before they grow);
-    * the broadcast anti-join preserves the base scan's bucketed
-    * partitioning, so downstream probe joins stay index-Exchange-free.
-    * Indexes with no delete table read through unchanged (identical
-    * plan). */
+  /** The LIVE rows of a fingerprint index: base rows not suppressed by
+    * a later tombstone ([[Bucketing.liveView]]). The tombstone side is
+    * broadcast (deletes are a small delta by contract — fold them with
+    * [[fingerprintIndexCompact]] before they grow; probes report the
+    * tombstoned-key count as an observed metric); the broadcast join
+    * preserves the base scan's bucketed partitioning, so downstream
+    * probe joins stay index-Exchange-free. Indexes with no delete table
+    * read through unchanged (identical plan). */
   def liveFingerprintIndex(spark: SparkSession, tableName: String): DataFrame =
     Bucketing.liveView(spark, tableName, "fp")
 
   /** Fold tombstones into the base: rewrite the index to its live rows
     * (one file per bucket, the [[Bucketing.compactBucketed]] layout
-    * contract) and drop the tombstone table. Probe results are
+    * contract) and truncate the tombstone table. Probe results are
     * unchanged by construction — the probe already read the live view.
     * Returns the live row count. */
   def fingerprintIndexCompact(spark: SparkSession, tableName: String,

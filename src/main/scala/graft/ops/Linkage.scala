@@ -338,11 +338,45 @@ object Linkage {
     // paired with freshly-segmented rows would be exactly the
     // silent-recall-loss the meta table exists to prevent
     clean.sparkSession.sql(s"DROP TABLE IF EXISTS `${tableName}_meta`")
-    Bucketing.writeBucketed(segRows.unionByName(shortRows),
+    // empty tombstone table up front (Bucketing.initTombstones): the
+    // catalog joins the persisted family's retraction lifecycle — the
+    // tombstone key is the CATALOG RECORD id, so one delete suppresses
+    // every segment row AND the short-leg row of that record
+    Bucketing.initTombstones(segRows, "c_id", tableName)
+    Bucketing.writeBucketed(
+      Bucketing.withGen(segRows.unionByName(shortRows), 0L),
       tableName, "kh", tableBuckets)
     writeEditIndexMeta(clean.sparkSession, tableName, tau, bounds)
     bounds
   }
+
+  /** Tombstone RETRACTION for an [[editIndexBuild]] catalog (r16 —
+    * entity resolution is where retraction bites hardest in production:
+    * a withdrawn catalog record otherwise keeps linking forever, the
+    * GDPR/CDC case). Retracted record ids accumulate as (c_id, seq)
+    * rows in the small append-only `<tableName>_del` side table;
+    * [[editIndexProbe]] and [[editIndexMatchStream]] read the live view
+    * (broadcast filter — the bucketed segment scan keeps its
+    * zero-catalog-Exchange shape), so a deleted record stops linking
+    * from the next probe (or micro-batch) on, and
+    * [[editIndexCompact]] folds the deletes into the base. A later
+    * [[editIndexAppend]] of the same id revives it (its fresh rows
+    * carry a newer generation; the stale pre-delete rows stay
+    * suppressed). probe(build ∪ append − delete) ≡ probe(rebuilt over
+    * the survivors) with EXACT recall — spec-pinned in LinkageSpec,
+    * oracled by q_fuzzy_link_tombstone's naive-join twin. */
+  def editIndexDelete(delIds: DataFrame, cId: String,
+      tableName: String): Unit =
+    Bucketing.tombstoneAppend(delIds.select(col(cId).as("c_id")),
+      "c_id", tableName)
+
+  /** Fold tombstones into the catalog base (rewrite to live rows, one
+    * file per kh bucket, truncate `_del`; the `_meta` boundary map is
+    * untouched — liveness never changes segmentation). Returns the live
+    * segment-row count. */
+  def editIndexCompact(spark: org.apache.spark.sql.SparkSession,
+      tableName: String, tableBuckets: Int = 32): Long =
+    Bucketing.tombstoneCompact(spark, tableName, "c_id", "kh", tableBuckets)
 
   /** Persist (τ, boundary map) next to the index as `<tableName>_meta`:
     * one sentinel row (len = −1, starts = [], the τ carrier — present
@@ -393,7 +427,11 @@ object Linkage {
     val shortRows = c.filter(length(col("c_s")) < nseg)
       .select(lit(null).cast("long").as("kh"),
         col("c_id"), col("c_s"), lit(true).as("short"))
-    Bucketing.appendBucketed(segRows.unionByName(shortRows),
+    // stamped with the index's current generation (a re-appended
+    // deleted record revives; pure file append, stream-safe)
+    Bucketing.appendBucketed(
+      Bucketing.withGen(segRows.unionByName(shortRows),
+        Bucketing.currentGen(newClean.sparkSession, tableName)),
       tableName, "kh", tableBuckets)
   }
 
@@ -411,7 +449,7 @@ object Linkage {
       dirty: DataFrame, dId: String, dStr: String): DataFrame = {
     val (tau, bounds) = readEditIndexMeta(spark, tableName)
     val d = dirty.select(col(dId).as("d_id"), col(dStr).as("d_s"))
-    val idx = spark.table(tableName)
+    val idx = Bucketing.liveView(spark, tableName, "c_id")
     val dSeg = dirtySegKeys(d, tau, bounds)
       .select(col("d_id"), col("d_s"),
         xxhash64(col("k.i"), col("k.l"), col("k.seg")).as("kh"))
@@ -458,7 +496,7 @@ object Linkage {
     val d = stream
       .select(col(dId).as("d_id"), col(dStr).as("d_s"), col(tsCol).as("ts"))
       .withWatermark("ts", watermark)
-    val idx = spark.table(tableName)
+    val idx = Bucketing.liveView(spark, tableName, "c_id")
     val dSeg = dirtySegKeys(d, tau, bounds, keep = Seq("ts"))
       .select(col("d_id"), col("d_s"), col("ts"),
         xxhash64(col("k.i"), col("k.l"), col("k.seg")).as("kh"))

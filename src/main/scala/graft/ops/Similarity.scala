@@ -121,7 +121,8 @@ object Similarity {
     // index's deletes and makes mid-stream deletes visible to streaming
     // probes (Bucketing.initTombstones)
     Bucketing.initTombstones(sig, "n_id", tableName)
-    Bucketing.writeBucketed(sig, tableName, "bucket", tableBuckets)
+    Bucketing.writeBucketed(Bucketing.withGen(sig, 0L),
+      tableName, "bucket", tableBuckets)
   }
 
   /** Incrementally extend a [[lshIndexBuild]] table with a new corpus
@@ -137,10 +138,14 @@ object Similarity {
     val sig = newCorpus.select(Seq(col(idCol).as("n_id"), col(vecCol).as("nv"),
       explode(lshBuckets(col(vecCol), bits, dim, tables, 0, seed))
         .as("bucket")) ++ metaCols.map(col): _*)
-    Bucketing.appendBucketed(sig, tableName, "bucket", tableBuckets)
-    // a deleted-then-re-appended vector id must stop being tombstoned
-    Bucketing.clearTombstones(newCorpus.select(col(idCol).as("n_id")),
-      "n_id", tableName)
+    // stamped with the index's current generation: a deleted-then-
+    // re-appended vector id is live again from this append on (its
+    // stale pre-delete signatures stay suppressed), and the append is a
+    // pure file write — safe under a running streaming probe
+    Bucketing.appendBucketed(
+      Bucketing.withGen(sig,
+        Bucketing.currentGen(newCorpus.sparkSession, tableName)),
+      tableName, "bucket", tableBuckets)
   }
 
   /** Tombstone RETRACTION for a [[lshIndexBuild]] table (r15): vector
@@ -388,7 +393,11 @@ object Similarity {
     val codebooks = pqTrain(withRes, idCol, "_res", m, k, iters)
     val coded = pqEncode(withRes, "_res", codebooks)
       .select(col(idCol).as("n_id"), col("pq_code"), col("_cell").as("cell"))
-    Bucketing.writeBucketed(coded, tableName, "cell", tableBuckets)
+    // same retraction lifecycle as ivfPqIndexBuild (shared _del keyed
+    // by n_id; ivfPqIndexDelete/ivfPqIndexCompact work on both)
+    Bucketing.initTombstones(coded, "n_id", tableName)
+    Bucketing.writeBucketed(Bucketing.withGen(coded, 0L),
+      tableName, "cell", tableBuckets)
     codebooks
   }
 
@@ -426,7 +435,8 @@ object Similarity {
       .withColumn("_tab", adcL2TablesOf(
         residualCol(col("_qv"), col("cell"), coarseCents), codebooks))
       .drop("_qv")
-    val scored = spark.table(tableName).join(q.hint("shuffle_merge"), "cell")
+    val scored = liveIvfPqIndex(spark, tableName)
+      .join(q.hint("shuffle_merge"), "cell")
       .withColumn("dist_adc", adcL2Dist(codebooks.length, "pq_code"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("dist_adc").asc, col("n_id"))
@@ -490,10 +500,44 @@ object Similarity {
 
   def ivfPqIndexBuild(corpus: DataFrame, idCol: String, vecCol: String,
       codebooks: Array[Array[Seq[Double]]], coarseCents: Array[Seq[Double]],
-      tableName: String, tableBuckets: Int = 32): Unit =
-    Bucketing.writeBucketed(
-      ivfPqCoded(corpus, idCol, vecCol, codebooks, coarseCents),
+      tableName: String, tableBuckets: Int = 32): Unit = {
+    val coded = ivfPqCoded(corpus, idCol, vecCol, codebooks, coarseCents)
+    // empty tombstone table up front (Bucketing.initTombstones): the
+    // code table joins the persisted family's retraction lifecycle —
+    // the tombstone key is the VECTOR ID, not the cell (one n_id lives
+    // in exactly one cell here, but the id is what a caller retracts)
+    Bucketing.initTombstones(coded, "n_id", tableName)
+    Bucketing.writeBucketed(Bucketing.withGen(coded, 0L),
       tableName, "cell", tableBuckets)
+  }
+
+  /** Tombstone RETRACTION for an [[ivfPqIndexBuild]] /
+    * [[ivfPqResidualIndexBuild]] code table (r16 — the last
+    * append-only persisted index): retracted vector ids accumulate as
+    * (n_id, seq) rows in the small `<tableName>_del` side table;
+    * [[ivfPqProbe]] / [[ivfPqResidualProbe]] / [[ivfPqMatchStream]]
+    * read the live view, so a deleted id stops surfacing as a neighbor
+    * from the next probe (or micro-batch) on, with zero corpus-side
+    * Exchange preserved, and [[ivfPqIndexCompact]] folds the deletes
+    * into the base. probe(build ∪ append − delete) ≡ probe(rebuilt
+    * over the survivors) — spec-pinned in DedupSimilaritySpec. */
+  def ivfPqIndexDelete(delIds: DataFrame, idCol: String,
+      tableName: String): Unit =
+    Bucketing.tombstoneAppend(delIds.select(col(idCol).as("n_id")),
+      "n_id", tableName)
+
+  /** The LIVE rows of an IVFADC code table — [[Bucketing.liveView]]
+    * keyed by `n_id`. */
+  def liveIvfPqIndex(spark: SparkSession, tableName: String): DataFrame =
+    Bucketing.liveView(spark, tableName, "n_id")
+
+  /** Fold tombstones into the base code table (rewrite to live rows,
+    * one file per cell bucket, truncate `_del`). Returns the live code
+    * row count. */
+  def ivfPqIndexCompact(spark: SparkSession, tableName: String,
+      tableBuckets: Int = 32): Long =
+    Bucketing.tombstoneCompact(spark, tableName, "n_id", "cell",
+      tableBuckets)
 
   /** IVFADC probe over an [[ivfPqIndexBuild]] table (same centroids and
     * codebooks!): each query carries its precomputed m×k L2 ADC table
@@ -510,7 +554,8 @@ object Similarity {
     val q = queries.select(col(idCol).as("q_id"),
       adcL2Tables(vecCol, codebooks).as("_tab"),
       explode(coarseProbeCells(col(vecCol), coarseCents, nprobe)).as("cell"))
-    val scored = spark.table(tableName).join(q.hint("shuffle_merge"), "cell")
+    val scored = liveIvfPqIndex(spark, tableName)
+      .join(q.hint("shuffle_merge"), "cell")
       .withColumn("dist_adc", adcL2Dist(codebooks.length, "pq_code"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("dist_adc").asc, col("n_id"))
@@ -524,12 +569,15 @@ object Similarity {
     * crawl-ingestion lifecycle, like [[lshIndexAppend]] /
     * [[graft.ops.Dedup.dedupIndexAppend]]). Codebooks are frozen at
     * build time — the FAISS operating model; retrain + rebuild when the
-    * vector distribution drifts. */
+    * vector distribution drifts. Rows are stamped with the index's
+    * current generation, so re-appending a deleted id revives it. */
   def ivfPqIndexAppend(newCorpus: DataFrame, idCol: String, vecCol: String,
       codebooks: Array[Array[Seq[Double]]], coarseCents: Array[Seq[Double]],
       tableName: String, tableBuckets: Int = 32): Unit =
     Bucketing.appendBucketed(
-      ivfPqCoded(newCorpus, idCol, vecCol, codebooks, coarseCents),
+      Bucketing.withGen(
+        ivfPqCoded(newCorpus, idCol, vecCol, codebooks, coarseCents),
+        Bucketing.currentGen(newCorpus.sparkSession, tableName)),
       tableName, "cell", tableBuckets)
 
   /** Exact re-rank of ANN candidates — the FAISS "refine" stage, and the
@@ -582,7 +630,7 @@ object Similarity {
     val q = stream.select(col(idCol).as("q_id"), col(tsCol).as("ts"),
       adcL2Tables(vecCol, codebooks).as("_tab"),
       explode(coarseProbeCells(col(vecCol), coarseCents, nprobe)).as("cell"))
-    q.join(spark.table(tableName), "cell")
+    q.join(liveIvfPqIndex(spark, tableName), "cell")
       .withColumn("dist_adc", adcL2Dist(codebooks.length, "pq_code"))
       .filter(col("dist_adc") <= maxDist)
       .select("q_id", "ts", "n_id", "dist_adc")

@@ -116,7 +116,20 @@ object TfIdf {
         explode(col("_tc")).as("_p"))
       .select(col("_p.term").as("term"), col("doc_id"),
         col("_p.cnt").cast("long").as("cnt"), col("dl"))
-    Bucketing.writeBucketed(tf, tableName, "term", tableBuckets)
+    // empty tombstone table up front (Bucketing.initTombstones): the
+    // posting index joins the persisted family's retraction lifecycle,
+    // keyed by doc_id. The `_docs` side table (one (doc_id, dl) row per
+    // doc, filtered through the SAME tombstones) exists so a delete can
+    // retract the doc's additive-stats contribution without scanning
+    // the posting table (doc_id is not the bucket key there).
+    Bucketing.initTombstones(tf, "doc_id", tableName)
+    Bucketing.writeBucketed(Bucketing.withGen(tf, 0L),
+      tableName, "term", tableBuckets)
+    Bucketing.writeTable(
+      Bucketing.withGen(
+        docs.select(col(idCol).cast("long").as("doc_id"),
+          size(tokens(col(textCol))).cast("long").as("dl")), 0L),
+      tableName + "_docs")
     Bucketing.writeTable(
       docs.select(count(lit(1)).as("n_docs"),
         sum(size(tokens(col(textCol)))).cast("long").as("total_dl")),
@@ -130,6 +143,7 @@ object TfIdf {
     * a from-scratch build over the union would (TfIdfSpec pins it). */
   def searchIndexAppend(newDocs: DataFrame, idCol: String, textCol: String,
       tableName: String, tableBuckets: Int = 32): Unit = {
+    val gen = Bucketing.currentGen(newDocs.sparkSession, tableName)
     val tf = Transforms.materialized(
         newDocs.select(col(idCol), col(textCol)), "_tc",
         termCounts(col(textCol)))
@@ -139,11 +153,70 @@ object TfIdf {
         explode(col("_tc")).as("_p"))
       .select(col("_p.term").as("term"), col("doc_id"),
         col("_p.cnt").cast("long").as("cnt"), col("dl"))
-    Bucketing.appendBucketed(tf, tableName, "term", tableBuckets)
+    Bucketing.appendBucketed(Bucketing.withGen(tf, gen),
+      tableName, "term", tableBuckets)
+    Bucketing.withGen(
+        newDocs.select(col(idCol).cast("long").as("doc_id"),
+          size(tokens(col(textCol))).cast("long").as("dl")), gen)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .format("parquet").saveAsTable(tableName + "_docs")
     newDocs.select(count(lit(1)).as("n_docs"),
         sum(size(tokens(col(textCol)))).cast("long").as("total_dl"))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .format("parquet").saveAsTable(tableName + "_stats")
+  }
+
+  /** Tombstone RETRACTION for a [[searchIndexBuild]] posting index (r16
+    * — a retracted document otherwise keeps ranking forever, and its
+    * length keeps skewing avgdl). Two effects, both pure appends:
+    * the doc ids tombstone into the small `<tableName>_del` side table
+    * (suppressing every posting row and the `_docs` row of those docs
+    * at probe time), and ONE NEGATIVE (n_docs, total_dl) row appends to
+    * the additive `_stats` table, retracting exactly the deleted docs'
+    * contribution — computed from the LIVE `_docs` view, so re-deleting
+    * an already-deleted (or never-indexed) id retracts zero rather than
+    * double-counting. [[searchIndexProbe]](build ∪ append − delete) ≡
+    * probe(rebuilt over the survivors) — spec-pinned in TfIdfSpec,
+    * oracled by q_bm25_tombstone. */
+  def searchIndexDelete(spark: SparkSession, tableName: String,
+      delIds: DataFrame, idCol: String): Unit = {
+    val del = delIds.select(col(idCol).cast("long").as("doc_id"))
+      .distinct().localCheckpoint(true)
+    // retraction measured BEFORE the tombstones land (the docs must
+    // still be live); eager so the later _del append cannot shift it
+    val retract = Bucketing.liveViewOf(
+        spark.table(tableName + "_docs"), spark, tableName + "_del",
+        "doc_id")
+      .join(del, "doc_id")
+      .agg((count(lit(1)) * -1L).cast("long").as("n_docs"),
+        (coalesce(sum("dl"), lit(0L)) * -1L).cast("long").as("total_dl"))
+      .localCheckpoint(true)
+    retract.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .format("parquet").saveAsTable(tableName + "_stats")
+    Bucketing.tombstoneAppend(del, "doc_id", tableName)
+  }
+
+  /** Fold tombstones into the posting base and the `_docs` side table
+    * (both rewritten to live rows — `_docs` FIRST, while the tombstones
+    * still exist), collapse `_stats` to one net row, truncate `_del`.
+    * Probe results unchanged by construction. Returns the live posting
+    * row count. */
+  def searchIndexCompact(spark: SparkSession, tableName: String,
+      tableBuckets: Int = 32): Long = {
+    val liveDocs = Bucketing.liveViewOf(
+        spark.table(tableName + "_docs"), spark, tableName + "_del",
+        "doc_id")
+      .localCheckpoint(true)
+    val netStats = spark.table(tableName + "_stats")
+      .agg(sum("n_docs").cast("long").as("n_docs"),
+        sum("total_dl").cast("long").as("total_dl"))
+      .localCheckpoint(true)
+    val n = Bucketing.tombstoneCompact(spark, tableName, "doc_id", "term",
+      tableBuckets)
+    Bucketing.writeTable(Bucketing.withGen(liveDocs, 0L),
+      tableName + "_docs")
+    Bucketing.writeTable(netStats, tableName + "_stats")
+    n
   }
 
   /** BM25-score a query against a [[searchIndexBuild]] table. Result
@@ -164,7 +237,7 @@ object TfIdf {
       .agg(sum("n_docs").as("n"), sum("total_dl").as("t")).first()
     val n = st.getLong(0).toDouble
     val avgdl = st.getLong(1).toDouble / n
-    val postings = spark.table(tableName)
+    val postings = Bucketing.liveView(spark, tableName, "doc_id")
       .filter(col("term").isin(queryTerms: _*))
     val dft = postings.groupBy("term").agg(count(lit(1)).as("df_t"))
     val idf = log(lit(1.0) +

@@ -419,9 +419,10 @@ class LayoutBucketingSpec extends SparkSpec {
     val baseSet = spark.table(tbl)
       .select("fp", "first_id").as[(String, Long)].collect().toSet
     assert(baseSet == wantSet, "compacted base must equal the scratch rebuild")
-    // delete → re-insert → suppress again: the APPEND clears the fp's
-    // tombstone; without that, the re-inserted row stays anti-joined
-    // away and every later duplicate keeps passing the gate (r15 review)
+    // delete → re-insert → suppress again: the APPEND's rows carry the
+    // index's current generation, so they outlive the delete; without
+    // that, the re-inserted row stays suppressed and every later
+    // duplicate keeps passing the gate (r15 review)
     val doc10 = base.filter(col("doc_id") === 10)
     Dedup.dedupIndexDelete(spark, tbl, doc10, "text")
     val reinsert = doc10.select((col("doc_id") + 5000).as("doc_id"), col("text"))
@@ -432,7 +433,20 @@ class LayoutBucketingSpec extends SparkSpec {
     val third = doc10.select((col("doc_id") + 6000).as("doc_id"), col("text"))
     assert(Dedup.dedupAgainstIndex(spark, tbl, third, "text", "doc_id").isEmpty,
       "a re-inserted fingerprint must suppress later duplicates " +
-        "(append clears its tombstone)")
+        "(the appended row's generation outlives the delete)")
+    // r15 ADVICE: the re-insert must NOT resurrect the STALE pre-delete
+    // row — the live view holds exactly ONE row for the fp, carrying the
+    // re-inserted canonical id (a latest-op-wins key log would hold two
+    // rows with conflicting first_ids here)
+    val fp10 = doc10
+      .select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+      .as[String].head()
+    val liveRows10 = Dedup.liveFingerprintIndex(spark, tbl)
+      .filter(col("fp") === fp10)
+      .select("first_id").as[Long].collect().toSeq
+    assert(liveRows10 == Seq(5010L),
+      s"delete → re-insert must leave exactly the fresh row live " +
+        s"(stale pre-delete row suppressed): got $liveRows10")
     spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
     spark.sql(s"DROP TABLE IF EXISTS `$tbl2`")
   }
@@ -465,14 +479,20 @@ class LayoutBucketingSpec extends SparkSpec {
     Similarity.lshIndexCompact(spark, tbl, tableBuckets = 4)
     assert(spark.table(tbl + "_del").isEmpty,
       "compact must truncate the tombstone table")
-    // delete → re-append clears the vector id's tombstone
+    // delete → re-append revives the vector id WITHOUT touching the
+    // tombstone table's files (the append's rows carry a generation
+    // past the delete — pure appends are the whole point: safe under a
+    // live streaming probe, r15 ADVICE)
     Similarity.lshIndexDelete(
       e.filter(col("vec_id") === 1).select("vec_id"), "vec_id", tbl)
     Similarity.lshIndexAppend(e.filter(col("vec_id") === 1),
       "vec_id", "embedding", dim = 64, tableName = tbl, tableBuckets = 4,
       bits = 6, tables = 4)
-    assert(spark.table(tbl + "_del").isEmpty,
-      "re-appending a deleted id must clear its tombstone")
+    assert(!spark.table(tbl + "_del").isEmpty,
+      "re-append must NOT rewrite the tombstone table (append-only contract)")
+    assert(Similarity.liveLshIndex(spark, tbl)
+        .filter(col("n_id") === 1).count() > 0,
+      "a re-appended id must be live again")
     val after = probe()
     assert(after.exceptAll(probed).isEmpty && probed.exceptAll(after).isEmpty,
       "compaction must not change probe results")
