@@ -38,7 +38,12 @@ object ScaleProof {
     "q_crossmodal_dup", "q_fuzzy_link_serve",
     // r15: multi-frame cross-modal (~6 signatures per video — the
     // heaviest multimodal axis) and the tombstone-aware index probe
-    "q_crossmodal_frames", "q_dedup_tombstone")
+    "q_crossmodal_frames", "q_dedup_tombstone",
+    // r16: the tombstone lifecycle on the edit-distance catalog and the
+    // BM25 posting index (build+append+delete+probe composites; the
+    // live-view generation filter must not cost the probes their
+    // bucket-pruned / zero-catalog-Exchange shapes at any SF)
+    "q_fuzzy_link_tombstone", "q_bm25_tombstone")
   val timedOnly: Seq[String] = Seq("q_bpe_train")
 
   /** Queries whose equi-join STRATEGY is intentionally scale-adaptive:
@@ -73,7 +78,10 @@ object ScaleProof {
       // novel-delta-sized (grows with the corpus), so its broadcast
       // correctly flips to SMJ at the sf10 batch — the q_dedup_minhash
       // adaptation; the index side's zero-Exchange pin is unaffected
-      "q_dedup_tombstone")
+      "q_dedup_tombstone",
+      // shares q_fuzzy_link_serve's report tail and probe joins (both
+      // scale with the dirty batch), so it adapts identically
+      "q_fuzzy_link_tombstone")
 
   /** Final physical plan as a normalized operator-sequence signature.
     * With `joinStrategyFree`, equi-join strategy nodes collapse to

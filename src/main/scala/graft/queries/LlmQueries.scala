@@ -421,6 +421,37 @@ object LlmQueries {
       fuzzyLinkReport(dirty, pairs)
     }),
 
+    // CATALOG RETRACTION (r16): the entity-resolution index completes
+    // the tombstone lifecycle — build over two thirds of the catalog,
+    // append the rest, then WITHDRAW every tenth record
+    // ([[graft.ops.Linkage.editIndexDelete]] — the GDPR/CDC case: a
+    // withdrawn reference record must stop linking from the next probe
+    // on). Deletes append (c_id, seq) rows to the small `_del` side
+    // table; the probe reads the live view (broadcast generation
+    // filter — the bucketed segment scan keeps zero catalog-side
+    // Exchange) and stays EXACT-recall over the survivors: the oracle
+    // is the naive levenshtein join against the undeleted catalog.
+    // The deleted set intersects the dirty batch's true links (e.g.
+    // key 80 ≡ 3 mod 7 and ≡ 0 mod 10), so retraction is load-bearing
+    // for n_linked/n_true, not incidental.
+    "q_fuzzy_link_tombstone" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val tbl = ("graft_edit_tomb_" + s.sparkContext.applicationId)
+        .replaceAll("[^A-Za-z0-9_]", "_")
+      graft.ops.Linkage.editIndexBuild(cust.filter(col("c_custkey") % 3 =!= 1),
+        "c_custkey", "c_name", tau = 2, tableName = tbl, tableBuckets = 16,
+        probeExemplar = Some((dirtyCustomers(cust), "d_s")))
+      graft.ops.Linkage.editIndexAppend(cust.filter(col("c_custkey") % 3 === 1),
+        "c_custkey", "c_name", tableName = tbl, tableBuckets = 16)
+      graft.ops.Linkage.editIndexDelete(
+        cust.filter(col("c_custkey") % 10 === 0).select("c_custkey"),
+        "c_custkey", tbl)
+      val dirty = dirtyCustomers(cust)
+      val pairs = graft.ops.Linkage.editIndexProbe(s, tbl,
+        dirty, "src_key", "d_s")
+      fuzzyLinkReport(dirty, pairs)
+    }),
+
     // blocklist scan: per-pattern occurrence + doc-hit counts over the
     // whole corpus in ONE Aho–Corasick pass per document (graft_multi_count
     // — O(len) per row however large the term dictionary; the naive shape
@@ -1505,6 +1536,33 @@ object LlmQueries {
           round(col("score"), 2).as("score_r"))
     }),
 
+    // POSTING-INDEX RETRACTION (r16): build over two thirds of the
+    // corpus, append the rest, then retract every fifth document
+    // ([[graft.ops.TfIdf.searchIndexDelete]]). A delete must undo BOTH
+    // halves of the doc's footprint: its posting rows (tombstoned by
+    // doc_id, suppressed at probe time by the broadcast generation
+    // filter) AND its contribution to the additive (n_docs, total_dl)
+    // corpus stats (one negative row computed from the live `_docs`
+    // side table — so a re-delete retracts zero) — otherwise the
+    // retracted doc keeps ranking and its length keeps skewing avgdl
+    // for every OTHER doc's score. The oracle is the direct BM25
+    // scorer over the surviving corpus: every score must match, which
+    // checks the stats retraction, not just the posting suppression.
+    "q_bm25_tombstone" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tbl = "graft_inv_tomb_" + s.sparkContext.applicationId
+        .replaceAll("[^A-Za-z0-9_]", "_")
+      TfIdf.searchIndexBuild(docs.filter(col("doc_id") % 3 =!= 2),
+        "doc_id", "text", tbl, tableBuckets = 8)
+      TfIdf.searchIndexAppend(docs.filter(col("doc_id") % 3 === 2),
+        "doc_id", "text", tbl, tableBuckets = 8)
+      TfIdf.searchIndexDelete(s, tbl,
+        docs.filter(col("doc_id") % 5 === 0).select("doc_id"), "doc_id")
+      TfIdf.searchIndexProbe(s, tbl, Seq("spark", "merge", "window"))
+        .select(col("doc_id"), col("n_terms"),
+          round(col("score"), 2).as("score_r"))
+    }),
+
     // exact substring search through the char-trigram posting index
     // (pg_trgm design): conjunctive trigram pruning + contains() verify
     // — exact results, index-pruned cost, bucket-pruned posting scan
@@ -1991,9 +2049,15 @@ object LlmQueries {
       |SELECT q_id, rnk, n_id, round(sim, 4) AS sim FROM r WHERE rnk <= 5""".stripMargin
 
   // shared by q_bm25_search and q_bm25_persisted — the persisted-index
-  // probe is multiset-identical to the direct scorer by construction
-  private lazy val bm25OracleSql: String =
-    s"""WITH d AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+  // probe is multiset-identical to the direct scorer by construction.
+  // The corpus predicate parameterizes the tombstone twin: scoring over
+  // `documents WHERE pred` IS the oracle for a probe against an index
+  // whose deleted docs are exactly the predicate's complement (stats
+  // retraction included — n_docs and avgdl come from the filtered set).
+  private lazy val bm25OracleSql: String = bm25Oracle("TRUE")
+  private def bm25Oracle(pred: String): String =
+    s"""WITH d AS (SELECT doc_id, $sqlToks AS toks FROM documents
+       |           WHERE $pred),
        |tfc AS (
        |  SELECT doc_id, term, count(*)::DOUBLE AS cnt
        |  FROM (SELECT doc_id, unnest(toks) AS term FROM d)
@@ -2377,6 +2441,11 @@ object LlmQueries {
     // stats totals) — the direct-scorer oracle IS its oracle
     "q_bm25_persisted" -> bm25OracleSql,
 
+    // build ∪ append − delete ≡ the direct scorer over the survivors:
+    // the WHERE lands in the stats CTEs too, so a stats-retraction bug
+    // (avgdl still skewed by deleted docs) diverges every score hash
+    "q_bm25_tombstone" -> bm25Oracle("doc_id % 5 <> 0"),
+
     // distinct doc trigrams restricted to the query's, counted per doc;
     // 9 = ceil(0.9 * 10 query trigrams) — integer threshold, no floats
     "q_fuzzy_match" ->
@@ -2524,6 +2593,37 @@ object LlmQueries {
         | SELECT d.src_key, count(c.c_custkey) AS m,
         |   sum(CASE WHEN c.c_custkey = d.src_key THEN 1 ELSE 0 END) AS t
         | FROM dirty d LEFT JOIN customer c
+        |   ON levenshtein(d.d_s, c.c_name) <= 2
+        | GROUP BY d.src_key)
+        |SELECT count(*)::BIGINT AS n_dirty,
+        | sum(CASE WHEN m > 0 THEN 1 ELSE 0 END)::BIGINT AS n_linked,
+        | sum(CASE WHEN m > 1 THEN 1 ELSE 0 END)::BIGINT AS n_ambiguous,
+        | sum(m)::BIGINT AS n_pairs,
+        | sum(t)::BIGINT AS n_true
+        |FROM per""".stripMargin,
+
+    // q_fuzzy_link2's naive-join oracle with the withdrawn records
+    // (c_custkey % 10 = 0) excluded FROM THE CATALOG SIDE of the join
+    // (the dirty derivation still covers the full customer set) — the
+    // exact-recall contract of probe(build ∪ append − delete)
+    "q_fuzzy_link_tombstone" ->
+      """WITH del AS (
+        | SELECT c_custkey AS src_key,
+        |   substr(c_name, 1, (9 + c_custkey % 9)::INT)
+        |   || substr(c_name, (11 + c_custkey % 9)::INT,
+        |        (8 - c_custkey % 9)::INT) AS del_s
+        | FROM customer WHERE c_custkey % 7 = 3),
+        |dirty AS (
+        | SELECT src_key,
+        |   substr(del_s, 1, (2 + src_key % 5)::INT) || 'x'
+        |   || substr(del_s, (4 + src_key % 5)::INT, length(del_s)) AS d_s
+        | FROM del),
+        |live AS (SELECT c_custkey, c_name FROM customer
+        | WHERE c_custkey % 10 <> 0),
+        |per AS (
+        | SELECT d.src_key, count(c.c_custkey) AS m,
+        |   sum(CASE WHEN c.c_custkey = d.src_key THEN 1 ELSE 0 END) AS t
+        | FROM dirty d LEFT JOIN live c
         |   ON levenshtein(d.d_s, c.c_name) <= 2
         | GROUP BY d.src_key)
         |SELECT count(*)::BIGINT AS n_dirty,

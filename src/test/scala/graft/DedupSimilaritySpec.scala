@@ -1094,6 +1094,95 @@ class DedupSimilaritySpec extends SparkSpec {
       "shared (q,n) pairs must carry identical ADC distances")
   }
 
+  test("ivfPqIndexDelete: probe(build∪append−delete) ≡ probe(rebuilt over survivors); re-append revives; compact folds") {
+    // r16: the IVFADC code table joins the tombstone lifecycle. The
+    // tombstone key is the VECTOR ID (one delete suppresses the id
+    // wherever its cell landed); codebooks/centroids are frozen and
+    // shared, so a rebuild over the survivors codes identically and the
+    // probes must agree row-for-row, scores included.
+    val e = Tables.embeddings(spark, sf)
+    val cb = Similarity.pqTrain(e, "vec_id", "embedding", m = 4, k = 8, iters = 2)
+    val coarse = Similarity.kmeansFit(e, "vec_id", "embedding",
+      k = 4, iters = 2, cosine = false)
+    val tbl = "ivfpq_tomb_" + System.nanoTime()
+    val tbl2 = tbl + "_rebuilt"
+    try {
+      Similarity.ivfPqIndexBuild(e.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", cb, coarse, tbl, tableBuckets = 4)
+      Similarity.ivfPqIndexAppend(e.filter(col("vec_id") % 2 =!= 0),
+        "vec_id", "embedding", cb, coarse, tbl, tableBuckets = 4)
+      Similarity.ivfPqIndexDelete(
+        e.filter(col("vec_id") % 7 === 0).select("vec_id"), "vec_id", tbl)
+      val queries = e.filter(col("vec_id") < 3)
+      def probe(t: String) = Similarity.ivfPqProbe(spark, t, queries,
+        "vec_id", "embedding", cb, coarse, k = 4, nprobe = 4)
+      val probed = probe(tbl).localCheckpoint()
+      Similarity.ivfPqIndexBuild(e.filter(col("vec_id") % 7 =!= 0),
+        "vec_id", "embedding", cb, coarse, tbl2, tableBuckets = 4)
+      val want = probe(tbl2)
+      assert(probed.exceptAll(want).isEmpty && want.exceptAll(probed).isEmpty,
+        "tombstoned probe must equal a rebuild over the survivors")
+      import spark.implicits._
+      assert(probed.filter(col("n_id") % 7 === 0).isEmpty,
+        "no deleted id may surface as a neighbor")
+      // deletion is load-bearing: some query's top-4 held a %7 id
+      val fullBuild = tbl + "_full"
+      Similarity.ivfPqIndexBuild(e, "vec_id", "embedding", cb, coarse,
+        fullBuild, tableBuckets = 4)
+      try assert(probe(fullBuild).filter(col("n_id") % 7 === 0).count() > 0,
+        "fixture must delete ids that ranked")
+      finally spark.sql(s"DROP TABLE IF EXISTS `$fullBuild`")
+      // re-append revives (fresh generation outlives the delete); the
+      // append never touches _del's files — stream-safe by construction
+      Similarity.ivfPqIndexAppend(e.filter(col("vec_id") === 7),
+        "vec_id", "embedding", cb, coarse, tbl, tableBuckets = 4)
+      assert(!spark.table(tbl + "_del").isEmpty,
+        "re-append must NOT rewrite the tombstone table (append-only contract)")
+      assert(Similarity.liveIvfPqIndex(spark, tbl)
+          .filter(col("n_id") === 7).count() == 1,
+        "a re-appended id must be live again, exactly once")
+      // compact folds; probe over the revived index is stable across it
+      val preCompact = probe(tbl).localCheckpoint()
+      Similarity.ivfPqIndexCompact(spark, tbl, tableBuckets = 4)
+      assert(spark.table(tbl + "_del").isEmpty,
+        "compact must truncate the tombstone table")
+      val post = probe(tbl)
+      assert(post.exceptAll(preCompact).isEmpty && preCompact.exceptAll(post).isEmpty,
+        "compaction must not change probe results")
+    } finally
+      Seq(tbl, tbl + "_del", tbl2, tbl2 + "_del").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+  }
+
+  test("residual IVFADC delete: matches drop the tombstoned ids exactly (threshold emission)") {
+    // the residual build trains its codebooks inside, so a
+    // rebuild-over-survivors twin would train DIFFERENT codebooks; the
+    // exact assertion here is set algebra instead: with an exhaustive
+    // threshold probe, delete(D) ≡ (all pairs) − (pairs with n_id ∈ D).
+    val e = Tables.embeddings(spark, sf)
+    val coarse = Similarity.kmeansFit(e, "vec_id", "embedding",
+      k = 4, iters = 2, cosine = false)
+    val tbl = "ivfpqres_tomb_" + System.nanoTime()
+    try {
+      val cb = Similarity.ivfPqResidualIndexBuild(e, "vec_id", "embedding",
+        coarse, m = 4, k = 8, iters = 2, tableName = tbl, tableBuckets = 4)
+      val queries = e.filter(col("vec_id") < 3)
+      def pairs() = Similarity.ivfPqResidualProbe(spark, tbl, queries,
+          "vec_id", "embedding", cb, coarse, k = Int.MaxValue, nprobe = 4)
+        .select("q_id", "n_id")
+      import spark.implicits._
+      val before = pairs().as[(Long, Long)].collect().toSet
+      Similarity.ivfPqIndexDelete(
+        e.filter(col("vec_id") % 5 === 0).select("vec_id"), "vec_id", tbl)
+      val after = pairs().as[(Long, Long)].collect().toSet
+      assert(after == before.filterNot(_._2 % 5 == 0),
+        "residual probe must drop exactly the tombstoned ids")
+      assert(after.size < before.size, "deletion must be load-bearing")
+    } finally
+      Seq(tbl, tbl + "_del").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+  }
+
   test("residual IVFADC: all-cells probe == exhaustive residual scan; fidelity beats raw-PQ") {
     val e = Tables.embeddings(spark, sf)
     val coarse = Similarity.kmeansFit(e, "vec_id", "embedding",

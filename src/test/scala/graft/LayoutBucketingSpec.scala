@@ -505,4 +505,50 @@ class LayoutBucketingSpec extends SparkSpec {
       "probe after compact must still not shuffle the corpus:\n" + p.take(900))
     spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
   }
+
+  test("liveView reports the tombstoned-key count as an observed metric") {
+    // r16 (r15 verdict item: tombstone-size observability): nothing
+    // bounds the broadcast `_del` side "small by contract" — so every
+    // live-view probe against a non-empty delete set must REPORT its
+    // tombstoned-key count (the maxBucket-drop pattern), making an
+    // uncompacted delete set visible long before its broadcast hurts.
+    import graft.ops.{Bucketing, Dedup}
+    import spark.implicits._
+    val docs = spark.range(20).select(col("id").as("doc_id"),
+      concat(lit("tomb metric fixture text "), col("id")).as("text"))
+    val tbl = "graft_spec_tomb_metric"
+    Dedup.dedupIndexBuild(docs, "text", "doc_id", tbl, tableBuckets = 4)
+    // two delete calls, one overlapping key: 3 DISTINCT tombstoned keys
+    Dedup.dedupIndexDelete(spark, tbl,
+      docs.filter(col("doc_id").isin(2L, 3L)), "text")
+    Dedup.dedupIndexDelete(spark, tbl,
+      docs.filter(col("doc_id").isin(3L, 4L)), "text")
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.startsWith(Bucketing.TombstoneMetricPrefix))
+            seen.add(row.getAs[Long]("n_tombstoned_keys"))
+        }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val probe = docs.select((col("doc_id") + 100).as("doc_id"), col("text"))
+      Dedup.dedupAgainstIndex(spark, tbl, probe, "text", "doc_id").collect()
+      // deterministic: wait for the async listener bus, no sleeps
+      org.apache.spark.graftbus.ListenerDrain.drain(spark.sparkContext)
+      import scala.jdk.CollectionConverters._
+      assert(seen.asScala.toSeq == Seq(3L),
+        s"probe must observe 3 tombstoned keys exactly once: ${seen}")
+    } finally {
+      spark.listenerManager.unregister(listener)
+      Seq(tbl, tbl + "_del").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
+  }
 }

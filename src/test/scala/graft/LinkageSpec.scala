@@ -373,4 +373,80 @@ class LinkageSpec extends SparkSpec {
     assert(candidates * 10 < naiveSize,
       s"blocking must prune >10x: $candidates candidates vs $naiveSize cross pairs")
   }
+
+  test("editIndexDelete: probe(build∪append−delete) ≡ probe(rebuilt over survivors); re-append revives; compact folds") {
+    // r16: the entity-resolution catalog joins the tombstone lifecycle —
+    // a withdrawn catalog record must stop linking (the GDPR/CDC case).
+    // The rebuilt index chooses its OWN segmentation over the survivors,
+    // so equality here also re-exercises the recall-is-exact-under-any-
+    // segmentation invariant the whole family rests on.
+    val cust = Tables.customer(spark, sf)
+    val p = (lit(10) + col("c_custkey") % 9).cast("int")
+    val del = concat(substr(col("c_name"), lit(1), p - 1),
+      substr(col("c_name"), p + 1, lit(18) - p))
+    val q = (lit(3) + col("c_custkey") % 5).cast("int")
+    val dirty = cust.filter(col("c_custkey") % 7 === 3)
+      .select(col("c_custkey").as("d_id"),
+        concat(substr(del, lit(1), q - 1), lit("x"),
+          substr(del, q + 1, length(del) - q)).as("d_s"))
+    val tbl = "graft_editidx_tomb_" + System.nanoTime()
+    val tbl2 = tbl + "_rebuilt"
+    Linkage.editIndexBuild(cust.filter(col("c_custkey") % 3 =!= 1),
+      "c_custkey", "c_name", tau = 2, tableName = tbl, tableBuckets = 4)
+    try {
+      Linkage.editIndexAppend(cust.filter(col("c_custkey") % 3 === 1),
+        "c_custkey", "c_name", tableName = tbl, tableBuckets = 4)
+      // retract every %10 record — the set intersects the dirty batch's
+      // true links (e.g. key 80: 80%7==3 and 80%10==0), so deletion is
+      // load-bearing for the assertions below, not incidental
+      Linkage.editIndexDelete(
+        cust.filter(col("c_custkey") % 10 === 0).select("c_custkey"),
+        "c_custkey", tbl)
+      def probe(t: String) = Linkage.editIndexProbe(spark, t,
+          dirty, "d_id", "d_s")
+        .select("d_id", "c_id", "dist").as[(Long, Long, Int)].collect().toSet
+      val probed = probe(tbl)
+      val survivors = cust.filter(col("c_custkey") % 10 =!= 0)
+      Linkage.editIndexBuild(survivors, "c_custkey", "c_name",
+        tau = 2, tableName = tbl2, tableBuckets = 4)
+      val want = probe(tbl2)
+      assert(probed == want,
+        s"tombstoned probe must equal a rebuild over the survivors: " +
+          s"extra=${(probed -- want).take(5)} missing=${(want -- probed).take(5)}")
+      // the shared exact-recall oracle: the naive levenshtein join
+      val naive = dirty.crossJoin(
+          survivors.select(col("c_custkey").as("c_id"), col("c_name").as("c_s")))
+        .withColumn("dist", levenshtein(col("d_s"), col("c_s")))
+        .filter(col("dist") <= 2)
+        .select("d_id", "c_id", "dist").as[(Long, Long, Int)].collect().toSet
+      assert(probed == naive, "recall must stay exact vs the naive join")
+      assert(probed.nonEmpty && !probed.exists(_._2 % 10 == 0),
+        "no deleted record may link")
+      // deletion is load-bearing: the pre-delete probe saw %10 links
+      val fullIdx = "graft_editidx_full_" + System.nanoTime()
+      Linkage.editIndexBuild(cust, "c_custkey", "c_name",
+        tau = 2, tableName = fullIdx, tableBuckets = 4)
+      try assert(probe(fullIdx).exists(_._2 % 10 == 0),
+        "fixture must delete records that linked")
+      finally spark.sql(s"DROP TABLE IF EXISTS `$fullIdx`")
+      // re-append of a deleted record REVIVES it (fresh rows carry a
+      // generation past the delete) — a pure file append, stream-safe
+      Linkage.editIndexAppend(cust.filter(col("c_custkey") === 80),
+        "c_custkey", "c_name", tableName = tbl, tableBuckets = 4)
+      val revived = probe(tbl)
+      assert(revived.exists(_._2 == 80L),
+        "a re-appended catalog record must link again")
+      assert(revived.filter(_._2 % 10 == 0).forall(_._2 == 80L),
+        "of the deleted records, only the re-appended one may link")
+      // compact folds the tombstones and truncates _del; probe unchanged
+      Linkage.editIndexCompact(spark, tbl, tableBuckets = 4)
+      assert(spark.table(tbl + "_del").isEmpty,
+        "compact must truncate the tombstone table")
+      assert(probe(tbl) == revived, "compaction must not change probe results")
+    } finally {
+      Seq(tbl, tbl + "_del", tbl + "_meta", tbl2, tbl2 + "_del",
+        tbl2 + "_meta").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
+  }
 }

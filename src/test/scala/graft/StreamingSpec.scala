@@ -691,6 +691,147 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("dedupIngestStream: a mid-stream APPEND re-inserting a tombstoned key is stream-safe and takes effect") {
+    // r15 verdict "what's wrong #1": under the r15 design, an index
+    // APPEND that happened to re-insert a tombstoned key rewrote _del's
+    // files and killed any live stream planning the live view
+    // (FAILED_READ_FILE.FILE_NOT_EXIST) — and callers could not know in
+    // advance whether an append would clear. The r16 generation
+    // lifecycle makes every op short of compact a pure file append;
+    // this runs exactly the hazardous sequence under a running stream.
+    import graft.ops.Dedup
+    val docs = spark.range(5).select(col("id").as("doc_id"),
+      concat(lit("reinsert stream fixture text "), col("id")).as("text"))
+    val tbl = "graft_spec_reins_stream"
+    Dedup.dedupIndexBuild(docs, "text", "doc_id", tbl, tableBuckets = 4)
+    val ms = new MemoryStream[(Long, String, Timestamp)](47, spark, None)
+    val df = ms.toDF().toDF("doc_id", "text", "ts")
+    val out = StreamingOps.dedupIngestStream(df, "text", "doc_id", "ts",
+      watermark = "10 minutes", spark, tbl)
+    val q = out.writeStream.format("memory").queryName("reins_stream_out")
+      .outputMode("append").start()
+    def passed() = spark.table("reins_stream_out").select("doc_id")
+      .as[Long].collect().toSet
+    try {
+      val text2 = "reinsert stream fixture text 2"
+      Dedup.dedupIndexDelete(spark, tbl, docs.filter(col("doc_id") === 2), "text")
+      // batch 1: the retracted text re-enters as novel
+      ms.addData(Seq((101L, text2, ts(0))))
+      q.processAllAvailable()
+      assert(passed() == Set(101L), s"retracted fp must pass: ${passed()}")
+      // MID-STREAM append of the novel survivor — this RE-INSERTS the
+      // tombstoned fingerprint while the stream is planning the live
+      // view; must be a pure file append (no _del rewrite, no crash)
+      Dedup.dedupIndexAppend(spark, tbl,
+        Seq((101L, text2)).toDF("doc_id", "text"), "text", "doc_id",
+        tableBuckets = 4)
+      assert(!spark.table(tbl + "_del").isEmpty,
+        "re-inserting append must NOT rewrite the tombstone table")
+      // batch 2: the re-inserted fingerprint suppresses again — and the
+      // stream survives to process it (the r15 design died here)
+      ms.addData(Seq((102L, text2, ts(5))))
+      q.processAllAvailable()
+      assert(passed() == Set(101L),
+        s"re-inserted fp must drop later duplicates mid-stream: ${passed()}")
+    } finally {
+      q.stop(); q.awaitTermination()
+      spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+      spark.sql(s"DROP TABLE IF EXISTS `${tbl}_del`")
+    }
+  }
+
+  test("linkIngestStream: a mid-stream catalog DELETE takes effect without restart") {
+    // r16: the entity-resolution catalog joins the mid-stream-delete
+    // family (fingerprint r15, LSH r15) — a withdrawn catalog record
+    // stops linking from the next micro-batch on, no restart.
+    import graft.ops.Linkage
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_name")).cache()
+    val tbl = "graft_spec_link_del_stream"
+    Linkage.editIndexBuild(cust, "c_custkey", "c_name",
+      tau = 2, tableName = tbl, tableBuckets = 4)
+    // one substitution inside record 10's name — links to it (dist 1)
+    // and possibly to near-duplicate catalog names within the budget
+    val probeStr = cust.filter(col("c_custkey") === 10)
+      .select(concat(lit("x"), substr(col("c_name"), lit(2), lit(17))))
+      .as[String].head()
+    val ms = new MemoryStream[(Long, String, Timestamp)](53, spark, None)
+    val df = ms.toDF().toDF("d_id", "d_s", "ts")
+    val out = StreamingOps.linkIngestStream(df, "d_id", "d_s", "ts",
+      watermark = "10 minutes", spark, tbl)
+    val q = out.writeStream.format("memory").queryName("link_del_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(Seq((9001L, probeStr, ts(0))))
+      q.processAllAvailable()
+      val before = spark.table("link_del_out")
+        .filter(col("d_id") === 9001L).select("c_id")
+        .as[Long].collect().toSet
+      assert(before.contains(10L), s"probe must link pre-delete: $before")
+      // retract every pre-delete link MID-STREAM; re-probe with a fresh
+      // d_id (the watermark pair-dedup is keyed (d_id, c_id))
+      Linkage.editIndexDelete(before.toSeq.toDF("c_custkey"),
+        "c_custkey", tbl)
+      ms.addData(Seq((9002L, probeStr, ts(5))))
+      q.processAllAvailable()
+      val after = spark.table("link_del_out")
+        .filter(col("d_id") === 9002L).select("c_id")
+        .as[Long].collect().toSet
+      assert(after.intersect(before).isEmpty,
+        s"withdrawn catalog records must stop linking mid-stream: " +
+          s"${after.intersect(before)}")
+    } finally {
+      q.stop(); q.awaitTermination()
+      Seq(tbl, tbl + "_del", tbl + "_meta").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
+  }
+
+  test("ivfPqMatchStream: a mid-stream index DELETE takes effect without restart") {
+    // r16: the IVFADC code table joins the mid-stream-delete family —
+    // a tombstoned vector id stops surfacing as a neighbor from the
+    // next micro-batch on (the operator is stateless, so no dedup-state
+    // interaction: the static live view simply re-resolves).
+    import graft.ops.Similarity
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).cache()
+    val cb = Similarity.pqTrain(e, "vec_id", "embedding", m = 4, k = 8, iters = 2)
+    val coarse = Similarity.kmeansFit(e, "vec_id", "embedding",
+      k = 4, iters = 2, cosine = false)
+    val tbl = "graft_spec_ivfpq_del_stream"
+    Similarity.ivfPqIndexBuild(e, "vec_id", "embedding", cb, coarse, tbl,
+      tableBuckets = 4)
+    val q0 = e.filter(col("vec_id") === 3)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).head
+    val ms = new MemoryStream[(Long, Array[Float], Timestamp)](59, spark, None)
+    val df = ms.toDF().toDF("vec_id", "embedding", "ts")
+    val out = StreamingOps.ivfPqMatchStream(df, "vec_id", "embedding", "ts",
+      spark, tbl, cb, coarse, maxDist = 60.0, nprobe = 4)
+    val q = out.writeStream.format("memory").queryName("ivfpq_del_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(Seq((1000L, q0._2, ts(0))))
+      q.processAllAvailable()
+      val before = spark.table("ivfpq_del_out")
+        .filter(col("q_id") === 1000L).select("n_id")
+        .as[Long].collect().toSet
+      assert(before.nonEmpty, "the probe must match someone pre-delete")
+      Similarity.ivfPqIndexDelete(before.toSeq.toDF("vec_id"), "vec_id", tbl)
+      ms.addData(Seq((2000L, q0._2, ts(5))))
+      q.processAllAvailable()
+      val after = spark.table("ivfpq_del_out")
+        .filter(col("q_id") === 2000L).select("n_id")
+        .as[Long].collect().toSet
+      assert(after.intersect(before).isEmpty,
+        s"tombstoned ids must stop matching mid-stream: " +
+          s"${after.intersect(before)}")
+    } finally {
+      q.stop(); q.awaitTermination()
+      Seq(tbl, tbl + "_del").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
+  }
+
   test("image dedup-at-ingest: dHash fingerprints through the generic streaming index shape") {
     // streaming × multimodal: the SAME incremental-corpus lifecycle the
     // text pipeline uses (persisted fp index → stream-static anti-join →

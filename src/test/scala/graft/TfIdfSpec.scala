@@ -239,4 +239,78 @@ class TfIdfSpec extends SparkSpec {
     assert(sel.get.group(1).toInt < sel.get.group(2).toInt,
       "probe must read a strict subset of buckets: " + sel.get.matched)
   }
+
+  test("searchIndexDelete: probe ≡ rebuilt over survivors; re-delete retracts zero; compact folds") {
+    // r16: BM25 postings join the tombstone lifecycle. A delete must
+    // retract BOTH the doc's postings and its additive-stats
+    // contribution (n_docs, total_dl) — otherwise a retracted document
+    // keeps ranking and its length keeps skewing avgdl for everyone.
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val terms = Seq("spark", "merge", "window")
+    val tbl = "graft_spec_inv_tomb"
+    val tbl2 = tbl + "_rebuilt"
+    try {
+      TfIdf.searchIndexBuild(docs.filter(col("doc_id") % 3 =!= 2),
+        "doc_id", "text", tbl, tableBuckets = 8)
+      TfIdf.searchIndexAppend(docs.filter(col("doc_id") % 3 === 2),
+        "doc_id", "text", tbl, tableBuckets = 8)
+      val delIds = docs.filter(col("doc_id") % 5 === 0).select("doc_id")
+      TfIdf.searchIndexDelete(spark, tbl, delIds, "doc_id")
+      // survivors twin: a from-scratch build without the deleted docs —
+      // scores must agree to fp noise (same integer stats arithmetic)
+      TfIdf.searchIndexBuild(docs.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", tbl2, tableBuckets = 8)
+      def compare(): Unit = {
+        val got = TfIdf.searchIndexProbe(spark, tbl, terms)
+        val want = TfIdf.searchIndexProbe(spark, tbl2, terms)
+        val joined = got.alias("g").join(want.alias("w"), Seq("doc_id"), "full_outer")
+          .select(col("doc_id"), col("g.score").as("gs"), col("w.score").as("ws"),
+            col("g.n_terms").as("gn"), col("w.n_terms").as("wn"))
+          .collect()
+        assert(joined.nonEmpty)
+        joined.foreach { r =>
+          assert(!r.isNullAt(1) && !r.isNullAt(2),
+            s"doc ${r.getLong(0)} present on only one side")
+          assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-9,
+            s"doc ${r.getLong(0)}: tombstoned ${r.getDouble(1)} vs rebuilt ${r.getDouble(2)}")
+          assert(r.getLong(3) == r.getLong(4))
+        }
+        assert(joined.forall(_.getLong(0) % 5 != 0), "no deleted doc may rank")
+      }
+      compare()
+      def stats() = spark.table(tbl + "_stats")
+        .agg(sum("n_docs"), sum("total_dl")).as[(Long, Long)].head()
+      val s1 = stats()
+      assert(s1 == (docs.filter(col("doc_id") % 5 =!= 0)
+          .agg(count(lit(1)), sum(size(graft.functions.TextFunctions.tokens(col("text")))))
+          .as[(Long, Long)].head()),
+        "net stats must equal the survivors' exact totals")
+      // re-deleting already-deleted ids (and a never-indexed one) must
+      // retract ZERO — the negative row is computed from the LIVE docs
+      TfIdf.searchIndexDelete(spark, tbl, delIds, "doc_id")
+      TfIdf.searchIndexDelete(spark, tbl,
+        Seq(99999999L).toDF("doc_id"), "doc_id")
+      assert(stats() == s1, "re-delete must not double-retract the stats")
+      compare()
+      // compact folds postings + _docs + stats, truncates _del
+      TfIdf.searchIndexCompact(spark, tbl, tableBuckets = 8)
+      assert(spark.table(tbl + "_del").isEmpty,
+        "compact must truncate the tombstone table")
+      assert(spark.table(tbl + "_stats").count() == 1,
+        "compact must collapse the stats log to one net row")
+      assert(stats() == s1, "compact must preserve the net stats")
+      compare()
+      // delete → re-append revives the doc with fresh stats
+      TfIdf.searchIndexDelete(spark, tbl,
+        docs.filter(col("doc_id") === 1).select("doc_id"), "doc_id")
+      TfIdf.searchIndexAppend(docs.filter(col("doc_id") === 1),
+        "doc_id", "text", tbl, tableBuckets = 8)
+      assert(stats() == s1, "delete + re-append must round-trip the stats")
+      compare()
+    } finally
+      Seq(tbl, tbl + "_del", tbl + "_docs", tbl + "_stats",
+        tbl2, tbl2 + "_del", tbl2 + "_docs", tbl2 + "_stats").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+  }
 }
