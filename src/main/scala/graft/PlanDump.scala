@@ -96,7 +96,11 @@ object PlanDump {
     "q_crossmodal_frames" ->
       "multi-frame cross-modal near-dup (r15): ONE container walk per video yields a dHash per frame (narrow posexplode — the corpus never shuffles to be fingerprinted), then the same banded cross-table join as q_crossmodal_dup over (media, frame) struct ids — reuse at any frame offset, still candidates-only",
     "q_dedup_tombstone" ->
-      "persisted-index retraction (r15): the probe anti-joins a BROADCAST tombstone side table between the bucketed index scan and the batch anti-join — the index keeps its zero-Exchange probe shape (Bucketed:true, only the batch shuffles) and is never rewritten per delete")
+      "persisted-index retraction (r15; generation-stamped r16): the probe filters through a BROADCAST (key → latest delete seq) join between the bucketed index scan and the batch anti-join — the index keeps its zero-Exchange probe shape (Bucketed:true, only the batch shuffles) and is never rewritten per delete OR per re-insert",
+    "q_fuzzy_link_tombstone" ->
+      "catalog retraction (r16): q_fuzzy_link_serve's probe plan with the live-view generation filter spliced in as a broadcast join on c_id — the bucketed catalog segment scan still streams with zero catalog-side Exchange; withdrawing a record costs one appended tombstone row, never a catalog rewrite",
+    "q_bm25_tombstone" ->
+      "posting-index retraction (r16): the probe keeps its bucket-pruned posting scan (SelectedBucketsCount on the query terms) with the tombstone generation filter as a broadcast join on doc_id; the retracted docs' stats leave as ONE negative additive row, so N/avgdl re-derive exactly without touching the posting table")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outPath) = args

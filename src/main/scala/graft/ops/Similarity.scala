@@ -269,8 +269,28 @@ object Similarity {
     val inv = corpus.select(Seq(col(idCol).as("n_id"), col(vecCol).as("nv"),
       explode(ivfCells(col(vecCol), nlist, 1)).as("cell")) ++
       metaCols.map(col): _*)
-    Bucketing.writeBucketed(inv, tableName, "cell", tableBuckets)
+    // the raw inverted file joins the persisted family's retraction
+    // lifecycle, keyed by the vector id (same as the LSH/IVFADC tables)
+    Bucketing.initTombstones(inv, "n_id", tableName)
+    Bucketing.writeBucketed(Bucketing.withGen(inv, 0L),
+      tableName, "cell", tableBuckets)
   }
+
+  /** Tombstone RETRACTION for an [[ivfIndexBuild]] table (r16 — the raw
+    * inverted file was the last vector index without it): a deleted
+    * vector id stops surfacing from the next [[ivfIndexProbe]] on;
+    * [[ivfIndexCompact]] folds. */
+  def ivfIndexDelete(delIds: DataFrame, idCol: String,
+      tableName: String): Unit =
+    Bucketing.tombstoneAppend(delIds.select(col(idCol).as("n_id")),
+      "n_id", tableName)
+
+  /** Fold tombstones into the inverted file (live rows, one file per
+    * cell bucket, `_del` truncated). Returns the live row count. */
+  def ivfIndexCompact(spark: SparkSession, tableName: String,
+      tableBuckets: Int = 32): Long =
+    Bucketing.tombstoneCompact(spark, tableName, "n_id", "cell",
+      tableBuckets)
 
   /** Probe an [[ivfIndexBuild]] table (same nlist!): identical result
     * multiset to [[ivfTopK]]; only the query batch exchanges on cell.
@@ -281,7 +301,8 @@ object Similarity {
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
       nlist: Int = 32, nprobe: Int = 4,
       corpusFilter: Option[Column] = None): DataFrame = {
-    val c = corpusFilter.foldLeft(spark.table(tableName))((t, f) => t.filter(f))
+    val c = corpusFilter.foldLeft(
+      Bucketing.liveView(spark, tableName, "n_id"))((t, f) => t.filter(f))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"),
       explode(ivfCells(col(vecCol), nlist, nprobe)).as("cell"))
     lshRerank(c.join(q.hint("shuffle_merge"), "cell"), k)

@@ -257,13 +257,52 @@ object TfIdf {
     * (and no 3+-character query can match them). */
   def trigramIndexBuild(docs: DataFrame, idCol: String, textCol: String,
       tableName: String, tableBuckets: Int = 32): Unit = {
-    val n = length(col(textCol))
-    val tg = docs.select(col(idCol).cast("long").as("doc_id"),
-        explode(when(n < 3, array().cast("array<string>"))
-          .otherwise(array_distinct(transform(sequence(lit(1), n - 2),
-            i => col(textCol).substr(i, lit(3)))))).as("tg"))
-    Bucketing.writeBucketed(tg, tableName, "tg", tableBuckets)
+    val tg = trigramPostings(docs, idCol, textCol)
+    // the trigram index joins the persisted family's retraction
+    // lifecycle, keyed by doc_id (one delete suppresses every posting
+    // row of the doc)
+    Bucketing.initTombstones(tg, "doc_id", tableName)
+    Bucketing.writeBucketed(Bucketing.withGen(tg, 0L),
+      tableName, "tg", tableBuckets)
   }
+
+  private def trigramPostings(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val n = length(col(textCol))
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      explode(when(n < 3, array().cast("array<string>"))
+        .otherwise(array_distinct(transform(sequence(lit(1), n - 2),
+          i => col(textCol).substr(i, lit(3)))))).as("tg"))
+  }
+
+  /** Append a new document batch to a [[trigramIndexBuild]] table —
+    * delta-sized posting write, stamped with the index's current
+    * generation (a re-appended deleted doc revives; pure file append,
+    * safe under any live probe). */
+  def trigramIndexAppend(newDocs: DataFrame, idCol: String,
+      textCol: String, tableName: String, tableBuckets: Int = 32): Unit =
+    Bucketing.appendBucketed(
+      Bucketing.withGen(trigramPostings(newDocs, idCol, textCol),
+        Bucketing.currentGen(newDocs.sparkSession, tableName)),
+      tableName, "tg", tableBuckets)
+
+  /** Tombstone RETRACTION for a [[trigramIndexBuild]] table (r16 — the
+    * last posting index without it): deleted doc ids suppress every
+    * posting row of the doc at probe time; both probes read the live
+    * view, so a retracted document can no longer be returned (exact
+    * probe) or counted (fuzzy probe). */
+  def trigramIndexDelete(spark: SparkSession, tableName: String,
+      delIds: DataFrame, idCol: String): Unit =
+    Bucketing.tombstoneAppend(
+      delIds.select(col(idCol).cast("long").as("doc_id")),
+      "doc_id", tableName)
+
+  /** Fold tombstones into the posting base (live rows, one file per tg
+    * bucket, `_del` truncated). Returns the live posting row count. */
+  def trigramIndexCompact(spark: SparkSession, tableName: String,
+      tableBuckets: Int = 32): Long =
+    Bucketing.tombstoneCompact(spark, tableName, "doc_id", "tg",
+      tableBuckets)
 
   /** Exact substring search against a [[trigramIndexBuild]] table:
     * candidates are documents whose posting rows cover EVERY trigram of
@@ -288,7 +327,7 @@ object TfIdf {
     require(query.length >= 3,
       "substring query must be at least 3 characters (one full trigram)")
     val qTgs = query.sliding(3).toSeq.distinct
-    val cands = spark.table(tableName)
+    val cands = Bucketing.liveView(spark, tableName, "doc_id")
       .filter(col("tg").isin(qTgs: _*))
       .groupBy("doc_id").agg(count(lit(1)).as("_m")) // postings are distinct per doc
       .filter(col("_m") === qTgs.size)
@@ -315,7 +354,7 @@ object TfIdf {
     require(minFrac > 0.0 && minFrac <= 1.0, "minFrac must be in (0, 1]")
     val qTgs = query.sliding(3).toSeq.distinct
     val need = math.ceil(minFrac * qTgs.size).toInt
-    spark.table(tableName)
+    Bucketing.liveView(spark, tableName, "doc_id")
       .filter(col("tg").isin(qTgs: _*))
       .groupBy("doc_id").agg(count(lit(1)).as("n_matched"))
       .filter(col("n_matched") >= need)

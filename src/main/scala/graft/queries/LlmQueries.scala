@@ -1575,6 +1575,27 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // TRIGRAM-INDEX RETRACTION (r16): build over two thirds of the
+    // corpus, append the rest, retract every fourth document — the
+    // probe's candidate set comes from live postings only
+    // (doc_id-keyed generation filter, same broadcast live-view shape
+    // as every persisted index), so a retracted document can no longer
+    // be returned even though its text still contains the query. The
+    // oracle is the plain substring scan over the survivors.
+    "q_substr_tombstone" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tbl = "graft_trgm_tomb_" + s.sparkContext.applicationId
+        .replaceAll("[^A-Za-z0-9_]", "_")
+      TfIdf.trigramIndexBuild(docs.filter(col("doc_id") % 3 =!= 2),
+        "doc_id", "text", tbl, tableBuckets = 8)
+      TfIdf.trigramIndexAppend(docs.filter(col("doc_id") % 3 === 2),
+        "doc_id", "text", tbl, tableBuckets = 8)
+      TfIdf.trigramIndexDelete(s, tbl,
+        docs.filter(col("doc_id") % 4 === 0).select("doc_id"), "doc_id")
+      TfIdf.trigramIndexProbe(s, tbl, docs, "doc_id", "text", "merge window")
+        .orderBy("doc_id")
+    }),
+
     // typo-tolerant trigram matching: "merge windoz" (one-char typo)
     // still finds the "merge window" docs — ≥90% of the query's
     // distinct trigrams present; integer threshold, engine-exact
@@ -2463,6 +2484,11 @@ object LlmQueries {
     "q_substr_search" ->
       """SELECT doc_id FROM documents
         |WHERE instr(text, 'merge window') > 0""".stripMargin,
+
+    // build ∪ append − delete ≡ the substring scan over the survivors
+    "q_substr_tombstone" ->
+      """SELECT doc_id FROM documents
+        |WHERE instr(text, 'merge window') > 0 AND doc_id % 4 <> 0""".stripMargin,
 
     "q_frequent_phrases" ->
       s"""WITH d AS (SELECT doc_id, $sqlToks AS toks FROM documents),

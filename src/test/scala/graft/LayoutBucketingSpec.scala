@@ -506,6 +506,48 @@ class LayoutBucketingSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
   }
 
+  test("ivf index tombstones: probe(build−delete) ≡ ivfTopK over the live corpus; compact folds") {
+    // r16: the raw inverted file joins the retraction lifecycle — the
+    // last vector index without it (LSH r15, IVFADC r16).
+    import graft.ops.Similarity
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 10)
+    val tbl = "graft_spec_ivf_tomb"
+    try {
+      Similarity.ivfIndexBuild(e, "vec_id", "embedding",
+        tableName = tbl, tableBuckets = 4, nlist = 16)
+      Similarity.ivfIndexDelete(
+        e.filter(col("vec_id") % 7 === 0).select("vec_id"), "vec_id", tbl)
+      def probe() = Similarity.ivfIndexProbe(spark, tbl, q,
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 6)
+      val probed = probe().localCheckpoint()
+      val direct = Similarity.ivfTopK(q, e.filter(col("vec_id") % 7 =!= 0),
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 6)
+      assert(probed.exceptAll(direct).isEmpty && direct.exceptAll(probed).isEmpty,
+        "tombstoned probe must equal the direct result over the live corpus")
+      val full = Similarity.ivfTopK(q, e, "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 6)
+      assert(full.exceptAll(probed).count() > 0,
+        "fixture must delete vectors that appeared in some top-k")
+      Similarity.ivfIndexCompact(spark, tbl, tableBuckets = 4)
+      assert(spark.table(tbl + "_del").isEmpty,
+        "compact must truncate the tombstone table")
+      val after = probe()
+      assert(after.exceptAll(probed).isEmpty && probed.exceptAll(after).isEmpty,
+        "compaction must not change probe results")
+      // the zero-corpus-Exchange probe shape survives the lifecycle
+      after.collect()
+      val p = after.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(p.contains("Bucketed: true"),
+        "compacted inverted file must keep the bucketed layout:\n" + p.take(900))
+      assert("Exchange hashpartitioning\\(cell".r.findAllIn(p).length == 1,
+        "only the query side may shuffle on cell:\n" + p.take(900))
+    } finally
+      Seq(tbl, tbl + "_del").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+  }
+
   test("liveView reports the tombstoned-key count as an observed metric") {
     // r16 (r15 verdict item: tombstone-size observability): nothing
     // bounds the broadcast `_del` side "small by contract" — so every

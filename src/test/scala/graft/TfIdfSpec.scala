@@ -162,8 +162,17 @@ class TfIdfSpec extends SparkSpec {
       .split("== Initial Plan ==")(0)
     assert(p.contains("PushedFilters: [In(tg, "),
       "trigram IN must reach the posting scan:\n" + p.take(900))
-    assert(p.contains("ReadSchema: struct<doc_id:bigint,tg:string>"),
-      "posting scan must read only (doc_id, tg):\n" + p.take(900))
+    // r16: the posting rows carry the retraction lifecycle's _gen
+    // bookkeeping column (a constant-run RLE int64 — negligible read);
+    // AQE's empty-relation propagation removes the tombstone join
+    // itself when nothing is deleted, but the residual generation
+    // filter keeps the column in the scan. The pin still proves the
+    // text column never reaches the posting scan.
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,tg:string,_gen:bigint>"),
+      "posting scan must read only (doc_id, tg, _gen):\n" + p.take(900))
+    assert("Join".r.findAllIn(p).length == 1,
+      "only the contains-verify join may remain — the empty tombstone " +
+        "join must be AQE-pruned:\n" + p.take(900))
   }
 
   test("trigram fuzzy probe: typo still matches; count twin of the direct definition") {
@@ -238,6 +247,63 @@ class TfIdfSpec extends SparkSpec {
     assert(sel.isDefined, "posting scan must be bucket-pruned:\n" + p.take(900))
     assert(sel.get.group(1).toInt < sel.get.group(2).toInt,
       "probe must read a strict subset of buckets: " + sel.get.matched)
+  }
+
+  test("trigramIndexDelete: exact + fuzzy probes drop retracted docs; append revives; compact folds") {
+    // r16: the trigram posting index joins the retraction lifecycle —
+    // the direct-definition twin over the SURVIVING corpus is the
+    // oracle for both probe flavors.
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val tbl = "graft_spec_trgm_tomb"
+    try {
+      TfIdf.trigramIndexBuild(docs.filter(col("doc_id") % 3 =!= 2),
+        "doc_id", "text", tbl, tableBuckets = 8)
+      TfIdf.trigramIndexAppend(docs.filter(col("doc_id") % 3 === 2),
+        "doc_id", "text", tbl, tableBuckets = 8)
+      TfIdf.trigramIndexDelete(spark, tbl,
+        docs.filter(col("doc_id") % 4 === 0).select("doc_id"), "doc_id")
+      def exact() = TfIdf.trigramIndexProbe(spark, tbl,
+        docs, "doc_id", "text", "merge window").as[Long].collect().toSet
+      val got = exact()
+      val want = docs.filter(col("doc_id") % 4 =!= 0 &&
+          col("text").contains("merge window"))
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == want, s"exact probe must equal the contains scan over " +
+        s"the survivors: extra=${(got -- want).take(5)} missing=${(want -- got).take(5)}")
+      val deletedHits = docs.filter(col("doc_id") % 4 === 0 &&
+        col("text").contains("merge window")).count()
+      assert(deletedHits > 0 && got.nonEmpty,
+        "fixture must delete docs that matched AND keep some that match")
+      // fuzzy probe: same count twin, restricted to the survivors
+      val qTgs = "merge windoz".sliding(3).toSeq.distinct
+      val fuzzy = TfIdf.trigramFuzzyProbe(spark, tbl, "merge windoz",
+        minFrac = 0.9).select("doc_id").as[Long].collect().toSet
+      val wantFuzzy = docs.filter(col("doc_id") % 4 =!= 0)
+        .select(col("doc_id"),
+          explode(array_distinct(transform(
+            sequence(lit(1), length(col("text")) - 2),
+            i => col("text").substr(i, lit(3))))).as("tg"))
+        .filter(col("tg").isin(qTgs: _*))
+        .groupBy("doc_id").agg(count(lit(1)).as("m"))
+        .filter(col("m") >= 9)
+        .select("doc_id").as[Long].collect().toSet
+      assert(fuzzy == wantFuzzy, "fuzzy probe must count over live postings only")
+      // re-append revives a deleted matching doc
+      val revId = docs.filter(col("doc_id") % 4 === 0 &&
+          col("text").contains("merge window"))
+        .select("doc_id").as[Long].head()
+      TfIdf.trigramIndexAppend(docs.filter(col("doc_id") === revId),
+        "doc_id", "text", tbl, tableBuckets = 8)
+      assert(exact() == got + revId, "re-appended doc must match again")
+      // compact folds; probe results unchanged
+      TfIdf.trigramIndexCompact(spark, tbl, tableBuckets = 8)
+      assert(spark.table(tbl + "_del").isEmpty,
+        "compact must truncate the tombstone table")
+      assert(exact() == got + revId, "compaction must not change probe results")
+    } finally
+      Seq(tbl, tbl + "_del").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS `$t`"))
   }
 
   test("searchIndexDelete: probe ≡ rebuilt over survivors; re-delete retracts zero; compact folds") {
