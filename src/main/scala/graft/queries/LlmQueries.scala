@@ -854,6 +854,29 @@ object LlmQueries {
         .select(col("q_id"), col("rnk"), col("n_id"), round(col("sim"), 4).as("sim"))
     }),
 
+    // LSH-INDEX RETRACTION (r16): delete every seventh vector from the
+    // persisted signature table and probe — the live view suppresses
+    // the id's signature row in EVERY band table at once (n_id-keyed
+    // generation filter), so the result is identical to probing an
+    // index built over the surviving corpus, which is exactly what the
+    // oracle replays (the filtered-search SQL with the survivors
+    // predicate). Top-k REFILL is covered, not just membership: ranks
+    // vacated by deleted neighbors must be taken by the next-best live
+    // ones or the hash diverges.
+    "q_sim_lsh_tombstone" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val tbl = "graft_lsh_tomb_" + s.sparkContext.applicationId
+        .replaceAll("[^A-Za-z0-9_]", "_")
+      Similarity.lshIndexBuild(e, "vec_id", "embedding", dim = 64,
+        tableName = tbl, tableBuckets = 8, bits = 6, tables = 4)
+      Similarity.lshIndexDelete(
+        e.filter(col("vec_id") % 7 === 0).select("vec_id"), "vec_id", tbl)
+      Similarity.lshIndexProbe(s, tbl, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", dim = 64, k = 5, bits = 6, tables = 4,
+          probes = 2)
+        .select(col("q_id"), col("rnk"), col("n_id"), round(col("sim"), 4).as("sim"))
+    }),
+
     // FILTERED vector search: the label predicate pre-filters the
     // persisted index scan (a parquet PushedFilter on the bucketed
     // read), so selective predicates cannot starve the top-k the way
@@ -1110,6 +1133,23 @@ object LlmQueries {
         .replaceAll("[^A-Za-z0-9_]", "_")
       Similarity.ivfIndexBuild(e, "vec_id", "embedding",
         tableName = tbl, tableBuckets = 8, nlist = 16)
+      Similarity.ivfIndexProbe(s, tbl, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nlist = 16, nprobe = 6)
+        .select(col("q_id"), col("rnk"), col("n_id"), round(col("sim"), 4).as("sim"))
+    }),
+
+    // RAW-IVF RETRACTION (r16): the q_sim_ivf_persisted probe after
+    // deleting every seventh vector — the oracle replays the inverted
+    // file with the survivors predicate on the corpus side, so rank
+    // refill is hash-checked exactly like the LSH twin.
+    "q_sim_ivf_tombstone" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val tbl = "graft_ivf_tomb_" + s.sparkContext.applicationId
+        .replaceAll("[^A-Za-z0-9_]", "_")
+      Similarity.ivfIndexBuild(e, "vec_id", "embedding",
+        tableName = tbl, tableBuckets = 8, nlist = 16)
+      Similarity.ivfIndexDelete(
+        e.filter(col("vec_id") % 7 === 0).select("vec_id"), "vec_id", tbl)
       Similarity.ivfIndexProbe(s, tbl, e.filter(col("vec_id") < 10),
           "vec_id", "embedding", k = 5, nlist = 16, nprobe = 6)
         .select(col("q_id"), col("rnk"), col("n_id"), round(col("sim"), 4).as("sim"))
@@ -2044,8 +2084,12 @@ object LlmQueries {
     * DuckDB VALUES rows `(table, bit, ±1.0-list)`, so the oracle replays
     * the exact sign-flip folds: list_dot_product(v, ±1-list) performs the
     * identical in-order sequence of adds as the kernel's `acc += ±x`. */
-  private lazy val ivfTopKOracleSql: String =
-    """WITH e AS (
+  // the corpus predicate parameterizes the retraction twin (q_sim_ivf_
+  // tombstone): restricting cc to the survivors IS probing an index
+  // whose deleted ids are the predicate's complement
+  private lazy val ivfTopKOracleSql: String = ivfTopKOracle("TRUE")
+  private def ivfTopKOracle(corpusPred: String): String =
+    s"""WITH e AS (
       | SELECT vec_id, unnest(embedding) AS x,
       |        generate_subscripts(embedding, 1) - 1 AS i
       | FROM embeddings),
@@ -2053,7 +2097,8 @@ object LlmQueries {
       | SELECT vec_id, i*2 + CASE WHEN x >= 0 THEN 0 ELSE 1 END AS cell,
       |        row_number() OVER (PARTITION BY vec_id ORDER BY abs(x) DESC, i) AS rn
       | FROM e WHERE i < 16),
-      |cc AS (SELECT vec_id AS n_id, cell FROM rk WHERE rn = 1),
+      |cc AS (SELECT vec_id AS n_id, cell FROM rk
+      |       WHERE rn = 1 AND $corpusPred),
       |qc AS (SELECT DISTINCT vec_id AS q_id, cell FROM rk
       |       WHERE rn <= 6 AND vec_id < 10),
       |v AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
@@ -3019,6 +3064,10 @@ object LlmQueries {
     // changes layout/physics only, so it shares the lshTopK oracle
     "q_sim_lsh_persisted" -> lshTopKOracleSql,
 
+    // probe(build − delete) ≡ the filtered-search replay over the
+    // survivors — membership AND rank refill hash-checked
+    "q_sim_lsh_tombstone" -> lshTopKOracle("e2.vec_id % 7 <> 0"),
+
     // same pipeline with the corpus restricted to label = 3 before
     // bucketing — the filtered-search contract (pre-filter, not
     // rank-then-filter)
@@ -3260,6 +3309,10 @@ object LlmQueries {
 
     // identical result multiset by construction (layout change only)
     "q_sim_ivf_persisted" -> ivfTopKOracleSql,
+
+    // probe(build − delete) ≡ the inverted-file replay over the
+    // survivors (same cell assignment, corpus side filtered)
+    "q_sim_ivf_tombstone" -> ivfTopKOracle("vec_id % 7 <> 0"),
 
     "q_knn_label" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
