@@ -97,6 +97,24 @@ object Bucketing {
     n
   }
 
+  // STATIC-SIDE REFRESH ENVELOPE under a RUNNING STREAM (r16, measured
+  // — StaticRefreshSpec pins all three legs): a streaming query that
+  // joins these tables statically sees the FIRST maintenance write per
+  // static table after stream start (the write refreshes the pinned
+  // V1 relation's file index in place), but NOT the second or later
+  // ones (the first write also evicts the catalog's relation-cache
+  // entry, so subsequent writes refresh a re-resolved relation object
+  // the running stream no longer holds). Batch reads and freshly
+  // started streams always see everything. Operational contract for
+  // continuous maintenance: restart the stream after more than one
+  // lifecycle op per table (compact is already restart-fenced — see
+  // [[tombstoneCompact]]). The alternative — per-micro-batch file
+  // re-listing via a V2 static read — was considered and REJECTED: V2
+  // file scans carry no bucket metadata, so every streaming probe's
+  // static side would gain a per-batch Exchange of the (corpus-sized)
+  // index, destroying the zero-index-Exchange property the layout is
+  // built on to keep one maintenance-pickup edge case.
+  //
   // ---- tombstone lifecycle (r15; generation-stamped r16) -------------
   // Shared by every persisted index that supports retraction (the
   // fingerprint dedup index keyed by `fp`, the LSH/IVFADC indexes keyed

@@ -250,6 +250,124 @@ object TfIdf {
       .agg(sum("_s").as("score"), count(lit(1)).as("n_terms"))
   }
 
+  /** The 1-row static side for [[searchIndexScoreDocs]] /
+    * [[searchScoreStream]]: corpus size, average doc length, and a
+    * (term → df_t) map restricted to the standing query terms — all
+    * derived from the LIVE index (stats rows are additive, postings
+    * filter through the tombstone generation view), so an index append
+    * or delete shifts every downstream score exactly as a rebuild
+    * would. A handful of values however large the corpus: the posting
+    * scan is bucket-pruned to the query terms, the stats table is one
+    * row per batch. */
+  private def searchStatsSide(spark: SparkSession, tableName: String,
+      queryTerms: Seq[String]): DataFrame = {
+    val st = spark.table(tableName + "_stats")
+      .agg(sum("n_docs").cast("double").as("_n"),
+        sum("total_dl").cast("double").as("_tdl"))
+      .select(col("_n"), (col("_tdl") / col("_n")).as("_avgdl"))
+    val dfm = Bucketing.liveView(spark, tableName, "doc_id")
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy("term").agg(count(lit(1)).cast("double").as("df_t"))
+      .agg(map_from_entries(collect_list(struct(col("term"), col("df_t"))))
+        .as("_dfm"))
+    st.crossJoin(dfm)
+  }
+
+  /** Score INCOMING documents against a [[searchIndexBuild]] table's
+    * corpus statistics — the TRANSPOSED probe. [[searchIndexProbe]]
+    * ranks the INDEXED corpus for a query; this ranks a NEW document
+    * batch (a crawl delta, an event stream) against STANDING query
+    * terms, with idf/N/avgdl taken from the index: the
+    * classify-at-arrival half of text search (alerting, routing,
+    * relevance-gating an ingest pipeline — the reference's
+    * filter-then-route shape with a learned-statistics scorer).
+    *
+    * Scoring contract: identical BM25 arithmetic to
+    * [[searchIndexProbe]] — for a document that IS in the index,
+    * scoring its text here returns exactly the probe's score for it
+    * (TF from [[graft.functions.TextFunctions.termCounts]] over the
+    * text ≡ TF from its posting rows; TfIdfSpec pins it to 1e-9). A
+    * query term absent from the corpus scores with df_t = 0 (the
+    * standard unseen-term idf), so novel vocabulary still ranks.
+    *
+    * Scale shape: per-document work is one run-length termCounts pass
+    * plus a fold over at most |queryTerms| matched entries; the index
+    * contributes ONE broadcast row (bucket-pruned posting scan for the
+    * df map). The document batch never shuffles — scoring is a pure
+    * projection, whatever the corpus size. Output: (doc_id, score,
+    * n_terms) for documents matching ≥ 1 query term. */
+  def searchIndexScoreDocs(spark: SparkSession, tableName: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    scoredAgainstStats(
+      docs.select(col(idCol).cast("long").as("doc_id"), col(textCol)),
+      textCol, queryTerms, k1, b,
+      searchStatsSide(spark, tableName, queryTerms))
+      .select("doc_id", "score", "n_terms")
+  }
+
+  /** Streaming [[searchIndexScoreDocs]] — standing-query BM25 scoring
+    * at ingest against the persisted posting index. STATELESS: the
+    * score is a per-row projection, and ONE index APPEND or DELETE
+    * after stream start shifts subsequent scores exactly as the batch
+    * twin's would — no restart, within the measured static-side
+    * refresh envelope shared by every streaming probe in the family
+    * (first maintenance write per static table is visible, later ones
+    * need a restart: StaticRefreshSpec + the [[Bucketing]] lifecycle
+    * note; StreamingSpec pins stream ≡ batch across a delete).
+    * `minScore` is the alerting threshold (0.0 = emit every
+    * ≥1-term match). Output: (doc_id, ts, score, n_terms), append
+    * mode. */
+  def searchScoreStream(stream: DataFrame, idCol: String,
+      textCol: String, tsCol: String, spark: SparkSession,
+      tableName: String, queryTerms: Seq[String], minScore: Double = 0.0,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    scoredAgainstStats(
+      stream.select(col(idCol).cast("long").as("doc_id"), col(textCol),
+        col(tsCol).as("ts")),
+      textCol, queryTerms, k1, b,
+      searchStatsSide(spark, tableName, queryTerms))
+      .filter(col("score") >= minScore)
+      .select("doc_id", "ts", "score", "n_terms")
+  }
+
+  /** Shared scorer: one termCounts pass, the matched-terms fold, BM25
+    * arithmetic against the broadcast 1-row stats side. Works on batch
+    * and streaming inputs alike (crossJoin of a 1-row static side is a
+    * broadcast nested loop either way). */
+  private def scoredAgainstStats(docs: DataFrame, textCol: String,
+      queryTerms: Seq[String], k1: Double, b: Double,
+      statsSide: DataFrame): DataFrame = {
+    val qlit = typedLit(queryTerms)
+    Transforms.materialized(docs, "_tc", termCounts(col(textCol)))
+      .withColumn("_dl",
+        aggregate(col("_tc"), lit(0L), (a, p) => a + p.getField("cnt"))
+          .cast("double"))
+      .withColumn("_m",
+        filter(col("_tc"), p => array_contains(qlit, p.getField("term"))))
+      .filter(size(col("_m")) > 0)
+      // dummy-key equi-join rather than crossJoin: stream-static INNER
+      // equi-joins are supported unconditionally, and the 1-row side
+      // broadcasts either way
+      .withColumn("_k", lit(1))
+      .join(broadcast(statsSide.withColumn("_k", lit(1))), "_k")
+      .withColumn("score",
+        aggregate(col("_m"), lit(0.0), (acc, p) => {
+          val dft = coalesce(element_at(col("_dfm"), p.getField("term")),
+            lit(0.0))
+          val cnt = p.getField("cnt").cast("double")
+          acc + log(lit(1.0) + (col("_n") - dft + 0.5) / (dft + 0.5)) *
+            cnt * (k1 + 1.0) /
+            (cnt + lit(k1) *
+              (lit(1.0 - b) + lit(b) * col("_dl") / col("_avgdl")))
+        }))
+      .withColumn("n_terms", size(col("_m")).cast("long"))
+      .drop("_tc", "_dl", "_m", "_k", "_n", "_avgdl", "_dfm", textCol)
+  }
+
   /** Character-trigram substring-search index — the pg_trgm /
     * code-search design, the SUBSTRING complement of the term-level
     * [[searchIndexBuild]]: posting rows (trigram, doc_id) bucketed BY

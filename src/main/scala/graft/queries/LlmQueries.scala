@@ -1588,6 +1588,27 @@ object LlmQueries {
     // for every OTHER doc's score. The oracle is the direct BM25
     // scorer over the surviving corpus: every score must match, which
     // checks the stats retraction, not just the posting suppression.
+    // TRANSPOSED probe — standing-query scoring of an INCOMING batch
+    // (r16): q_bm25_persisted ranks the INDEXED corpus for the query;
+    // this scores a NEW document batch against the index's statistics
+    // (df_t over live postings, N/avgdl from the additive stats) — the
+    // classify-at-arrival half of text search and the batch twin of
+    // [[graft.streaming.StreamingOps.bm25ScoreStream]] (alerting at
+    // ingest; stream ≡ batch pinned across an index append AND delete
+    // in StreamingSpec). Per-doc work is one termCounts pass + a fold
+    // over ≤ |queryTerms| entries against ONE broadcast stats row —
+    // the batch never shuffles, whatever the corpus size.
+    "q_bm25_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tbl = "graft_inv_score_" + s.sparkContext.applicationId
+        .replaceAll("[^A-Za-z0-9_]", "_")
+      TfIdf.searchIndexBuild(docs, "doc_id", "text", tbl, tableBuckets = 8)
+      TfIdf.searchIndexScoreDocs(s, tbl, docs.filter(col("doc_id") < 60),
+          "doc_id", "text", Seq("spark", "merge", "window"))
+        .select(col("doc_id"), col("n_terms"),
+          round(col("score"), 2).as("score_r"))
+    }),
+
     "q_bm25_tombstone" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val tbl = "graft_inv_tomb_" + s.sparkContext.applicationId
@@ -2511,6 +2532,33 @@ object LlmQueries {
     // the WHERE lands in the stats CTEs too, so a stats-retraction bug
     // (avgdl still skewed by deleted docs) diverges every score hash
     "q_bm25_tombstone" -> bm25Oracle("doc_id % 5 <> 0"),
+
+    // transposed probe: tf/dl from the INCOMING batch (doc_id < 60),
+    // df_t/N/avgdl from the FULL indexed corpus — the split that makes
+    // it the batch twin of scoring-at-ingest
+    "q_bm25_score" ->
+      s"""WITH d AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |inc AS (SELECT doc_id, toks FROM d WHERE doc_id < 60),
+         |tfc AS (
+         |  SELECT doc_id, term, count(*)::DOUBLE AS cnt
+         |  FROM (SELECT doc_id, unnest(toks) AS term FROM inc)
+         |  WHERE term IN ('spark', 'merge', 'window')
+         |  GROUP BY doc_id, term),
+         |dls AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM inc),
+         |stats AS (SELECT count(*)::DOUBLE AS n_docs,
+         |  avg(len(toks))::DOUBLE AS avgdl FROM d),
+         |dft AS (SELECT term, count(*)::DOUBLE AS df_t FROM (
+         |  SELECT DISTINCT doc_id, term
+         |  FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+         |  WHERE term IN ('spark', 'merge', 'window'))
+         | GROUP BY term)
+         |SELECT tfc.doc_id AS doc_id, count(*) AS n_terms,
+         |  round(sum(ln(1 + (n_docs - df_t + 0.5) / (df_t + 0.5)) *
+         |    cnt * (1.2 + 1) /
+         |    (cnt + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 2) AS score_r
+         |FROM tfc JOIN dft USING (term) JOIN dls USING (doc_id)
+         |  CROSS JOIN stats
+         |GROUP BY tfc.doc_id""".stripMargin,
 
     // distinct doc trigrams restricted to the query's, counted per doc;
     // 9 = ceil(0.9 * 10 query trigrams) — integer threshold, no floats

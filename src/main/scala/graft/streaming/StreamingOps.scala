@@ -10,6 +10,15 @@ import org.apache.spark.sql.functions._
   * (x/batcher/batcher.go:341-371); these are the analytic generalization
   * the north star asks for: event-time windows, watermarked late-data
   * handling, gap sessions, keyed state.
+  *
+  * EVERY streaming probe below that joins a persisted index statically
+  * inherits the measured static-side refresh envelope (r16,
+  * StaticRefreshSpec + the note atop [[graft.ops.Bucketing]]'s
+  * lifecycle section): the FIRST maintenance write per static table
+  * after stream start is visible to the running stream; later writes
+  * to the SAME table are not — restart the stream for continuous
+  * maintenance. "Takes effect without restart" in the per-operator
+  * docs means within that envelope.
   */
 object StreamingOps {
 
@@ -171,6 +180,25 @@ object StreamingOps {
       tableName: String): DataFrame =
     graft.ops.Linkage.editIndexMatchStream(stream, idCol, strCol, tsCol,
       watermark, spark, tableName)
+
+  /** Standing-query BM25 scoring at ingest (r16) — the text-search
+    * family's streaming serving path (every other retrieval modality
+    * had one: ANN match, dedup-at-ingest, linkage-at-ingest). Each
+    * incoming document scores against the PERSISTED posting index's
+    * live statistics (df_t / N / avgdl) for a fixed set of standing
+    * query terms — the reference's filter-then-route shape with a
+    * learned-statistics scorer (alerting on keyword relevance, routing
+    * by topic). STATELESS per-row projection; one index append/delete
+    * after stream start shifts subsequent scores without restart
+    * (within the object-doc refresh envelope). Batch twin:
+    * [[graft.ops.TfIdf.searchIndexScoreDocs]] (TfIdfSpec pins
+    * batch ≡ probe; StreamingSpec pins stream ≡ batch across a
+    * mid-stream delete, scores not just matches). */
+  def bm25ScoreStream(stream: DataFrame, idCol: String, textCol: String,
+      tsCol: String, spark: SparkSession, tableName: String,
+      queryTerms: Seq[String], minScore: Double = 0.0): DataFrame =
+    graft.ops.TfIdf.searchScoreStream(stream, idCol, textCol, tsCol,
+      spark, tableName, queryTerms, minScore)
 
   /** Exact streaming dedup within the watermark horizon — at-least-once
     * input → effectively-once output (≈ the conformance suite's no-dup

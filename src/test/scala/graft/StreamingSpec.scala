@@ -832,6 +832,85 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("bm25ScoreStream: per-batch scores == batch twin; one mid-stream delete shifts the SCORES, not just matches") {
+    // r16: the text-search family's streaming serving path — standing-
+    // query BM25 at ingest. The stats side (df_t / N / avgdl) is what
+    // makes the maintenance case interesting: a delete moves the
+    // SCORES of later batches exactly to the batch twin's, not just
+    // the match sets. The test stays inside the measured static-side
+    // refresh envelope (StaticRefreshSpec: at most ONE maintenance
+    // write per static table per stream lifetime) — the delete is the
+    // single post-start write to _stats and to _del.
+    import graft.ops.TfIdf
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).cache()
+    val terms = Seq("spark", "merge", "window")
+    val tbl = "graft_spec_score_stream"
+    TfIdf.searchIndexBuild(docs.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", tbl, tableBuckets = 4)
+    TfIdf.searchIndexAppend(docs.filter(col("doc_id") % 3 =!= 0),
+      "doc_id", "text", tbl, tableBuckets = 4)
+    val incoming = docs.filter(col("doc_id") % 3 === 1)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (b1, _) = incoming.splitAt(incoming.length / 2)
+    val b2 = b1.map { case (id, t) => (id + 100000L, t) } // re-send post-delete
+    val ms = new MemoryStream[(Long, String, Timestamp)](61, spark, None)
+    val df = ms.toDF().toDF("doc_id", "text", "ts")
+    val out = StreamingOps.bm25ScoreStream(df, "doc_id", "text", "ts",
+      spark, tbl, terms)
+    val q = out.writeStream.format("memory").queryName("score_stream_out")
+      .outputMode("append").start()
+    def twin(batch: Seq[(Long, String)]): Map[Long, (Double, Long)] = {
+      import spark.implicits._
+      TfIdf.searchIndexScoreDocs(spark, tbl,
+          batch.toDF("doc_id", "text"), "doc_id", "text", terms)
+        .select("doc_id", "score", "n_terms")
+        .as[(Long, Double, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+    }
+    def got(ids: Set[Long]): Map[Long, (Double, Long)] = {
+      import spark.implicits._
+      spark.table("score_stream_out")
+        .filter(col("doc_id").isin(ids.toSeq: _*))
+        .select("doc_id", "score", "n_terms")
+        .as[(Long, Double, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+    }
+    def assertAgrees(g: Map[Long, (Double, Long)],
+        w: Map[Long, (Double, Long)], tag: String): Unit = {
+      assert(g.keySet == w.keySet,
+        s"$tag: extra=${(g.keySet -- w.keySet).take(5)} missing=${(w.keySet -- g.keySet).take(5)}")
+      assert(g.nonEmpty, s"$tag: fixture must score someone")
+      g.foreach { case (id, (s, n)) =>
+        assert(math.abs(s - w(id)._1) < 1e-9 && n == w(id)._2,
+          s"$tag doc $id: stream ($s, $n) vs batch ${w(id)}")
+      }
+    }
+    try {
+      val w1 = twin(b1.toSeq)
+      ms.addData(b1.map { case (id, t) => (id, t, ts(0)) }.toSeq)
+      q.processAllAvailable()
+      assertAgrees(got(b1.map(_._1).toSet), w1, "batch 1")
+      // ONE delete mid-stream: retract every fifth indexed doc — df_t
+      // AND N/avgdl move, so batch-2 scores (same texts, shifted ids)
+      // must land on the post-delete twin and DIFFER from batch 1's
+      TfIdf.searchIndexDelete(spark, tbl,
+        docs.filter(col("doc_id") % 5 === 0).select("doc_id"), "doc_id")
+      val w2 = twin(b2.toSeq)
+      ms.addData(b2.map { case (id, t) => (id, t, ts(5)) }.toSeq)
+      q.processAllAvailable()
+      val g2 = got(b2.map(_._1).toSet)
+      assertAgrees(g2, w2, "batch 2 (post-delete)")
+      val shifted = g2.exists { case (id, (s, _)) =>
+        w1.get(id - 100000L).exists(p => math.abs(p._1 - s) > 1e-9) }
+      assert(shifted, "the delete must move at least one re-sent doc's score")
+    } finally {
+      q.stop(); q.awaitTermination()
+      Seq(tbl, tbl + "_del", tbl + "_docs", tbl + "_stats").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
+  }
+
   test("image dedup-at-ingest: dHash fingerprints through the generic streaming index shape") {
     // streaming × multimodal: the SAME incremental-corpus lifecycle the
     // text pipeline uses (persisted fp index → stream-static anti-join →

@@ -249,6 +249,49 @@ class TfIdfSpec extends SparkSpec {
       "probe must read a strict subset of buckets: " + sel.get.matched)
   }
 
+  test("searchIndexScoreDocs: transposed probe — indexed docs score exactly their probe rows; unseen terms rank") {
+    // r16: scoring an INCOMING doc against the index's statistics must
+    // be the same arithmetic as ranking the INDEXED corpus — for a doc
+    // that is in the index, the two paths must agree to fp noise.
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val terms = Seq("spark", "merge", "window")
+    val tbl = "graft_spec_inv_score"
+    try {
+      TfIdf.searchIndexBuild(docs, "doc_id", "text", tbl, tableBuckets = 8)
+      val probe = TfIdf.searchIndexProbe(spark, tbl, terms)
+      val scored = TfIdf.searchIndexScoreDocs(spark, tbl, docs,
+        "doc_id", "text", terms)
+      val joined = scored.alias("s")
+        .join(probe.alias("p"), Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("s.score").as("ss"), col("p.score").as("ps"),
+          col("s.n_terms").as("sn"), col("p.n_terms").as("pn"))
+        .collect()
+      assert(joined.nonEmpty)
+      joined.foreach { r =>
+        assert(!r.isNullAt(1) && !r.isNullAt(2),
+          s"doc ${r.getLong(0)} present on only one side")
+        assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-9,
+          s"doc ${r.getLong(0)}: scored ${r.getDouble(1)} vs probed ${r.getDouble(2)}")
+        assert(r.getLong(3) == r.getLong(4))
+      }
+      // a query term ABSENT from the corpus still ranks (df_t = 0, the
+      // standard unseen-term idf) — novel vocabulary must not zero out
+      val novel = TfIdf.searchIndexScoreDocs(spark, tbl,
+        Seq((9001L, "zzznovelterm appears here")).toDF("doc_id", "text"),
+        "doc_id", "text", Seq("zzznovelterm"))
+        .select("doc_id", "score").as[(Long, Double)].collect()
+      assert(novel.length == 1 && novel.head._2 > 0.0,
+        s"unseen query term must score via df_t=0 idf: ${novel.toSeq}")
+      // a doc matching NO query term emits nothing
+      assert(TfIdf.searchIndexScoreDocs(spark, tbl,
+        Seq((9002L, "completely unrelated words")).toDF("doc_id", "text"),
+        "doc_id", "text", terms).isEmpty)
+    } finally
+      Seq(tbl, tbl + "_del", tbl + "_docs", tbl + "_stats").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+  }
+
   test("trigramIndexDelete: exact + fuzzy probes drop retracted docs; append revives; compact folds") {
     // r16: the trigram posting index joins the retraction lifecycle —
     // the direct-definition twin over the SURVIVING corpus is the
