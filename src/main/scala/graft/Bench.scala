@@ -164,6 +164,10 @@ object Bench {
     val currentQuery = new java.util.concurrent.atomic.AtomicReference[String]("warmup")
     val droppedByQuery = new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
     val tombstonedByQuery = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    // r17: queries whose probes advised compaction (tombstoned keys ≥
+    // the spark.graft.tombstone.compactThreshold budget) — the boolean
+    // "compact me" the r16 verdict asked for on top of the raw gauge
+    val compactAdvised = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution,
@@ -173,8 +177,11 @@ object Bench {
           if (name.startsWith(graft.ops.Dedup.DroppedBucketsMetricPrefix)) {
             buckets += row.getAs[Long]("n_dropped_buckets")
             rows += row.getAs[Long]("n_dropped_rows")
-          } else if (name.startsWith(graft.ops.Bucketing.TombstoneMetricPrefix))
+          } else if (name.startsWith(graft.ops.Bucketing.TombstoneMetricPrefix)) {
             tomb = math.max(tomb, row.getAs[Long]("n_tombstoned_keys"))
+            if (row.getAs[Boolean]("compact_advised"))
+              compactAdvised.add(currentQuery.get())
+          }
         }
         if (buckets > 0) {
           val acc = droppedByQuery.computeIfAbsent(currentQuery.get(),
@@ -189,9 +196,16 @@ object Bench {
           qe: org.apache.spark.sql.execution.QueryExecution,
           exception: Exception): Unit = ()
     })
+    // The fixed-sleep fallback is exactly the load-sensitive
+    // misattribution the deterministic drain exists to avoid — so if it
+    // ever fires, say so: the detail record carries drain_fallback, and
+    // only NonFatal reaches it (an OOM mid-drain must propagate, not
+    // degrade into silently-wrong telemetry attribution).
+    val drainFallback = new java.util.concurrent.atomic.AtomicBoolean(false)
     def drainBus(): Unit =
       try org.apache.spark.graftbus.ListenerDrain.drain(spark.sparkContext)
-      catch { case _: Throwable => Thread.sleep(100) }
+      catch { case scala.util.control.NonFatal(_) =>
+        drainFallback.set(true); Thread.sleep(100) }
     val loadThreshold = sys.env.getOrElse("SPARK_GRAFT_LOAD_MAX", "1.0").toDouble
     var waitBudget = sys.env.getOrElse("SPARK_GRAFT_LOAD_BUDGET_SEC", "300").toDouble
     // r15 (r14 verdict item 5): gate bench START on the 1-min loadavg, in
@@ -291,7 +305,13 @@ object Bench {
     // sample DURING it (r13: an endpoint-only check missed bursts that
     // start and end inside the window), and externalCores is the worst
     // sample observed.
-    type Rep = (Double, Boolean, Double)
+    // r17 (r16 verdict stretch): each rep also records its BUILD phase —
+    // the registry fn call, where composite queries run their eager
+    // index build/append/delete writes — separately from the PROBE
+    // phase (executing the returned plan), so a future regression in,
+    // say, the IVFADC probe is attributable from the detail record
+    // without re-deriving it from ScaleProof curves.
+    type Rep = (Double, Boolean, Double, Double) // (totalS, quiet, extCores, buildS)
     // r16 (r15 verdict item 6): the whole headline set runs TWICE (or
     // SPARK_GRAFT_PASSES times), separated by the full sweep's wall
     // clock, and the headline per-query number is the min across BOTH
@@ -351,15 +371,19 @@ object Bench {
           watcher.setDaemon(true)
           watcher.start()
           val t0 = System.nanoTime()
-          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          catch { case e: Throwable =>
+          var buildSecs = 0.0
+          try {
+            val df = fn(spark, sfDir)
+            buildSecs = (System.nanoTime() - t0) / 1e9
+            df.write.format("noop").mode("overwrite").save()
+          } catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
           }
           val secs = (System.nanoTime() - t0) / 1e9
           running.set(false); watcher.join(1000)
           val extDuring = java.lang.Double.longBitsToDouble(worstDuring.get())
           val quietDuring = extDuring < 0 || extDuring <= loadThreshold
-          (secs, quietAtStart && quietDuring, math.max(ext, extDuring))
+          (secs, quietAtStart && quietDuring, math.max(ext, extDuring), buildSecs)
         }
         var times = (1 to startReps).map(_ => rep()).sortBy(_._1)
         def quietTimes = times.filter(_._2).map(_._1)
@@ -441,6 +465,11 @@ object Bench {
         .map { case (k, n) => "\"" + k + s"""\":$n""" }
         .mkString("{", ",", "}")
     }
+    val advised = {
+      import scala.jdk.CollectionConverters._
+      compactAdvised.asScala.toSeq.sorted
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+    }
     // per-pass per-query quiet mins: which pass carried each headline
     // number — a contaminated pass shows as one column of inflated mins
     val passMins = results.map { case (k, _) =>
@@ -450,7 +479,16 @@ object Bench {
       }
       "\"" + k + "\":[" + mins.mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val detail = f"""{"metric":"bench_detail","spread_pct":$spreadPct,"reps":$reps,"reps_used":$repsUsed,"quiet_reps":$quietUsed,"ext_load":$extLoads,"load_threshold":$loadThreshold%.1f,"wait_budget_left":$waitBudget%.0f,"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"passes":$passes,"pass_mins":$passMins,"dropped_buckets":$dropped,"tombstoned_keys":$tombstoned}"""
+    // per-query [build, probe] seconds at the best (min-total, quiet-
+    // preferred) rep: build = the registry fn call (eager index writes
+    // in composites; ~0 for pure-plan queries), probe = executing the
+    // returned plan
+    val phaseSplit = results.map { case (k, ts) =>
+      val pool = { val q = ts.filter(_._2); if (q.nonEmpty) q else ts }
+      val best = pool.minBy(_._1)
+      "\"" + k + f"""\":[${best._4}%.3f,${best._1 - best._4}%.3f]"""
+    }.mkString("{", ",", "}")
+    val detail = f"""{"metric":"bench_detail","spread_pct":$spreadPct,"reps":$reps,"reps_used":$repsUsed,"quiet_reps":$quietUsed,"ext_load":$extLoads,"load_threshold":$loadThreshold%.1f,"wait_budget_left":$waitBudget%.0f,"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"passes":$passes,"pass_mins":$passMins,"dropped_buckets":$dropped,"tombstoned_keys":$tombstoned,"compact_advised":$advised,"drain_fallback":${drainFallback.get()},"phase_split":$phaseSplit}"""
     val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_median":$med,"degraded":$degraded,"sf":"$sfDir"}"""
     // Both lines also go to a file the driver can read without un-wrapping
     // sbt's [info] stdout decoration. Default under target/ so a bench run

@@ -42,6 +42,7 @@ object Bucketing {
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(name)
+    RefreshEnvelope.recordWrite(spark, name)
   }
 
   /** [[writeBucketed]]'s orphaned-location cleanup for a PLAIN (non-
@@ -55,6 +56,18 @@ object Bucketing {
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(name)
+    RefreshEnvelope.recordWrite(spark, name)
+  }
+
+  /** Append rows to a plain (non-bucketed) managed table, recording the
+    * maintenance write — the lifecycle-aware twin of a bare
+    * `write.mode(Append).saveAsTable`. Every side-table append in the
+    * index family (BM25 `_docs`/`_stats`) goes through here so the
+    * [[RefreshEnvelope]] counter covers the WHOLE static family a
+    * streaming probe plans in, not just the bucketed base. */
+  def appendTable(df: DataFrame, name: String): Unit = {
+    df.write.mode(SaveMode.Append).format("parquet").saveAsTable(name)
+    RefreshEnvelope.recordWrite(df.sparkSession, name)
   }
 
   /** Append rows to an existing bucketed table written by
@@ -69,10 +82,12 @@ object Bucketing {
     * (Periodic compaction = one [[writeBucketed]] over the table when
     * per-bucket file counts grow.) */
   def appendBucketed(df: DataFrame, name: String, key: String,
-      buckets: Int): Unit =
+      buckets: Int): Unit = {
     df.write.mode(SaveMode.Append)
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(name)
+    RefreshEnvelope.recordWrite(df.sparkSession, name)
+  }
 
   /** Rewrite a bucketed table in place, collapsing the one-file-per-
     * append accumulation of [[appendBucketed]] back to one file per
@@ -115,6 +130,30 @@ object Bucketing {
   // index, destroying the zero-index-Exchange property the layout is
   // built on to keep one maintenance-pickup edge case.
   //
+  // r17: the envelope is ENFORCED AT RUNTIME, not just documented —
+  // every write path here bumps a persisted per-table counter, and
+  // [[RefreshEnvelope.capture]]/[[RefreshEnvelope.Guard]] turn "this
+  // stream sailed past its envelope" into a loud warning, a sticky
+  // flag, and a fail-fast assertion (StreamingSpec pins the second
+  // post-start write tripping it).
+  //
+  // SINGLE-MAINTAINER CONTRACT (r17, pinned in LayoutBucketingSpec):
+  // every MUTATING lifecycle op — build, append, delete, compact, and
+  // the [[RefreshEnvelope]] counter bump — assumes ONE maintainer
+  // process per index at a time, the industry norm for index
+  // maintenance. [[currentGen]] is read-then-append with no
+  // coordination BY DESIGN: two concurrent [[tombstoneAppend]]s would
+  // read the same generation and stamp the SAME sequence, and an
+  // append racing a delete gets an ordering neither caller chose —
+  // both are OUTSIDE the contract, not failure modes within it.
+  // Retry-after-failure by the same maintainer is INSIDE the contract
+  // (see [[graft.ops.TfIdf.searchIndexDelete]]'s seq-stamped
+  // retraction). Concurrent READERS — probes, guards, streams — are
+  // unrestricted: every op short of compact is a pure append, and
+  // compact is restart-fenced. Cross-SESSION isolation (two apps, two
+  // different indexes, one warehouse) is separately guaranteed by the
+  // app-id-suffixed staging names in [[bucketedJoin]].
+  //
   // ---- tombstone lifecycle (r15; generation-stamped r16) -------------
   // Shared by every persisted index that supports retraction (the
   // fingerprint dedup index keyed by `fp`, the LSH/IVFADC indexes keyed
@@ -142,12 +181,27 @@ object Bucketing {
 
   /** Observed-metric name prefix for tombstone visibility: every
     * [[liveView]] probe against a non-empty delete table reports its
-    * tombstoned-key count (`n_tombstoned_keys`), so an uncompacted
-    * delete set growing toward broadcast pain is visible long before
-    * the SFs any oracle checks (the maxBucket-drop pattern). Absent ==
-    * zero: AQE's empty-relation propagation prunes the observe node
-    * with the empty broadcast side. Bench aggregates per query. */
+    * tombstoned-key count (`n_tombstoned_keys`) AND a `compact_advised`
+    * boolean (r17 — count ≥ [[compactThreshold]]), so an uncompacted
+    * delete set growing toward broadcast pain surfaces as an explicit
+    * "compact me" long before the SFs any oracle checks (the
+    * maxBucket-drop pattern). Absent == zero/false: AQE's
+    * empty-relation propagation prunes the observe node with the empty
+    * broadcast side. Bench aggregates per query. */
   val TombstoneMetricPrefix = "graft_tombstone_keys/"
+
+  /** Session conf key for the `compact_advised` threshold: the
+    * tombstoned-KEY count at which probes start advising
+    * [[tombstoneCompact]]. The cost an uncompacted delete set adds to
+    * every probe is the broadcast of its distinct keys — an absolute
+    * key budget, independent of live index size, is therefore the
+    * honest knob (the default ~1e6 keys ≈ tens of MB broadcast, well
+    * inside executor comfort but big enough to be worth folding). */
+  val CompactThresholdConf = "spark.graft.tombstone.compactThreshold"
+
+  private def compactThreshold(spark: SparkSession): Long =
+    spark.conf.getOption(CompactThresholdConf).map(_.toLong)
+      .getOrElse(1000000L)
 
   private val tombObsId = new java.util.concurrent.atomic.AtomicLong()
 
@@ -196,18 +250,25 @@ object Bucketing {
     * Within-batch duplicates are collapsed; re-deleting an
     * already-tombstoned key appends one fresh (key, seq) row — the
     * delete table stays delete-volume-sized and [[liveView]] folds to
-    * one broadcast key either way. */
+    * one broadcast key either way.
+    *
+    * `atSeq` (optional) lets a delete with MORE THAN ONE side effect
+    * pre-claim its sequence via [[currentGen]]+1 and stamp every side
+    * table with it before the tombstones land — the retry-detection
+    * handle for multi-table deletes (see
+    * [[graft.ops.TfIdf.searchIndexDelete]]: the stats retraction row
+    * carries the seq, so a retry after a partial failure can tell an
+    * already-applied retraction from a missing one). */
   def tombstoneAppend(delKeys: DataFrame, keyCol: String,
-      tableName: String): Unit = {
+      tableName: String, atSeq: Long = -1L): Unit = {
     import org.apache.spark.sql.functions.lit
     val spark = delKeys.sparkSession
-    val seq = currentGen(spark, tableName) + 1L
+    val seq = if (atSeq > 0L) atSeq else currentGen(spark, tableName) + 1L
     // eager: the caller may derive the delete set from the index itself
     val del = delKeys.select(keyCol).distinct()
       .withColumn("seq", lit(seq)).localCheckpoint(true)
     if (spark.catalog.tableExists(tableName + "_del"))
-      del.write.mode(SaveMode.Append).format("parquet")
-        .saveAsTable(tableName + "_del")
+      appendTable(del, tableName + "_del")
     else writeTable(del, tableName + "_del")
   }
 
@@ -238,7 +299,8 @@ object Bucketing {
       val del = spark.table(delTable)
         .groupBy(keyCol).agg(max("seq").as("_del_seq"))
         .observe(TombstoneMetricPrefix + tombObsId.incrementAndGet(),
-          count(lit(1)).as("n_tombstoned_keys"))
+          count(lit(1)).as("n_tombstoned_keys"),
+          (count(lit(1)) >= compactThreshold(spark)).as("compact_advised"))
       val gen = if (base.columns.contains(GenCol)) col(GenCol) else lit(0L)
       base.join(broadcast(del), Seq(keyCol), "left")
         .filter(col("_del_seq").isNull || gen >= col("_del_seq"))

@@ -1,0 +1,178 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.ConcurrentHashMap
+
+/** Runtime enforcement of the STATIC-SIDE REFRESH ENVELOPE (r17 —
+  * the r16 verdict's one documented-but-not-enforced contract).
+  *
+  * The envelope (measured, StaticRefreshSpec; mechanism in the
+  * [[Bucketing]] lifecycle scaladoc): a running streaming query that
+  * joins a persisted index statically sees exactly the FIRST
+  * maintenance write per static table after stream start — the second
+  * and later writes are silently invisible until the stream restarts.
+  * Before r17 that contract lived only in scaladoc: a second
+  * `searchIndexAppend` under a live `bm25ScoreStream` served stale
+  * stats forever with no signal anywhere. This object closes the gap
+  * between documented and enforced:
+  *
+  *   - every lifecycle write path in [[Bucketing]] (and through it
+  *     every index build/append/delete/compact in the library) bumps a
+  *     PERSISTED per-table write counter — a tiny `<table>.__writes`
+  *     file next to the table's warehouse directory, NOT a Spark
+  *     table: one filesystem metadata op per maintenance write, no
+  *     job, readable by ANY process sharing the warehouse (at cluster
+  *     scale the maintainer and the stream driver share the DFS, not
+  *     a JVM);
+  *   - [[capture]] snapshots the counters for a stream's static tables
+  *     at start time and returns a [[Guard]];
+  *   - the guard answers [[Guard.staleTables]] (tables written MORE
+  *     THAN ONCE since capture — the first write is inside the
+  *     envelope and visible, so it does not trip), fails fast via
+  *     [[Guard.assertFresh]], and — attached as a listener — checks
+  *     after every micro-batch and warns LOUDLY once per table, so an
+  *     operator gets "restart me" at breach time instead of mixed-era
+  *     scores at debug time.
+  *
+  * Counter writes are single-maintainer like every other lifecycle op
+  * (the [[Bucketing]] concurrency contract): the read-increment-rename
+  * is not a CAS, two concurrent maintainers could lose an increment —
+  * exactly as they could interleave `currentGen` stamps. Guards only
+  * READ the counter, from any number of processes. The counter file
+  * is written via temp + atomic rename, so a reader never sees a torn
+  * value.
+  */
+object RefreshEnvelope {
+
+  /** Process-local cache of counter-file paths (warehouse dir never
+    * changes within a session). */
+  private val fsLock = new Object
+
+  private def counterPath(spark: SparkSession, table: String): Path =
+    new Path(spark.conf.get("spark.sql.warehouse.dir"),
+      table.toLowerCase + ".__writes")
+
+  /** Maintenance writes recorded for `table` (0 if never written
+    * through a [[Bucketing]] lifecycle op). */
+  def writeCount(spark: SparkSession, table: String): Long = {
+    val p = counterPath(spark, table)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(buf) finally in.close()
+      new String(buf, StandardCharsets.UTF_8).trim.toLong
+    }
+  }
+
+  /** Bump `table`'s persisted write counter — called by every
+    * [[Bucketing]] lifecycle write. Temp-file + rename keeps readers
+    * tear-free; the increment itself is single-maintainer by the
+    * lifecycle contract. */
+  def recordWrite(spark: SparkSession, table: String): Unit = fsLock.synchronized {
+    val p = counterPath(spark, table)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = writeCount(spark, table) + 1L
+    val tmp = new Path(p.getParent, p.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(next.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(p, false)
+    fs.rename(tmp, p)
+  }
+
+  /** The static-table FAMILY of a persisted index — the base table
+    * plus every side table the library's probes plan in statically
+    * (`_del` tombstones, `_docs` doc lengths, `_stats` additive stats,
+    * `_meta` blocking parameters). Existing tables only. */
+  def tablesOf(spark: SparkSession, indexName: String): Seq[String] =
+    (indexName +: Seq("_del", "_docs", "_stats", "_meta").map(indexName + _))
+      .filter(spark.catalog.tableExists)
+
+  /** Snapshot the write counters of a streaming plan's static tables —
+    * call where the stream is DEFINED (the plan pins its static
+    * relations there). The returned guard is the runtime surface of
+    * the refresh envelope. */
+  def capture(spark: SparkSession, tables: Seq[String]): Guard =
+    new Guard(spark, tables.map(t => t -> writeCount(spark, t)).toMap)
+
+  /** [[capture]] over a whole index family ([[tablesOf]]). */
+  def captureIndex(spark: SparkSession, indexName: String): Guard =
+    capture(spark, tablesOf(spark, indexName))
+
+  /** A captured envelope: compares live counters against the
+    * stream-start snapshot. One write per table since capture is fine
+    * (visible to the running stream); a second means the stream is
+    * serving a stale static side and must restart. */
+  final class Guard private[RefreshEnvelope] (spark: SparkSession,
+      captured: Map[String, Long]) extends StreamingQueryListener {
+
+    private val warned = ConcurrentHashMap.newKeySet[String]()
+    private val attached = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+    /** Tables written MORE THAN ONCE since capture — the running
+      * stream no longer sees their content. Empty = within envelope. */
+    def staleTables: Seq[String] = captured.toSeq.sorted.collect {
+      case (t, at) if writeCount(spark, t) - at >= 2L => t
+    }
+
+    /** True once any table breached the envelope (set by [[check]] /
+      * the attached listener — sticky, like a tripped breaker). */
+    @volatile var breached: Boolean = false
+
+    /** Fail-fast half of the contract: throw if the stream has sailed
+      * past its envelope. Call before trusting a long-running stream's
+      * output, or from a foreachBatch sink for a hard stop. */
+    def assertFresh(): Unit = {
+      val stale = staleTables
+      if (stale.nonEmpty) {
+        breached = true
+        throw new IllegalStateException(
+          s"static-side refresh envelope breached: ${stale.mkString(", ")} " +
+            "written more than once since stream start — the running " +
+            "stream is serving a stale static side (only the FIRST " +
+            "maintenance write per table is visible; StaticRefreshSpec). " +
+            "Restart the stream to pick up the current state.")
+      }
+    }
+
+    /** Listener-driven check (warn-once-per-table, sticky flag). */
+    private[graft] def check(): Seq[String] = {
+      val stale = staleTables
+      if (stale.nonEmpty) {
+        breached = true
+        stale.foreach { t =>
+          if (warned.add(t))
+            System.err.println(
+              s"[graft] REFRESH ENVELOPE BREACHED for static table $t: " +
+                "written more than once since stream start — streaming " +
+                "probes over it are serving stale state; restart the stream.")
+        }
+      }
+      stale
+    }
+
+    override def onQueryStarted(
+        e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(
+        e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    /** After every completed micro-batch: the stream just emitted
+      * results, so "were they computed against live state?" is checked
+      * exactly when it matters. */
+    override def onQueryProgress(
+        e: StreamingQueryListener.QueryProgressEvent): Unit = check()
+
+    /** Idempotent listener registration (the Monitoring idiom). */
+    def attach(session: SparkSession = spark): this.type = {
+      if (attached.compareAndSet(false, true)) session.streams.addListener(this)
+      this
+    }
+    def detach(session: SparkSession = spark): Unit =
+      if (attached.compareAndSet(true, false)) session.streams.removeListener(this)
+  }
+}

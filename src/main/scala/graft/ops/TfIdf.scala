@@ -130,9 +130,14 @@ object TfIdf {
         docs.select(col(idCol).cast("long").as("doc_id"),
           size(tokens(col(textCol))).cast("long").as("dl")), 0L),
       tableName + "_docs")
+    // stats rows carry a `seq` column: 0 for additive contributions
+    // (build/append/compact), the DELETE SEQUENCE for retraction rows —
+    // the retry-detection stamp [[searchIndexDelete]] checks (delete
+    // seqs are ≥ 1, so additive rows can never shadow a retraction)
     Bucketing.writeTable(
       docs.select(count(lit(1)).as("n_docs"),
-        sum(size(tokens(col(textCol)))).cast("long").as("total_dl")),
+        sum(size(tokens(col(textCol)))).cast("long").as("total_dl"),
+        lit(0L).as("seq")),
       tableName + "_stats")
   }
 
@@ -155,15 +160,15 @@ object TfIdf {
         col("_p.cnt").cast("long").as("cnt"), col("dl"))
     Bucketing.appendBucketed(Bucketing.withGen(tf, gen),
       tableName, "term", tableBuckets)
-    Bucketing.withGen(
+    Bucketing.appendTable(Bucketing.withGen(
         newDocs.select(col(idCol).cast("long").as("doc_id"),
-          size(tokens(col(textCol))).cast("long").as("dl")), gen)
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .format("parquet").saveAsTable(tableName + "_docs")
-    newDocs.select(count(lit(1)).as("n_docs"),
-        sum(size(tokens(col(textCol)))).cast("long").as("total_dl"))
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .format("parquet").saveAsTable(tableName + "_stats")
+          size(tokens(col(textCol))).cast("long").as("dl")), gen),
+      tableName + "_docs")
+    Bucketing.appendTable(
+      newDocs.select(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col(textCol)))).cast("long").as("total_dl"),
+        lit(0L).as("seq")),
+      tableName + "_stats")
   }
 
   /** Tombstone RETRACTION for a [[searchIndexBuild]] posting index (r16
@@ -177,23 +182,42 @@ object TfIdf {
     * an already-deleted (or never-indexed) id retracts zero rather than
     * double-counting. [[searchIndexProbe]](build ∪ append − delete) ≡
     * probe(rebuilt over the survivors) — spec-pinned in TfIdfSpec,
-    * oracled by q_bm25_tombstone. */
+    * oracled by q_bm25_tombstone.
+    *
+    * The two appends are not atomic, so the delete is made RETRYABLE
+    * instead (single MAINTAINER, not single ATTEMPT — the
+    * [[Bucketing]] lifecycle's concurrency contract): the retraction
+    * row is stamped with this delete's sequence, and stats land BEFORE
+    * tombstones. A failure between the two leaves a transient state
+    * (stats retracted, docs still ranking) that re-running the same
+    * delete converges EXACTLY: the retry sees its seq already in
+    * `_stats` (the tombstones never landed, so [[Bucketing.currentGen]]
+    * still yields the same sequence), skips the retraction, and
+    * completes the tombstone append. The opposite order would be worse
+    * than non-atomic — once tombstones land, the docs read as dead, a
+    * retry measures a ZERO retraction, and the stats stay skewed by the
+    * deleted docs' (n_docs, total_dl) forever. */
   def searchIndexDelete(spark: SparkSession, tableName: String,
       delIds: DataFrame, idCol: String): Unit = {
     val del = delIds.select(col(idCol).cast("long").as("doc_id"))
       .distinct().localCheckpoint(true)
-    // retraction measured BEFORE the tombstones land (the docs must
-    // still be live); eager so the later _del append cannot shift it
-    val retract = Bucketing.liveViewOf(
-        spark.table(tableName + "_docs"), spark, tableName + "_del",
-        "doc_id")
-      .join(del, "doc_id")
-      .agg((count(lit(1)) * -1L).cast("long").as("n_docs"),
-        (coalesce(sum("dl"), lit(0L)) * -1L).cast("long").as("total_dl"))
-      .localCheckpoint(true)
-    retract.write.mode(org.apache.spark.sql.SaveMode.Append)
-      .format("parquet").saveAsTable(tableName + "_stats")
-    Bucketing.tombstoneAppend(del, "doc_id", tableName)
+    val seq = Bucketing.currentGen(spark, tableName) + 1L
+    val applied = spark.table(tableName + "_stats")
+      .filter(col("seq") === seq).limit(1).count() > 0
+    if (!applied) {
+      // retraction measured BEFORE the tombstones land (the docs must
+      // still be live); eager so the later _del append cannot shift it
+      val retract = Bucketing.liveViewOf(
+          spark.table(tableName + "_docs"), spark, tableName + "_del",
+          "doc_id")
+        .join(del, "doc_id")
+        .agg((count(lit(1)) * -1L).cast("long").as("n_docs"),
+          (coalesce(sum("dl"), lit(0L)) * -1L).cast("long").as("total_dl"))
+        .withColumn("seq", lit(seq))
+        .localCheckpoint(true)
+      Bucketing.appendTable(retract, tableName + "_stats")
+    }
+    Bucketing.tombstoneAppend(del, "doc_id", tableName, atSeq = seq)
   }
 
   /** Fold tombstones into the posting base and the `_docs` side table
@@ -210,6 +234,7 @@ object TfIdf {
     val netStats = spark.table(tableName + "_stats")
       .agg(sum("n_docs").cast("long").as("n_docs"),
         sum("total_dl").cast("long").as("total_dl"))
+      .withColumn("seq", lit(0L))
       .localCheckpoint(true)
     val n = Bucketing.tombstoneCompact(spark, tableName, "doc_id", "term",
       tableBuckets)

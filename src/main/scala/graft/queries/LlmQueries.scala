@@ -2535,7 +2535,12 @@ object LlmQueries {
 
     // transposed probe: tf/dl from the INCOMING batch (doc_id < 60),
     // df_t/N/avgdl from the FULL indexed corpus — the split that makes
-    // it the batch twin of scoring-at-ingest
+    // it the batch twin of scoring-at-ingest. dft joins LEFT with
+    // COALESCE(df_t, 0): the engine scores a query term absent from the
+    // corpus with the df_t=0 idf and counts it in n_terms, so the
+    // oracle must encode that contract rather than silently rely on
+    // every fixture term existing at every SF (an inner join would
+    // hash-diverge confusingly if one ever vanished)
     "q_bm25_score" ->
       s"""WITH d AS (SELECT doc_id, $sqlToks AS toks FROM documents),
          |inc AS (SELECT doc_id, toks FROM d WHERE doc_id < 60),
@@ -2553,10 +2558,11 @@ object LlmQueries {
          |  WHERE term IN ('spark', 'merge', 'window'))
          | GROUP BY term)
          |SELECT tfc.doc_id AS doc_id, count(*) AS n_terms,
-         |  round(sum(ln(1 + (n_docs - df_t + 0.5) / (df_t + 0.5)) *
+         |  round(sum(ln(1 + (n_docs - coalesce(df_t, 0) + 0.5)
+         |      / (coalesce(df_t, 0) + 0.5)) *
          |    cnt * (1.2 + 1) /
          |    (cnt + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 2) AS score_r
-         |FROM tfc JOIN dft USING (term) JOIN dls USING (doc_id)
+         |FROM tfc LEFT JOIN dft USING (term) JOIN dls USING (doc_id)
          |  CROSS JOIN stats
          |GROUP BY tfc.doc_id""".stripMargin,
 

@@ -18,7 +18,13 @@ import org.apache.spark.sql.functions._
   * after stream start is visible to the running stream; later writes
   * to the SAME table are not — restart the stream for continuous
   * maintenance. "Takes effect without restart" in the per-operator
-  * docs means within that envelope.
+  * docs means within that envelope. The envelope is ENFORCED at
+  * runtime (r17): capture a [[graft.ops.RefreshEnvelope]] guard over
+  * the probe's index family where the stream is defined —
+  * `RefreshEnvelope.captureIndex(spark, tableName).attach()` — and a
+  * second post-start maintenance write warns loudly, flips the guard's
+  * sticky `breached` flag after the next micro-batch, and fails fast
+  * via `assertFresh()` (StreamingSpec pins the trip).
   */
 object StreamingOps {
 

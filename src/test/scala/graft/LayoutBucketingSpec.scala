@@ -548,12 +548,16 @@ class LayoutBucketingSpec extends SparkSpec {
         spark.sql(s"DROP TABLE IF EXISTS `$t`"))
   }
 
-  test("liveView reports the tombstoned-key count as an observed metric") {
+  test("liveView reports the tombstoned-key count and the compact advisory as observed metrics") {
     // r16 (r15 verdict item: tombstone-size observability): nothing
     // bounds the broadcast `_del` side "small by contract" — so every
     // live-view probe against a non-empty delete set must REPORT its
     // tombstoned-key count (the maxBucket-drop pattern), making an
     // uncompacted delete set visible long before its broadcast hurts.
+    // r17 (r16 verdict item 3): the raw gauge gains a documented
+    // threshold — compact_advised flips when the tombstoned-key count
+    // reaches spark.graft.tombstone.compactThreshold, so operators get
+    // an explicit "compact me" instead of interpreting a number.
     import graft.ops.{Bucketing, Dedup}
     import spark.implicits._
     val docs = spark.range(20).select(col("id").as("doc_id"),
@@ -565,14 +569,15 @@ class LayoutBucketingSpec extends SparkSpec {
       docs.filter(col("doc_id").isin(2L, 3L)), "text")
     Dedup.dedupIndexDelete(spark, tbl,
       docs.filter(col("doc_id").isin(3L, 4L)), "text")
-    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Boolean)]()
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution,
           durationNs: Long): Unit =
         qe.observedMetrics.foreach { case (name, row) =>
           if (name.startsWith(Bucketing.TombstoneMetricPrefix))
-            seen.add(row.getAs[Long]("n_tombstoned_keys"))
+            seen.add((row.getAs[Long]("n_tombstoned_keys"),
+              row.getAs[Boolean]("compact_advised")))
         }
       override def onFailure(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution,
@@ -585,12 +590,104 @@ class LayoutBucketingSpec extends SparkSpec {
       // deterministic: wait for the async listener bus, no sleeps
       org.apache.spark.graftbus.ListenerDrain.drain(spark.sparkContext)
       import scala.jdk.CollectionConverters._
-      assert(seen.asScala.toSeq == Seq(3L),
-        s"probe must observe 3 tombstoned keys exactly once: ${seen}")
+      assert(seen.asScala.toSeq == Seq((3L, false)),
+        s"probe must observe 3 tombstoned keys, under the default " +
+          s"threshold, exactly once: ${seen}")
+      // threshold is plan-time session conf: at ≤ 3 the SAME probe advises
+      seen.clear()
+      spark.conf.set(Bucketing.CompactThresholdConf, "3")
+      Dedup.dedupAgainstIndex(spark, tbl, probe, "text", "doc_id").collect()
+      org.apache.spark.graftbus.ListenerDrain.drain(spark.sparkContext)
+      assert(seen.asScala.toSeq == Seq((3L, true)),
+        s"at threshold 3 the probe must advise compaction: ${seen}")
     } finally {
+      spark.conf.unset(Bucketing.CompactThresholdConf)
       spark.listenerManager.unregister(listener)
       Seq(tbl, tbl + "_del").foreach(t =>
         spark.sql(s"DROP TABLE IF EXISTS `$t`"))
     }
+  }
+
+  test("single-maintainer contract: generation stamping is read-then-append — concurrent maintainers are outside the contract") {
+    // r17 (r16 verdict item 2): [[Bucketing.currentGen]] deliberately
+    // has no coordination. This pin makes the assumption INSPECTABLE
+    // rather than implicit: two maintainers that each read the
+    // generation before either appends would stamp the SAME delete
+    // sequence (their deletes become indistinguishable, and an append
+    // racing them gets an ordering neither chose) — which is why every
+    // mutating lifecycle op requires ONE maintainer per index at a
+    // time (scaladoc atop Bucketing's lifecycle section). The same
+    // maintainer RETRYING a failed op is inside the contract
+    // (TfIdfSpec's searchIndexDelete retry case).
+    import graft.ops.{Bucketing, Dedup}
+    import spark.implicits._
+    val docs = spark.range(12).select(col("id").as("doc_id"),
+      concat(lit("maintainer contract fixture "), col("id")).as("text"))
+    val tbl = "graft_spec_maintainer"
+    try {
+      Dedup.dedupIndexBuild(docs, "text", "doc_id", tbl, tableBuckets = 4)
+      // what two concurrent maintainers would do: both read gen first
+      val seqA = Bucketing.currentGen(spark, tbl) + 1L
+      val seqB = Bucketing.currentGen(spark, tbl) + 1L
+      assert(seqA == seqB,
+        "read-then-append: concurrent maintainers WOULD stamp the same " +
+          "sequence — the documented reason the contract is single-maintainer")
+      // the contract in use: one maintainer, sequential ops → strictly
+      // increasing sequences, one per delete
+      Dedup.dedupIndexDelete(spark, tbl,
+        docs.filter(col("doc_id") === 1L), "text")
+      val g1 = Bucketing.currentGen(spark, tbl)
+      Dedup.dedupIndexDelete(spark, tbl,
+        docs.filter(col("doc_id") === 2L), "text")
+      val g2 = Bucketing.currentGen(spark, tbl)
+      assert(g1 == seqA && g2 == g1 + 1L,
+        s"sequential maintenance must stamp strictly increasing seqs: $g1, $g2")
+    } finally
+      Seq(tbl, tbl + "_del").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+  }
+
+  test("RefreshEnvelope: persisted per-table write counter counts every lifecycle op; guard trips on the second write") {
+    // r17 (r16 verdict item 1, batch half — the live-stream trip is in
+    // StreamingSpec): every Bucketing write path bumps a persisted
+    // counter file, capture() snapshots it, and staleTables/assertFresh
+    // flag a table written MORE THAN ONCE since capture (the first
+    // write is inside the measured envelope — visible to a running
+    // stream — so it must NOT trip).
+    import graft.ops.{Bucketing, Dedup, RefreshEnvelope}
+    import spark.implicits._
+    val docs = spark.range(16).select(col("id").as("doc_id"),
+      concat(lit("envelope counter fixture "), col("id")).as("text"))
+    val tbl = "graft_spec_envelope_ctr"
+    try {
+      val before = RefreshEnvelope.writeCount(spark, tbl)
+      Dedup.dedupIndexBuild(docs, "text", "doc_id", tbl, tableBuckets = 4)
+      assert(RefreshEnvelope.writeCount(spark, tbl) == before + 1,
+        "build must record one write on the base table")
+      assert(RefreshEnvelope.tablesOf(spark, tbl).toSet ==
+        Set(tbl, tbl + "_del"), "family discovery: base + tombstones")
+      val guard = RefreshEnvelope.captureIndex(spark, tbl)
+      assert(guard.staleTables.isEmpty && !guard.breached)
+      // write #1 per table: inside the envelope — must not trip
+      Dedup.dedupIndexDelete(spark, tbl,
+        docs.filter(col("doc_id") === 3L), "text")
+      assert(guard.staleTables.isEmpty,
+        "the FIRST post-capture write is visible to a running stream " +
+          "and must not trip the guard")
+      guard.assertFresh()
+      // write #2 on _del: past the envelope — trips
+      Dedup.dedupIndexDelete(spark, tbl,
+        docs.filter(col("doc_id") === 4L), "text")
+      assert(guard.staleTables == Seq(tbl + "_del"),
+        s"the SECOND write must trip: ${guard.staleTables}")
+      val ex = intercept[IllegalStateException](guard.assertFresh())
+      assert(ex.getMessage.contains("refresh envelope") &&
+        ex.getMessage.contains(tbl + "_del") &&
+        ex.getMessage.contains("Restart"),
+        s"fail-fast message must name the stale table and the remedy: ${ex.getMessage}")
+      assert(guard.breached, "breach flag must latch")
+    } finally
+      Seq(tbl, tbl + "_del").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS `$t`"))
   }
 }

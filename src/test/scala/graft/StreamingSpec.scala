@@ -911,6 +911,64 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("RefreshEnvelope guard under a LIVE stream: second post-start maintenance write trips the attached listener") {
+    // r17 (r16 verdict item 1): the static-side refresh envelope gains
+    // its runtime signal. A streaming probe's index family is captured
+    // at stream definition; ONE maintenance write per table stays
+    // silent (it IS visible to the running stream — StaticRefreshSpec),
+    // and the SECOND write flips the guard's sticky breach flag via the
+    // per-micro-batch listener check and fails assertFresh() — the
+    // operator gets "restart me" at breach time instead of stale
+    // results at debug time.
+    import graft.ops.{Dedup, RefreshEnvelope}
+    val docs = spark.range(30).select(col("id").as("doc_id"),
+      concat(lit("envelope stream fixture "), col("id")).as("text"))
+    val tbl = "graft_spec_envelope_stream"
+    Dedup.dedupIndexBuild(docs.filter(col("doc_id") < 10), "text",
+      "doc_id", tbl, tableBuckets = 4)
+    val guard = RefreshEnvelope.captureIndex(spark, tbl).attach()
+    val ms = new MemoryStream[(Long, String, Timestamp)](83, spark, None)
+    val out = StreamingOps.dedupIngestStream(
+      ms.toDF().toDF("doc_id", "text", "ts"), "text", "doc_id", "ts",
+      "10 minutes", spark, tbl)
+    val q = out.writeStream.format("memory").queryName("envelope_stream_out")
+      .outputMode("append").start()
+    def batch(ids: Seq[Long], m: Int): Unit = {
+      ms.addData(ids.map(i =>
+        (i, s"envelope stream fixture $i", ts(m))))
+      q.processAllAvailable()
+      // listener delivery is async — deterministic drain, no sleeps
+      org.apache.spark.graftbus.ListenerDrain.drain(spark.sparkContext)
+    }
+    try {
+      batch(Seq(5L, 15L), 0)
+      assert(!guard.breached && guard.staleTables.isEmpty,
+        "no maintenance yet: guard must be quiet")
+      // write #1 on _del — inside the envelope, visible to the stream
+      Dedup.dedupIndexDelete(spark, tbl,
+        docs.filter(col("doc_id") === 5L), "text")
+      batch(Seq(5L, 16L), 1)
+      assert(!guard.breached && guard.staleTables.isEmpty,
+        "the FIRST post-start write per table must NOT trip the guard")
+      guard.assertFresh()
+      // write #2 on _del — past the envelope: the stream no longer sees
+      // this delete; the guard must say so after the next micro-batch
+      Dedup.dedupIndexDelete(spark, tbl,
+        docs.filter(col("doc_id") === 6L), "text")
+      batch(Seq(6L, 17L), 2)
+      assert(guard.breached,
+        "the SECOND post-start write must trip the attached guard")
+      assert(guard.staleTables == Seq(tbl + "_del"), guard.staleTables.toString)
+      val ex = intercept[IllegalStateException](guard.assertFresh())
+      assert(ex.getMessage.contains(tbl + "_del"), ex.getMessage)
+    } finally {
+      guard.detach()
+      q.stop(); q.awaitTermination()
+      Seq(tbl, tbl + "_del").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
+  }
+
   test("image dedup-at-ingest: dHash fingerprints through the generic streaming index shape") {
     // streaming × multimodal: the SAME incremental-corpus lifecycle the
     // text pipeline uses (persisted fp index → stream-static anti-join →

@@ -422,4 +422,47 @@ class TfIdfSpec extends SparkSpec {
         tbl2, tbl2 + "_del", tbl2 + "_docs", tbl2 + "_stats").foreach(t =>
         spark.sql(s"DROP TABLE IF EXISTS `$t`"))
   }
+
+  test("searchIndexDelete retry: partial failure (stats landed, tombstones did not) converges exactly") {
+    // r16 ADVICE: the delete's two appends are not atomic. The
+    // retraction row is stamped with the delete SEQUENCE and written
+    // FIRST, so re-running the same delete after a crash between the
+    // two appends detects the already-applied retraction (currentGen is
+    // unchanged — the tombstones never landed — so the retry computes
+    // the same seq and finds it in _stats), skips it, and completes the
+    // tombstone append: no double-retract, exact final state.
+    import graft.ops.Bucketing
+    val docs = Tables.documents(spark, sf)
+    val tbl = "graft_spec_inv_retry"
+    try {
+      TfIdf.searchIndexBuild(docs, "doc_id", "text", tbl, tableBuckets = 4)
+      val delIds = docs.filter(col("doc_id") % 5 === 0).select("doc_id")
+      // simulate the crash: replay ONLY the first half of the delete —
+      // the seq-stamped retraction — leaving the tombstones unwritten
+      val seq = Bucketing.currentGen(spark, tbl) + 1L
+      spark.table(tbl + "_docs").join(delIds, "doc_id")
+        .agg((count(lit(1)) * -1L).cast("long").as("n_docs"),
+          (coalesce(sum("dl"), lit(0L)) * -1L).cast("long").as("total_dl"))
+        .withColumn("seq", lit(seq))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .format("parquet").saveAsTable(tbl + "_stats")
+      assert(spark.table(tbl + "_del").isEmpty,
+        "crash state: stats retracted, no tombstones yet")
+      TfIdf.searchIndexDelete(spark, tbl, delIds, "doc_id") // the retry
+      val got = spark.table(tbl + "_stats")
+        .agg(sum("n_docs"), sum("total_dl")).as[(Long, Long)].head()
+      val want = docs.filter(col("doc_id") % 5 =!= 0)
+        .agg(count(lit(1)),
+          sum(size(TextFunctions.tokens(col("text")))))
+        .as[(Long, Long)].head()
+      assert(got == want, s"retry must not double-retract: $got vs $want")
+      assert(spark.table(tbl + "_del").select("seq").as[Long].collect()
+          .forall(_ == seq), "retry must tombstone at the pre-claimed seq")
+      assert(TfIdf.searchIndexProbe(spark, tbl, Seq("merge"))
+          .filter(col("doc_id") % 5 === 0).isEmpty,
+        "retry must complete the tombstone half: deleted docs stop ranking")
+    } finally
+      Seq(tbl, tbl + "_del", tbl + "_docs", tbl + "_stats").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+  }
 }
