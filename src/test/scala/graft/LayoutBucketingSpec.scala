@@ -690,4 +690,58 @@ class LayoutBucketingSpec extends SparkSpec {
       Seq(tbl, tbl + "_del").foreach(t =>
         spark.sql(s"DROP TABLE IF EXISTS `$t`"))
   }
+
+  test("RefreshEnvelope: counters are per-index-family — maintenance on one index never trips another's guard; the BM25 family counts every side table") {
+    // The guard must be a per-stream-per-family signal, not a global
+    // "something was written somewhere" alarm: a pipeline running ten
+    // streams over ten indexes compacts one of them and must restart
+    // ONE stream. And the family coverage must include the side tables
+    // a probe plans in: searchIndexAppend touches base + _docs +
+    // _stats; searchIndexDelete touches _del + _stats (the postings are
+    // suppressed via _del, not rewritten).
+    import graft.ops.{Dedup, RefreshEnvelope, TfIdf}
+    import spark.implicits._
+    val docs = spark.range(24).select(col("id").as("doc_id"),
+      concat(lit("family isolation fixture text "), col("id")).as("text"))
+    val a = "graft_spec_env_fam_a" // BM25 posting index
+    val b = "graft_spec_env_fam_b" // fingerprint index
+    try {
+      TfIdf.searchIndexBuild(docs, "doc_id", "text", a, tableBuckets = 4)
+      Dedup.dedupIndexBuild(docs, "text", "doc_id", b, tableBuckets = 4)
+      assert(RefreshEnvelope.tablesOf(spark, a).toSet ==
+        Set(a, a + "_del", a + "_docs", a + "_stats"),
+        "BM25 family discovery must include every side table")
+      val guardA = RefreshEnvelope.captureIndex(spark, a)
+      val guardB = RefreshEnvelope.captureIndex(spark, b)
+      val before = Seq(a, a + "_docs", a + "_stats", a + "_del")
+        .map(t => RefreshEnvelope.writeCount(spark, t))
+      // two deletes on B: B's guard trips, A's must stay quiet
+      Dedup.dedupIndexDelete(spark, b, docs.filter(col("doc_id") === 1L), "text")
+      Dedup.dedupIndexDelete(spark, b, docs.filter(col("doc_id") === 2L), "text")
+      assert(guardB.staleTables == Seq(b + "_del"))
+      assert(guardA.staleTables.isEmpty,
+        "maintenance on another index must not trip this guard")
+      guardA.assertFresh()
+      // one append on A: base + _docs + _stats each gain exactly one
+      // write; _del untouched
+      TfIdf.searchIndexAppend(
+        docs.select(col("doc_id") + 1000L as "doc_id", col("text")),
+        "doc_id", "text", a, tableBuckets = 4)
+      val after = Seq(a, a + "_docs", a + "_stats", a + "_del")
+        .map(t => RefreshEnvelope.writeCount(spark, t))
+      assert(after.zip(before).map { case (x, y) => x - y } ==
+        Seq(1L, 1L, 1L, 0L),
+        s"append must count base/_docs/_stats once each: $before -> $after")
+      // one delete on A: _del and _stats gain one write each — still
+      // inside the envelope (first write per table since capture...
+      // except _stats, which the append above already wrote once)
+      TfIdf.searchIndexDelete(spark, a,
+        docs.filter(col("doc_id") === 3L).select("doc_id"), "doc_id")
+      assert(guardA.staleTables == Seq(a + "_stats"),
+        "append + delete both wrote _stats: the SECOND write trips on " +
+          s"exactly that table: ${guardA.staleTables}")
+    } finally
+      Seq(a, a + "_del", a + "_docs", a + "_stats", b, b + "_del")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+  }
 }
