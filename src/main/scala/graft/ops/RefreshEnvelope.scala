@@ -48,8 +48,8 @@ import java.util.concurrent.ConcurrentHashMap
   */
 object RefreshEnvelope {
 
-  /** Process-local cache of counter-file paths (warehouse dir never
-    * changes within a session). */
+  /** Serializes in-process counter bumps (cross-process increments are
+    * single-maintainer by the lifecycle contract; guards only read). */
   private val fsLock = new Object
 
   private def counterPath(spark: SparkSession, table: String): Path =
@@ -57,68 +57,93 @@ object RefreshEnvelope {
       table.toLowerCase + ".__writes")
 
   /** Maintenance writes recorded for `table` (0 if never written
-    * through a [[Bucketing]] lifecycle op). */
+    * through a [[Bucketing]] lifecycle op). Safe against a concurrent
+    * [[recordWrite]]: the counter is replaced by ATOMIC rename-with-
+    * overwrite, so the file never disappears once created — a
+    * FileNotFoundException can only mean "never written" and reads as
+    * 0 (it is still caught, for filesystems whose exists/open pair
+    * races object listing). */
   def writeCount(spark: SparkSession, table: String): Long = {
     val p = counterPath(spark, table)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) 0L
-    else {
+    try {
       val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
       val in = fs.open(p)
       try in.readFully(buf) finally in.close()
       new String(buf, StandardCharsets.UTF_8).trim.toLong
-    }
+    } catch { case _: java.io.FileNotFoundException => 0L }
   }
 
   /** Bump `table`'s persisted write counter — called by every
-    * [[Bucketing]] lifecycle write. Temp-file + rename keeps readers
-    * tear-free; the increment itself is single-maintainer by the
+    * [[Bucketing]] lifecycle write. Written to a temp file and moved
+    * into place with FileContext's ATOMIC rename-overwrite (a plain
+    * FileSystem.rename cannot replace an existing file without a
+    * delete-first gap in which a concurrent guard would read 0 —
+    * i.e. falsely FRESH at the exact moment of a breaching write);
+    * rename failures propagate rather than silently losing the
+    * increment. The increment itself is single-maintainer by the
     * lifecycle contract. */
   def recordWrite(spark: SparkSession, table: String): Unit = fsLock.synchronized {
     val p = counterPath(spark, table)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
     val next = writeCount(spark, table) + 1L
     val tmp = new Path(p.getParent, p.getName + ".tmp")
+    val fs = p.getFileSystem(conf)
     val out = fs.create(tmp, true)
     try out.write(next.toString.getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    fs.delete(p, false)
-    fs.rename(tmp, p)
+    org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** The static-table FAMILY of a persisted index — the base table
     * plus every side table the library's probes plan in statically
     * (`_del` tombstones, `_docs` doc lengths, `_stats` additive stats,
-    * `_meta` blocking parameters). Existing tables only. */
+    * `_meta` blocking parameters). Existing tables only (discovery /
+    * display; [[captureIndex]] guards the FULL candidate family, so a
+    * table born after capture is monitored too). */
   def tablesOf(spark: SparkSession, indexName: String): Seq[String] =
-    (indexName +: Seq("_del", "_docs", "_stats", "_meta").map(indexName + _))
-      .filter(spark.catalog.tableExists)
+    family(indexName).filter(spark.catalog.tableExists)
+
+  private def family(indexName: String): Seq[String] =
+    indexName +: Seq("_del", "_docs", "_stats", "_meta").map(indexName + _)
 
   /** Snapshot the write counters of a streaming plan's static tables —
     * call where the stream is DEFINED (the plan pins its static
     * relations there). The returned guard is the runtime surface of
     * the refresh envelope. */
   def capture(spark: SparkSession, tables: Seq[String]): Guard =
-    new Guard(spark, tables.map(t => t -> writeCount(spark, t)).toMap)
+    new Guard(spark, tables.distinct.map(t =>
+      t -> ((writeCount(spark, t), spark.catalog.tableExists(t)))).toMap)
 
-  /** [[capture]] over a whole index family ([[tablesOf]]). */
+  /** [[capture]] over a whole index family — INCLUDING side tables
+    * that do not exist yet: a table created after stream start is
+    * never resolved by the running stream at all (the
+    * [[Bucketing.initTombstones]] note), so for born-after-capture
+    * tables even the FIRST write is invisible and trips the guard
+    * (legacy indexes predating eager `_del` creation are the case in
+    * point). */
   def captureIndex(spark: SparkSession, indexName: String): Guard =
-    capture(spark, tablesOf(spark, indexName))
+    capture(spark, family(indexName))
 
   /** A captured envelope: compares live counters against the
     * stream-start snapshot. One write per table since capture is fine
     * (visible to the running stream); a second means the stream is
-    * serving a stale static side and must restart. */
+    * serving a stale static side and must restart. A table that did
+    * not EXIST at capture trips on its first write — the stream never
+    * resolves it at all. */
   final class Guard private[RefreshEnvelope] (spark: SparkSession,
-      captured: Map[String, Long]) extends StreamingQueryListener {
+      captured: Map[String, (Long, Boolean)]) extends StreamingQueryListener {
 
     private val warned = ConcurrentHashMap.newKeySet[String]()
     private val attached = new java.util.concurrent.atomic.AtomicBoolean(false)
 
-    /** Tables written MORE THAN ONCE since capture — the running
-      * stream no longer sees their content. Empty = within envelope. */
-    def staleTables: Seq[String] = captured.toSeq.sorted.collect {
-      case (t, at) if writeCount(spark, t) - at >= 2L => t
+    /** Tables whose content the running stream no longer (or never)
+      * sees: written more than once since capture, or written at all
+      * if they did not exist at capture. Empty = within envelope. */
+    def staleTables: Seq[String] = captured.toSeq.sortBy(_._1).collect {
+      case (t, (at, existed)) if
+          writeCount(spark, t) - at >= (if (existed) 2L else 1L) => t
     }
 
     /** True once any table breached the envelope (set by [[check]] /
@@ -134,10 +159,12 @@ object RefreshEnvelope {
         breached = true
         throw new IllegalStateException(
           s"static-side refresh envelope breached: ${stale.mkString(", ")} " +
-            "written more than once since stream start — the running " +
-            "stream is serving a stale static side (only the FIRST " +
-            "maintenance write per table is visible; StaticRefreshSpec). " +
-            "Restart the stream to pick up the current state.")
+            "written past the envelope since stream start (more than " +
+            "once — only the FIRST maintenance write per table is " +
+            "visible to a running stream; or at all, for a table created " +
+            "after start, which the stream never resolves; " +
+            "StaticRefreshSpec). Restart the stream to pick up the " +
+            "current state.")
       }
     }
 

@@ -130,14 +130,20 @@ object TfIdf {
         docs.select(col(idCol).cast("long").as("doc_id"),
           size(tokens(col(textCol))).cast("long").as("dl")), 0L),
       tableName + "_docs")
-    // stats rows carry a `seq` column: 0 for additive contributions
-    // (build/append/compact), the DELETE SEQUENCE for retraction rows —
-    // the retry-detection stamp [[searchIndexDelete]] checks (delete
-    // seqs are ≥ 1, so additive rows can never shadow a retraction)
+    // stats rows carry (seq, del_sig) bookkeeping: seq is 0 for additive
+    // contributions (build/append/compact) and the DELETE SEQUENCE for
+    // retraction rows; del_sig is the deleted id-set's order-free digest
+    // (XOR of per-id xxhash64, 0 for additive rows). Together they are
+    // the retry-detection stamp [[searchIndexDelete]] checks: seq says
+    // "a retraction at this sequence exists", del_sig says it was THIS
+    // delete's (a different id set at the same sequence — an abandoned
+    // partial delete followed by a new one — fails loudly instead of
+    // silently skipping the new retraction). Delete seqs are ≥ 1, so
+    // additive rows can never shadow a retraction.
     Bucketing.writeTable(
       docs.select(count(lit(1)).as("n_docs"),
         sum(size(tokens(col(textCol)))).cast("long").as("total_dl"),
-        lit(0L).as("seq")),
+        lit(0L).as("seq"), lit(0L).as("del_sig")),
       tableName + "_stats")
   }
 
@@ -148,6 +154,7 @@ object TfIdf {
     * a from-scratch build over the union would (TfIdfSpec pins it). */
   def searchIndexAppend(newDocs: DataFrame, idCol: String, textCol: String,
       tableName: String, tableBuckets: Int = 32): Unit = {
+    ensureStatsSchema(newDocs.sparkSession, tableName)
     val gen = Bucketing.currentGen(newDocs.sparkSession, tableName)
     val tf = Transforms.materialized(
         newDocs.select(col(idCol), col(textCol)), "_tc",
@@ -167,8 +174,27 @@ object TfIdf {
     Bucketing.appendTable(
       newDocs.select(count(lit(1)).as("n_docs"),
         sum(size(tokens(col(textCol)))).cast("long").as("total_dl"),
-        lit(0L).as("seq")),
+        lit(0L).as("seq"), lit(0L).as("del_sig")),
       tableName + "_stats")
+  }
+
+  /** One-time in-place migration for `_stats` tables persisted before
+    * the (seq, del_sig) bookkeeping columns existed: rewrite the rows
+    * with both stamped 0 (all legacy rows are additive — the columns
+    * only ever distinguish retraction rows, which legacy tables cannot
+    * contain mid-delete because the delete that writes them also reads
+    * the columns). Idempotent, tiny table, counts as one maintenance
+    * write. Without it a legacy index's first post-upgrade delete or
+    * append fails on schema mismatch with no hint at the cause. */
+  private def ensureStatsSchema(spark: SparkSession,
+      tableName: String): Unit = {
+    val cols = spark.table(tableName + "_stats").columns.toSet
+    if (!cols.contains("seq") || !cols.contains("del_sig")) {
+      var df = spark.table(tableName + "_stats")
+      if (!cols.contains("seq")) df = df.withColumn("seq", lit(0L))
+      if (!cols.contains("del_sig")) df = df.withColumn("del_sig", lit(0L))
+      Bucketing.writeTable(df.localCheckpoint(true), tableName + "_stats")
+    }
   }
 
   /** Tombstone RETRACTION for a [[searchIndexBuild]] posting index (r16
@@ -187,35 +213,63 @@ object TfIdf {
     * The two appends are not atomic, so the delete is made RETRYABLE
     * instead (single MAINTAINER, not single ATTEMPT — the
     * [[Bucketing]] lifecycle's concurrency contract): the retraction
-    * row is stamped with this delete's sequence, and stats land BEFORE
-    * tombstones. A failure between the two leaves a transient state
-    * (stats retracted, docs still ranking) that re-running the same
-    * delete converges EXACTLY: the retry sees its seq already in
-    * `_stats` (the tombstones never landed, so [[Bucketing.currentGen]]
-    * still yields the same sequence), skips the retraction, and
-    * completes the tombstone append. The opposite order would be worse
-    * than non-atomic — once tombstones land, the docs read as dead, a
-    * retry measures a ZERO retraction, and the stats stay skewed by the
-    * deleted docs' (n_docs, total_dl) forever. */
+    * row is stamped with this delete's sequence AND an order-free
+    * digest of its id set, and stats land BEFORE tombstones. A failure
+    * between the two leaves a transient state (stats retracted, docs
+    * still ranking) that re-running the same delete converges EXACTLY:
+    * the retry sees its (seq, digest) already in `_stats` (the
+    * tombstones never landed, so [[Bucketing.currentGen]] still yields
+    * the same sequence), skips the retraction, and completes the
+    * tombstone append. A DIFFERENT delete issued while a partial one is
+    * pending would claim the same sequence — the digest mismatch fails
+    * it LOUDLY instead of silently skipping its retraction (the stats
+    * would otherwise skew for every score, permanently after compact).
+    * The opposite append order would be worse than non-atomic — once
+    * tombstones land, the docs read as dead, a retry measures a ZERO
+    * retraction, and the stats stay skewed by the deleted docs'
+    * (n_docs, total_dl) forever. */
   def searchIndexDelete(spark: SparkSession, tableName: String,
       delIds: DataFrame, idCol: String): Unit = {
+    ensureStatsSchema(spark, tableName)
     val del = delIds.select(col(idCol).cast("long").as("doc_id"))
       .distinct().localCheckpoint(true)
     val seq = Bucketing.currentGen(spark, tableName) + 1L
-    val applied = spark.table(tableName + "_stats")
-      .filter(col("seq") === seq).limit(1).count() > 0
-    if (!applied) {
-      // retraction measured BEFORE the tombstones land (the docs must
-      // still be live); eager so the later _del append cannot shift it
-      val retract = Bucketing.liveViewOf(
-          spark.table(tableName + "_docs"), spark, tableName + "_del",
-          "doc_id")
-        .join(del, "doc_id")
-        .agg((count(lit(1)) * -1L).cast("long").as("n_docs"),
-          (coalesce(sum("dl"), lit(0L)) * -1L).cast("long").as("total_dl"))
-        .withColumn("seq", lit(seq))
-        .localCheckpoint(true)
-      Bucketing.appendTable(retract, tableName + "_stats")
+    // order-free digest of THIS delete's id set: a retraction row is
+    // "already applied" only if both its sequence AND its digest match —
+    // a bare-seq check would mistake an ABANDONED partial delete's
+    // retraction (same next-seq, different ids) for this one's and
+    // silently skip the new retraction. XOR of per-id xxhash64: order-
+    // free AND overflow-free (ANSI mode throws on a long-sum overflow,
+    // and hash values span the full 64-bit range); the id set is
+    // distinct, so XOR self-cancellation cannot occur
+    val delSig = del.select(xxhash64(col("doc_id")).as("_h"))
+      .agg(coalesce(expr("bit_xor(_h)"), lit(0L)))
+      .first().getLong(0)
+    val prior = spark.table(tableName + "_stats")
+      .filter(col("seq") === seq).select("del_sig")
+      .collect().headOption.map(_.getLong(0))
+    prior match {
+      case Some(sig) if sig == delSig => () // this delete's retry: applied
+      case Some(_) => throw new IllegalStateException(
+        s"$tableName: a PRIOR delete at sequence $seq left a partial " +
+          "retraction (stats row present, tombstones absent) for a " +
+          "DIFFERENT id set — retry that delete to completion (or " +
+          "rebuild) before issuing new deletes; proceeding would skew " +
+          "the corpus stats for every score (single-maintainer contract, " +
+          "see graft.ops.Bucketing)")
+      case None =>
+        // retraction measured BEFORE the tombstones land (the docs must
+        // still be live); eager so the later _del append cannot shift it
+        val retract = Bucketing.liveViewOf(
+            spark.table(tableName + "_docs"), spark, tableName + "_del",
+            "doc_id")
+          .join(del, "doc_id")
+          .agg((count(lit(1)) * -1L).cast("long").as("n_docs"),
+            (coalesce(sum("dl"), lit(0L)) * -1L).cast("long").as("total_dl"))
+          .withColumn("seq", lit(seq))
+          .withColumn("del_sig", lit(delSig))
+          .localCheckpoint(true)
+        Bucketing.appendTable(retract, tableName + "_stats")
     }
     Bucketing.tombstoneAppend(del, "doc_id", tableName, atSeq = seq)
   }
@@ -234,7 +288,7 @@ object TfIdf {
     val netStats = spark.table(tableName + "_stats")
       .agg(sum("n_docs").cast("long").as("n_docs"),
         sum("total_dl").cast("long").as("total_dl"))
-      .withColumn("seq", lit(0L))
+      .withColumn("seq", lit(0L)).withColumn("del_sig", lit(0L))
       .localCheckpoint(true)
     val n = Bucketing.tombstoneCompact(spark, tableName, "doc_id", "term",
       tableBuckets)

@@ -438,16 +438,27 @@ class TfIdfSpec extends SparkSpec {
       TfIdf.searchIndexBuild(docs, "doc_id", "text", tbl, tableBuckets = 4)
       val delIds = docs.filter(col("doc_id") % 5 === 0).select("doc_id")
       // simulate the crash: replay ONLY the first half of the delete —
-      // the seq-stamped retraction — leaving the tombstones unwritten
+      // the (seq, digest)-stamped retraction — tombstones unwritten
       val seq = Bucketing.currentGen(spark, tbl) + 1L
+      val sig = delIds.select(col("doc_id").cast("long").as("doc_id"))
+        .distinct().select(xxhash64(col("doc_id")).as("_h"))
+        .agg(expr("bit_xor(_h)")).as[Long].head()
       spark.table(tbl + "_docs").join(delIds, "doc_id")
         .agg((count(lit(1)) * -1L).cast("long").as("n_docs"),
           (coalesce(sum("dl"), lit(0L)) * -1L).cast("long").as("total_dl"))
-        .withColumn("seq", lit(seq))
+        .withColumn("seq", lit(seq)).withColumn("del_sig", lit(sig))
         .write.mode(org.apache.spark.sql.SaveMode.Append)
         .format("parquet").saveAsTable(tbl + "_stats")
       assert(spark.table(tbl + "_del").isEmpty,
         "crash state: stats retracted, no tombstones yet")
+      // a DIFFERENT delete while the partial one is pending must fail
+      // LOUDLY (same claimed seq, different id set): silently skipping
+      // ITS retraction would skew every score — and silently applying
+      // it would leave the abandoned delete's retraction dangling
+      val ex0 = intercept[IllegalStateException](
+        TfIdf.searchIndexDelete(spark, tbl,
+          docs.filter(col("doc_id") === 7L).select("doc_id"), "doc_id"))
+      assert(ex0.getMessage.contains("partial retraction"), ex0.getMessage)
       TfIdf.searchIndexDelete(spark, tbl, delIds, "doc_id") // the retry
       val got = spark.table(tbl + "_stats")
         .agg(sum("n_docs"), sum("total_dl")).as[(Long, Long)].head()
@@ -461,6 +472,19 @@ class TfIdfSpec extends SparkSpec {
       assert(TfIdf.searchIndexProbe(spark, tbl, Seq("merge"))
           .filter(col("doc_id") % 5 === 0).isEmpty,
         "retry must complete the tombstone half: deleted docs stop ranking")
+      // legacy-schema migration: rewrite _stats WITHOUT the bookkeeping
+      // columns (an index persisted before they existed) — the next
+      // lifecycle op must migrate in place instead of failing analysis
+      val legacy = spark.table(tbl + "_stats")
+        .select("n_docs", "total_dl").localCheckpoint(true)
+      Bucketing.writeTable(legacy, tbl + "_stats")
+      TfIdf.searchIndexDelete(spark, tbl,
+        docs.filter(col("doc_id") === 7L).select("doc_id"), "doc_id")
+      assert(spark.table(tbl + "_stats").columns.toSet ==
+        Set("n_docs", "total_dl", "seq", "del_sig"),
+        "legacy _stats must be migrated in place")
+      assert(TfIdf.searchIndexProbe(spark, tbl, Seq("merge"))
+        .filter(col("doc_id") === 7L).isEmpty)
     } finally
       Seq(tbl, tbl + "_del", tbl + "_docs", tbl + "_stats").foreach(t =>
         spark.sql(s"DROP TABLE IF EXISTS `$t`"))
