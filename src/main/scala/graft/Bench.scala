@@ -136,6 +136,27 @@ object Bench {
     "q_bm25_tombstone"        // posting+stats retraction, bucket-pruned probe
   )
 
+  /** One timed rep:
+    * (totalSecs, quiet, worstExternalCores, buildSecs, succeeded). */
+  type Rep = (Double, Boolean, Double, Double, Boolean)
+
+  /** Which queries need the targeted retry pass (r18 — the r17 verdict's
+    * self-correcting-bench item): exactly those whose headline min would
+    * come from a CONTAMINATED rep, i.e. no rep is both quiet and
+    * successful — the same per-query predicate that drives the record's
+    * `degraded` bit. Queries with even one quiet successful rep keep
+    * their min and are not re-run (min-of-k already filtered the noise
+    * for them); sustained ambient load is the case where whole queries
+    * end with zero quiet reps across BOTH passes (BENCH_r17: 45 min of
+    * host load inflated all 39 queries ~45%), and those are what the
+    * retry pass re-measures once the load decays. Pure function of the
+    * rep vectors — spec-pinned in BenchRetrySpec. */
+  def retryCandidates(results: Seq[(String, Seq[Rep])]): Seq[String] =
+    results.collect {
+      case (name, ts) if ts.nonEmpty && ts.forall(t => !(t._2 && t._5)) =>
+        name
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -202,10 +223,18 @@ object Bench {
     // only NonFatal reaches it (an OOM mid-drain must propagate, not
     // degrade into silently-wrong telemetry attribution).
     val drainFallback = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // LinkageError is caught ALONGSIDE NonFatal (r17 ADVICE): a
+    // deployment whose classpath lacks the org.apache.spark.graftbus
+    // shim throws NoClassDefFoundError here — survivable for a bench
+    // (the fallback degrades attribution, and drain_fallback says so),
+    // unlike the OOM-class fatals that must still propagate.
     def drainBus(): Unit =
       try org.apache.spark.graftbus.ListenerDrain.drain(spark.sparkContext)
-      catch { case scala.util.control.NonFatal(_) =>
-        drainFallback.set(true); Thread.sleep(100) }
+      catch {
+        case _: LinkageError => drainFallback.set(true); Thread.sleep(100)
+        case scala.util.control.NonFatal(_) =>
+          drainFallback.set(true); Thread.sleep(100)
+      }
     val loadThreshold = sys.env.getOrElse("SPARK_GRAFT_LOAD_MAX", "1.0").toDouble
     var waitBudget = sys.env.getOrElse("SPARK_GRAFT_LOAD_BUDGET_SEC", "300").toDouble
     // r15 (r14 verdict item 5): gate bench START on the 1-min loadavg, in
@@ -311,7 +340,7 @@ object Bench {
     // phase (executing the returned plan), so a future regression in,
     // say, the IVFADC probe is attributable from the detail record
     // without re-deriving it from ScaleProof curves.
-    type Rep = (Double, Boolean, Double, Double, Boolean) // (totalS, quiet, extCores, buildS, ok)
+    // Rep = (totalS, quiet, extCores, buildS, ok) — object-level alias
     // r16 (r15 verdict item 6): the whole headline set runs TWICE (or
     // SPARK_GRAFT_PASSES times), separated by the full sweep's wall
     // clock, and the headline per-query number is the min across BOTH
@@ -399,8 +428,17 @@ object Bench {
         // stability loop nor anchor the spread judgment
         def quietTimes = times.filter(t => t._2 && t._5).map(_._1)
         // Keep adding reps while the QUIET subset is unstable (or empty —
-        // then judge stability over everything we have) up to maxReps.
-        def stabilityTimes = if (quietTimes.nonEmpty) quietTimes else times.map(_._1)
+        // then judge stability over the successful reps, falling back to
+        // raw failure latencies only when EVERY rep threw: a consistently
+        // fast-failing query must not satisfy the stability window with a
+        // tight spread over times-to-failure and stop adding reps early —
+        // r17 ADVICE) up to maxReps.
+        def stabilityTimes =
+          if (quietTimes.nonEmpty) quietTimes
+          else {
+            val okAll = times.filter(_._5).map(_._1)
+            if (okAll.nonEmpty) okAll else times.map(_._1)
+          }
         while ((spread(stabilityTimes) > 0.5 || quietTimes.isEmpty) && times.size < maxReps) {
           System.err.println(f"[bench] $name spread ${spread(stabilityTimes) * 100}%.0f%%, " +
             s"quiet reps ${quietTimes.size}/${times.size} — adding a rep")
@@ -413,7 +451,7 @@ object Bench {
         drainBus()
         times
     }
-    val passResults: Seq[Seq[(String, Seq[Rep])]] = (1 to passes).map { p =>
+    var passResults: Seq[Seq[(String, Seq[Rep])]] = (1 to passes).map { p =>
       selected.flatMap { name =>
         SparkEntry.queries.get(name).map { fn =>
           name -> runQuery(name, fn,
@@ -421,9 +459,50 @@ object Bench {
         }
       }
     }
-    val results: Seq[(String, Seq[Rep])] = selected.flatMap { name =>
-      val all = passResults.flatMap(_.collect { case (`name`, ts) => ts }.headOption)
-      if (all.isEmpty) None else Some(name -> all.flatten.sortBy(_._1))
+    def assemble(prs: Seq[Seq[(String, Seq[Rep])]]): Seq[(String, Seq[Rep])] =
+      selected.flatMap { name =>
+        val all = prs.flatMap(_.collect { case (`name`, ts) => ts }.headOption)
+        if (all.isEmpty) None else Some(name -> all.flatten.sortBy(_._1))
+      }
+    var results = assemble(passResults)
+    // r18 (r17 verdict item 2): SELF-CORRECTING under sustained load.
+    // The two-pass min defeats a burst shorter than one sweep, but 45
+    // minutes of ambient host load spans both passes (BENCH_r17: 61.3 s
+    // recorded vs 46.6 s judge-idle, uniform ~45% inflation, correctly
+    // flagged degraded — but the artifact could only self-describe, not
+    // self-correct). So: if any query ended with ZERO quiet successful
+    // reps ([[retryCandidates]]), wait out the load ONCE on a fresh
+    // bounded budget and re-run exactly those queries as one more pass;
+    // the headline then takes the min across all passes. Bounded: one
+    // extra pass, only the contaminated queries, budget-capped decay
+    // wait — a host that never goes quiet still ends within
+    // SPARK_GRAFT_RETRY_BUDGET_SEC of the old end time, and the record
+    // stays degraded:true because the retried reps are still loud.
+    val retryBudget =
+      sys.env.getOrElse("SPARK_GRAFT_RETRY_BUDGET_SEC", "240").toDouble
+    val retryQueries =
+      if (retryBudget > 0) retryCandidates(results) else Seq.empty
+    if (retryQueries.nonEmpty) {
+      System.err.println(
+        f"[bench] ${retryQueries.size} queries have no quiet successful " +
+          f"rep — targeted retry pass after load decay (fresh budget " +
+          f"$retryBudget%.0f s): ${retryQueries.mkString(", ")}")
+      waitBudget = retryBudget // gate()/loadavg draw from the fresh budget
+      var laR = LoadGate.loadAvg1m()
+      while (laR >= 0 && laR > loadavgStartMax && waitBudget > 0) {
+        System.err.println(f"[bench] retry decay wait: 1-min loadavg " +
+          f"$laR%.2f > $loadavgStartMax%.1f (budget ${waitBudget}%.0f s left)")
+        val sleepS = math.min(10.0, waitBudget)
+        Thread.sleep((sleepS * 1000).toLong)
+        waitBudget -= sleepS
+        laR = LoadGate.loadAvg1m()
+      }
+      val retryPass = retryQueries.flatMap { name =>
+        SparkEntry.queries.get(name).map(fn =>
+          name -> runQuery(name, fn, repsLater, targetWarmup = false))
+      }
+      passResults = passResults :+ retryPass
+      results = assemble(passResults)
     }
     val degraded = waitBudget <= 0 ||
       results.exists(_._2.forall(t => !(t._2 && t._5)))
@@ -511,7 +590,12 @@ object Bench {
     val failedQs = results.collect {
       case (k, ts) if ts.exists(!_._5) => "\"" + k + "\""
     }.mkString("[", ",", "]")
-    val detail = f"""{"metric":"bench_detail","spread_pct":$spreadPct,"reps":$reps,"reps_used":$repsUsed,"quiet_reps":$quietUsed,"ext_load":$extLoads,"load_threshold":$loadThreshold%.1f,"wait_budget_left":$waitBudget%.0f,"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"passes":$passes,"pass_mins":$passMins,"dropped_buckets":$dropped,"tombstoned_keys":$tombstoned,"compact_advised":$advised,"drain_fallback":${drainFallback.get()},"failed_queries":$failedQs,"phase_split":$phaseSplit}"""
+    // which queries the targeted retry pass re-ran (empty array = the
+    // main passes were clean enough that no query ended all-loud); the
+    // retried reps also show as an extra pass_mins column
+    val retryJson = retryQueries.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    val detail = f"""{"metric":"bench_detail","spread_pct":$spreadPct,"reps":$reps,"reps_used":$repsUsed,"quiet_reps":$quietUsed,"ext_load":$extLoads,"load_threshold":$loadThreshold%.1f,"wait_budget_left":$waitBudget%.0f,"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"passes":$passes,"pass_mins":$passMins,"retry_pass":$retryJson,"dropped_buckets":$dropped,"tombstoned_keys":$tombstoned,"compact_advised":$advised,"drain_fallback":${drainFallback.get()},"failed_queries":$failedQs,"phase_split":$phaseSplit}"""
     val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_median":$med,"degraded":$degraded,"sf":"$sfDir"}"""
     // Both lines also go to a file the driver can read without un-wrapping
     // sbt's [info] stdout decoration. Default under target/ so a bench run

@@ -200,8 +200,17 @@ object Bucketing {
   val CompactThresholdConf = "spark.graft.tombstone.compactThreshold"
 
   private def compactThreshold(spark: SparkSession): Long =
-    spark.conf.getOption(CompactThresholdConf).map(_.toLong)
-      .getOrElse(1000000L)
+    spark.conf.getOption(CompactThresholdConf).map { v =>
+      // name the conf key on a malformed value: a bare
+      // NumberFormatException surfacing from inside every liveView plan
+      // construction points nowhere (r17 ADVICE)
+      try v.trim.toLong
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$CompactThresholdConf must be a long tombstoned-key count, " +
+            s"got '$v'")
+      }
+    }.getOrElse(1000000L)
 
   private val tombObsId = new java.util.concurrent.atomic.AtomicLong()
 
@@ -328,6 +337,61 @@ object Bucketing {
     if (spark.catalog.tableExists(tableName + "_del"))
       initTombstones(spark.table(tableName + "_del"), keyCol, tableName)
     n
+  }
+
+  /** Advise→act (r18 — the r17 verdict's item 4): run
+    * [[tombstoneCompact]] iff the index's tombstoned-key count has
+    * crossed [[CompactThresholdConf]] — the same predicate
+    * [[liveView]] reports as the `compact_advised` observed metric, so
+    * a maintenance job can close the advisory loop with one call
+    * instead of scraping metrics. Returns Some(live row count) when it
+    * compacted, None when compaction is not (yet) advised.
+    *
+    * Restart-fenced like compact itself, but ENFORCED rather than
+    * documented: compaction is the one lifecycle op that rewrites
+    * files, so the call refuses loudly if any live streaming query in
+    * this session has one of the index's family tables in its ANALYZED
+    * PLAN (inspected via the graftshim — precise, so the normal
+    * topology of many streams over many indexes is not blocked by an
+    * unrelated stream; a query whose plan cannot be inspected counts
+    * as offending, conservatively). Streams in OTHER processes are
+    * outside this fence and covered by the single-maintainer contract
+    * above, exactly as for a manual [[tombstoneCompact]].
+    *
+    * Indexes whose compact must ALSO fold side tables pass their
+    * family compact via `compact` (e.g.
+    * `Some(() => TfIdf.searchIndexCompact(spark, name, buckets))` — a
+    * bare [[tombstoneCompact]] on a BM25 index would truncate `_del`
+    * while `_docs` still holds dead rows, resurrecting them); the
+    * default runs [[tombstoneCompact]], correct for every
+    * single-base-table index (fingerprint / LSH / IVFADC / catalog). */
+  def maintainIfAdvised(spark: SparkSession, tableName: String,
+      keyCol: String, bucketKey: String, buckets: Int,
+      compact: Option[() => Long] = None): Option[Long] = {
+    if (!spark.catalog.tableExists(tableName + "_del")) return None
+    val keys = spark.table(tableName + "_del")
+      .select(keyCol).distinct().count()
+    if (keys < compactThreshold(spark)) None
+    else {
+      val family = Seq("", "_del", "_docs", "_stats", "_meta")
+        .map(s => (tableName + s).toLowerCase).toSet
+      val offending = spark.streams.active.filter { q =>
+        org.apache.spark.sql.graftshim.StreamPlans.staticTables(q)
+          .map(_.exists(family)).getOrElse(true) // uninspectable: assume the worst
+      }
+      if (offending.nonEmpty)
+        throw new IllegalStateException(
+          s"maintainIfAdvised($tableName): compaction is advised " +
+            s"($keys tombstoned keys ≥ ${compactThreshold(spark)}) but " +
+            s"${offending.length} live streaming " +
+            s"quer${if (offending.length == 1) "y has" else "ies have"} " +
+            "this index family in their plan " +
+            s"(${offending.map(q => Option(q.name).getOrElse(q.id.toString)).mkString(", ")}) — " +
+            "compact rewrites index files, which would fail those " +
+            "probes mid-stream. Stop them, compact, restart.")
+      Some(compact.map(_.apply()).getOrElse(
+        tombstoneCompact(spark, tableName, keyCol, bucketKey, buckets)))
+    }
   }
 
   /** Bucket both inputs by the join key, then inner-join the bucketed

@@ -491,6 +491,7 @@ object Linkage {
       tsCol: String, watermark: String,
       spark: org.apache.spark.sql.SparkSession,
       tableName: String): DataFrame = {
+    RefreshEnvelope.autoGuard(spark, tableName) // default-on envelope guard (r18)
     val (tau, bounds) = readEditIndexMeta(spark, tableName)
     // watermark BEFORE the branch so both legs carry it into the union
     val d = stream

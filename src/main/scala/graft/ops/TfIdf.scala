@@ -281,6 +281,31 @@ object TfIdf {
     * row count. */
   def searchIndexCompact(spark: SparkSession, tableName: String,
       tableBuckets: Int = 32): Long = {
+    // r18 (r17 ADVICE, medium): a crashed searchIndexDelete leaves a
+    // DANGLING retraction — a _stats row whose seq is past the latest
+    // tombstone sequence (stats land BEFORE tombstones, the retry
+    // handle). Compacting over it would net the retraction into the
+    // collapsed stats row while the docs it retracted stay live
+    // (their tombstones never landed), then reset seq/del_sig to 0 —
+    // permanently and undetectably baking in exactly the corpus-stats
+    // skew the (seq, del_sig) retry machinery exists to prevent. Fail
+    // loudly instead: retry the pending delete to completion first
+    // (same contract as searchIndexDelete's digest-mismatch path).
+    val stats0 = spark.table(tableName + "_stats")
+    if (stats0.columns.contains("seq")) {
+      val pending = stats0
+        .agg(coalesce(max("seq"), lit(0L))).first().getLong(0)
+      val gen = Bucketing.currentGen(spark, tableName)
+      if (pending > gen)
+        throw new IllegalStateException(
+          s"$tableName: a PRIOR delete at sequence $pending left a " +
+            s"partial retraction (stats row present, tombstones absent — " +
+            s"current generation is $gen) — retry that delete to " +
+            "completion before compacting; compacting now would bake " +
+            "its stats retraction into the collapsed row while the " +
+            "retracted docs stay live, skewing every future score " +
+            "(single-maintainer contract, see graft.ops.Bucketing)")
+    }
     val liveDocs = Bucketing.liveViewOf(
         spark.table(tableName + "_docs"), spark, tableName + "_del",
         "doc_id")
@@ -404,6 +429,7 @@ object TfIdf {
       tableName: String, queryTerms: Seq[String], minScore: Double = 0.0,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    RefreshEnvelope.autoGuard(spark, tableName) // default-on envelope guard (r18)
     scoredAgainstStats(
       stream.select(col(idCol).cast("long").as("doc_id"), col(textCol),
         col(tsCol).as("ts")),

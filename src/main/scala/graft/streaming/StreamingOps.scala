@@ -19,12 +19,17 @@ import org.apache.spark.sql.functions._
   * to the SAME table are not — restart the stream for continuous
   * maintenance. "Takes effect without restart" in the per-operator
   * docs means within that envelope. The envelope is ENFORCED at
-  * runtime (r17): capture a [[graft.ops.RefreshEnvelope]] guard over
-  * the probe's index family where the stream is defined —
-  * `RefreshEnvelope.captureIndex(spark, tableName).attach()` — and a
-  * second post-start maintenance write warns loudly, flips the guard's
-  * sticky `breached` flag after the next micro-batch, and fails fast
-  * via `assertFresh()` (StreamingSpec pins the trip).
+  * runtime, DEFAULT-ON (r17 enforcement, r18 default-on): every probe
+  * constructor below that joins a persisted index captures + attaches
+  * its own [[graft.ops.RefreshEnvelope]] guard over the index family
+  * at definition time — a second post-start maintenance write warns
+  * loudly, flips the guard's sticky `breached` flag after the next
+  * micro-batch, posts an `EnvelopeBreachEvent` to the listener bus,
+  * and fails fast via `assertFresh()` (reach the auto-guard with
+  * `RefreshEnvelope.guardOf(spark, tableName)`; StreamingSpec pins
+  * the unguarded-by-hand trip). Composite pipelines joining several
+  * index families can still capture manual guards via
+  * `RefreshEnvelope.captureIndex`.
   */
 object StreamingOps {
 
@@ -127,6 +132,7 @@ object StreamingOps {
       bits: Int = 8, tables: Int = 4, probes: Int = 0,
       seed: Long = 42L): DataFrame = {
     import graft.functions.VectorFunctions._
+    graft.ops.RefreshEnvelope.autoGuard(spark, tableName) // default-on envelope guard (r18)
     val buckets = {
       val all = (0 until tables).flatMap { t =>
         val sig = hyperplaneSig(col(vecCol), bits, dim, seed + t)
@@ -248,12 +254,14 @@ object StreamingOps {
     * horizon (the only state, watermark-bounded). */
   def fingerprintIngestStream(stream: DataFrame, fpCol: String,
       tsCol: String, watermark: String, spark: SparkSession,
-      tableName: String): DataFrame =
+      tableName: String): DataFrame = {
+    graft.ops.RefreshEnvelope.autoGuard(spark, tableName) // default-on envelope guard (r18)
     stream
       .join(graft.ops.Dedup.liveFingerprintIndex(spark, tableName),
         col(fpCol) === col("fp"), "left_anti")
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(fpCol)
+  }
 
   /** Streaming NEAR-dedup as a Pipeline.via one-liner: key each document
     * by the minimum of its winnowing fingerprints

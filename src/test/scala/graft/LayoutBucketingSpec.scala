@@ -744,4 +744,119 @@ class LayoutBucketingSpec extends SparkSpec {
       Seq(a, a + "_del", a + "_docs", a + "_stats", b, b + "_del")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
   }
+
+  test("CompactThresholdConf: a malformed value fails naming the conf key, not as a bare NumberFormatException") {
+    // r17 ADVICE: compactThreshold did an unvalidated .toLong, so a
+    // typo'd conf surfaced as a bare NumberFormatException from inside
+    // every liveView plan construction with nothing naming the key.
+    import graft.ops.{Bucketing, Dedup}
+    val docs = spark.range(10).select(col("id").as("doc_id"),
+      concat(lit("threshold conf fixture "), col("id")).as("text"))
+    val tbl = "graft_spec_thresh_conf"
+    try {
+      Dedup.dedupIndexBuild(docs, "text", "doc_id", tbl, tableBuckets = 4)
+      Dedup.dedupIndexDelete(spark, tbl,
+        docs.filter(col("doc_id") === 1L), "text")
+      spark.conf.set(Bucketing.CompactThresholdConf, "1e6") // plausible typo
+      val ex = intercept[IllegalArgumentException](
+        Bucketing.liveView(spark, tbl, "fp"))
+      assert(ex.getMessage.contains(Bucketing.CompactThresholdConf) &&
+        ex.getMessage.contains("1e6"),
+        s"the error must name the conf key and the bad value: ${ex.getMessage}")
+    } finally {
+      spark.conf.unset(Bucketing.CompactThresholdConf)
+      Seq(tbl, tbl + "_del").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
+  }
+
+  test("maintainIfAdvised: below threshold → None; advised → compacts, gauge drops to zero, probe unchanged; refuses exactly the streams over THIS index") {
+    // r18 (r17 verdict item 4): advise→act. The compact_advised
+    // observed metric told an operator to compact; this helper closes
+    // the loop — same threshold predicate, the restart fence ENFORCED
+    // and PRECISE: compact is the one lifecycle op that rewrites
+    // files, so a live stream with this index family in its analyzed
+    // plan is refused loudly, while an unrelated stream (the normal
+    // many-streams-many-indexes topology) does not block.
+    import graft.ops.{Bucketing, Dedup, RefreshEnvelope}
+    import graft.streaming.StreamingOps
+    import spark.implicits._
+    val docs = spark.range(20).select(col("id").as("doc_id"),
+      concat(lit("maintain advised fixture "), col("id")).as("text"))
+    val tbl = "graft_spec_maintain_adv"
+    try {
+      Dedup.dedupIndexBuild(docs, "text", "doc_id", tbl, tableBuckets = 4)
+      Dedup.dedupIndexDelete(spark, tbl,
+        docs.filter(col("doc_id").isin(2L, 3L)), "text")
+      Dedup.dedupIndexDelete(spark, tbl,
+        docs.filter(col("doc_id").isin(3L, 4L)), "text") // 3 distinct keys
+      val probe = docs.select((col("doc_id") + 100L).as("doc_id"), col("text"))
+      val before = Dedup.dedupAgainstIndex(spark, tbl, probe, "text", "doc_id")
+        .collect().map(_.toString).sorted.toSeq
+      // 3 tombstoned keys < the 1M default: not advised, nothing runs
+      assert(Bucketing.maintainIfAdvised(spark, tbl, "fp", "fp", 4).isEmpty)
+      assert(Bucketing.currentGen(spark, tbl) > 0L,
+        "not-advised must leave the delete set untouched")
+      spark.conf.set(Bucketing.CompactThresholdConf, "3")
+      // advised + a live probe OVER THIS INDEX: refuse, naming it
+      val ms = new org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, java.sql.Timestamp)](91, spark, None)
+      val q = StreamingOps.dedupIngestStream(
+        ms.toDF().toDF("doc_id", "text", "ts"), "text", "doc_id", "ts",
+        "10 minutes", spark, tbl)
+        .writeStream.format("noop").queryName("maintain_adv_probe").start()
+      try {
+        val ex = intercept[IllegalStateException](
+          Bucketing.maintainIfAdvised(spark, tbl, "fp", "fp", 4))
+        assert(ex.getMessage.contains(tbl) &&
+          ex.getMessage.contains("maintain_adv_probe"), ex.getMessage)
+      } finally { q.stop(); q.awaitTermination() }
+      // an UNRELATED live stream must not block: the helper compacts —
+      // tombstones fold, the gauge's source empties, probe results
+      // unchanged by construction
+      val unrelated = spark.readStream.format("rate").load()
+        .writeStream.format("noop").start()
+      val n =
+        try Bucketing.maintainIfAdvised(spark, tbl, "fp", "fp", 4)
+        finally { unrelated.stop(); unrelated.awaitTermination() }
+      assert(n.nonEmpty && n.get > 0L, s"advised compact must run: $n")
+      assert(spark.table(tbl + "_del").isEmpty,
+        "compact must truncate the delete set (the gauge reads zero)")
+      val after = Dedup.dedupAgainstIndex(spark, tbl, probe, "text", "doc_id")
+        .collect().map(_.toString).sorted.toSeq
+      assert(after == before, "probe results must be unchanged by compact")
+      // idempotent from here: the advisory is gone
+      assert(Bucketing.maintainIfAdvised(spark, tbl, "fp", "fp", 4).isEmpty)
+    } finally {
+      spark.conf.unset(Bucketing.CompactThresholdConf)
+      RefreshEnvelope.guardOf(spark, tbl).foreach(_.detach())
+      Seq(tbl, tbl + "_del").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
+  }
+
+  test("RefreshEnvelope counters honor the conf-selectable directory — the object-store escape hatch") {
+    // r18 (r17 verdict item 3): the counter scheme requires an
+    // atomic-rename filesystem; on an object-store warehouse the
+    // counters route to a rename-atomic store via CounterDirConf while
+    // the data stays put. Pin: the conf moves the counter file, and
+    // reads follow the same conf.
+    import graft.ops.RefreshEnvelope
+    val dir = java.nio.file.Files.createTempDirectory("graft_env_ctr")
+      .toString
+    val t = "graft_spec_ctr_dir_tbl"
+    try {
+      spark.conf.set(RefreshEnvelope.CounterDirConf, dir)
+      assert(RefreshEnvelope.writeCount(spark, t) == 0L)
+      RefreshEnvelope.recordWrite(spark, t)
+      RefreshEnvelope.recordWrite(spark, t)
+      assert(RefreshEnvelope.writeCount(spark, t) == 2L)
+      assert(new java.io.File(dir, t + ".__writes").isFile,
+        s"counter must land under $dir")
+      // unset: reads revert to the warehouse dir, where nothing landed
+      spark.conf.unset(RefreshEnvelope.CounterDirConf)
+      assert(RefreshEnvelope.writeCount(spark, t) == 0L,
+        "no counter may leak into the warehouse dir")
+    } finally spark.conf.unset(RefreshEnvelope.CounterDirConf)
+  }
 }

@@ -182,4 +182,49 @@ class MonitoringSpec extends SparkSpec {
       q.stop(); q.awaitTermination(); tracer.detach(spark)
     }
   }
+
+  test("envelope breach posts one EnvelopeBreachEvent per table to the Spark listener bus — the monitoring bridge") {
+    // r18 (r17 verdict stretch): a refresh-envelope breach must reach
+    // CLUSTER MONITORING, not just stderr plus a flag someone has to
+    // poll. The guard posts a typed event onto the shared listener bus
+    // — the surface the event log and custom SparkListeners (i.e.
+    // monitoring infra) already tap. Same once-per-(guard, table)
+    // dedup as the warning: repeated checks must not re-alert.
+    import graft.ops.{Dedup, RefreshEnvelope}
+    import org.apache.spark.sql.functions._
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(
+          event: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        event match {
+          case RefreshEnvelope.EnvelopeBreachEvent(idx, t) => seen.add((idx, t))
+          case _ => ()
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val docs = spark.range(12).select(col("id").as("doc_id"),
+      concat(lit("breach event fixture "), col("id")).as("text"))
+    val tbl = "graft_spec_breach_event"
+    try {
+      Dedup.dedupIndexBuild(docs, "text", "doc_id", tbl, tableBuckets = 4)
+      val guard = RefreshEnvelope.captureIndex(spark, tbl)
+      Dedup.dedupIndexDelete(spark, tbl,
+        docs.filter(col("doc_id") === 1L), "text")
+      guard.check() // first write: inside the envelope — no event
+      org.apache.spark.graftbus.ListenerDrain.drain(spark.sparkContext)
+      assert(seen.isEmpty, s"no breach yet: $seen")
+      Dedup.dedupIndexDelete(spark, tbl,
+        docs.filter(col("doc_id") === 2L), "text")
+      guard.check() // breach
+      guard.check() // repeated check: deduped, no second event
+      org.apache.spark.graftbus.ListenerDrain.drain(spark.sparkContext)
+      import scala.jdk.CollectionConverters._
+      assert(seen.asScala.toSeq == Seq((tbl, tbl + "_del")),
+        s"exactly one event naming (index, stale table): $seen")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      Seq(tbl, tbl + "_del").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
+  }
 }

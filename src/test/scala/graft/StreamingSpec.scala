@@ -969,6 +969,70 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("DEFAULT-ON envelope guard: a probe started with NO manual guard still warns and latches breached on the second post-start write") {
+    // r18 (r17 verdict item 1): before this round the enforcement only
+    // protected operators who read the StreamingOps scaladoc and
+    // captured a guard by hand — the exact failure mode the envelope
+    // itself had in r16, moved one level up. Now every index-joining
+    // probe constructor captures + attaches its own guard at definition
+    // time; RefreshEnvelope.guardOf keeps assertFresh() reachable.
+    import graft.ops.{Dedup, RefreshEnvelope}
+    val docs = spark.range(30).select(col("id").as("doc_id"),
+      concat(lit("autoguard stream fixture "), col("id")).as("text"))
+    val tbl = "graft_spec_envelope_auto"
+    Dedup.dedupIndexBuild(docs.filter(col("doc_id") < 10), "text",
+      "doc_id", tbl, tableBuckets = 4)
+    assert(RefreshEnvelope.guardOf(spark, tbl).isEmpty,
+      "no probe defined yet: no auto-guard")
+    val ms = new MemoryStream[(Long, String, Timestamp)](84, spark, None)
+    // the ONLY envelope-related call is the probe constructor itself
+    val out = StreamingOps.dedupIngestStream(
+      ms.toDF().toDF("doc_id", "text", "ts"), "text", "doc_id", "ts",
+      "10 minutes", spark, tbl)
+    val guard = RefreshEnvelope.guardOf(spark, tbl).getOrElse(
+      fail("the probe constructor must have auto-captured a guard"))
+    val q = out.writeStream.format("memory").queryName("envelope_auto_out")
+      .outputMode("append").start()
+    def batch(ids: Seq[Long], m: Int): Unit = {
+      ms.addData(ids.map(i => (i, s"autoguard stream fixture $i", ts(m))))
+      q.processAllAvailable()
+      org.apache.spark.graftbus.ListenerDrain.drain(spark.sparkContext)
+    }
+    try {
+      batch(Seq(5L, 15L), 0)
+      assert(!guard.breached && guard.staleTables.isEmpty)
+      Dedup.dedupIndexDelete(spark, tbl,
+        docs.filter(col("doc_id") === 5L), "text")
+      batch(Seq(5L, 16L), 1)
+      assert(!guard.breached,
+        "first post-start write is inside the envelope")
+      Dedup.dedupIndexDelete(spark, tbl,
+        docs.filter(col("doc_id") === 6L), "text")
+      batch(Seq(6L, 17L), 2)
+      assert(guard.breached,
+        "unguarded-by-hand probe must still latch breached via its " +
+          "auto-captured guard")
+      assert(guard.staleTables == Seq(tbl + "_del"))
+      val ex = intercept[IllegalStateException](guard.assertFresh())
+      assert(ex.getMessage.contains(tbl + "_del"), ex.getMessage)
+      // redefinition replaces the registry entry with a FRESH envelope
+      // (latest wins) and detaches the old listener
+      StreamingOps.dedupIngestStream(
+        ms.toDF().toDF("doc_id", "text", "ts"), "text", "doc_id", "ts",
+        "10 minutes", spark, tbl)
+      val g2 = RefreshEnvelope.guardOf(spark, tbl).get
+      assert(g2 ne guard, "redefinition must re-capture")
+      assert(g2.staleTables.isEmpty && !g2.breached,
+        "the fresh guard's envelope starts at the new definition time")
+      assert(guard.breached, "the replaced guard object stays readable")
+    } finally {
+      RefreshEnvelope.guardOf(spark, tbl).foreach(_.detach())
+      q.stop(); q.awaitTermination()
+      Seq(tbl, tbl + "_del").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
+  }
+
   test("image dedup-at-ingest: dHash fingerprints through the generic streaming index shape") {
     // streaming × multimodal: the SAME incremental-corpus lifecycle the
     // text pipeline uses (persisted fp index → stream-static anti-join →

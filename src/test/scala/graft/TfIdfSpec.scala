@@ -489,4 +489,57 @@ class TfIdfSpec extends SparkSpec {
       Seq(tbl, tbl + "_del", tbl + "_docs", tbl + "_stats").foreach(t =>
         spark.sql(s"DROP TABLE IF EXISTS `$t`"))
   }
+
+  test("searchIndexCompact refuses a dangling partial-delete retraction; compacts exactly after the retry") {
+    // r17 ADVICE (medium): compact blindly summing _stats would net a
+    // crashed delete's retraction (seq past the latest tombstone — its
+    // tombstones never landed) into the collapsed stats row while the
+    // docs it retracted stay LIVE, then reset seq to 0 — permanently
+    // and undetectably baking in the corpus-stats skew the (seq,
+    // del_sig) retry machinery exists to prevent. Compact must fail
+    // loudly instead, with the same retry-to-completion contract as
+    // searchIndexDelete's digest-mismatch path.
+    import graft.ops.Bucketing
+    val docs = Tables.documents(spark, sf)
+    val tbl = "graft_spec_inv_cmp_dangle"
+    try {
+      TfIdf.searchIndexBuild(docs, "doc_id", "text", tbl, tableBuckets = 4)
+      val delIds = docs.filter(col("doc_id") % 7 === 0).select("doc_id")
+      // crash state: the (seq, digest)-stamped retraction landed, the
+      // tombstone append did not (stats land FIRST by design)
+      val seq = Bucketing.currentGen(spark, tbl) + 1L
+      val sig = delIds.select(col("doc_id").cast("long").as("doc_id"))
+        .distinct().select(xxhash64(col("doc_id")).as("_h"))
+        .agg(expr("bit_xor(_h)")).as[Long].head()
+      spark.table(tbl + "_docs").join(delIds, "doc_id")
+        .agg((count(lit(1)) * -1L).cast("long").as("n_docs"),
+          (coalesce(sum("dl"), lit(0L)) * -1L).cast("long").as("total_dl"))
+        .withColumn("seq", lit(seq)).withColumn("del_sig", lit(sig))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .format("parquet").saveAsTable(tbl + "_stats")
+      val ex = intercept[IllegalStateException](
+        TfIdf.searchIndexCompact(spark, tbl, tableBuckets = 4))
+      assert(ex.getMessage.contains("partial retraction") &&
+        ex.getMessage.contains("compact"),
+        s"compact must name the pending delete and the remedy: ${ex.getMessage}")
+      // retry the delete to completion, then compact proceeds and the
+      // probe is unchanged by construction
+      TfIdf.searchIndexDelete(spark, tbl, delIds, "doc_id")
+      val before = TfIdf.searchIndexProbe(spark, tbl, Seq("merge", "data"))
+        .as[(Long, Double, Long)].collect().sortBy(_._1).toSeq
+      val n = TfIdf.searchIndexCompact(spark, tbl, tableBuckets = 4)
+      assert(n > 0L)
+      val after = TfIdf.searchIndexProbe(spark, tbl, Seq("merge", "data"))
+        .as[(Long, Double, Long)].collect().sortBy(_._1).toSeq
+      assert(after.map(_._1) == before.map(_._1) &&
+        after.zip(before).forall { case (a, b) =>
+          math.abs(a._2 - b._2) < 1e-9 && a._3 == b._3 },
+        "compact after the completed retry must not move any score")
+      assert(spark.table(tbl + "_stats")
+          .agg(coalesce(max("seq"), lit(0L))).as[Long].head() == 0L,
+        "compact must collapse _stats to the net row at seq 0")
+    } finally
+      Seq(tbl, tbl + "_del", tbl + "_docs", tbl + "_stats").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+  }
 }
