@@ -32,6 +32,8 @@ object StreamPlans {
           lr.catalogTable.map(_.identifier.table.toLowerCase).toSeq
         case hr: HiveTableRelation =>
           Seq(hr.tableMeta.identifier.table.toLowerCase)
+        case v2: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          v2.identifier.map(_.name.toLowerCase).toSeq
       }.flatten.toSet)
       catch { case scala.util.control.NonFatal(_) => None }
     case _ => None
