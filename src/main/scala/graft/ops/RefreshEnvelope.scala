@@ -184,22 +184,41 @@ object RefreshEnvelope {
     * [[captureIndex]] (the manual API is unchanged). */
   def autoGuard(spark: SparkSession, indexName: String): Guard = {
     val g = captureIndex(spark, indexName).attach()
-    val old = autoGuards.put((spark, indexName.toLowerCase), g)
-    if (old != null) old.detach()
+    val old = autoGuards.synchronized {
+      autoGuards.getOrElseUpdate(spark,
+        new ConcurrentHashMap[String, java.lang.ref.WeakReference[Guard]]())
+    }.put(indexName.toLowerCase, new java.lang.ref.WeakReference(g))
+    if (old != null) Option(old.get).foreach(_.detach())
     g
   }
 
   /** The current auto-captured guard for an index family, if a probe
-    * over it was defined in this session ([[autoGuard]]). */
+    * over it was defined in this session ([[autoGuard]]) and the guard
+    * is still attached (a manually-detached auto-guard may have been
+    * collected — the registry holds it weakly). */
   def guardOf(spark: SparkSession, indexName: String): Option[Guard] =
-    Option(autoGuards.get((spark, indexName.toLowerCase)))
+    autoGuards.synchronized { autoGuards.get(spark) }
+      .flatMap(m => Option(m.get(indexName.toLowerCase)))
+      .flatMap(r => Option(r.get))
 
-  /** (session, lower-cased index) → newest auto-guard. Keyed by the
+  /** session → (lower-cased index → newest auto-guard). Keyed by the
     * session OBJECT (reference equality): guards are session-scoped
-    * exactly like the streams they watch, and the map holds at most
-    * one entry per index family per live session. */
+    * exactly like the streams they watch, and at most one entry per
+    * index family per session. Lifetime discipline for a long-lived
+    * driver cycling short-lived sessions (one per tenant): the session
+    * key is WEAK, and the guards are held via WeakReference because a
+    * Guard strongly references its session — a strong value chain back
+    * to the key would pin every dead session in the map forever (the
+    * documented WeakHashMap caveat). The CURRENT auto-guard is always
+    * attached, i.e. strongly reachable from its session's listener
+    * bus, so it lives exactly as long as the session; once a stopped
+    * session is otherwise unreachable, its entry, guards and all,
+    * becomes collectable. All registry access goes through the map's
+    * monitor (WeakHashMap is not thread-safe); the per-session inner
+    * map is concurrent. */
   private val autoGuards =
-    new ConcurrentHashMap[(SparkSession, String), Guard]()
+    new scala.collection.mutable.WeakHashMap[SparkSession,
+      ConcurrentHashMap[String, java.lang.ref.WeakReference[Guard]]]()
 
   /** Posted to the Spark listener bus the first time a guard sees
     * `staleTable` breach its envelope (r18 stretch — the r17 verdict's

@@ -845,18 +845,21 @@ class LayoutBucketingSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_env_ctr")
       .toString
     val t = "graft_spec_ctr_dir_tbl"
-    try {
-      spark.conf.set(RefreshEnvelope.CounterDirConf, dir)
-      assert(RefreshEnvelope.writeCount(spark, t) == 0L)
-      RefreshEnvelope.recordWrite(spark, t)
-      RefreshEnvelope.recordWrite(spark, t)
-      assert(RefreshEnvelope.writeCount(spark, t) == 2L)
-      assert(new java.io.File(dir, t + ".__writes").isFile,
-        s"counter must land under $dir")
-      // unset: reads revert to the warehouse dir, where nothing landed
-      spark.conf.unset(RefreshEnvelope.CounterDirConf)
-      assert(RefreshEnvelope.writeCount(spark, t) == 0L,
-        "no counter may leak into the warehouse dir")
-    } finally spark.conf.unset(RefreshEnvelope.CounterDirConf)
+    // a SEPARATE session: the conf is per-session runtime conf (this
+    // also pins that), and mutating the shared suite session's conf
+    // would race concurrently-running suites' lifecycle writes into
+    // the temp dir for the duration of the test
+    val s2 = spark.newSession()
+    s2.conf.set(RefreshEnvelope.CounterDirConf, dir)
+    assert(RefreshEnvelope.writeCount(s2, t) == 0L)
+    RefreshEnvelope.recordWrite(s2, t)
+    RefreshEnvelope.recordWrite(s2, t)
+    assert(RefreshEnvelope.writeCount(s2, t) == 2L)
+    assert(new java.io.File(dir, t + ".__writes").isFile,
+      s"counter must land under $dir")
+    // the suite session never saw the conf: reads stay on the
+    // warehouse dir, where nothing landed
+    assert(RefreshEnvelope.writeCount(spark, t) == 0L,
+      "no counter may leak into the warehouse dir")
   }
 }

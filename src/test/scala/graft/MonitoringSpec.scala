@@ -192,19 +192,23 @@ class MonitoringSpec extends SparkSpec {
     // dedup as the warning: repeated checks must not re-alert.
     import graft.ops.{Dedup, RefreshEnvelope}
     import org.apache.spark.sql.functions._
+    val tbl = "graft_spec_breach_event"
     val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onOtherEvent(
           event: org.apache.spark.scheduler.SparkListenerEvent): Unit =
         event match {
-          case RefreshEnvelope.EnvelopeBreachEvent(idx, t) => seen.add((idx, t))
+          // filter to THIS test's index: suites share the bus and run
+          // concurrently, so another suite's (auto-)guard tripping must
+          // not pollute the exact-sequence assertion below
+          case RefreshEnvelope.EnvelopeBreachEvent(idx, t) if idx == tbl =>
+            seen.add((idx, t))
           case _ => ()
         }
     }
     spark.sparkContext.addSparkListener(listener)
     val docs = spark.range(12).select(col("id").as("doc_id"),
       concat(lit("breach event fixture "), col("id")).as("text"))
-    val tbl = "graft_spec_breach_event"
     try {
       Dedup.dedupIndexBuild(docs, "text", "doc_id", tbl, tableBuckets = 4)
       val guard = RefreshEnvelope.captureIndex(spark, tbl)
