@@ -70,6 +70,140 @@ object Bucketing {
     RefreshEnvelope.recordWrite(df.sparkSession, name)
   }
 
+  // ---- compact staging (r18: crash-convergent compaction) ------------
+  // Compaction is the one lifecycle op that REWRITES files, and before
+  // r18 it did so destructively: the live rows were materialized into
+  // block-manager memory (localCheckpoint — lost with the JVM, and at
+  // 100 TB a compact should not need the index resident in memory at
+  // all), then [[writeBucketed]] DROPPED the base and deleted its
+  // directory before writing the replacement. A crash in that window
+  // destroyed the index outright (the only copy of the live rows died
+  // with the process), and a crash between the base rewrite and the
+  // `_del` truncate lost re-inserted keys PERMANENTLY on retry: the
+  // gen-0 rewritten rows of previously-deleted-then-revived keys read
+  // as suppressed under the still-present tombstones, so the retry's
+  // live view excluded them. r18 makes every compact CRASH-CONVERGENT
+  // with the same single-maintainer retry contract the r17 delete
+  // machinery established (retry-after-failure by the same maintainer
+  // is INSIDE the contract):
+  //
+  //   1. the live rows are first written to a DURABLE staging table
+  //      (`<name>__compact`) next to the base — an out-of-core
+  //      file→file copy, nothing pinned in executor or block-manager
+  //      memory — and a protocol-tagged marker file commits the
+  //      snapshot atomically;
+  //   2. only then do the destructive steps run, in an order where
+  //      every crash point rolls FORWARD on retry: `_del` truncates
+  //      first (so the staged gen-0 rows can never be suppressed by
+  //      leftover tombstones), then the base rewrites FROM THE STAGED
+  //      FILES (still on disk whatever died), then the staging drops
+  //      (marker first, so a half-deleted staging never reads as
+  //      committed).
+  //
+  // A retry entering compact with a committed marker skips the
+  // snapshot and replays step 2 verbatim — idempotent. Because a
+  // committed-but-unapplied snapshot goes stale the moment any other
+  // lifecycle write lands, [[appendBucketed]] and [[tombstoneAppend]]
+  // fail loudly while one is pending (roll it forward first by
+  // re-running the named compact); a REBUILD supersedes the pending
+  // compact instead — [[initTombstones]], which every index build runs
+  // first, discards stale stagings. The marker carries which protocol
+  // staged it so a crashed [[tombstoneCompact]] (which must truncate
+  // `_del`) cannot be rolled forward by [[compactBucketed]] (which
+  // must not).
+  private val StagedMarker = "_GRAFT_STAGED"
+
+  /** The staging-table name a compact of `name` snapshots into. */
+  private[graft] def compactStagingName(name: String): String =
+    name + "__compact"
+
+  private def tableLoc(spark: SparkSession,
+      name: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
+
+  private def locFs(spark: SparkSession, loc: org.apache.hadoop.fs.Path) =
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The protocol tag of a COMMITTED staging snapshot ("tombstone",
+    * "layout", "bm25"), or None if no committed snapshot exists. */
+  private[graft] def stagedProtocol(spark: SparkSession,
+      stagingName: String): Option[String] = {
+    val marker = new org.apache.hadoop.fs.Path(
+      tableLoc(spark, stagingName), StagedMarker)
+    val fs = locFs(spark, marker)
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      try {
+        val buf = new Array[Byte](64)
+        val n = math.max(0, in.read(buf))
+        Some(new String(buf, 0, n,
+          java.nio.charset.StandardCharsets.UTF_8).trim)
+      } finally in.close()
+    }
+  }
+
+  /** Atomically commit a freshly written staging snapshot: one tiny
+    * marker file inside the staging directory (underscore-prefixed, so
+    * parquet readers ignore it). Until the marker exists the staging
+    * is garbage and a fresh compact overwrites it. */
+  private[graft] def commitStaging(spark: SparkSession, stagingName: String,
+      protocol: String): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(
+      tableLoc(spark, stagingName), StagedMarker)
+    val out = locFs(spark, marker).create(marker, true)
+    try out.write(protocol.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Remove a staging snapshot: MARKER FIRST (atomic retract — a crash
+    * mid-cleanup must not leave a half-deleted directory that still
+    * reads as committed), then the catalog entry, directory, and the
+    * staging table's envelope counter file. */
+  private[graft] def dropStaging(spark: SparkSession,
+      stagingName: String): Unit = {
+    val loc = tableLoc(spark, stagingName)
+    val fs = locFs(spark, loc)
+    val marker = new org.apache.hadoop.fs.Path(loc, StagedMarker)
+    if (fs.exists(marker)) fs.delete(marker, false)
+    spark.sql(s"DROP TABLE IF EXISTS `$stagingName`")
+    if (fs.exists(loc)) fs.delete(loc, true)
+    RefreshEnvelope.clearCounter(spark, stagingName)
+  }
+
+  /** The rows of a committed staging snapshot — through the catalog
+    * when this process wrote it, from the parquet files when a
+    * restarted process (with a persistent metastore or after
+    * re-registration) rolls the compact forward. */
+  private[graft] def stagingRows(spark: SparkSession,
+      stagingName: String): DataFrame =
+    if (spark.catalog.tableExists(stagingName)) spark.table(stagingName)
+    else spark.read.parquet(tableLoc(spark, stagingName).toString)
+
+  /** Loud stale-snapshot guard for lifecycle WRITES: a committed
+    * staging snapshot captures the live view as of its compact's start,
+    * so any append or delete landing before the roll-forward completes
+    * would be silently erased when the staged rows replace the base.
+    * Refuse instead, naming the remedy. */
+  private[graft] def assertNoPendingCompact(spark: SparkSession,
+      tableName: String, op: String): Unit =
+    stagedProtocol(spark, compactStagingName(tableName)).foreach { p =>
+      val entry = p match {
+        case "layout" => "compactBucketed"
+        case "bm25" => "searchIndexCompact"
+        case _ => "tombstoneCompact (or the index family's compact)"
+      }
+      throw new IllegalStateException(
+        s"$op($tableName): a crashed compact left a committed staging " +
+          s"snapshot (${compactStagingName(tableName)}) — roll it " +
+          s"forward to completion first by re-running $entry, or " +
+          "rebuild the index (which discards the pending compact); " +
+          "writing now would be silently erased when the staged rows " +
+          "replace the base (single-maintainer contract, see " +
+          "graft.ops.Bucketing)")
+    }
+
   /** Append rows to an existing bucketed table written by
     * [[writeBucketed]] (same key + bucket count — Spark validates the
     * spec matches). Each append adds one file per non-empty bucket;
@@ -83,6 +217,7 @@ object Bucketing {
     * per-bucket file counts grow.) */
   def appendBucketed(df: DataFrame, name: String, key: String,
       buckets: Int): Unit = {
+    assertNoPendingCompact(df.sparkSession, name, "appendBucketed")
     df.write.mode(SaveMode.Append)
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(name)
@@ -91,24 +226,42 @@ object Bucketing {
 
   /** Rewrite a bucketed table in place, collapsing the one-file-per-
     * append accumulation of [[appendBucketed]] back to one file per
-    * bucket. Reads the whole table (localCheckpoint materializes it
-    * before the DROP — the read plan must not reference the files being
-    * deleted), then [[writeBucketed]] the same rows under the same
-    * spec. Same data, same layout contract, minimal file count — run it
-    * when per-bucket file counts degrade scan/merge performance (each
-    * bucket file is a separate sorted run for the SMJ reader). Returns
-    * the row count rewritten. */
+    * bucket. Same data, same layout contract, minimal file count — run
+    * it when per-bucket file counts degrade scan/merge performance
+    * (each bucket file is a separate sorted run for the SMJ reader).
+    * Returns the row count rewritten.
+    *
+    * CRASH-CONVERGENT (r18 — see the staging section above): the rows
+    * are copied to a durable staging table first, then the base
+    * rewrites from the staged files — an out-of-core file→file copy
+    * (the pre-r18 localCheckpoint held the whole table in
+    * block-manager memory, and a crash between the base DROP and the
+    * rewrite destroyed the table: the only copy died with the JVM).
+    * Retrying after a failure rolls the staged snapshot forward. */
   def compactBucketed(spark: SparkSession, name: String, key: String,
       buckets: Int): Long = {
-    val snapshot = spark.table(name).localCheckpoint()
-    val n = snapshot.count()
-    // bucket files are written per (task, bucket): co-locating each
-    // bucket's rows in one task first (repartition uses the same
-    // murmur3-pmod hash as the bucket spec) yields exactly one file per
-    // non-empty bucket — without it the rewrite re-fragments
+    val stg = compactStagingName(name)
+    stagedProtocol(spark, stg) match {
+      case None =>
+        // the staging is a PLAIN table (see [[stageTombstoneCompact]] —
+        // a bucketed staging would let the planner elide the rewrite's
+        // repartition and fragment the layout)
+        writeTable(spark.table(name), stg)
+        commitStaging(spark, stg, "layout")
+      case Some("layout") => System.err.println(
+        s"[graft] $name: rolling forward a previously staged compact")
+      case Some(other) => throw new IllegalStateException(
+        s"compactBucketed($name): the pending staging snapshot was " +
+          s"written by the '$other' protocol — roll it forward with the " +
+          "compact that staged it (tombstoneCompact / the index " +
+          "family's compact) or rebuild the table")
+    }
     writeBucketed(
-      snapshot.repartition(buckets, org.apache.spark.sql.functions.col(key)),
+      stagingRows(spark, stg)
+        .repartition(buckets, org.apache.spark.sql.functions.col(key)),
       name, key, buckets)
+    val n = spark.table(name).count()
+    dropStaging(spark, stg)
     n
   }
 
@@ -146,9 +299,16 @@ object Bucketing {
   // read the same generation and stamp the SAME sequence, and an
   // append racing a delete gets an ordering neither caller chose —
   // both are OUTSIDE the contract, not failure modes within it.
-  // Retry-after-failure by the same maintainer is INSIDE the contract
-  // (see [[graft.ops.TfIdf.searchIndexDelete]]'s seq-stamped
-  // retraction). Concurrent READERS — probes, guards, streams — are
+  // Retry-after-failure by the same maintainer is INSIDE the contract,
+  // and as of r18 EVERY multi-write lifecycle op honors it: the BM25
+  // delete via its seq-stamped retraction
+  // ([[graft.ops.TfIdf.searchIndexDelete]], r17), the BM25 append via
+  // its pending-marker file + gen-salted batch digest
+  // ([[graft.ops.TfIdf.searchIndexAppend]]), and every compact via the
+  // durable staged roll-forward protocol (the staging section above) —
+  // single-table appends and builds were always atomic-at-job-commit /
+  // overwrite-idempotent respectively. Concurrent READERS — probes,
+  // guards, streams — are
   // unrestricted: every op short of compact is a pure append, and
   // compact is restart-fenced. Cross-SESSION isolation (two apps, two
   // different indexes, one warehouse) is separately guaranteed by the
@@ -242,7 +402,22 @@ object Bucketing {
     * that appears mid-stream does not. Also discards any stale
     * tombstones of a previous same-name index. */
   def initTombstones(keySchema: DataFrame, keyCol: String,
-      tableName: String): Unit =
+      tableName: String): Unit = {
+    // a REBUILD supersedes any pending (crashed) compact of the same
+    // index: discard committed-but-unapplied staging snapshots, or a
+    // later compact would roll the pre-rebuild rows forward over the
+    // fresh build (r18 — the staging contract's escape hatch)
+    val spark = keySchema.sparkSession
+    Seq("__compact", "__compact_docs", "__compact_stats")
+      .foreach(s => dropStaging(spark, tableName + s))
+    truncateTombstones(keySchema, keyCol, tableName)
+  }
+
+  /** The truncate half of [[initTombstones]] — used directly by
+    * [[tombstoneCompact]]'s commit path, which must NOT clear the
+    * staging snapshot it is itself reading from. */
+  private[graft] def truncateTombstones(keySchema: DataFrame,
+      keyCol: String, tableName: String): Unit =
     // eager: [[tombstoneCompact]] truncates by passing the _del table
     // itself as the schema source — materialize the empty result before
     // writeTable drops the table the plan reads
@@ -272,6 +447,7 @@ object Bucketing {
       tableName: String, atSeq: Long = -1L): Unit = {
     import org.apache.spark.sql.functions.lit
     val spark = delKeys.sparkSession
+    assertNoPendingCompact(spark, tableName, "tombstoneAppend")
     val seq = if (atSeq > 0L) atSeq else currentGen(spark, tableName) + 1L
     // eager: the caller may derive the delete set from the index itself
     val del = delKeys.select(keyCol).distinct()
@@ -325,18 +501,60 @@ object Bucketing {
     * together, so liveness is unchanged by construction. The ONLY
     * lifecycle op that rewrites files — run it without a live stream
     * over the same index (the [[compactBucketed]] rule). Returns the
-    * live row count. */
+    * live row count.
+    *
+    * CRASH-CONVERGENT (r18 — see the staging section above): the live
+    * rows land in a durable staging snapshot before anything
+    * destructive runs, `_del` truncates BEFORE the base rewrite (staged
+    * rows are generation 0 — leftover tombstones would suppress
+    * re-inserted keys), and the base rewrites from the staged FILES.
+    * Retrying after a failure at any point rolls the staged snapshot
+    * forward; nothing is ever held only in process memory. */
   def tombstoneCompact(spark: SparkSession, tableName: String,
       keyCol: String, bucketKey: String, buckets: Int): Long = {
-    val live = liveView(spark, tableName, keyCol).localCheckpoint(true)
-    val n = live.count()
+    val stg = compactStagingName(tableName)
+    stagedProtocol(spark, stg) match {
+      case None => stageTombstoneCompact(spark, tableName, keyCol)
+      case Some("tombstone") => System.err.println(
+        s"[graft] $tableName: rolling forward a previously staged compact")
+      case Some(other) => throw new IllegalStateException(
+        s"tombstoneCompact($tableName): the pending staging snapshot " +
+          s"was written by the '$other' protocol — roll it forward with " +
+          "the compact that staged it (compactBucketed for 'layout', " +
+          "searchIndexCompact for 'bm25') or rebuild the index")
+    }
+    // COMMIT — every step idempotent from here, replayed verbatim by a
+    // retry: truncate the tombstones FIRST, then rewrite the base from
+    // the durable staging. The truncate's schema source falls back to
+    // the staging when `_del` is missing (a retry after a crash inside
+    // a previous truncate's drop-then-write — the table must come back:
+    // eager `_del` existence is load-bearing for streaming probes).
+    val delSrc = if (spark.catalog.tableExists(tableName + "_del"))
+      spark.table(tableName + "_del") else stagingRows(spark, stg)
+    truncateTombstones(delSrc, keyCol, tableName)
     writeBucketed(
-      withGen(live, 0L)
+      stagingRows(spark, stg)
         .repartition(buckets, org.apache.spark.sql.functions.col(bucketKey)),
       tableName, bucketKey, buckets)
-    if (spark.catalog.tableExists(tableName + "_del"))
-      initTombstones(spark.table(tableName + "_del"), keyCol, tableName)
+    val n = spark.table(tableName).count()
+    dropStaging(spark, stg)
     n
+  }
+
+  /** The snapshot half of [[tombstoneCompact]]: write the live view to
+    * the durable staging table and commit the marker. The staging is a
+    * PLAIN parquet table, deliberately not bucketed: a bucketed
+    * staging's bucket spec lets the planner elide the final rewrite's
+    * repartition while bin-packing the actual scan — mixed-bucket write
+    * tasks, fragmenting the one-file-per-bucket layout contract. A
+    * plain staging forces the real shuffle on the rewrite.
+    * Package-visible so LifecycleRecoverySpec can replay the crash
+    * window between the snapshot and the commit steps. */
+  private[graft] def stageTombstoneCompact(spark: SparkSession,
+      tableName: String, keyCol: String): Unit = {
+    val stg = compactStagingName(tableName)
+    writeTable(withGen(liveView(spark, tableName, keyCol), 0L), stg)
+    commitStaging(spark, stg, "tombstone")
   }
 
   /** Advise→act (r18 — the r17 verdict's item 4): run
@@ -345,7 +563,10 @@ object Bucketing {
     * [[liveView]] reports as the `compact_advised` observed metric, so
     * a maintenance job can close the advisory loop with one call
     * instead of scraping metrics. Returns Some(live row count) when it
-    * compacted, None when compaction is not (yet) advised.
+    * compacted, None when compaction is not (yet) advised. A pending
+    * crashed compact (committed staging snapshot — r18) outranks the
+    * threshold: the call rolls it forward regardless of the tombstone
+    * count, since lifecycle writes are refusing until it completes.
     *
     * Restart-fenced like compact itself, but ENFORCED rather than
     * documented: compaction is the one lifecycle op that rewrites
@@ -368,10 +589,17 @@ object Bucketing {
   def maintainIfAdvised(spark: SparkSession, tableName: String,
       keyCol: String, bucketKey: String, buckets: Int,
       compact: Option[() => Long] = None): Option[Long] = {
-    if (!spark.catalog.tableExists(tableName + "_del")) return None
-    val keys = spark.table(tableName + "_del")
-      .select(keyCol).distinct().count()
-    if (keys < compactThreshold(spark)) None
+    // a committed-but-unapplied staging snapshot (crashed compact)
+    // outranks the threshold: appends and deletes are refusing until it
+    // rolls forward, so "maintenance" means finishing it regardless of
+    // the current tombstone count (r18)
+    val pendingRollForward = Seq("", "_docs", "_stats")
+      .exists(s => stagedProtocol(spark, tableName + "__compact" + s).isDefined)
+    if (!pendingRollForward &&
+      !spark.catalog.tableExists(tableName + "_del")) return None
+    val keys = if (!spark.catalog.tableExists(tableName + "_del")) 0L
+      else spark.table(tableName + "_del").select(keyCol).distinct().count()
+    if (keys < compactThreshold(spark) && !pendingRollForward) None
     else {
       val family = Seq("", "_del", "_docs", "_stats", "_meta")
         .map(s => (tableName + s).toLowerCase).toSet
@@ -381,8 +609,13 @@ object Bucketing {
       }
       if (offending.nonEmpty)
         throw new IllegalStateException(
-          s"maintainIfAdvised($tableName): compaction is advised " +
-            s"($keys tombstoned keys ≥ ${compactThreshold(spark)}) but " +
+          s"maintainIfAdvised($tableName): compaction is " +
+            (if (pendingRollForward)
+              "pending roll-forward (a crashed compact left a committed " +
+                "staging snapshot) but "
+            else
+              s"advised ($keys tombstoned keys ≥ " +
+                s"${compactThreshold(spark)}) but ") +
             s"${offending.length} live streaming " +
             s"quer${if (offending.length == 1) "y has" else "ies have"} " +
             "this index family in their plan " +

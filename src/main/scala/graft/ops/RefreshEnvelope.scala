@@ -129,6 +129,17 @@ object RefreshEnvelope {
       .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
+  /** Remove `table`'s counter file (r18 — compact-staging cleanup:
+    * staging tables pass through the lifecycle write helpers and so
+    * accumulate counters, which must not outlive the staging itself).
+    * Never called for live index-family tables — deleting a live
+    * counter would rewind guards' envelopes. */
+  private[ops] def clearCounter(spark: SparkSession, table: String): Unit = {
+    val p = counterPath(spark, table)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, false)
+  }
+
   /** The static-table FAMILY of a persisted index — the base table
     * plus every side table the library's probes plan in statically
     * (`_del` tombstones, `_docs` doc lengths, `_stats` additive stats,

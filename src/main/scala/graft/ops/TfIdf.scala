@@ -123,6 +123,9 @@ object TfIdf {
     // retract the doc's additive-stats contribution without scanning
     // the posting table (doc_id is not the bucket key there).
     Bucketing.initTombstones(tf, "doc_id", tableName)
+    // a rebuild supersedes a pending (crashed) append, exactly as it
+    // supersedes a pending compact (r18)
+    clearAppendMarker(docs.sparkSession, tableName)
     Bucketing.writeBucketed(Bucketing.withGen(tf, 0L),
       tableName, "term", tableBuckets)
     Bucketing.writeTable(
@@ -148,14 +151,100 @@ object TfIdf {
   }
 
   /** Extend a [[searchIndexBuild]] table with a new document batch:
-    * postings append per touched bucket (delta-sized), and the stats
-    * table gains one additive (n_docs, total_dl) row — nothing global
-    * is recomputed. Probes against the grown index return exactly what
-    * a from-scratch build over the union would (TfIdfSpec pins it). */
+    * postings append per touched bucket (delta-sized), the `_docs` side
+    * table gains the batch's (doc_id, dl) rows, and the stats table
+    * gains one additive (n_docs, total_dl) row — nothing global is
+    * recomputed. Probes against the grown index return exactly what a
+    * from-scratch build over the union would (TfIdfSpec pins it).
+    *
+    * The three appends are not atomic, so the append is RETRYABLE the
+    * same way [[searchIndexDelete]] is (r18 — single MAINTAINER, not
+    * single ATTEMPT): before anything lands, the batch's digest is
+    * written to a tiny `<table>.__append` MARKER FILE next to the
+    * warehouse tables (temp + atomic rename, the [[RefreshEnvelope]]
+    * counter pattern — a FILE, not a table row, so the append still
+    * makes exactly one write per family table and a running stream's
+    * refresh envelope is untouched), and the additive stats row —
+    * stamped with the same digest in its `del_sig` column — lands
+    * LAST, so its presence means the whole append completed and the
+    * marker clears. The digest is the order-free XOR of
+    * xxhash64(doc_id, generation) over the batch's distinct ids,
+    * GENERATION-SALTED so re-appending the same ids after a delete (the
+    * revival path) reads as a new append, never as a retry of the
+    * original (an id-only digest would silently no-op the revival). A
+    * retry — same batch, marker present, no completed row — probes one
+    * bucket-pruned posting row and one `_docs` row of the batch
+    * (gen-matched, so a revived doc's pre-existing rows cannot
+    * masquerade as this append's; each append is all-or-nothing at job
+    * commit) and performs only the missing appends, converging exactly:
+    * no doubled postings, no double-counted stats. A DIFFERENT append
+    * issued while one is pending, an append under a pending partial
+    * delete (its rows would be stamped with the stale generation and
+    * suppressed when the delete's tombstones land), and a delete or
+    * compact under a pending append all fail loudly instead of
+    * interleaving with the partial state — the loud-fail contract of
+    * the delete's digest-mismatch path. A REBUILD supersedes a pending
+    * append ([[searchIndexBuild]] clears the marker). */
   def searchIndexAppend(newDocs: DataFrame, idCol: String, textCol: String,
-      tableName: String, tableBuckets: Int = 32): Unit = {
-    ensureStatsSchema(newDocs.sparkSession, tableName)
-    val gen = Bucketing.currentGen(newDocs.sparkSession, tableName)
+      tableName: String, tableBuckets: Int = 32): Unit =
+    appendImpl(newDocs, idCol, textCol, tableName, tableBuckets,
+      Int.MaxValue)
+
+  /** [[searchIndexAppend]] with a crash-injection point — package-
+    * visible so LifecycleRecoverySpec can replay every partial-append
+    * state. `failAfter` = persisted steps allowed before the injected
+    * crash: 1 = pending marker only, 2 = + postings, 3 = + `_docs`. */
+  private[graft] def appendImpl(newDocs: DataFrame, idCol: String,
+      textCol: String, tableName: String, tableBuckets: Int,
+      failAfter: Int): Unit = {
+    val spark = newDocs.sparkSession
+    def hook(step: Int): Unit = if (step >= failAfter)
+      throw new IllegalStateException(
+        s"[graft-test] injected crash after append step $step")
+    ensureStatsSchema(spark, tableName)
+    assertNoPendingFamilyCompact(spark, tableName, "searchIndexAppend")
+    val gen = Bucketing.currentGen(spark, tableName)
+    // batch identity: count + order-free gen-salted digest (0 remaps to
+    // 1 — 0 is the legacy-additive-row stamp and must stay
+    // unclaimable; collisions are at the xxhash64 level, the same
+    // accepted risk as the delete's digest)
+    val idAgg = newDocs
+      .select(col(idCol).cast("long").as("doc_id")).distinct()
+      .select(col("doc_id"), xxhash64(col("doc_id"), lit(gen)).as("_h"))
+      .agg(count(lit(1)), coalesce(expr("bit_xor(_h)"), lit(0L)))
+      .first()
+    if (idAgg.getLong(0) == 0L) return // empty batch: nothing to append
+    val digest = { val d = idAgg.getLong(1); if (d == 0L) 1L else d }
+    // the tiny _stats bookkeeping log, one collect: this batch's own
+    // state plus the pending-delete and pending-append guards
+    val book = spark.table(tableName + "_stats")
+      .select("seq", "del_sig").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def completedRow(d: Long) = book.exists(p => p._1 == 0L && p._2 == d)
+    if (completedRow(digest)) {
+      // a finished append's retry: idempotent no-op (clear a marker a
+      // crash between the stats append and the cleanup left behind)
+      clearAppendMarker(spark, tableName)
+      return
+    }
+    if (book.nonEmpty && book.map(_._1).max > gen)
+      throw new IllegalStateException(
+        s"$tableName: a PRIOR delete at sequence ${book.map(_._1).max} " +
+          "left a partial retraction (stats row present, tombstones " +
+          "absent) — retry that delete to completion before appending; " +
+          "rows appended now would carry the stale generation and be " +
+          "suppressed when the delete's tombstones land " +
+          "(single-maintainer contract, see graft.ops.Bucketing)")
+    val marker = pendingAppendDigest(spark, tableName)
+    marker.filter(d => d != digest && !completedRow(d)).foreach { d =>
+      throw new IllegalStateException(
+        s"$tableName: a prior append left a partial state (pending " +
+          s"marker $d without a completed stats row) — retry that " +
+          "append to completion before issuing new ones; interleaving " +
+          "would make both unrecoverable (single-maintainer contract, " +
+          "see graft.ops.Bucketing)")
+    }
+    val begun = marker.contains(digest)
     val tf = Transforms.materialized(
         newDocs.select(col(idCol), col(textCol)), "_tc",
         termCounts(col(textCol)))
@@ -165,17 +254,126 @@ object TfIdf {
         explode(col("_tc")).as("_p"))
       .select(col("_p.term").as("term"), col("doc_id"),
         col("_p.cnt").cast("long").as("cnt"), col("dl"))
-    Bucketing.appendBucketed(Bucketing.withGen(tf, gen),
-      tableName, "term", tableBuckets)
-    Bucketing.appendTable(Bucketing.withGen(
-        newDocs.select(col(idCol).cast("long").as("doc_id"),
-          size(tokens(col(textCol))).cast("long").as("dl")), gen),
-      tableName + "_docs")
+    var landedPostings = false
+    var landedDocs = false
+    if (!begun) {
+      writeAppendMarker(spark, tableName, digest)
+    } else {
+      // RETRY: learn which appends landed — each is all-or-nothing at
+      // job commit, so one gen-matched existence probe per table
+      // decides it. The posting probe key is the batch's minimum
+      // (doc_id, term) posting (bucket-pruned by term); a batch with
+      // zero postings has nothing to double, so its posting append is
+      // vacuously landed.
+      val pr = tf.agg(min(struct(col("doc_id"), col("term")))).first()
+      landedPostings = pr.isNullAt(0) || {
+        val s = pr.getStruct(0)
+        spark.table(tableName)
+          .filter(col("term") === s.getString(1) &&
+            col("doc_id") === s.getLong(0) &&
+            col(Bucketing.GenCol) === gen)
+          .limit(1).count() > 0
+      }
+      val minId = newDocs
+        .agg(min(col(idCol).cast("long"))).first().getLong(0)
+      landedDocs = spark.table(tableName + "_docs")
+        .filter(col("doc_id") === minId && col(Bucketing.GenCol) === gen)
+        .limit(1).count() > 0
+    }
+    hook(1)
+    if (!landedPostings)
+      Bucketing.appendBucketed(Bucketing.withGen(tf, gen),
+        tableName, "term", tableBuckets)
+    hook(2)
+    if (!landedDocs)
+      Bucketing.appendTable(Bucketing.withGen(
+          newDocs.select(col(idCol).cast("long").as("doc_id"),
+            size(tokens(col(textCol))).cast("long").as("dl")), gen),
+        tableName + "_docs")
+    hook(3)
     Bucketing.appendTable(
       newDocs.select(count(lit(1)).as("n_docs"),
         sum(size(tokens(col(textCol)))).cast("long").as("total_dl"),
-        lit(0L).as("seq"), lit(0L).as("del_sig")),
+        lit(0L).as("seq"), lit(digest).as("del_sig")),
       tableName + "_stats")
+    clearAppendMarker(spark, tableName)
+  }
+
+  /** Warehouse path of the pending-append marker file — a FILE, not a
+    * table row, so the marker adds no family-table write (the refresh
+    * envelope of a running stream sees exactly one `_stats` write per
+    * append, as before r18). */
+  private def appendMarkerPath(spark: SparkSession,
+      tableName: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      tableName.toLowerCase + ".__append")
+
+  /** The digest of a pending (begun, not completed) append, if any. */
+  private def pendingAppendDigest(spark: SparkSession,
+      tableName: String): Option[Long] = {
+    val p = appendMarkerPath(spark, tableName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(buf) finally in.close()
+      Some(new String(buf,
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+    } catch { case _: java.io.FileNotFoundException => None }
+  }
+
+  /** Write the pending-append marker via temp + atomic rename (the
+    * [[RefreshEnvelope.recordWrite]] pattern — never torn). */
+  private def writeAppendMarker(spark: SparkSession, tableName: String,
+      digest: Long): Unit = {
+    val p = appendMarkerPath(spark, tableName)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".tmp")
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(tmp, true)
+    try out.write(digest.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Remove the pending-append marker (append completed, or a rebuild
+    * superseded it). */
+  private[graft] def clearAppendMarker(spark: SparkSession,
+      tableName: String): Unit = {
+    val p = appendMarkerPath(spark, tableName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, false)
+  }
+
+  /** The pending partial append of `tableName`, if one exists: marker
+    * file present AND no completed stats row carries its digest. */
+  private def pendingAppend(spark: SparkSession, tableName: String,
+      book: Array[(Long, Long)]): Option[Long] =
+    pendingAppendDigest(spark, tableName)
+      .filterNot(d => book.exists(p => p._1 == 0L && p._2 == d))
+
+  /** Loud guard shared by the BM25 lifecycle writes: refuse while a
+    * crashed [[searchIndexCompact]] has committed staging snapshots
+    * pending roll-forward (writing now would be silently erased when
+    * the staged side tables replace the live ones). */
+  private def assertNoPendingFamilyCompact(spark: SparkSession,
+      tableName: String, op: String): Unit = {
+    Bucketing.assertNoPendingCompact(spark, tableName, op)
+    Seq("_docs", "_stats").foreach { s =>
+      if (Bucketing.stagedProtocol(spark,
+          tableName + "__compact" + s).isDefined)
+        throw new IllegalStateException(
+          s"$op($tableName): a crashed searchIndexCompact left a " +
+            s"committed staging snapshot (${tableName}__compact$s) — " +
+            "roll it forward to completion first by re-running " +
+            "searchIndexCompact, or rebuild the index (which discards " +
+            "the pending compact); writing now would be silently " +
+            "erased when the staged side tables replace the live ones " +
+            "(single-maintainer contract, see graft.ops.Bucketing)")
+    }
   }
 
   /** One-time in-place migration for `_stats` tables persisted before
@@ -188,13 +386,23 @@ object TfIdf {
     * append fails on schema mismatch with no hint at the cause. */
   private def ensureStatsSchema(spark: SparkSession,
       tableName: String): Unit = {
-    val cols = spark.table(tableName + "_stats").columns.toSet
+    val stats = tableName + "_stats"
+    val stg = tableName + "__stats_migr"
+    // recover a migration that crashed between dropping the stats
+    // table and rewriting it: the staged copy is the durable source
+    // (r18 — the pre-r18 rewrite read a block-manager checkpoint, so
+    // that crash destroyed the only copy of the corpus stats)
+    if (!spark.catalog.tableExists(stats) && spark.catalog.tableExists(stg))
+      Bucketing.writeTable(spark.table(stg), stats)
+    val cols = spark.table(stats).columns.toSet
     if (!cols.contains("seq") || !cols.contains("del_sig")) {
-      var df = spark.table(tableName + "_stats")
+      var df = spark.table(stats)
       if (!cols.contains("seq")) df = df.withColumn("seq", lit(0L))
       if (!cols.contains("del_sig")) df = df.withColumn("del_sig", lit(0L))
-      Bucketing.writeTable(df.localCheckpoint(true), tableName + "_stats")
+      Bucketing.writeTable(df, stg) // durable staged copy FIRST
+      Bucketing.writeTable(spark.table(stg), stats)
     }
+    if (spark.catalog.tableExists(stg)) Bucketing.dropStaging(spark, stg)
   }
 
   /** Tombstone RETRACTION for a [[searchIndexBuild]] posting index (r16
@@ -231,6 +439,22 @@ object TfIdf {
   def searchIndexDelete(spark: SparkSession, tableName: String,
       delIds: DataFrame, idCol: String): Unit = {
     ensureStatsSchema(spark, tableName)
+    assertNoPendingFamilyCompact(spark, tableName, "searchIndexDelete")
+    // refuse under a pending partial APPEND (r18): the retraction
+    // measures doc lengths from `_docs`, which the partial append may
+    // not have written yet — deleting its docs now would retract zero
+    // while their postings keep ranking, permanently once the append
+    // completes
+    val bookkeeping = spark.table(tableName + "_stats")
+      .select("seq", "del_sig").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    pendingAppend(spark, tableName, bookkeeping).foreach { d =>
+      throw new IllegalStateException(
+        s"$tableName: a prior append left a partial state (pending " +
+          s"marker $d without a completed stats row) — retry that " +
+          "append to completion before deleting (single-maintainer " +
+          "contract, see graft.ops.Bucketing)")
+    }
     val del = delIds.select(col(idCol).cast("long").as("doc_id"))
       .distinct().localCheckpoint(true)
     val seq = Bucketing.currentGen(spark, tableName) + 1L
@@ -245,9 +469,7 @@ object TfIdf {
     val delSig = del.select(xxhash64(col("doc_id")).as("_h"))
       .agg(coalesce(expr("bit_xor(_h)"), lit(0L)))
       .first().getLong(0)
-    val prior = spark.table(tableName + "_stats")
-      .filter(col("seq") === seq).select("del_sig")
-      .collect().headOption.map(_.getLong(0))
+    val prior = bookkeeping.collectFirst { case (s, d) if s == seq => d }
     prior match {
       case Some(sig) if sig == delSig => () // this delete's retry: applied
       case Some(_) => throw new IllegalStateException(
@@ -275,26 +497,56 @@ object TfIdf {
   }
 
   /** Fold tombstones into the posting base and the `_docs` side table
-    * (both rewritten to live rows — `_docs` FIRST, while the tombstones
-    * still exist), collapse `_stats` to one net row, truncate `_del`.
-    * Probe results unchanged by construction. Returns the live posting
-    * row count. */
+    * (both rewritten to live rows), collapse `_stats` to one net row,
+    * truncate `_del`. Probe results unchanged by construction. Returns
+    * the live posting row count.
+    *
+    * CRASH-CONVERGENT (r18 — the [[Bucketing]] staging protocol,
+    * extended to the family): the live `_docs` rows and the net stats
+    * row are staged DURABLY (while `_del` still exists — liveness needs
+    * the tombstones) before any destructive step, then the base
+    * compacts through [[Bucketing.tombstoneCompact]]'s own staged
+    * protocol, then `_docs` and `_stats` rewrite from the staged files.
+    * A retry after a failure at any point rolls the committed stagings
+    * forward — in particular, the dangling-retraction guard below is
+    * SKIPPED on the roll-forward path: after the base compact truncates
+    * `_del`, the not-yet-collapsed `_stats` rows would read as a
+    * pending delete (seq past the reset generation) and wrongly block
+    * the retry forever. */
   def searchIndexCompact(spark: SparkSession, tableName: String,
-      tableBuckets: Int = 32): Long = {
-    // r18 (r17 ADVICE, medium): a crashed searchIndexDelete leaves a
-    // DANGLING retraction — a _stats row whose seq is past the latest
-    // tombstone sequence (stats land BEFORE tombstones, the retry
-    // handle). Compacting over it would net the retraction into the
-    // collapsed stats row while the docs it retracted stay live
-    // (their tombstones never landed), then reset seq/del_sig to 0 —
-    // permanently and undetectably baking in exactly the corpus-stats
-    // skew the (seq, del_sig) retry machinery exists to prevent. Fail
-    // loudly instead: retry the pending delete to completion first
-    // (same contract as searchIndexDelete's digest-mismatch path).
-    val stats0 = spark.table(tableName + "_stats")
-    if (stats0.columns.contains("seq")) {
-      val pending = stats0
-        .agg(coalesce(max("seq"), lit(0L))).first().getLong(0)
+      tableBuckets: Int = 32): Long =
+    compactImpl(spark, tableName, tableBuckets, Int.MaxValue)
+
+  /** [[searchIndexCompact]] with a crash-injection point — package-
+    * visible so LifecycleRecoverySpec can replay every partial-compact
+    * state. `failAfter` = persisted phases allowed before the injected
+    * crash: 1 = side-table stagings committed, 2 = + base compacted
+    * (`_del` truncated), 3 = + `_docs` rewritten. */
+  private[graft] def compactImpl(spark: SparkSession, tableName: String,
+      tableBuckets: Int, failAfter: Int): Long = {
+    def hook(step: Int): Unit = if (step >= failAfter)
+      throw new IllegalStateException(
+        s"[graft-test] injected crash after compact step $step")
+    val stgDocs = tableName + "__compact_docs"
+    val stgStats = tableName + "__compact_stats"
+    val rolling = Bucketing.stagedProtocol(spark, stgDocs).isDefined &&
+      Bucketing.stagedProtocol(spark, stgStats).isDefined
+    if (!rolling) {
+      ensureStatsSchema(spark, tableName)
+      // r18 (r17 ADVICE, medium): a crashed searchIndexDelete leaves a
+      // DANGLING retraction — a _stats row whose seq is past the latest
+      // tombstone sequence (stats land BEFORE tombstones, the retry
+      // handle). Compacting over it would net the retraction into the
+      // collapsed stats row while the docs it retracted stay live
+      // (their tombstones never landed), then reset seq/del_sig to 0 —
+      // permanently and undetectably baking in exactly the corpus-stats
+      // skew the (seq, del_sig) retry machinery exists to prevent. Fail
+      // loudly instead: retry the pending delete to completion first
+      // (same contract as searchIndexDelete's digest-mismatch path).
+      val book = spark.table(tableName + "_stats")
+        .select("seq", "del_sig").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val pending = if (book.isEmpty) 0L else book.map(_._1).max
       val gen = Bucketing.currentGen(spark, tableName)
       if (pending > gen)
         throw new IllegalStateException(
@@ -305,21 +557,46 @@ object TfIdf {
             "its stats retraction into the collapsed row while the " +
             "retracted docs stay live, skewing every future score " +
             "(single-maintainer contract, see graft.ops.Bucketing)")
-    }
-    val liveDocs = Bucketing.liveViewOf(
-        spark.table(tableName + "_docs"), spark, tableName + "_del",
-        "doc_id")
-      .localCheckpoint(true)
-    val netStats = spark.table(tableName + "_stats")
-      .agg(sum("n_docs").cast("long").as("n_docs"),
-        sum("total_dl").cast("long").as("total_dl"))
-      .withColumn("seq", lit(0L)).withColumn("del_sig", lit(0L))
-      .localCheckpoint(true)
+      // and a pending partial APPEND (marker without a completed row)
+      // must finish first for the same reason: its partial rows would
+      // be compacted in as if complete, baking in the partiality
+      pendingAppend(spark, tableName, book).foreach { d =>
+        throw new IllegalStateException(
+          s"$tableName: a prior append left a partial state (pending " +
+            s"marker $d without a completed stats row) — retry that " +
+            "append to completion before compacting (single-maintainer " +
+            "contract, see graft.ops.Bucketing)")
+      }
+      // stage the side-table rewrites DURABLY while _del still exists
+      // (replaces the pre-r18 block-manager localCheckpoints: a crash
+      // no longer loses the only copy of the live rows)
+      Bucketing.writeTable(
+        Bucketing.withGen(
+          Bucketing.liveViewOf(spark.table(tableName + "_docs"), spark,
+            tableName + "_del", "doc_id"), 0L),
+        stgDocs)
+      Bucketing.commitStaging(spark, stgDocs, "bm25")
+      Bucketing.writeTable(
+        spark.table(tableName + "_stats")
+          .agg(sum("n_docs").cast("long").as("n_docs"),
+            sum("total_dl").cast("long").as("total_dl"))
+          .withColumn("seq", lit(0L)).withColumn("del_sig", lit(0L)),
+        stgStats)
+      Bucketing.commitStaging(spark, stgStats, "bm25")
+    } else System.err.println(
+      s"[graft] $tableName: rolling forward a previously staged " +
+        "searchIndexCompact")
+    hook(1)
     val n = Bucketing.tombstoneCompact(spark, tableName, "doc_id", "term",
       tableBuckets)
-    Bucketing.writeTable(Bucketing.withGen(liveDocs, 0L),
+    hook(2)
+    Bucketing.writeTable(Bucketing.stagingRows(spark, stgDocs),
       tableName + "_docs")
-    Bucketing.writeTable(netStats, tableName + "_stats")
+    hook(3)
+    Bucketing.writeTable(Bucketing.stagingRows(spark, stgStats),
+      tableName + "_stats")
+    Bucketing.dropStaging(spark, stgDocs)
+    Bucketing.dropStaging(spark, stgStats)
     n
   }
 
