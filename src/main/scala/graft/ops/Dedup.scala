@@ -277,16 +277,24 @@ object Dedup {
     */
   def duplicateSpans(docs: DataFrame, textCol: String, idCol: String,
       k: Int): DataFrame = {
-    val t = docs
+    // fanOut: the tokenize+window-hash pass is CPU-heavy and otherwise
+    // runs in as few tasks as the corpus has file splits (r18; no-op at
+    // real scale)
+    val t = graft.core.Transforms.fanOut(
+        docs.select(col(idCol), col(textCol)))
       .select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("_toks"))
       .withColumn("_n", size(col("_toks")))
       .filter(col("_n") >= k)
     // xxhash64 over the token-array SLICE: equality classes are exactly
     // token-sequence equality (tokens cannot contain whitespace), so no
     // string join/concat is ever built.
+    // localCheckpoint: `w` feeds BOTH the first-occurrence election and
+    // the duplicate join — without it the tokenize+hash explode runs
+    // twice (r18; the staged rows are (id, pos, hash) triples, bounded)
     val w = t.select(col(idCol),
       posexplode(transform(sequence(lit(0), col("_n") - k),
         i => xxhash64(slice(col("_toks"), i + 1, lit(k))))).as(Seq("pos", "_wh")))
+      .localCheckpoint()
     val firsts = w.groupBy("_wh")
       .agg(count(lit(1)).as("_c"), min(struct(col(idCol), col("pos"))).as("_w"))
       .filter(col("_c") >= 2)

@@ -760,9 +760,24 @@ object Similarity {
         normed.withColumn("cluster", call_function("graft_centroid_argmax",
           col("_nv"), typedLit(cents.flatten.toIndexedSeq),
           typedLit(centroidBias(cents, cosine).toIndexedSeq)))
+      // Mean update as ONE groupBy(cluster) with dim per-position avg
+      // aggregates (r18 optimization): the previous [[centroids]] call
+      // posexploded every vector to dim rows and paid a second
+      // (cluster, pos)-keyed shuffle per iteration. dim is known here
+      // (the init rows carry it), so the update is one map-side-combined
+      // aggregation of k·dim cells — numerically identical (partial avg
+      // sums accumulate in the same per-partition row order).
+      val dim0 = cents.headOption.map(_.length).getOrElse(0)
+      def meansOf(df: DataFrame): Map[Int, Seq[Double]] =
+        df.groupBy("cluster")
+          .agg(array((0 until dim0).map(i => avg(col("_nv")(i))): _*)
+            .as("centroid"))
+          .collect()
+          .map(r => r.getInt(0) ->
+            (r.getSeq[Double](1).toIndexedSeq: Seq[Double]))
+          .toMap
       for (_ <- 1 to iters) {
-        val next = centroids(assigned, "_nv", "cluster")
-          .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+        val next = meansOf(assigned)
         cents = cents.zipWithIndex.map { case (old, j) => next.getOrElse(j, old) }
       }
       (assigned.drop("_nv"), cents)
@@ -836,14 +851,16 @@ object Similarity {
             typedLit(centroidBias(cents(j), cosine = false).toIndexedSeq))
             .as("cluster"),
           col("_subs")(j).as("v"))): _*)
+        // one groupBy (j, cluster) with `sub` per-position avg aggregates
+        // (r18 optimization — was posexplode to sub× the rows plus a
+        // second (j, cluster, pos)-keyed shuffle and a collect_list
+        // re-sort; numerically identical, see [[kmeans]]' mean update)
         sliced.select(explode(assigns).as("a"))
           .select(col("a.j").as("j"), col("a.cluster").as("cluster"),
-            posexplode(col("a.v")).as(Seq("_pos", "_v")))
-          .groupBy("j", "cluster", "_pos").agg(avg("_v").as("_m"))
+            col("a.v").as("v"))
           .groupBy("j", "cluster")
-          .agg(transform(
-            array_sort(collect_list(struct(col("_pos"), col("_m")))),
-            p => p("_m")).as("centroid"))
+          .agg(array((0 until sub).map(i => avg(col("v")(i))): _*)
+            .as("centroid"))
           .collect()
           .map(r => (r.getInt(0), r.getInt(1)) ->
             (r.getSeq[Double](2).toIndexedSeq: Seq[Double]))
@@ -876,17 +893,20 @@ object Similarity {
     val m = codebooks.length
     val dim = codebooks.map(_.head.length).sum
     val sub = dim / m
+    // per-subspace argmin-L2 codeword via the [[graft.functions.
+    // CentroidArgmax]] codegen kernel (r18 optimization): identical
+    // semantics to the HOF array_max formulation it replaces — argmax of
+    // (dot − |c|²/2) with ties to the lower index, the bit-equality
+    // DedupSimilaritySpec pins for the kmeans assignment — but a
+    // constant-size plan node per subspace instead of an O(k) expression
+    // tree (the m=16, k=32 encode expression dominated plan/codegen time
+    // in the IVFADC build).
     def code(j: Int): Column = {
       val cb = codebooks(j)
-      val cbLit = typedLit(cb.map(_.toIndexedSeq).toIndexedSeq)
-      val halfSq = typedLit(cb.map(c => c.map(x => x * x).sum / 2).toIndexedSeq)
       val subV = transform(slice(col(vecCol), j * sub + 1, sub), _.cast("double"))
-      val scored = zip_with(cbLit, sequence(lit(0), lit(cb.length - 1)),
-        (c, i) => struct(
-          (aggregate(zip_with(subV, c, (x, y) => x * y),
-            lit(0.0), (a, x) => a + x) - element_at(halfSq, i + 1)).as("s"),
-          (lit(0) - i).as("ni")))
-      (lit(0) - array_max(scored).getField("ni")).cast("int")
+      call_function("graft_centroid_argmax", subV,
+        typedLit(cb.flatten.toIndexedSeq),
+        typedLit(centroidBias(cb, cosine = false).toIndexedSeq))
     }
     df.withColumn("pq_code", array((0 until m).map(code): _*))
   }

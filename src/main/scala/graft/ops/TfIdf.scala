@@ -107,47 +107,57 @@ object TfIdf {
     * totals is EXACT (order-free), and appends just add a row. */
   def searchIndexBuild(docs: DataFrame, idCol: String, textCol: String,
       tableName: String, tableBuckets: Int = 32): Unit = {
-    val tf = Transforms.materialized(
+    // ONE termCounts pass over the corpus (r18 optimization — the
+    // postings, `_docs`, and `_stats` writes each re-tokenized the full
+    // corpus before; guide §1.2 "don't compute things you throw away"):
+    // the per-doc (doc_id, dl, _tc) projection is persisted once and
+    // all three tables derive from it. dl ≡ size(tokens(text)) because
+    // termCounts' cnt values sum to the token count by construction.
+    val perDoc = Transforms.materialized(
         docs.select(col(idCol), col(textCol)), "_tc",
         termCounts(col(textCol)))
       .select(col(idCol).cast("long").as("doc_id"),
         aggregate(col("_tc"), lit(0L), (a, p) => a + p.getField("cnt"))
           .as("dl"),
-        explode(col("_tc")).as("_p"))
-      .select(col("_p.term").as("term"), col("doc_id"),
-        col("_p.cnt").cast("long").as("cnt"), col("dl"))
-    // empty tombstone table up front (Bucketing.initTombstones): the
-    // posting index joins the persisted family's retraction lifecycle,
-    // keyed by doc_id. The `_docs` side table (one (doc_id, dl) row per
-    // doc, filtered through the SAME tombstones) exists so a delete can
-    // retract the doc's additive-stats contribution without scanning
-    // the posting table (doc_id is not the bucket key there).
-    Bucketing.initTombstones(tf, "doc_id", tableName)
-    // a rebuild supersedes a pending (crashed) append, exactly as it
-    // supersedes a pending compact (r18)
-    clearAppendMarker(docs.sparkSession, tableName)
-    Bucketing.writeBucketed(Bucketing.withGen(tf, 0L),
-      tableName, "term", tableBuckets)
-    Bucketing.writeTable(
-      Bucketing.withGen(
-        docs.select(col(idCol).cast("long").as("doc_id"),
-          size(tokens(col(textCol))).cast("long").as("dl")), 0L),
-      tableName + "_docs")
-    // stats rows carry (seq, del_sig) bookkeeping: seq is 0 for additive
-    // contributions (build/append/compact) and the DELETE SEQUENCE for
-    // retraction rows; del_sig is the deleted id-set's order-free digest
-    // (XOR of per-id xxhash64, 0 for additive rows). Together they are
-    // the retry-detection stamp [[searchIndexDelete]] checks: seq says
-    // "a retraction at this sequence exists", del_sig says it was THIS
-    // delete's (a different id set at the same sequence — an abandoned
-    // partial delete followed by a new one — fails loudly instead of
-    // silently skipping the new retraction). Delete seqs are ≥ 1, so
-    // additive rows can never shadow a retraction.
-    Bucketing.writeTable(
-      docs.select(count(lit(1)).as("n_docs"),
-        sum(size(tokens(col(textCol)))).cast("long").as("total_dl"),
-        lit(0L).as("seq"), lit(0L).as("del_sig")),
-      tableName + "_stats")
+        col("_tc"))
+      .persist()
+    try {
+      val tf = perDoc
+        .select(col("doc_id"), col("dl"), explode(col("_tc")).as("_p"))
+        .select(col("_p.term").as("term"), col("doc_id"),
+          col("_p.cnt").cast("long").as("cnt"), col("dl"))
+      // empty tombstone table up front (Bucketing.initTombstones): the
+      // posting index joins the persisted family's retraction lifecycle,
+      // keyed by doc_id. The `_docs` side table (one (doc_id, dl) row per
+      // doc, filtered through the SAME tombstones) exists so a delete can
+      // retract the doc's additive-stats contribution without scanning
+      // the posting table (doc_id is not the bucket key there).
+      Bucketing.initTombstones(tf, "doc_id", tableName)
+      // a rebuild supersedes a pending (crashed) append, exactly as it
+      // supersedes a pending compact (r18)
+      clearAppendMarker(docs.sparkSession, tableName)
+      Bucketing.writeBucketed(Bucketing.withGen(tf, 0L),
+        tableName, "term", tableBuckets)
+      Bucketing.writeTable(
+        Bucketing.withGen(perDoc.select(col("doc_id"), col("dl")), 0L),
+        tableName + "_docs")
+      // stats rows carry (seq, del_sig) bookkeeping: seq is 0 for additive
+      // contributions (build/append/compact) and the DELETE SEQUENCE for
+      // retraction rows; del_sig is the deleted id-set's order-free digest
+      // (XOR of per-id xxhash64, 0 for additive rows). Together they are
+      // the retry-detection stamp [[searchIndexDelete]] checks: seq says
+      // "a retraction at this sequence exists", del_sig says it was THIS
+      // delete's (a different id set at the same sequence — an abandoned
+      // partial delete followed by a new one — fails loudly instead of
+      // silently skipping the new retraction). Delete seqs are ≥ 1, so
+      // additive rows can never shadow a retraction.
+      Bucketing.writeTable(
+        perDoc.agg(count(lit(1)).as("n_docs"),
+          sum("dl").cast("long").as("total_dl"))
+          .select(col("n_docs"), col("total_dl"),
+            lit(0L).as("seq"), lit(0L).as("del_sig")),
+        tableName + "_stats")
+    } finally perDoc.unpersist()
   }
 
   /** Extend a [[searchIndexBuild]] table with a new document batch:
@@ -204,12 +214,25 @@ object TfIdf {
     ensureStatsSchema(spark, tableName)
     assertNoPendingFamilyCompact(spark, tableName, "searchIndexAppend")
     val gen = Bucketing.currentGen(spark, tableName)
+    // ONE termCounts pass over the batch (r18 optimization — the batch
+    // digest, postings, `_docs`, and `_stats` appends each re-scanned
+    // and re-tokenized it before): the per-doc (doc_id, dl, _tc)
+    // projection is persisted once and everything derives from it.
+    val perDoc = Transforms.materialized(
+        newDocs.select(col(idCol), col(textCol)), "_tc",
+        termCounts(col(textCol)))
+      .select(col(idCol).cast("long").as("doc_id"),
+        aggregate(col("_tc"), lit(0L), (a, p) => a + p.getField("cnt"))
+          .as("dl"),
+        col("_tc"))
+      .persist()
+    try {
     // batch identity: count + order-free gen-salted digest (0 remaps to
     // 1 — 0 is the legacy-additive-row stamp and must stay
     // unclaimable; collisions are at the xxhash64 level, the same
     // accepted risk as the delete's digest)
-    val idAgg = newDocs
-      .select(col(idCol).cast("long").as("doc_id")).distinct()
+    val idAgg = perDoc
+      .select(col("doc_id")).distinct()
       .select(col("doc_id"), xxhash64(col("doc_id"), lit(gen)).as("_h"))
       .agg(count(lit(1)), coalesce(expr("bit_xor(_h)"), lit(0L)))
       .first()
@@ -245,13 +268,8 @@ object TfIdf {
           "see graft.ops.Bucketing)")
     }
     val begun = marker.contains(digest)
-    val tf = Transforms.materialized(
-        newDocs.select(col(idCol), col(textCol)), "_tc",
-        termCounts(col(textCol)))
-      .select(col(idCol).cast("long").as("doc_id"),
-        aggregate(col("_tc"), lit(0L), (a, p) => a + p.getField("cnt"))
-          .as("dl"),
-        explode(col("_tc")).as("_p"))
+    val tf = perDoc
+      .select(col("doc_id"), col("dl"), explode(col("_tc")).as("_p"))
       .select(col("_p.term").as("term"), col("doc_id"),
         col("_p.cnt").cast("long").as("cnt"), col("dl"))
     var landedPostings = false
@@ -274,8 +292,8 @@ object TfIdf {
             col(Bucketing.GenCol) === gen)
           .limit(1).count() > 0
       }
-      val minId = newDocs
-        .agg(min(col(idCol).cast("long"))).first().getLong(0)
+      val minId = perDoc
+        .agg(min(col("doc_id"))).first().getLong(0)
       landedDocs = spark.table(tableName + "_docs")
         .filter(col("doc_id") === minId && col(Bucketing.GenCol) === gen)
         .limit(1).count() > 0
@@ -287,16 +305,17 @@ object TfIdf {
     hook(2)
     if (!landedDocs)
       Bucketing.appendTable(Bucketing.withGen(
-          newDocs.select(col(idCol).cast("long").as("doc_id"),
-            size(tokens(col(textCol))).cast("long").as("dl")), gen),
+          perDoc.select(col("doc_id"), col("dl")), gen),
         tableName + "_docs")
     hook(3)
     Bucketing.appendTable(
-      newDocs.select(count(lit(1)).as("n_docs"),
-        sum(size(tokens(col(textCol)))).cast("long").as("total_dl"),
-        lit(0L).as("seq"), lit(digest).as("del_sig")),
+      perDoc.agg(count(lit(1)).as("n_docs"),
+        sum("dl").cast("long").as("total_dl"))
+        .select(col("n_docs"), col("total_dl"),
+          lit(0L).as("seq"), lit(digest).as("del_sig")),
       tableName + "_stats")
     clearAppendMarker(spark, tableName)
+    } finally perDoc.unpersist()
   }
 
   /** Warehouse path of the pending-append marker file — a FILE, not a

@@ -20,6 +20,18 @@ import org.apache.spark.sql.functions._
 object LlmQueries {
   private type Q = (SparkSession, String) => DataFrame
 
+  /** Fan a small scan out to the session's parallelism BEFORE a
+    * CPU-heavy per-row codec/synthesis pass (r18 optimization, guide
+    * §2.5 input parallelism): the bench corpora are single-row-group
+    * parquet files, so without this every decode/fingerprint UDF pass
+    * runs in ONE scan task however many cores the session has.
+    * [[graft.core.Transforms.fanOut]] is a no-op when the scan already
+    * has enough splits, so at real scale no shuffle is introduced —
+    * and it is applied BELOW the payload-synthesis projection, so only
+    * the tiny id/text columns ever cross the exchange. */
+  private def fanned(df: DataFrame): DataFrame =
+    graft.core.Transforms.fanOut(df)
+
   // q_blocklist_match's term dictionary: all patterns border-free (no
   // proper prefix that is also a suffix), so every-occurrence AC counts
   // equal non-overlapping replace counts — the oracle relies on it.
@@ -1855,7 +1867,7 @@ object LlmQueries {
     // SQL); the Spark plumbing (schema, UDF batch shape, explode) is the
     // real surface, and MultimodalSpec pins the per-row semantics.
     "q_multimodal_decode" -> ((s, d) => {
-      val media = Tables.documents(s, d)
+      val media = fanned(Tables.documents(s, d))
         .select(col("doc_id").as("media_id"),
           col("text").cast("binary").as("payload"), col("source").as("mime"))
       val decoded = Multimodal.resize(Multimodal.decodeMeta(media), 640, 480)
@@ -1872,7 +1884,7 @@ object LlmQueries {
     // One narrow UDF explode per media row, no shuffle before the
     // per-mime aggregate
     "q_multimodal_audio" -> ((s, d) => {
-      val media = Tables.documents(s, d).filter(col("doc_id") < 300)
+      val media = fanned(Tables.documents(s, d).filter(col("doc_id") < 300))
         .select(col("doc_id").as("media_id"),
           col("text").cast("binary").as("payload"), col("source").as("mime"))
       Multimodal.audioWindows(media, window = 16)
@@ -1892,7 +1904,7 @@ object LlmQueries {
     // itself (arbitrary layouts, corruption) is pinned in MultimodalSpec.
     "q_wav_decode" -> ((s, d) => {
       val wavUdf = udf((seed: Long) => Codecs.synthWav(seed))
-      val media = Tables.documents(s, d).filter(col("doc_id") < 400)
+      val media = fanned(Tables.documents(s, d).filter(col("doc_id") < 400))
         .select(col("doc_id").as("media_id"), wavUdf(col("doc_id")).as("payload"))
       Multimodal.wavSignalStats(Multimodal.decodeWavMeta(media))
         .groupBy(col("wav_meta.sample_rate").cast("long").as("sample_rate"))
@@ -1910,7 +1922,7 @@ object LlmQueries {
     // rows in display order through the offset/stride math)
     "q_bmp_decode" -> ((s, d) => {
       val bmpUdf = udf((seed: Long) => Codecs.synthBmp(seed))
-      val media = Tables.documents(s, d).filter(col("doc_id") < 300)
+      val media = fanned(Tables.documents(s, d).filter(col("doc_id") < 300))
         .select(col("doc_id").as("media_id"), bmpUdf(col("doc_id")).as("payload"))
       Multimodal.decodeBmpMeta(media)
         .groupBy(col("bmp_meta.width").cast("long").as("width"))
@@ -1950,7 +1962,7 @@ object LlmQueries {
     // bit-replayable in the oracle.
     "q_image_knn" -> ((s, d) => {
       val bmpUdf = udf((id: Long) => Codecs.synthBmpNear(id / 2, (id % 2).toInt * 128))
-      val media = Tables.documents(s, d) // r14: corpus scales with the table
+      val media = fanned(Tables.documents(s, d)) // r14: corpus scales with the table
         .select(col("doc_id").as("media_id"), bmpUdf(col("doc_id")).as("payload"))
       val feats = Multimodal.imageFeatures(media)
       Similarity.bruteForceTopK(feats.filter(col("id") < 10), feats,
@@ -1966,7 +1978,7 @@ object LlmQueries {
     // output dims and the exact box-mean pixel sums
     "q_image_resize" -> ((s, d) => {
       val bmpUdf = udf((seed: Long) => Codecs.synthBmpNear(seed, 0))
-      val media = Tables.documents(s, d).filter(col("doc_id") < 300)
+      val media = fanned(Tables.documents(s, d).filter(col("doc_id") < 300))
         .select(col("doc_id").as("media_id"), bmpUdf(col("doc_id")).as("payload"))
       val resized = Multimodal.resizeImages(media, factor = 2)
         .select(col("media_id"), col("payload_resized").as("payload"))
@@ -1985,7 +1997,7 @@ object LlmQueries {
     // integer so the DuckDB twin replays decode(encode(seed)) exactly
     "q_avi_decode" -> ((s, d) => {
       val aviUdf = udf((seed: Long) => Codecs.synthAviNear(seed, 0))
-      val media = Tables.documents(s, d).filter(col("doc_id") < 300)
+      val media = fanned(Tables.documents(s, d).filter(col("doc_id") < 300))
         .select(col("doc_id").as("media_id"), aviUdf(col("doc_id")).as("payload"))
       Multimodal.decodeAviMeta(media)
         .groupBy(col("avi_meta.n_frames").cast("long").as("n_frames"))
@@ -2043,7 +2055,7 @@ object LlmQueries {
       val bmpUdf = udf((id: Long) => Codecs.synthBmpNear(id, 0))
       val aviUdf = udf((id: Long) => Codecs.synthAviNear(
         if (id % 3 == 0) id else 500000L + id % 200000L, (id % 2).toInt * 128))
-      val docs = Tables.documents(s, d)
+      val docs = fanned(Tables.documents(s, d))
       val images = docs
         .select(col("doc_id").as("media_id"), bmpUdf(col("doc_id")).as("payload"))
       val videos = docs
@@ -2072,7 +2084,7 @@ object LlmQueries {
       val aviUdf = udf((id: Long) => Codecs.synthAviNearAt(
         if (id % 3 == 0) id else 500000L + id % 200000L,
         (id % 2).toInt * 128, ((id / 3) % 8).toInt))
-      val docs = Tables.documents(s, d)
+      val docs = fanned(Tables.documents(s, d))
       val images = docs
         .select(col("doc_id").as("media_id"), bmpUdf(col("doc_id")).as("payload"))
       val videos = docs
@@ -2088,7 +2100,7 @@ object LlmQueries {
     }),
 
     "q_multimodal_frames" -> ((s, d) => {
-      val media = Tables.documents(s, d).filter(col("doc_id") < 200)
+      val media = fanned(Tables.documents(s, d).filter(col("doc_id") < 200))
         .select(col("doc_id").as("media_id"),
           col("text").cast("binary").as("payload"), col("source").as("mime"))
       val feats = Multimodal.extractFeatures(
