@@ -18,7 +18,7 @@ object LinkProf {
       r
     }
     val cust = Tables.customer(spark, d)
-    def dirty = {
+    val dirty = {
       val p = (lit(10) + col("c_custkey") % 9).cast("int")
       val del = concat(substr(col("c_name"), lit(1), p - 1),
         substr(col("c_name"), p + 1, lit(18) - p))
@@ -37,6 +37,37 @@ object LinkProf {
       }
       t("pairs exec (cand+verify+dist)") {
         pairs.write.format("noop").mode("overwrite").save()
+      }
+      // stage-by-stage attribution of the candidate pipeline
+      val dd = dirty.select(col("src_key").as("d_id"), col("d_s"))
+      val cc = cust.select(col("c_custkey").as("c_id"), col("c_name").as("c_s"))
+      def sample(df: org.apache.spark.sql.DataFrame, name: String): Seq[String] = {
+        val total = df.count()
+        val m = math.max(1L, total / 8192)
+        df.select(col(name)).filter(col(name).isNotNull)
+          .filter(pmod(xxhash64(col(name)), lit(m)) === 0)
+          .limit(4 * 8192).collect().map(_.getString(0)).toIndexedSeq
+      }
+      val bounds = t("sampling+DP only") {
+        graft.ops.Linkage.chooseSegmentation(
+          sample(cc, "c_s"), sample(dd, "d_s"), 2)
+      }
+      t("dSeg explode only") {
+        graft.ops.Linkage.dirtySegKeys(dd, 2, bounds)
+          .write.format("noop").mode("overwrite").save()
+      }
+      t("cSeg explode only") {
+        graft.ops.Linkage.cleanSegKeys(cc, 2, bounds)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val cand = graft.ops.Linkage.segmentCandidates(dd, cc, 2, bounds)
+      t("cand join (even seg!) noop") {
+        cand.write.format("noop").mode("overwrite").save()
+      }
+      t("cand+verify noop") {
+        cand.withColumn("dist", levenshtein(col("d_s"), col("c_s"), 2))
+          .filter(col("dist") =!= -1)
+          .write.format("noop").mode("overwrite").save()
       }
       t("full q_fuzzy_link2 exec") {
         val per = pairs.groupBy("d_id")

@@ -59,7 +59,12 @@ object Linkage {
   def editJoin1(dirty: DataFrame, dId: String, dStr: String,
       clean: DataFrame, cId: String, cStr: String,
       headLen: Int, tailLen: Int): DataFrame = {
-    val d = dirty.select(col(dId).as("d_id"), col(dStr).as("d_s"))
+    // fanOut (r18): the naive leg below is a broadcast nested-loop join
+    // that parallelizes over the DIRTY side's partitions — a single-split
+    // dirty scan serializes the whole pair verify onto one task (measured
+    // 98 s at sf0.1 when every dirty string fell below headLen+tailLen)
+    val d = graft.core.Transforms.fanOut(
+      dirty.select(col(dId).as("d_id"), col(dStr).as("d_s")))
     val c = clean.select(col(cId).as("c_id"), col(cStr).as("c_s"))
     val minLen = headLen + tailLen
     val dLong = d.filter(length(col("d_s")) >= minLen)
@@ -75,12 +80,23 @@ object Linkage {
     val short = d.filter(length(col("d_s")) <= minLen)
       .join(broadcast(c.filter(length(col("c_s")) <= minLen)),
         abs(length(col("d_s")) - length(col("c_s"))) <= 1)
-    byHead.select("d_id", "d_s", "c_id", "c_s")
-      .unionByName(byTail.select("d_id", "d_s", "c_id", "c_s"))
-      .unionByName(short.select("d_id", "d_s", "c_id", "c_s"))
+    // Verify INSIDE each leg's join stage, then distinct the SURVIVORS
+    // (r18 — the same order [[editJoin]] adopted in r14): the naive
+    // leg's pair blow-up otherwise exists as real shuffled rows in the
+    // pair-distinct, where it should only ever exist inside the join
+    // tasks that the verify immediately collapses. The banded threshold
+    // levenshtein is O(τ·len) per pair instead of the full O(len²) DP;
+    // dist values are identical for every surviving pair (-1 encodes
+    // "past τ", exactly the rows the old post-distinct filter cut), and
+    // dist is a pure function of (d_s, c_s), so distinct-after-verify ≡
+    // verify-after-distinct row for row.
+    def verified(legs: DataFrame): DataFrame = legs
+      .withColumn("dist", levenshtein(col("d_s"), col("c_s"), 1))
+      .filter(col("dist") =!= -1)
+    verified(byHead.select("d_id", "d_s", "c_id", "c_s"))
+      .unionByName(verified(byTail.select("d_id", "d_s", "c_id", "c_s")))
+      .unionByName(verified(short.select("d_id", "d_s", "c_id", "c_s")))
       .distinct()
-      .withColumn("dist", levenshtein(col("d_s"), col("c_s")))
-      .filter(col("dist") <= 1)
   }
 
   /** General τ ≥ 1 edit-distance join: every (dirty, clean) pair within
@@ -136,7 +152,14 @@ object Linkage {
       adaptiveSample: Int): DataFrame = {
     require(tau >= 1, s"tau must be >= 1, got $tau")
     val nseg = tau + 1
-    val d = dirty.select(col(dId).as("d_id"), col(dStr).as("d_s"))
+    // fanOut (r18): [[dirtySegKeys]]' ±τ-window key generation is the
+    // single most expensive per-row expression in the engine (~75
+    // substring keys built, deduped and exploded per row at τ = 2) and
+    // runs BELOW the candidate repartition, i.e. in however few tasks
+    // the dirty scan has. Spread it across the session's parallelism —
+    // a no-op when the scan already has enough splits.
+    val d = graft.core.Transforms.fanOut(
+      dirty.select(col(dId).as("d_id"), col(dStr).as("d_s")))
     val c = clean.select(col(cId).as("c_id"), col(cStr).as("c_s"))
     val bounds: Map[Int, Seq[Int]] =
       if (adaptiveSample <= 0) Map.empty
@@ -271,7 +294,10 @@ object Linkage {
     // coalescing; the SMJ reuses the partitioning, so there is no extra
     // exchange) and pin the merge strategy so the plan is identical at
     // every scale.
-    val parts = d.sparkSession.sparkContext.defaultParallelism * 8
+    val factor = d.sparkSession.conf
+      .getOption("spark.graft.linkage.candidatePartsFactor")
+      .map(_.toInt).getOrElse(8)
+    val parts = d.sparkSession.sparkContext.defaultParallelism * factor
     dSeg.repartition(parts, col("k")).hint("shuffle_merge")
       .join(cSeg.repartition(parts, col("k")), Seq("k"))
       .select("d_id", "d_s", "c_id", "c_s")
@@ -448,7 +474,10 @@ object Linkage {
       tableName: String,
       dirty: DataFrame, dId: String, dStr: String): DataFrame = {
     val (tau, bounds) = readEditIndexMeta(spark, tableName)
-    val d = dirty.select(col(dId).as("d_id"), col(dStr).as("d_s"))
+    // fanOut: same ±τ-window key-generation hot spot as [[editJoin]] —
+    // the probe batch is the only side that computes keys here (r18)
+    val d = graft.core.Transforms.fanOut(
+      dirty.select(col(dId).as("d_id"), col(dStr).as("d_s")))
     val idx = Bucketing.liveView(spark, tableName, "c_id")
     val dSeg = dirtySegKeys(d, tau, bounds)
       .select(col("d_id"), col("d_s"),
