@@ -61,6 +61,7 @@ object LinkProf {
           .write.format("noop").mode("overwrite").save()
       }
       val cand = graft.ops.Linkage.segmentCandidates(dd, cc, 2, bounds)
+      t("cand count") { println("  n_cand=" + cand.count()) }
       t("cand join (even seg!) noop") {
         cand.write.format("noop").mode("overwrite").save()
       }
