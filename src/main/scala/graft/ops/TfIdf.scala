@@ -788,10 +788,16 @@ object TfIdf {
   private def trigramPostings(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val n = length(col(textCol))
-    docs.select(col(idCol).cast("long").as("doc_id"),
-      explode(when(n < 3, array().cast("array<string>"))
-        .otherwise(array_distinct(transform(sequence(lit(1), n - 2),
-          i => col(textCol).substr(i, lit(3)))))).as("tg"))
+    // fanOut (r18): the per-row trigram explode multiplies each document
+    // to ~|text| posting rows and feeds the bucketed write directly —
+    // on a single-split scan the whole explode AND the write ran in one
+    // task (measured 4 s at sf0.1 in q_fuzzy_match's build). No-op at
+    // real scale.
+    Transforms.fanOut(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(when(n < 3, array().cast("array<string>"))
+          .otherwise(array_distinct(transform(sequence(lit(1), n - 2),
+            i => col(textCol).substr(i, lit(3)))))).as("tg"))
   }
 
   /** Append a new document batch to a [[trigramIndexBuild]] table —
