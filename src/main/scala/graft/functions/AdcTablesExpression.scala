@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** One-pass ADC table kernel: the per-query m×k_j lookup tables of a
+  * product-quantization probe — element j of the outer array is
+  * subspace j's table, entry c the squared L2 distance (or, in dot
+  * mode, the partial dot product) from the query's j-th subvector to
+  * codeword c. Exactly the HOF formulation it replaces
+  * (`transform(cbLit, c -> aggregate(zip_with(subV, c, …), 0.0, +))`
+  * per subspace in [[graft.ops.Similarity]]).
+  *
+  * Why a native expression (r18 verdict item 2): the HOF form carries
+  * one zip_with/aggregate tree PER SUBSPACE with the full codebook as
+  * an O(k·sub) array literal — plan size and per-row lambda machinery
+  * grow with m·k. Here the codebooks ride as ONE flat double[] codegen
+  * reference object and the whole m×k×sub table is one loop nest per
+  * row.
+  *
+  * Bit-fidelity with the HOF form (DedupSimilaritySpec pins it):
+  *   - left-to-right double accumulation from 0.0, (x−y)·(x−y) resp.
+  *     x·y per element — the same IEEE op sequence as the fold;
+  *   - a subvector that is incomplete (vector shorter than
+  *     (j+1)·sub) or contains a null element yields a NULL table entry
+  *     for every codeword of that subspace (the zip_with null pad
+  *     nulls the fold);
+  *   - per-subspace codeword counts k_j may differ (pqTrain drops
+  *     empty clusters) — inner array lengths match the codebooks.
+  * A NULL input vector yields NULL (the HOF yields m arrays of nulls;
+  * every consumer is an `element_at` chain that maps both to the same
+  * NULL distance, and the table column never escapes the query).
+  */
+object AdcTablesKernel {
+  /** `flat` is the j-major concatenation of all codewords; `offs(j)` is
+    * the flat start of subspace j's codebook, `ks(j)` its codeword
+    * count, `sub` the codeword length. */
+  def eval(v: ArrayData, flat: Array[Double], ks: Array[Int],
+      offs: Array[Int], sub: Int, squared: Boolean): ArrayData = {
+    val m = ks.length
+    val n = v.numElements()
+    val outer = new Array[AnyRef](m)
+    val x = new Array[Double](sub)
+    var j = 0
+    while (j < m) {
+      val base = j * sub
+      val inner = new Array[AnyRef](ks(j))
+      var complete = n >= base + sub
+      var i = 0
+      while (complete && i < sub) {
+        if (v.isNullAt(base + i)) complete = false
+        else x(i) = v.getDouble(base + i)
+        i += 1
+      }
+      if (complete) {
+        var c = 0
+        while (c < ks(j)) {
+          val cbase = offs(j) + c * sub
+          var acc = 0.0
+          var p = 0
+          if (squared) {
+            while (p < sub) {
+              val d = x(p) - flat(cbase + p)
+              acc += d * d
+              p += 1
+            }
+          } else {
+            while (p < sub) {
+              acc += x(p) * flat(cbase + p)
+              p += 1
+            }
+          }
+          inner(c) = java.lang.Double.valueOf(acc)
+          c += 1
+        }
+      }
+      outer(j) = new GenericArrayData(inner)
+      j += 1
+    }
+    new GenericArrayData(outer)
+  }
+}
+
+/** graft_adc_tables(v, flatCodebooks, ks, sub, squared): the per-query
+  * ADC lookup tables against literal PQ codebooks — `array<array<double>>`,
+  * outer length m = |ks|, inner length ks(j). Codebooks arrive as one
+  * flat array<double> literal (unpacked into a codegen reference
+  * object), so the plan stays constant-size however large m·k grows. */
+case class AdcTables(child: Expression, flat: Array[Double],
+    ks: Array[Int], sub: Int, squared: Boolean)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(sub > 0, s"sub must be positive, got $sub")
+  require(flat.length == ks.map(_ * sub).sum,
+    s"flat codebook length ${flat.length} != Σ k_j·sub = ${ks.map(_ * sub).sum}")
+
+  private val offs: Array[Int] = ks.scanLeft(0)(_ + _ * sub).init
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = true), containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_adc_tables"
+
+  override def nullSafeEval(input: Any): Any =
+    AdcTablesKernel.eval(input.asInstanceOf[ArrayData], flat, ks, offs,
+      sub, squared)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("flat", flat, "double[]")
+    val ksRef = ctx.addReferenceObj("ks", ks, "int[]")
+    val offsRef = ctx.addReferenceObj("offs", offs, "int[]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.AdcTablesKernel.eval($v, $flatRef, $ksRef, " +
+        s"$offsRef, $sub, $squared)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AdcTables =
+    copy(child = newChild)
+
+  // Array-valued fields would make default equals reference-based; plans
+  // with re-derived (equal) codebooks must still compare/canonicalize equal
+  override def equals(other: Any): Boolean = other match {
+    case a: AdcTables => child == a.child && sub == a.sub &&
+      squared == a.squared && java.util.Arrays.equals(flat, a.flat) &&
+      java.util.Arrays.equals(ks, a.ks)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, java.util.Arrays.hashCode(flat),
+      java.util.Arrays.hashCode(ks), Integer.valueOf(sub),
+      java.lang.Boolean.valueOf(squared))
+}

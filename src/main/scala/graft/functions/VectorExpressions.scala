@@ -502,5 +502,55 @@ object VectorExpressions {
         }
         ShingleSketch(children(0), intLit(1), intLit(2))
       }))
+    e.injectFunction(desc("graft_seg_keys", classOf[SegKeys],
+      (children: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.sql.catalyst.util.MapData
+        import org.apache.spark.sql.types.{IntegerType, MapType}
+        val tau = children(1) match {
+          case Literal(v, _) if v != null => v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_seg_keys arg 2 must be an int literal, got $other")
+        }
+        val bounds: Map[Int, IndexedSeq[Int]] = children(2) match {
+          case Literal(m: MapData, MapType(IntegerType, ArrayType(IntegerType, _), _)) =>
+            val keys = m.keyArray().toIntArray()
+            val vals = m.valueArray()
+            keys.indices.map(i =>
+              keys(i) -> vals.getArray(i).toIntArray().toIndexedSeq).toMap
+          case Literal(null, _) => Map.empty
+          case other => throw new IllegalArgumentException(
+            s"graft_seg_keys arg 3 must be a map<int,array<int>> literal, got $other")
+        }
+        SegKeys(children(0), tau, bounds)
+      }))
+    e.injectFunction(desc("graft_adc_tables", classOf[AdcTables],
+      (children: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.sql.types.IntegerType
+        def arrLit(i: Int): Array[Double] = children(i) match {
+          case Literal(v, ArrayType(DoubleType, _)) =>
+            v.asInstanceOf[ArrayData].toDoubleArray()
+          case other => throw new IllegalArgumentException(
+            s"graft_adc_tables arg ${i + 1} must be an array<double> literal, got $other")
+        }
+        def intArrLit(i: Int): Array[Int] = children(i) match {
+          case Literal(v, ArrayType(IntegerType, _)) =>
+            v.asInstanceOf[ArrayData].toIntArray()
+          case other => throw new IllegalArgumentException(
+            s"graft_adc_tables arg ${i + 1} must be an array<int> literal, got $other")
+        }
+        def intLit(i: Int): Int = children(i) match {
+          case Literal(v, _) if v != null => v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_adc_tables arg ${i + 1} must be an int literal, got $other")
+        }
+        def boolLit(i: Int): Boolean = children(i) match {
+          case Literal(v, _) if v != null => v.toString.toBoolean
+          case other => throw new IllegalArgumentException(
+            s"graft_adc_tables arg ${i + 1} must be a boolean literal, got $other")
+        }
+        AdcTables(children(0), arrLit(1), intArrLit(2), intLit(3), boolLit(4))
+      }))
   }
 }

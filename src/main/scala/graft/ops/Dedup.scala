@@ -288,13 +288,22 @@ object Dedup {
     // xxhash64 over the token-array SLICE: equality classes are exactly
     // token-sequence equality (tokens cannot contain whitespace), so no
     // string join/concat is ever built.
-    // localCheckpoint: `w` feeds BOTH the first-occurrence election and
-    // the duplicate join — without it the tokenize+hash explode runs
-    // twice (r18; the staged rows are (id, pos, hash) triples, bounded)
+    // `w` feeds BOTH the first-occurrence election and the duplicate
+    // join. r18 localCheckpoint'd it so the tokenize+hash explode runs
+    // once — but localCheckpoint pins the expansion in unreplicated
+    // executor blocks (an executor loss on a cluster kills the job) and
+    // truncates lineage. r19: repartition by _wh instead — both
+    // consumers need exactly that clustering (the election's groupBy
+    // and the duplicate join are _wh-keyed), so the planner's
+    // ReuseExchange computes the explode ONCE into shuffle files (fault-
+    // tolerant, spillable, freed with the job) and both branches read
+    // them with no further exchange. Fewer exchanges than the
+    // checkpoint shape AND recoverable — the best of both (guide §2.4
+    // "two operations keyed the same way can share one exchange").
     val w = t.select(col(idCol),
       posexplode(transform(sequence(lit(0), col("_n") - k),
         i => xxhash64(slice(col("_toks"), i + 1, lit(k))))).as(Seq("pos", "_wh")))
-      .localCheckpoint()
+      .repartition(col("_wh"))
     val firsts = w.groupBy("_wh")
       .agg(count(lit(1)).as("_c"), min(struct(col(idCol), col("pos"))).as("_w"))
       .filter(col("_c") >= 2)

@@ -250,6 +250,25 @@ object Linkage {
     * ride the explode unchanged. */
   private[graft] def dirtySegKeys(d: DataFrame, tau: Int,
       bounds: Map[Int, Seq[Int]], keep: Seq[String] = Nil): DataFrame = {
+    // r19: the ±τ-window key enumeration is the
+    // [[graft.functions.SegKeys]] codegen kernel — one tight loop per
+    // row instead of the (2τ+1)·(τ+1)-branch when/transform/sequence/
+    // substr HOF tree ([[dirtySegKeysHof]], kept as the spec-pinned
+    // twin), which measured ~0.9 ms/row at τ = 2 (~15 µs per emitted
+    // key) — the single most expensive per-row expression in the
+    // engine. Key multiset, order and dedup are bit-identical
+    // (LinkageSpec pins kernel ≡ HOF on adversarial inputs).
+    d.select(col("d_id") +: col("d_s") +: keep.map(col) :+
+      explode(call_function("graft_seg_keys", col("d_s"), lit(tau),
+        typedlit(bounds.map { case (l, st) => l -> st.toIndexedSeq })))
+        .as("k"): _*)
+  }
+
+  /** The pre-kernel HOF formulation of [[dirtySegKeys]]' key
+    * enumeration. Kept as the independent twin the spec pins
+    * [[graft.functions.SegKeys]] bit-equal against. */
+  private[graft] def dirtySegKeysHof(d: DataFrame, tau: Int,
+      bounds: Map[Int, Seq[Int]], keep: Seq[String] = Nil): DataFrame = {
     val nseg = tau + 1
     val (segStart, segLen) = segGeometry(nseg, bounds)
     val emptyKeys = array().cast("array<struct<i:int,l:int,seg:string>>")
@@ -296,7 +315,15 @@ object Linkage {
     // every scale.
     val factor = d.sparkSession.conf
       .getOption("spark.graft.linkage.candidatePartsFactor")
-      .map(_.toInt).getOrElse(8)
+      .map { s =>
+        val f = try s.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"spark.graft.linkage.candidatePartsFactor must be a positive int, got '$s'")
+        }
+        require(f > 0,
+          s"spark.graft.linkage.candidatePartsFactor must be positive, got $f")
+        f
+      }.getOrElse(8)
     val parts = d.sparkSession.sparkContext.defaultParallelism * factor
     dSeg.repartition(parts, col("k")).hint("shuffle_merge")
       .join(cSeg.repartition(parts, col("k")), Seq("k"))

@@ -314,15 +314,40 @@ object Similarity {
     * codebook oracles replay (and [[graft.plans.VectorKernelRule]]
     * rewrites to the `graft_l2` codegen kernel). */
   private def adcL2Tables(vecCol: String,
-      codebooks: Array[Array[Seq[Double]]]): Column = {
+      codebooks: Array[Array[Seq[Double]]]): Column =
+    adcTablesCol(col(vecCol), codebooks, squared = true)
+
+  /** All ADC tables in ONE [[graft.functions.AdcTables]] kernel call
+    * (r19, verdict item 2): the codebooks ride as a flat double[]
+    * codegen reference object instead of m O(k·sub) array literals with
+    * a zip_with/aggregate tree each — constant-size plan, one loop nest
+    * per row. Bit-equal to the HOF formulation ([[adcTablesHof]], the
+    * spec-pinned twin). */
+  private[graft] def adcTablesCol(v: Column,
+      codebooks: Array[Array[Seq[Double]]], squared: Boolean): Column = {
+    val m = codebooks.length
+    val dim = codebooks.map(_.head.length).sum
+    val sub = dim / m
+    call_function("graft_adc_tables", v,
+      typedLit(codebooks.flatten.flatten.toIndexedSeq),
+      typedLit(codebooks.map(_.length).toIndexedSeq),
+      lit(sub), lit(squared))
+  }
+
+  /** The pre-kernel HOF formulation of the ADC tables. Kept as the
+    * independent twin the spec pins [[graft.functions.AdcTables]]
+    * bit-equal against. */
+  private[graft] def adcTablesHof(v: Column,
+      codebooks: Array[Array[Seq[Double]]], squared: Boolean): Column = {
     val m = codebooks.length
     val dim = codebooks.map(_.head.length).sum
     val sub = dim / m
     array((0 until m).map { j =>
       val cbLit = typedLit(codebooks(j).map(_.toIndexedSeq).toIndexedSeq)
-      val subV = transform(slice(col(vecCol), j * sub + 1, sub),
-        _.cast("double"))
-      transform(cbLit, c => aggregate(zip_with(subV, c, (x, y) => (x - y) * (x - y)),
+      val subV = transform(slice(v, j * sub + 1, sub), _.cast("double"))
+      transform(cbLit, c => aggregate(
+        zip_with(subV, c,
+          (x, y) => if (squared) (x - y) * (x - y) else x * y),
         lit(0.0), (a, x) => a + x))
     }: _*)
   }
@@ -427,17 +452,8 @@ object Similarity {
     * residual's j-th subvector to each codeword, same left-to-right
     * (x−y)² fold. */
   private def adcL2TablesOf(res: Column,
-      codebooks: Array[Array[Seq[Double]]]): Column = {
-    val m = codebooks.length
-    val dim = codebooks.map(_.head.length).sum
-    val sub = dim / m
-    array((0 until m).map { j =>
-      val cbLit = typedLit(codebooks(j).map(_.toIndexedSeq).toIndexedSeq)
-      val subV = slice(res, j * sub + 1, sub)
-      transform(cbLit, c => aggregate(zip_with(subV, c, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (a, x) => a + x))
-    }: _*)
-  }
+      codebooks: Array[Array[Seq[Double]]]): Column =
+    adcTablesCol(res, codebooks, squared = true)
 
   /** RESIDUAL IVFADC probe: the query explodes to its nprobe coarse
     * cells and carries a PER-CELL ADC table — distances are between the
@@ -768,15 +784,25 @@ object Similarity {
       // aggregation of k·dim cells — numerically identical (partial avg
       // sums accumulate in the same per-partition row order).
       val dim0 = cents.headOption.map(_.length).getOrElse(0)
+      // cluster can be null (null/mis-sized embedding rows → the kernel
+      // nulls the assignment); the pre-r18 posexplode path silently
+      // dropped those rows from the mean. Skip the null GROUP on the
+      // collected (≤ k+1)-row result instead of filtering before the
+      // groupBy: a Filter(isNotNull(cluster)) gets pushed below the
+      // projection and DUPLICATES the argmax kernel per row (guide §4.4
+      // — measured +0.9 s on the IVFADC build). An empty input (no init
+      // rows, dim0 = 0) skips the update loop entirely instead of
+      // failing analysis on agg(array()) (r18 ADVICE).
       def meansOf(df: DataFrame): Map[Int, Seq[Double]] =
         df.groupBy("cluster")
           .agg(array((0 until dim0).map(i => avg(col("_nv")(i))): _*)
             .as("centroid"))
           .collect()
+          .iterator.filter(!_.isNullAt(0))
           .map(r => r.getInt(0) ->
             (r.getSeq[Double](1).toIndexedSeq: Seq[Double]))
           .toMap
-      for (_ <- 1 to iters) {
+      if (dim0 > 0) for (_ <- 1 to iters) {
         val next = meansOf(assigned)
         cents = cents.zipWithIndex.map { case (old, j) => next.getOrElse(j, old) }
       }
@@ -816,7 +842,20 @@ object Similarity {
     * at any corpus size. */
   def pqTrain(df: DataFrame, idCol: String, vecCol: String, m: Int,
       k: Int, iters: Int = 3): Array[Array[Seq[Double]]] = {
-    val dim = df.select(size(col(vecCol))).first().getInt(0)
+    // Init rows + dim in ONE collect job (r19, verdict item 6 — was a
+    // separate size() probe job plus a post-slice init collect): the k
+    // md5-least rows arrive with their full double-cast vectors, dim is
+    // their length, and the per-subspace init codewords are sliced
+    // driver-side — the identical elements the old sliced-side collect
+    // produced (Spark's elementwise cast ≡ the driver-side IEEE
+    // widening, and slice bounds clamp the same way).
+    val initRaw: Array[IndexedSeq[Double]] = df
+      .select(transform(col(vecCol), _.cast("double")).as("_v"),
+        md5(col(idCol).cast("string")).as("_h"))
+      .orderBy("_h").limit(k)
+      .collect()
+      .map(_.getSeq[Double](0).toIndexedSeq)
+    val dim = initRaw.head.length
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
     val sub = dim / m
     // All m subspace Lloyd's loops share their corpus passes: one
@@ -835,12 +874,9 @@ object Similarity {
           _.cast("double"))): _*).as("_subs"))
     sliced.persist()
     try {
-      val initRows: Array[IndexedSeq[IndexedSeq[Double]]] = sliced
-        .select(col("_subs"), md5(col("_pid").cast("string")).as("_h"))
-        .orderBy("_h").limit(k)
-        .collect()
-        .map(_.getSeq[scala.collection.Seq[Double]](0)
-          .iterator.map(_.toIndexedSeq).toIndexedSeq)
+      val initRows: Array[IndexedSeq[IndexedSeq[Double]]] =
+        initRaw.map(v => (0 until m)
+          .map(j => v.slice(j * sub, j * sub + sub)).toIndexedSeq)
       var cents: Array[Array[Seq[Double]]] =
         (0 until m).toArray.map(j => initRows.map(r => r(j): Seq[Double]))
       def meansOfAssignment(): Map[(Int, Int), Seq[Double]] = {
@@ -862,6 +898,10 @@ object Similarity {
           .agg(array((0 until sub).map(i => avg(col("v")(i))): _*)
             .as("centroid"))
           .collect()
+          // null-cluster group (mis-sized/null subvectors) skipped on the
+          // collected rows — same tolerate-nulls contract as kmeans'
+          // meansOf, and no per-row filter to duplicate the kernel
+          .iterator.filter(!_.isNullAt(1))
           .map(r => (r.getInt(0), r.getInt(1)) ->
             (r.getSeq[Double](2).toIndexedSeq: Seq[Double]))
           .toMap
@@ -939,15 +979,7 @@ object Similarity {
       codebooks: Array[Array[Seq[Double]]], idCol: String, vecCol: String,
       codeIdCol: String, codeCol: String, k: Int): DataFrame = {
     val m = codebooks.length
-    val dim = codebooks.map(_.head.length).sum
-    val sub = dim / m
-    val tab = array((0 until m).map { j =>
-      val cbLit = typedLit(codebooks(j).map(_.toIndexedSeq).toIndexedSeq)
-      val subV = transform(slice(col(vecCol), j * sub + 1, sub),
-        _.cast("double"))
-      transform(cbLit, c => aggregate(zip_with(subV, c, (x, y) => x * y),
-        lit(0.0), (a, x) => a + x))
-    }: _*)
+    val tab = adcTablesCol(col(vecCol), codebooks, squared = false)
     val q = queries.select(col(idCol).as("q_id"), tab.as("_tab"))
     val scored = corpusCodes
       .select(col(codeIdCol).as("n_id"), col(codeCol).as("_code"))

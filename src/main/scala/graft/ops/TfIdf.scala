@@ -776,7 +776,7 @@ object TfIdf {
     * (and no 3+-character query can match them). */
   def trigramIndexBuild(docs: DataFrame, idCol: String, textCol: String,
       tableName: String, tableBuckets: Int = 32): Unit = {
-    val tg = trigramPostings(docs, idCol, textCol)
+    val tg = trigramPostings(docs, idCol, textCol, tableBuckets)
     // the trigram index joins the persisted family's retraction
     // lifecycle, keyed by doc_id (one delete suppresses every posting
     // row of the doc)
@@ -786,18 +786,31 @@ object TfIdf {
   }
 
   private def trigramPostings(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String): DataFrame =
+    trigramPostings(docs, idCol, textCol, buckets = 0)
+
+  /** `buckets > 0` re-clusters the exploded postings by the bucket key
+    * before a bucketed write: the r18 fanOut multiplied output files to
+    * (tasks × buckets) per write — this one exchange restores one file
+    * per bucket per write (repartition's hash ≡ the bucket hash, so
+    * partition p holds exactly bucket p), which the bucket-pruned
+    * probes re-read forever (r18 ADVICE; guide §6 output file sizing).
+    * fanOut stays: the CPU-heavy explode still runs at session
+    * parallelism BELOW the exchange. */
+  private def trigramPostings(docs: DataFrame, idCol: String,
+      textCol: String, buckets: Int): DataFrame = {
     val n = length(col(textCol))
     // fanOut (r18): the per-row trigram explode multiplies each document
     // to ~|text| posting rows and feeds the bucketed write directly —
     // on a single-split scan the whole explode AND the write ran in one
     // task (measured 4 s at sf0.1 in q_fuzzy_match's build). No-op at
     // real scale.
-    Transforms.fanOut(docs.select(col(idCol), col(textCol)))
+    val tg = Transforms.fanOut(docs.select(col(idCol), col(textCol)))
       .select(col(idCol).cast("long").as("doc_id"),
         explode(when(n < 3, array().cast("array<string>"))
           .otherwise(array_distinct(transform(sequence(lit(1), n - 2),
             i => col(textCol).substr(i, lit(3)))))).as("tg"))
+    if (buckets > 0) tg.repartition(buckets, col("tg")) else tg
   }
 
   /** Append a new document batch to a [[trigramIndexBuild]] table —
@@ -807,7 +820,7 @@ object TfIdf {
   def trigramIndexAppend(newDocs: DataFrame, idCol: String,
       textCol: String, tableName: String, tableBuckets: Int = 32): Unit =
     Bucketing.appendBucketed(
-      Bucketing.withGen(trigramPostings(newDocs, idCol, textCol),
+      Bucketing.withGen(trigramPostings(newDocs, idCol, textCol, tableBuckets),
         Bucketing.currentGen(newDocs.sparkSession, tableName)),
       tableName, "tg", tableBuckets)
 

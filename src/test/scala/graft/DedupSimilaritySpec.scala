@@ -1225,4 +1225,81 @@ class DedupSimilaritySpec extends SparkSpec {
       f"residual coding must cut reconstruction error at equal budget: " +
         f"residual $resErr%.4f vs raw $rawErr%.4f")
   }
+
+  test("AdcTables kernel bit-equal to the HOF zip_with form (L2 + dot, ragged codebooks, degenerate rows)") {
+    import spark.implicits._
+    val e = emb.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    val dim = e.select(size(col("v"))).first().getInt(0)
+    val m = 4
+    val sub = dim / m
+    // codebooks from real rows, RAGGED on purpose (subspace 2 has one
+    // codeword fewer — pqTrain drops empty clusters, so inner table
+    // lengths must track per-subspace codeword counts)
+    val rows = e.orderBy("vec_id").limit(3).collect().map(_.getSeq[Double](1))
+    val cbs: Array[Array[Seq[Double]]] = (0 until m).toArray.map { j =>
+      val words = rows.map(r => r.slice(j * sub, (j + 1) * sub): Seq[Double])
+      if (j == 2) words.take(2) else words
+    }
+    // degenerate rows the HOF nulls: too-short vector, null element
+    val degen = Seq(
+      (-1L, Seq(1.0, 2.0)),                      // shorter than dim
+      (-2L, (0 until dim).map(_.toDouble))       // full-length control
+    ).toDF("vec_id", "v")
+      .unionByName(Seq(-3L).toDF("vec_id")
+        .withColumn("v", array((0 until dim).map(i =>
+          if (i == sub + 1) lit(null).cast("double")
+          else lit(i.toDouble)): _*)))
+    for (squared <- Seq(true, false)) {
+      val kernel = Similarity.adcTablesCol(col("v"), cbs, squared)
+      val hof = Similarity.adcTablesHof(col("v"), cbs, squared)
+      for (src <- Seq(e, degen)) {
+        val diff = src.select(col("vec_id"), kernel.as("a"), hof.as("b"))
+          .filter(!(col("a") <=> col("b"))).count()
+        assert(diff == 0, s"kernel diverged from HOF on $diff rows (squared=$squared)")
+      }
+      // the ONE documented divergence: a NULL input vector — kernel
+      // NULLs the whole table, HOF yields m arrays of nulls; every
+      // consumer is an element_at chain that maps both to a NULL
+      // distance, pinned here
+      val nulled = Seq(-9L).toDF("vec_id")
+        .withColumn("v", lit(null).cast("array<double>"))
+      val consumed = nulled.select(
+        element_at(element_at(kernel, 1), 1).as("ck"),
+        element_at(element_at(hof, 1), 1).as("ch")).first()
+      assert(consumed.isNullAt(0) && consumed.isNullAt(1),
+        "both forms must null the consumer's lookup for a NULL vector")
+    }
+    // the kernel is what the probe plan actually executes, in codegen
+    val p = e.select(Similarity.adcTablesCol(col("v"), cbs, squared = true))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("graft_adc_tables"), p.take(600))
+  }
+
+  test("CentroidArgmax non-finite scores: NaN vector agrees with HOF; ±Inf divergence is the decided contract (r18 ADVICE)") {
+    import spark.implicits._
+    val cents: Array[Seq[Double]] =
+      Array(Seq(1.0, 2.0), Seq(-1.0, 0.5), Seq(0.0, 0.0))
+    def kernelCol = call_function("graft_centroid_argmax", col("v"),
+      typedLit(cents.flatten.toIndexedSeq),
+      typedLit(Similarity.centroidBias(cents, cosine = false).toIndexedSeq))
+    def hofCol = Similarity.centroidArgmaxHof(col("v"), cents, cosine = false)
+    // a NaN ELEMENT poisons every centroid's dot product, so all scores
+    // are NaN and both forms keep index 0 — no divergence
+    val nan = Seq((1L, Seq(Double.NaN, 1.0)), (2L, Seq(1.0, Double.NaN)))
+      .toDF("id", "v")
+    val nanOut = nan.select(kernelCol.as("a"), hofCol.as("b")).collect()
+    assert(nanOut.forall(r => r.getInt(0) == 0 && r.getInt(1) == 0),
+      s"NaN vector must keep index 0 in both forms: ${nanOut.mkString(",")}")
+    // an INFINITE element yields MIXED NaN/finite scores (Inf·0 = NaN):
+    // the HOF struct-max ranks NaN above every double and picks the
+    // NaN-scored centroid; the kernel's strict > never selects a later
+    // NaN. Non-finite embeddings are OUT OF CONTRACT for the trained-
+    // codebook operators — this pin makes the divergence an explicit,
+    // tested decision rather than a silent one.
+    val inf = Seq((3L, Seq(Double.PositiveInfinity, 1.0))).toDF("id", "v")
+    val infOut = inf.select(kernelCol.as("a"), hofCol.as("b")).first()
+    assert(infOut.getInt(0) == 0, s"kernel must keep the first finite max: $infOut")
+    assert(infOut.getInt(1) == 2, s"HOF ranks the NaN score highest: $infOut")
+  }
 }

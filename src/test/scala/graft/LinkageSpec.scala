@@ -449,4 +449,43 @@ class LinkageSpec extends SparkSpec {
         spark.sql(s"DROP TABLE IF EXISTS `$t`"))
     }
   }
+
+  test("graft_seg_keys kernel ≡ the HOF dirtySegKeys form (adversarial strings, adaptive bounds, τ=1..3)") {
+    // adversarial inputs: null, empty, below/at/above the nseg boundary,
+    // multi-byte UTF-8 (positions are CHARACTER-based), id-like keys,
+    // and lengths both mapped and unmapped by the adaptive bounds
+    val strs: Seq[String] = Seq(
+      null, "", "a", "ab", "abc", "abcd", "abcde",
+      "é", "ありがとう御座います", "ααββγγδδεεζζ",
+      "Customer#000000123", "Customer#0000014",
+      "aaaa aaaa aaaa", "xxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxx")
+    val d = strs.zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("d_id", "d_s")
+    def collected(df: DataFrame): Seq[(Long, Int, Int, String)] =
+      df.select(col("d_id"), col("k.i"), col("k.l"), col("k.seg"))
+        .as[(Long, Int, Int, String)].collect().toSeq.sorted
+    for (tau <- 1 to 3) {
+      val nseg = tau + 1
+      // per-τ adaptive maps with exactly nseg starts per mapped length
+      // (the writer contract), incl. the real 18-char id split shape
+      val boundsVariants: Seq[Map[Int, Seq[Int]]] = Seq(
+        Map.empty,
+        Map(18 -> (Seq(1) ++ (1 until nseg).map(j => 18 - (nseg - j) * 2 + 1)),
+          12 -> (1 to nseg).map(j => 1 + (j - 1) * (12 / nseg)),
+          5 -> (1 to nseg).map(j => math.min(5, j))))
+      for (bounds <- boundsVariants) {
+        val kernel = collected(Linkage.dirtySegKeys(d, tau, bounds))
+        val hof = collected(Linkage.dirtySegKeysHof(d, tau, bounds))
+        assert(kernel == hof,
+          s"τ=$tau bounds=$bounds: kernel ${kernel.size} keys vs HOF ${hof.size}" +
+            s"; first diff: ${kernel.diff(hof).take(3)} / ${hof.diff(kernel).take(3)}")
+      }
+    }
+    // the kernel is what editJoin's plan actually executes
+    val clean = Seq((1L, "Customer#000000123")).toDF("c_id", "c_s")
+    val p = Linkage.editJoin(d.filter(col("d_s").isNotNull), "d_id", "d_s",
+        clean, "c_id", "c_s", tau = 2, adaptiveSample = 0)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("graft_seg_keys"), p.take(800))
+  }
 }
