@@ -132,3 +132,126 @@ case class AdcTables(child: Expression, flat: Array[Double],
       java.util.Arrays.hashCode(ks), Integer.valueOf(sub),
       java.lang.Boolean.valueOf(squared))
 }
+
+/** The coarse-probe cell ranking kernel: indices of the `nprobe`
+  * highest-scoring centroids (score = v·c_j − bias_j, descending, ties
+  * to the lower index) — the nprobe generalization of
+  * [[CentroidArgmax]], replacing the zip_with-over-centroid-literal +
+  * array_sort HOF tree in the IVFADC probes (r18 verdict item 2's last
+  * remaining literal tree).
+  *
+  * Bit-fidelity with the HOF form (DedupSimilaritySpec pins it):
+  *   - scores accumulate left-to-right at double precision, minus the
+  *     bias, exactly like the fold;
+  *   - ordering matches Spark's comparator semantics: NaN ranks above
+  *     every double, NaN ties NaN, and ±0.0 compare equal (scores are
+  *     +0.0-normalized before java.lang.Double.compare);
+  *   - a NULL/mis-sized vector or a null element nulls EVERY score in
+  *     the HOF form, whose comparator then falls through to the index
+  *     tiebreak — i.e. indices 0..nprobe−1 — which the kernel returns
+  *     for those inputs;
+  *   - k = 0 yields an empty array; nprobe > k yields all k indices.
+  */
+object CentroidTopKKernel {
+  def eval(v: ArrayData, cents: Array[Double], bias: Array[Double],
+      nprobe: Int): ArrayData = {
+    val k = bias.length
+    val n = math.min(nprobe, k)
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    val dim = cents.length / k
+    // a NULL vector nulls every score in the HOF form, whose comparator
+    // then falls through to the index tiebreak — same as the mis-sized
+    // case below, so both take the 0..n−1 path
+    var valid = v != null && v.numElements() == dim
+    var i = 0
+    while (valid && i < dim) {
+      if (v.isNullAt(i)) valid = false
+      i += 1
+    }
+    val out = new Array[Any](n)
+    if (!valid) {
+      var j = 0
+      while (j < n) { out(j) = j; j += 1 }
+      return new GenericArrayData(out)
+    }
+    val scores = new Array[Double](k)
+    var j = 0
+    while (j < k) {
+      var acc = 0.0
+      var p = 0
+      while (p < dim) {
+        acc += v.getDouble(p) * cents(j * dim + p)
+        p += 1
+      }
+      scores(j) = (acc - bias(j)) + 0.0 // -0.0 → 0.0: Spark's > treats them equal
+      j += 1
+    }
+    val order = new Array[Integer](k)
+    j = 0
+    while (j < k) { order(j) = Integer.valueOf(j); j += 1 }
+    java.util.Arrays.sort(order, (a: Integer, b: Integer) => {
+      val c = java.lang.Double.compare(scores(b), scores(a)) // desc, NaN first
+      if (c != 0) c else Integer.compare(a, b)
+    })
+    j = 0
+    while (j < n) { out(j) = order(j).intValue(); j += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** graft_centroid_topk(v, centsFlat, bias, nprobe): the nprobe
+  * best-scoring centroid indices — see [[CentroidTopKKernel]]. The
+  * centroid matrix and bias ride as codegen reference objects, so the
+  * plan stays constant-size in k·dim. */
+case class CentroidTopK(child: Expression, cents: Array[Double],
+    bias: Array[Double], nprobe: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+  private val k = bias.length
+  require(k == 0 || cents.length == k * (cents.length / k),
+    s"centroid matrix length ${cents.length} not divisible by k=$k")
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  // never null: a NULL input takes the all-scores-null fallthrough
+  // (indices 0..nprobe−1), exactly like the HOF form it replaces
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_centroid_topk"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    CentroidTopKKernel.eval(
+      if (v == null) null else v.asInstanceOf[ArrayData], cents, bias, nprobe)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[]")
+    val biasRef = ctx.addReferenceObj("bias", bias, "double[]")
+    val c = child.genCode(ctx)
+    val javaType = org.apache.spark.sql.catalyst.expressions.codegen
+      .CodeGenerator.javaType(dataType)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        $javaType ${ev.value} = graft.functions.CentroidTopKKernel.eval(
+          ${c.isNull} ? null : ${c.value}, $centsRef, $biasRef, $nprobe);
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CentroidTopK =
+    copy(child = newChild)
+
+  override def equals(other: Any): Boolean = other match {
+    case c: CentroidTopK => child == c.child && nprobe == c.nprobe &&
+      java.util.Arrays.equals(cents, c.cents) &&
+      java.util.Arrays.equals(bias, c.bias)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, java.util.Arrays.hashCode(cents),
+      java.util.Arrays.hashCode(bias), Integer.valueOf(nprobe))
+}

@@ -552,5 +552,21 @@ object VectorExpressions {
         }
         AdcTables(children(0), arrLit(1), intArrLit(2), intLit(3), boolLit(4))
       }))
+    e.injectFunction(desc("graft_centroid_topk", classOf[CentroidTopK],
+      (children: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        def arrLit(i: Int): Array[Double] = children(i) match {
+          case Literal(v, ArrayType(DoubleType, _)) =>
+            v.asInstanceOf[ArrayData].toDoubleArray()
+          case other => throw new IllegalArgumentException(
+            s"graft_centroid_topk arg ${i + 1} must be an array<double> literal, got $other")
+        }
+        val nprobe = children(3) match {
+          case Literal(v, _) if v != null => v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_centroid_topk arg 4 must be an int literal, got $other")
+        }
+        CentroidTopK(children(0), arrLit(1), arrLit(2), nprobe)
+      }))
   }
 }

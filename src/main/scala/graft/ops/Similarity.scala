@@ -386,6 +386,20 @@ object Similarity {
     * nprobe indices. The centroid matrix is a bounded literal; the whole
     * thing is one narrow HOF projection. */
   private def coarseProbeCells(v: Column, cents: Array[Seq[Double]],
+      nprobe: Int): Column =
+    // the [[graft.functions.CentroidTopK]] codegen kernel (r19 — the
+    // last zip_with-over-centroid-literal tree in the IVFADC probes);
+    // bit-equal to [[coarseProbeCellsHof]], the spec-pinned twin
+    call_function("graft_centroid_topk",
+      transform(v, _.cast("double")),
+      typedLit(cents.flatten.toIndexedSeq),
+      typedLit(centroidBias(cents, cosine = false).toIndexedSeq),
+      lit(nprobe))
+
+  /** The pre-kernel HOF formulation of the coarse-cell ranking. Kept as
+    * the independent twin the spec pins [[graft.functions.CentroidTopK]]
+    * bit-equal against. */
+  private[graft] def coarseProbeCellsHof(v: Column, cents: Array[Seq[Double]],
       nprobe: Int): Column = {
     val centsLit = typedLit(cents.map(_.toIndexedSeq).toIndexedSeq)
     val bias = typedLit(centroidBias(cents, cosine = false).toIndexedSeq)

@@ -204,6 +204,30 @@ object TfIdf {
     * visible so LifecycleRecoverySpec can replay every partial-append
     * state. `failAfter` = persisted steps allowed before the injected
     * crash: 1 = pending marker only, 2 = + postings, 3 = + `_docs`. */
+  /** The lifecycle bookkeeping reads in ONE job (r19, verdict item 5 —
+    * was one tiny job each): `_del`'s max sequence (the current
+    * generation) and the `_stats` (seq, del_sig) log arrive in a single
+    * union'd collect. Values are identical to
+    * [[Bucketing.currentGen]] + a `_stats` collect run back to back —
+    * both are read-only and no write can land between them in the
+    * single-maintainer contract, so every crash-replay path the
+    * LifecycleRecoverySpec matrix pins is unchanged. */
+  private def genAndStatsLog(spark: SparkSession,
+      tableName: String): (Long, Array[(Long, Long)]) = {
+    val stats = spark.table(tableName + "_stats")
+      .select(lit(1).as("_src"), col("seq").as("a"), col("del_sig").as("b"))
+    val rows = (if (spark.catalog.tableExists(tableName + "_del"))
+        spark.table(tableName + "_del")
+          .agg(coalesce(max("seq"), lit(0L)).as("a"))
+          .select(lit(0).as("_src"), col("a"), lit(0L).as("b"))
+          .unionByName(stats)
+      else stats).collect()
+    val gen = rows.find(_.getInt(0) == 0).map(_.getLong(1)).getOrElse(0L)
+    val book = rows.filter(_.getInt(0) == 1)
+      .map(r => (r.getLong(1), r.getLong(2)))
+    (gen, book)
+  }
+
   private[graft] def appendImpl(newDocs: DataFrame, idCol: String,
       textCol: String, tableName: String, tableBuckets: Int,
       failAfter: Int): Unit = {
@@ -213,7 +237,8 @@ object TfIdf {
         s"[graft-test] injected crash after append step $step")
     ensureStatsSchema(spark, tableName)
     assertNoPendingFamilyCompact(spark, tableName, "searchIndexAppend")
-    val gen = Bucketing.currentGen(spark, tableName)
+    // generation + bookkeeping log in one job (see [[genAndStatsLog]])
+    val (gen, book) = genAndStatsLog(spark, tableName)
     // ONE termCounts pass over the batch (r18 optimization — the batch
     // digest, postings, `_docs`, and `_stats` appends each re-scanned
     // and re-tokenized it before): the per-doc (doc_id, dl, _tc)
@@ -238,11 +263,6 @@ object TfIdf {
       .first()
     if (idAgg.getLong(0) == 0L) return // empty batch: nothing to append
     val digest = { val d = idAgg.getLong(1); if (d == 0L) 1L else d }
-    // the tiny _stats bookkeeping log, one collect: this batch's own
-    // state plus the pending-delete and pending-append guards
-    val book = spark.table(tableName + "_stats")
-      .select("seq", "del_sig").collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
     def completedRow(d: Long) = book.exists(p => p._1 == 0L && p._2 == d)
     if (completedRow(digest)) {
       // a finished append's retry: idempotent no-op (clear a marker a
@@ -464,9 +484,8 @@ object TfIdf {
     // not have written yet — deleting its docs now would retract zero
     // while their postings keep ranking, permanently once the append
     // completes
-    val bookkeeping = spark.table(tableName + "_stats")
-      .select("seq", "del_sig").collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
+    // generation + bookkeeping log in one job (see [[genAndStatsLog]])
+    val (gen0, bookkeeping) = genAndStatsLog(spark, tableName)
     pendingAppend(spark, tableName, bookkeeping).foreach { d =>
       throw new IllegalStateException(
         s"$tableName: a prior append left a partial state (pending " +
@@ -476,7 +495,7 @@ object TfIdf {
     }
     val del = delIds.select(col(idCol).cast("long").as("doc_id"))
       .distinct().localCheckpoint(true)
-    val seq = Bucketing.currentGen(spark, tableName) + 1L
+    val seq = gen0 + 1L
     // order-free digest of THIS delete's id set: a retraction row is
     // "already applied" only if both its sequence AND its digest match —
     // a bare-seq check would mistake an ABANDONED partial delete's
@@ -633,19 +652,24 @@ object TfIdf {
       queryTerms: Seq[String], k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    // corpus stats ride as a broadcast 1-row side instead of a separate
+    // driver collect job (r19, verdict item 5): same long sums, same
+    // long→double casts, same divide — score arithmetic is bit-identical
+    // to the former lit(n)/lit(avgdl) interpolation
     val st = spark.table(tableName + "_stats")
-      .agg(sum("n_docs").as("n"), sum("total_dl").as("t")).first()
-    val n = st.getLong(0).toDouble
-    val avgdl = st.getLong(1).toDouble / n
+      .agg(sum("n_docs").as("_ln"), sum("total_dl").as("_lt"))
+      .select(col("_ln").cast("double").as("_n"),
+        (col("_lt").cast("double") / col("_ln").cast("double")).as("_avgdl"))
     val postings = Bucketing.liveView(spark, tableName, "doc_id")
       .filter(col("term").isin(queryTerms: _*))
     val dft = postings.groupBy("term").agg(count(lit(1)).as("df_t"))
     val idf = log(lit(1.0) +
-      (lit(n) - col("df_t") + 0.5) / (col("df_t") + 0.5))
+      (col("_n") - col("df_t") + 0.5) / (col("df_t") + 0.5))
     postings.join(broadcast(dft), "term")
+      .crossJoin(broadcast(st))
       .withColumn("_s", idf * col("cnt").cast("double") * (lit(k1) + 1.0) /
         (col("cnt").cast("double") + lit(k1) *
-          (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / lit(avgdl))))
+          (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / col("_avgdl"))))
       .groupBy("doc_id")
       .agg(sum("_s").as("score"), count(lit(1)).as("n_terms"))
   }

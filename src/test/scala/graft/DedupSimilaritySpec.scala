@@ -1276,6 +1276,45 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(p.contains("graft_adc_tables"), p.take(600))
   }
 
+  test("CentroidTopK kernel bit-equal to the HOF sort form (real embeddings, ties, degenerate rows)") {
+    import spark.implicits._
+    val e = emb.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    val dim = e.select(size(col("v"))).first().getInt(0)
+    // tie-prone: one duplicated centroid
+    val cents: Array[Seq[Double]] = e.orderBy("vec_id").limit(4)
+      .collect().map(_.getSeq[Double](1)) :+
+      e.orderBy("vec_id").limit(1).collect()(0).getSeq[Double](1)
+    // degenerate rows: null vector, too-short vector, null element —
+    // the HOF nulls every score and falls through to 0..nprobe−1
+    val degen = Seq((-1L, Seq(1.0, 2.0)))
+      .toDF("vec_id", "v")
+      .unionByName(Seq(-2L).toDF("vec_id")
+        .withColumn("v", lit(null).cast("array<double>")))
+      .unionByName(Seq(-3L).toDF("vec_id")
+        .withColumn("v", array((0 until dim).map(i =>
+          if (i == 1) lit(null).cast("double")
+          else lit(i.toDouble)): _*)))
+    for (nprobe <- Seq(1, 3, cents.length + 2)) {
+      val kernel = call_function("graft_centroid_topk", col("v"),
+        typedLit(cents.flatten.toIndexedSeq),
+        typedLit(Similarity.centroidBias(cents, cosine = false).toIndexedSeq),
+        lit(nprobe))
+      val hof = Similarity.coarseProbeCellsHof(col("v"), cents, nprobe)
+      for (src <- Seq(e, degen)) {
+        val diff = src.select(col("vec_id"), kernel.as("a"), hof.as("b"))
+          .filter(!(col("a") <=> col("b"))).count()
+        assert(diff == 0, s"kernel diverged from HOF on $diff rows (nprobe=$nprobe)")
+      }
+    }
+    val p = e.select(call_function("graft_centroid_topk", col("v"),
+        typedLit(cents.flatten.toIndexedSeq),
+        typedLit(Similarity.centroidBias(cents, cosine = false).toIndexedSeq),
+        lit(3)))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("graft_centroid_topk"), p.take(600))
+  }
+
   test("CentroidArgmax non-finite scores: NaN vector agrees with HOF; ±Inf divergence is the decided contract (r18 ADVICE)") {
     import spark.implicits._
     val cents: Array[Seq[Double]] =
