@@ -133,6 +133,75 @@ case class AdcTables(child: Expression, flat: Array[Double],
       java.lang.Boolean.valueOf(squared))
 }
 
+/** The coarse-residual kernel: `v − c[cell]` elementwise against a
+  * literal centroid matrix indexed by a COMPUTED cell column — the last
+  * zip_with-over-centroid-literal node in the IVFADC plans after
+  * [[AdcTables]]/[[CentroidTopK]] (r19). Bit-fidelity with the HOF form
+  * `zip_with(vd, element_at(centsLit, cell+1), (x, c) => x − c)`:
+  *   - output length = max(|v|, dim), zip_with's null padding: element
+  *     i is NULL when either side has no value (or has a null) there;
+  *   - a NULL cell or NULL vector yields NULL (zip_with over a null
+  *     side). Cells outside 0..k−1 cannot occur (they come from the
+  *     argmax/topk kernels); were one to, the kernel yields an all-null
+  *     row where ANSI element_at would error — out of contract either
+  *     way, decided toward the non-throwing arm.
+  */
+object ResidualKernel {
+  def eval(v: ArrayData, cell: Int, cents: Array[Double],
+      k: Int): ArrayData = {
+    val dim = if (k == 0) 0 else cents.length / k
+    val inRange = cell >= 0 && cell < k
+    val n = v.numElements()
+    val len = math.max(n, dim)
+    val out = new Array[Any](len)
+    var i = 0
+    while (i < len) {
+      out(i) =
+        if (i < n && i < dim && inRange && !v.isNullAt(i))
+          java.lang.Double.valueOf(v.getDouble(i) - cents(cell * dim + i))
+        else null
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** graft_residual(v, cell, centsFlat, k): `v − c[cell]` with the
+  * centroid matrix as a codegen reference object. */
+case class CoarseResidual(left: Expression, right: Expression,
+    cents: Array[Double], k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), org.apache.spark.sql.types.IntegerType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_residual"
+
+  override def nullSafeEval(v: Any, cell: Any): Any =
+    ResidualKernel.eval(v.asInstanceOf[ArrayData],
+      cell.asInstanceOf[Int], cents, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[]")
+    defineCodeGen(ctx, ev, (v, cell) =>
+      s"graft.functions.ResidualKernel.eval($v, $cell, $centsRef, $k)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CoarseResidual =
+    copy(left = newLeft, right = newRight)
+
+  override def equals(other: Any): Boolean = other match {
+    case c: CoarseResidual => left == c.left && right == c.right &&
+      k == c.k && java.util.Arrays.equals(cents, c.cents)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(left, right,
+      java.util.Arrays.hashCode(cents), Integer.valueOf(k))
+}
+
 /** The coarse-probe cell ranking kernel: indices of the `nprobe`
   * highest-scoring centroids (score = v·c_j − bias_j, descending, ties
   * to the lower index) — the nprobe generalization of

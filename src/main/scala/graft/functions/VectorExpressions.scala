@@ -568,5 +568,21 @@ object VectorExpressions {
         }
         CentroidTopK(children(0), arrLit(1), arrLit(2), nprobe)
       }))
+    e.injectFunction(desc("graft_residual", classOf[CoarseResidual],
+      (children: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        val cents = children(2) match {
+          case Literal(v, ArrayType(DoubleType, _)) =>
+            v.asInstanceOf[ArrayData].toDoubleArray()
+          case other => throw new IllegalArgumentException(
+            s"graft_residual arg 3 must be an array<double> literal, got $other")
+        }
+        val k = children(3) match {
+          case Literal(v, _) if v != null => v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_residual arg 4 must be an int literal, got $other")
+        }
+        CoarseResidual(children(0), children(1), cents, k)
+      }))
   }
 }

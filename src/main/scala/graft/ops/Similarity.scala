@@ -419,6 +419,18 @@ object Similarity {
     * centroid, with the centroid matrix riding as a 2-D literal indexed
     * by the (computed) cell column. */
   private def residualCol(vec: Column, cellCol: Column,
+      cents: Array[Seq[Double]]): Column =
+    // the [[graft.functions.CoarseResidual]] codegen kernel (r19 — the
+    // last zip_with-over-centroid-literal node in the IVFADC plans);
+    // bit-equal to [[residualColHof]], the spec-pinned twin
+    call_function("graft_residual", transform(vec, _.cast("double")),
+      cellCol.cast("int"), typedLit(cents.flatten.toIndexedSeq),
+      lit(cents.length))
+
+  /** The pre-kernel HOF formulation of the coarse residual. Kept as the
+    * independent twin the spec pins [[graft.functions.CoarseResidual]]
+    * bit-equal against. */
+  private[graft] def residualColHof(vec: Column, cellCol: Column,
       cents: Array[Seq[Double]]): Column = {
     val centsLit = typedLit(cents.map(_.toIndexedSeq).toIndexedSeq)
     zip_with(transform(vec, _.cast("double")),

@@ -1315,6 +1315,48 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(p.contains("graft_centroid_topk"), p.take(600))
   }
 
+  test("CoarseResidual kernel bit-equal to the HOF zip_with form (real cells, degenerate rows)") {
+    import spark.implicits._
+    val e = emb.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    val dim = e.select(size(col("v"))).first().getInt(0)
+    val cents: Array[Seq[Double]] = e.orderBy("vec_id").limit(3)
+      .collect().map(_.getSeq[Double](1))
+    val cell = call_function("graft_centroid_argmax", col("v"),
+      typedLit(cents.flatten.toIndexedSeq),
+      typedLit(Similarity.centroidBias(cents, cosine = false).toIndexedSeq))
+    // degenerate rows: short vector (zip_with null-pads), null element,
+    // null vector, null cell
+    val degen = Seq((-1L, Seq(1.0, 2.0), 0), (-2L, Seq(1.0, 2.0), 2))
+      .toDF("vec_id", "v", "c")
+      .unionByName(Seq(-3L).toDF("vec_id")
+        .withColumn("v", lit(null).cast("array<double>"))
+        .withColumn("c", lit(1)))
+      .unionByName(Seq(-4L).toDF("vec_id")
+        .withColumn("v", array((0 until dim).map(i =>
+          if (i == 2) lit(null).cast("double")
+          else lit(i.toDouble)): _*))
+        .withColumn("c", lit(null).cast("int")))
+    def diffOn(src: org.apache.spark.sql.DataFrame,
+        cellCol: org.apache.spark.sql.Column): Long =
+      src.select(col("vec_id"),
+          call_function("graft_residual", transform(col("v"), _.cast("double")),
+            cellCol.cast("int"), typedLit(cents.flatten.toIndexedSeq),
+            lit(cents.length)).as("a"),
+          Similarity.residualColHof(col("v"), cellCol, cents).as("b"))
+        .filter(!(col("a") <=> col("b"))).count()
+    assert(diffOn(e, cell) == 0, "kernel diverged from HOF on real cells")
+    assert(diffOn(degen, col("c")) == 0, "kernel diverged from HOF on degenerate rows")
+  }
+
+  test("duplicateSpans computes its window-hash explode once — the shared _wh exchange is reused at runtime") {
+    val spans = Dedup.duplicateSpans(docs, "text", "doc_id", k = 5)
+    spans.collect() // materialize THIS QueryExecution so AQE finalizes it
+    val p = spans.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"expected a reused exchange in the final adaptive plan:\n${p.take(4000)}")
+  }
+
   test("CentroidArgmax non-finite scores: NaN vector agrees with HOF; ±Inf divergence is the decided contract (r18 ADVICE)") {
     import spark.implicits._
     val cents: Array[Seq[Double]] =
